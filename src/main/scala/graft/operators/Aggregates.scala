@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Det, Tables}
 
 /** SURVEY.md §2.4 — aggregation operators.
   *
@@ -26,10 +26,10 @@ object Aggregates {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        Det.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        Det.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),
@@ -45,8 +45,8 @@ object Aggregates {
       ("SELECT l_returnflag, l_linestatus, " +
         "round(sum(l_quantity),2) AS sum_qty, " +
         "round(sum(l_extendedprice),2) AS sum_base_price, " +
-        "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, " +
-        "round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge, " +
+        Det.moneySumSql("l_extendedprice*(1-l_discount)") + " AS sum_disc_price, " +
+        Det.moneySumSql("l_extendedprice*(1-l_discount)*(1+l_tax)") + " AS sum_charge, " +
         "round(avg(l_quantity),4) AS avg_qty, " +
         "round(avg(l_extendedprice),4) AS avg_price, " +
         "round(avg(l_discount),4) AS avg_disc, " +

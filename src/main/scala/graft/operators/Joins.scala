@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** SURVEY.md §2.3 — join shapes.
+  *
+  * Scale notes (100 TB):
+  *  - dims (region/nation/supplier/part at star-schema ratios) are
+  *    `broadcast()` so fact-side data never shuffles for them;
+  *  - the as-of join is the union-window formulation — one shuffle on
+  *    `user_id`, no per-row range probe, no cross product — the standard
+  *    scalable as-of pattern;
+  *  - the interval join broadcasts the (tiny) per-user anchor table; the
+  *    residual BETWEEN runs as a post-join filter on an equi-join, never
+  *    a cartesian;
+  *  - full-outer is taken over pre-aggregated keys, not raw fact rows, so
+  *    the shuffle carries one row per key.
+  */
+object Joins {
+
+  def innerEqui(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  def broadcastDims(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        Det.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  def leftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val b = Tables(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    a.join(b, a("o_custkey") === b("user_id"), "full_outer")
+      .select(coalesce(a("o_custkey"), b("user_id")).as("id"),
+        col("n_orders"), col("n_events"))
+      .orderBy("id")
+  }
+
+  def semi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** NOT EXISTS — customers with no 'P'-status order (predicate chosen so
+    * the result is non-empty at every sf; plain "no orders at all" is
+    * empty at sf0.001).
+    */
+  def anti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Equi key + range residual — planned as a hash join with a post-join
+    * filter, never a cartesian.
+    */
+  def thetaRange(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    l.join(broadcast(p),
+        l("l_partkey") === p("p_partkey") && l("l_quantity") > p("p_size"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), round(avg("l_quantity"), 4).as("avg_qty"))
+      .orderBy("p_brand")
+  }
+
+  def cross(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "region")
+      .crossJoin(Tables(spark, dir, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** As-of: each purchase matched to the latest preceding signup of the
+    * same user. Union-window formulation: tag candidate timestamps, one
+    * window pass ordered by (ts, event_id) — a single shuffle on user_id.
+    */
+  def asof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("signup_ts", when(col("event_type") === "signup", col("ts")))
+      .withColumn("asof_signup", last("signup_ts", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("asof_signup")).as("signup_ts_us"))
+      .orderBy("event_id")
+  }
+
+  /** Interval join: events within ±30 min of each user's first signup. */
+  def interval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val anchors = Tables(spark, dir, "events")
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("anchor_ts"))
+    e.join(broadcast(anchors), Seq("user_id"))
+      .filter(col("ts") >= col("anchor_ts") - expr("INTERVAL 30 MINUTE") &&
+        col("ts") <= col("anchor_ts") + expr("INTERVAL 30 MINUTE"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("anchor_ts")).as("anchor_us"))
+      .orderBy("event_id")
+  }
+
+  /** TPC-H Q3 shape: 3-way join, aggregate, top-10 by revenue. */
+  def multiway(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(Det.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_equi" -> innerEqui,
+    "join_broadcast" -> broadcastDims,
+    "join_left_outer" -> leftOuter,
+    "join_full_outer" -> fullOuter,
+    "join_semi" -> semi,
+    "join_anti" -> anti,
+    "join_theta_range" -> thetaRange,
+    "join_cross" -> cross,
+    "join_asof" -> asof,
+    "join_interval" -> interval,
+    "join_multiway" -> multiway
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_inner_equi" ->
+      ("SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_orderkey"),
+    "join_broadcast" ->
+      ("SELECT r_name, n_name, " +
+        Det.moneySumSql("l_extendedprice*(1-l_discount)") + " AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+    "join_left_outer" ->
+      ("SELECT c_custkey, count(o_orderkey) AS n_orders, " +
+        "round(coalesce(sum(o_totalprice),0),2) AS total_spent " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey"),
+    "join_full_outer" ->
+      ("SELECT coalesce(a.o_custkey, b.user_id) AS id, a.n_orders, b.n_events " +
+        "FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) a " +
+        "FULL OUTER JOIN (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) b " +
+        "ON a.o_custkey = b.user_id ORDER BY id"),
+    "join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderstatus = 'F') ORDER BY c_custkey"),
+    "join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderstatus = 'P') ORDER BY c_custkey"),
+    "join_theta_range" ->
+      ("SELECT p_brand, count(*) AS n_items, round(avg(l_quantity),4) AS avg_qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "join_cross" ->
+      ("SELECT r_name, n_name FROM region CROSS JOIN nation " +
+        "ORDER BY r_name, n_name"),
+    "join_asof" ->
+      ("SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, " +
+        "(SELECT max(epoch_us(s.ts)) FROM events s " +
+        "WHERE s.user_id = e.user_id AND s.event_type = 'signup' " +
+        "AND (s.ts < e.ts OR (s.ts = e.ts AND s.event_id <= e.event_id))) AS signup_ts_us " +
+        "FROM events e WHERE e.event_type = 'purchase' ORDER BY e.event_id"),
+    "join_interval" ->
+      ("WITH anchors AS (SELECT user_id, min(ts) AS anchor_ts FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1) " +
+        "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, " +
+        "epoch_us(a.anchor_ts) AS anchor_us " +
+        "FROM events e JOIN anchors a ON e.user_id = a.user_id " +
+        "WHERE e.ts BETWEEN a.anchor_ts - INTERVAL 30 MINUTE " +
+        "AND a.anchor_ts + INTERVAL 30 MINUTE " +
+        "ORDER BY e.event_id"),
+    "join_multiway" ->
+      ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, " +
+        Det.moneySumSql("l_extendedprice*(1-l_discount)") + " AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY o_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10")
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.Tables
+
+/** SURVEY.md §2.1 — scans, sources, sinks.
+  *
+  * Scale notes: `scan_pruned` exists to prove column pruning reaches the
+  * parquet reader (ReadSchema shows 2 columns); `filter` queries elsewhere
+  * prove predicate pushdown (PushedFilters non-empty). `sink_parquet`
+  * writes a `partitionBy` layout — the 100 TB-correct sink shape (daily
+  * partitions → partition pruning on read).
+  */
+object Scans {
+
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def scanPruned(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .orderBy("l_orderkey", "l_quantity")
+
+  /** CSV write + schema-on-read round trip (the reference's CSV-parse step
+    * re-expressed; no oracle — filesystem side effect).
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    val nation = Tables(spark, dir, "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(tmp)
+    spark.read.schema(nation.schema).option("header", "true").csv(tmp)
+      .orderBy("n_nationkey")
+  }
+
+  def jsonLines(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .orderBy("event_id")
+
+  /** Partitioned parquet sink + read-back (no oracle — side effect). */
+  def sinkParquet(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_sink").toString
+    Tables(spark, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    spark.read.parquet(tmp)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_pruned" -> scanPruned,
+    "scan_csv_roundtrip" -> csvRoundtrip,
+    "scan_json_lines" -> jsonLines,
+    "sink_parquet" -> sinkParquet
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_pruned" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    "scan_json_lines" ->
+      ("SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k " +
+        "FROM events ORDER BY event_id")
+  )
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.6 — sorts, limits, top-k, set operations.
+  *
+  * Scale notes: `limit_topk` plans as `TakeOrderedAndProject` (per-
+  * partition top-k, then a k-row merge on the driver — no global sort).
+  * Set ops are key-only projections so the dedup shuffle carries narrow
+  * rows.
+  */
+object SortsSetOps {
+
+  def sortMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+        col("c_acctbal"))
+      .orderBy(col("seg").asc_nulls_first, col("c_acctbal").desc, col("c_custkey"))
+
+  def limitTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  def union(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val a = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderstatus")
+    val b = o.filter(col("o_totalprice") > 200000)
+      .select("o_orderkey", "o_orderstatus")
+    a.union(b).distinct().orderBy("o_orderkey", "o_orderstatus")
+  }
+
+  def intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+    y96.intersect(y97).orderBy("o_custkey")
+  }
+
+  def except(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+    y96.except(y97).orderBy("o_custkey")
+  }
+
+  def distinctRows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_multi" -> sortMulti,
+    "limit_topk" -> limitTopK,
+    "setop_union" -> union,
+    "setop_intersect" -> intersect,
+    "setop_except" -> except,
+    "distinct_rows" -> distinctRows
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sort_multi" ->
+      ("SELECT c_custkey, nullif(c_mktsegment,'BUILDING') AS seg, c_acctbal " +
+        "FROM customer ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey"),
+    "limit_topk" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "setop_union" ->
+      ("SELECT DISTINCT * FROM (" +
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000) " +
+        "ORDER BY o_orderkey, o_orderstatus"),
+    "setop_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997 " +
+        "ORDER BY o_custkey"),
+    "setop_except" ->
+      ("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 " +
+        "EXCEPT " +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997 " +
+        "ORDER BY o_custkey"),
+    "distinct_rows" ->
+      ("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem " +
+        "ORDER BY l_returnflag, l_linestatus")
+  )
+}
