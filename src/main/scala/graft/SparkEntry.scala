@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Filters.queries ++
       operators.Joins.queries ++
       operators.Aggregates.queries ++
+      operators.Windows.queries ++
       operators.SortsSetOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +31,6 @@ object SparkEntry {
       operators.Filters.oracle ++
       operators.Joins.oracle ++
       operators.Aggregates.oracle ++
+      operators.Windows.oracle ++
       operators.SortsSetOps.oracle
 }

@@ -6,12 +6,13 @@ import graft.{Det, Tables}
 
 /** SURVEY.md §2.4 — aggregation operators.
   *
-  * Scale notes (100 TB): every query here is a single hash-aggregate over
-  * a parquet scan — Catalyst plans partial (map-side) + final aggregation
-  * around one Exchange on the grouping keys, which is the optimal shape on
-  * a cluster. Determinism: double aggregates are rounded (sums→2, avgs→4)
-  * in BOTH the Spark query and the DuckDB oracle (SURVEY.md §5.3), and
-  * every oracle-able query ends in a total order.
+  * Scale notes (100 TB): every query is hash aggregation with map-side
+  * partial aggregation — one Exchange on the grouping keys. Rollup/cube
+  * expand grouping sets BEFORE the shuffle (Catalyst `Expand`), so
+  * subtotals are still one pass. `countDistinct` plans the two-phase
+  * expand; `approx_count_distinct` (HLL) is the constant-memory
+  * alternative at scale. Determinism: Det.moneySum for sums of products,
+  * round(·,2/4) for stored-column sums/avgs (see Det scaladoc).
   */
 object Aggregates {
 
@@ -36,8 +37,137 @@ object Aggregates {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  def globalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        Det.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day", "event_type")
+
+  /** HLL++ sketch vs exact — no oracle (approximate); bounds checked in
+    * AggregateSpec. At 100 TB the sketch is mergeable constant-memory
+    * state; the exact column exists only to measure the error.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id", 0.02).as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type")
+
+  /** ROLLUP over the star join. Sorting a `rollup().agg()` result by its
+    * grouping columns trips Spark's ambiguous-attribute check when the
+    * child is a join, so the rollup itself is expressed in SQL over a
+    * temp view of the (DataFrame-built, broadcast) join.
+    */
+  def rollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("l_extendedprice"), col("l_discount"))
+      .createOrReplaceTempView("rollup_src")
+    spark.sql(
+      """SELECT region, nation,
+        |  CAST(sum(CAST(round((l_extendedprice*(1-l_discount))*1e6, 0) AS BIGINT)) AS DOUBLE)/1e6 AS revenue,
+        |  count(*) AS n_items
+        |FROM rollup_src
+        |GROUP BY ROLLUP (region, nation)
+        |ORDER BY region NULLS FIRST, nation NULLS FIRST
+        |""".stripMargin)
+  }
+
+  def cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** NOAA-shaped long→wide pivot: daily per-type averages as columns
+    * (stands in for the TMAX/TMIN/PRCP pivot). Explicit value list for
+    * determinism.
+    */
+  def pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("signup", "click", "error", "view", "purchase"))
+      .agg(round(sum("value") * 100, 0).cast("long").cast("double")
+        / (count(lit(1)) * 100).cast("double"))
+      .select(col("day"), col("signup").as("avg_signup"),
+        col("click").as("avg_click"), col("error").as("avg_error"),
+        col("view").as("avg_view"), col("purchase").as("avg_purchase"))
+      .orderBy("day")
+
+  /** Wide→long inverse ETL step. */
+  def unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "element", "value")
+      .orderBy("l_orderkey", "l_linenumber", "element")
+
+  def collectLists(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(array_sort(collect_list("o_orderkey")).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp("l_extendedprice"), 4).as("sd_price"),
+        round(var_samp("l_extendedprice"), 0).as("var_price"),
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+        expr("round(percentile(l_extendedprice, 0.5), 4)").as("median_price"),
+        round(avg("l_extendedprice"), 4).as("avg_price"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_hash_group" -> pricingSummary
+    "agg_hash_group" -> pricingSummary,
+    "agg_global" -> globalAgg,
+    "agg_distinct" -> distinctAgg,
+    "agg_approx_distinct" -> approxDistinct,
+    "agg_rollup" -> rollup,
+    "agg_cube" -> cube,
+    "agg_grouping_sets" -> groupingSets,
+    "agg_minmax_pivot" -> pivot,
+    "agg_unpivot" -> unpivot,
+    "agg_collect" -> collectLists,
+    "agg_stats" -> stats
   )
 
   def oracle: Map[String, String] = Map(
@@ -53,6 +183,62 @@ object Aggregates {
         "count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus " +
-        "ORDER BY l_returnflag, l_linestatus")
+        "ORDER BY l_returnflag, l_linestatus"),
+    "agg_global" ->
+      ("SELECT count(*) AS n_rows, round(sum(l_quantity),2) AS sum_qty, " +
+        "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
+        Det.moneySumSql("l_extendedprice*(1-l_discount)") + " AS revenue " +
+        "FROM lineitem"),
+    "agg_distinct" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, " +
+        "count(DISTINCT user_id) AS n_users, count(*) AS n_events " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "agg_rollup" ->
+      ("SELECT r_name AS region, n_name AS nation, " +
+        Det.moneySumSql("l_extendedprice*(1-l_discount)") + " AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name) " +
+        "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"),
+    "agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
+        "count(*) AS n_items FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "agg_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(grouping(l_returnflag) AS BIGINT) AS g_flag, " +
+        "CAST(grouping(l_linestatus) AS BIGINT) AS g_status, " +
+        "round(sum(l_quantity),2) AS sum_qty, count(*) AS n_items " +
+        "FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "agg_minmax_pivot" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, " +
+        Seq("signup", "click", "error", "view", "purchase").map { t =>
+          s"CAST(CAST(round(sum(CASE WHEN event_type='$t' THEN value END)*100) " +
+            s"AS BIGINT) AS DOUBLE)/(count(CASE WHEN event_type='$t' THEN value END)*100.0) " +
+            s"AS avg_$t"
+        }.mkString(", ") +
+        " FROM events GROUP BY 1 ORDER BY 1"),
+    "agg_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS element, l_quantity AS value FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, element"),
+    "agg_collect" ->
+      ("SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys, " +
+        "count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+    "agg_stats" ->
+      ("SELECT l_returnflag, " +
+        "round(stddev_samp(l_extendedprice),4) AS sd_price, " +
+        "round(var_samp(l_extendedprice),0) AS var_price, " +
+        "round(corr(l_quantity, l_extendedprice),4) AS corr_qty_price, " +
+        "round(quantile_cont(l_extendedprice, 0.5),4) AS median_price, " +
+        "round(avg(l_extendedprice),4) AS avg_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Scale notes (100 TB): each query is one window Exchange on the
+  * partition key (customer/user/order) — no driver-side state. Rank
+  * filters (`rn <= 3`) run before the final sort so the big partition
+  * stays distributed. Window ORDER BY always carries a unique tiebreak
+  * column so results are deterministic under any partition order; ntile
+  * (whose tie assignment is order-dependent) gets a fully unique ordering.
+  */
+object Windows {
+
+  def rankTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  def rankVariants(spark: SparkSession, dir: String): DataFrame = {
+    val tied = Window.partitionBy("l_orderkey").orderBy("l_quantity")
+    val unique = Window.partitionBy("l_orderkey")
+      .orderBy("l_quantity", "l_linenumber")
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        rank().over(tied).cast("long").as("rnk"),
+        dense_rank().over(tied).cast("long").as("drnk"),
+        percent_rank().over(tied).as("pct_rnk"),
+        ntile(4).over(unique).cast("long").as("tile"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  def analytic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        (unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+          .as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  def frameRows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 4).as("rolling3_sum"),
+        count(lit(1)).over(w).as("rolling3_n"))
+      .orderBy("event_id")
+  }
+
+  /** 7-day moving average per event_type — range frame over event time
+    * (the NOAA "daily rolling climate stat" shape). The average is
+    * computed exactly: frame sum snapped to integer cents (values are
+    * 2-decimal), one division — round(avg, k) would land on decimal
+    * midpoints whenever the frame count is a power of 2·5 (measured:
+    * 521.65/8 → 65.20625).
+    */
+  def frameRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts_us"))
+      .rangeBetween(-7L * 86400L * 1000000L, Window.currentRow)
+    val cents = round(sum("value").over(w) * 100, 0).cast("long")
+    val n = count(lit(1)).over(w)
+    Tables(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        (cents.cast("double") / (n * 100).cast("double")).as("mov_avg"))
+      .orderBy("event_id")
+  }
+
+  def running(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("o_custkey", "running_n")
+  }
+
+  def firstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "events")
+      .withColumn("v_nonerr",
+        when(col("event_type") =!= "error", col("value")))
+      .select(col("event_id"), col("user_id"),
+        first("v_nonerr", ignoreNulls = true).over(w).as("first_ok_value"),
+        last("v_nonerr", ignoreNulls = true).over(w).as("last_ok_value"))
+      .orderBy("event_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank_topn" -> rankTopN,
+    "win_rank_variants" -> rankVariants,
+    "win_analytic" -> analytic,
+    "win_frame_rows" -> frameRows,
+    "win_frame_range" -> frameRange,
+    "win_running" -> running,
+    "win_first_last" -> firstLast
+  )
+
+  def oracle: Map[String, String] = Map(
+    "win_rank_topn" ->
+      ("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "win_rank_variants" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, " +
+        "rank() OVER tied AS rnk, dense_rank() OVER tied AS drnk, " +
+        "percent_rank() OVER tied AS pct_rnk, " +
+        "ntile(4) OVER (PARTITION BY l_orderkey ORDER BY l_quantity, l_linenumber) AS tile " +
+        "FROM lineitem " +
+        "WINDOW tied AS (PARTITION BY l_orderkey ORDER BY l_quantity) " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "win_analytic" ->
+      ("SELECT event_id, user_id, value, " +
+        "lag(value, 1) OVER w AS prev_value, " +
+        "lead(value, 1) OVER w AS next_value, " +
+        "epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY event_id"),
+    "win_frame_rows" ->
+      ("SELECT event_id, user_id, " +
+        "round(sum(value) OVER w, 4) AS rolling3_sum, " +
+        "count(*) OVER w AS rolling3_n " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
+    "win_frame_range" ->
+      ("SELECT event_id, event_type, epoch_us(ts) AS ts_us, " +
+        "CAST(CAST(round(sum(value) OVER w * 100) AS BIGINT) AS DOUBLE) " +
+        "/ (count(*) OVER w * 100.0) AS mov_avg " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
+    "win_running" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "round(sum(o_totalprice) OVER w, 2) AS running_total, " +
+        "count(*) OVER w AS running_n " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_custkey, running_n"),
+    "win_first_last" ->
+      ("SELECT event_id, user_id, " +
+        "first_value(v IGNORE NULLS) OVER w AS first_ok_value, " +
+        "last_value(v IGNORE NULLS) OVER w AS last_ok_value " +
+        "FROM (SELECT *, CASE WHEN event_type <> 'error' THEN value END AS v " +
+        "FROM events) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY event_id")
+  )
+}

@@ -29,7 +29,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[ns]")
         elif df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, tuple))
+                or type(v).__name__ == "ndarray" else v)
     try:
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     except Exception:
