@@ -22,7 +22,9 @@ object SparkEntry {
       operators.Joins.queries ++
       operators.Aggregates.queries ++
       operators.Windows.queries ++
-      operators.SortsSetOps.queries
+      operators.SortsSetOps.queries ++
+      functions.ScalarFns.queries ++
+      streaming.EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +34,7 @@ object SparkEntry {
       operators.Joins.oracle ++
       operators.Aggregates.oracle ++
       operators.Windows.oracle ++
-      operators.SortsSetOps.oracle
+      operators.SortsSetOps.oracle ++
+      functions.ScalarFns.oracle ++
+      streaming.EventOps.oracle
 }

@@ -1,0 +1,225 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import graft.Tables
+
+/** SURVEY.md §2.7 — scalar function families.
+  *
+  * Everything here is a codegen'd builtin (`org.apache.spark.sql.
+  * functions._` / Spark SQL expressions) — no Scala closures, so every
+  * query stays inside WholeStageCodegen. Outputs are restricted to values
+  * that are bit-exact across Spark and DuckDB (strings, longs, exact
+  * float/double ops); transcendentals are rounded to 6 decimals.
+  */
+object ScalarFns {
+
+  def fnString(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+        length(col("p_name")).cast("long").as("len"),
+        regexp_replace(col("p_name"), " ", "_").as("rep"),
+        lpad(col("p_type"), 10, ".").as("lp"),
+        instr(col("p_name"), "e").cast("long").as("pos_e"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"))
+      .orderBy("p_partkey")
+
+  def fnDate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+          .as("plus30"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate"))
+          .cast("long").as("days_to_y2k"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .orderBy("o_orderkey")
+
+  def fnMath(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 0).as("r0"),
+        floor(col("l_extendedprice")).as("fl"),
+        ceil(col("l_extendedprice")).as("ce"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        pow(col("l_quantity"), 2).as("p2"),
+        sqrt(col("l_quantity")).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("ln6"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+        least(col("l_quantity"), col("l_tax") * 100).as("le"),
+        signum(col("l_discount") - 0.05).as("sg"),
+        (col("l_orderkey") % 7).as("m7"),
+        expr("l_orderkey div 7").as("d7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def fnCond(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("bal_band"),
+        expr("if(c_mktsegment = 'BUILDING', 1L, 0L)").as("is_building"),
+        coalesce(expr("nullif(c_mktsegment, 'MACHINERY')"), lit("machines"))
+          .as("seg_repl"),
+        col("c_custkey").cast("double").as("key_dbl"),
+        col("c_custkey").cast("string").as("key_str"))
+      .orderBy("c_custkey")
+
+  /** Higher-order functions. Float ops limited to exact ones (element
+    * access, slice, max, sort); arithmetic HOFs run on integer arrays so
+    * both engines agree bit-for-bit.
+    */
+  def fnArray(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .withColumn("ints",
+        sequence(lit(1L), (col("label") + lit(2)).cast("long")))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        slice(col("embedding"), 1, 4).as("head4"),
+        array_max(col("embedding")).as("maxv"),
+        sort_array(slice(col("embedding"), 1, 4)).as("sorted_head"),
+        col("ints"),
+        transform(col("ints"), x => x * x).as("squares"),
+        filter(col("ints"), x => x % 2 === 0).as("evens"),
+        aggregate(col("ints"), lit(0L), (acc, x) => acc + x).as("total"))
+      .orderBy("vec_id")
+
+  def fnMap(spark: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        map_keys(m).as("ks"),
+        element_at(m, "k").cast("long").as("kv"),
+        element_at(
+          map_from_entries(array(struct(lit("et"), col("event_type")))),
+          "et").as("mv"))
+      .orderBy("event_id")
+  }
+
+  def fnJson(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("jk"),
+        to_json(struct(col("event_id"), col("event_type"))).as("js"),
+        schema_of_json(lit("""{"k":1}""")).as("sch"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", IntegerType))))
+          .getField("k").cast("long").as("parsed_k"))
+      .orderBy("event_id")
+
+  def fnExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+      .orderBy("doc_id", "pos")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_cond" -> fnCond,
+    "fn_array" -> fnArray,
+    "fn_map" -> fnMap,
+    "fn_json" -> fnJson,
+    "fn_explode" -> fnExplode
+  )
+
+  def oracle: Map[String, String] = Map(
+    "fn_string" ->
+      ("SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, " +
+        "substring(p_name, 1, 5) AS sub, " +
+        "concat_ws('|', p_brand, p_type) AS cw, " +
+        "CAST(length(p_name) AS BIGINT) AS len, " +
+        "replace(p_name, ' ', '_') AS rep, " +
+        "lpad(p_type, 10, '.') AS lp, " +
+        "CAST(instr(p_name, 'e') AS BIGINT) AS pos_e, " +
+        "string_split(p_name, ' ')[1] AS first_word, " +
+        "trim('  ' || p_brand || '  ') AS trimmed " +
+        "FROM part ORDER BY p_partkey"),
+    "fn_date" ->
+      ("SELECT o_orderkey, " +
+        "CAST(year(o_orderdate) AS BIGINT) AS y, " +
+        "CAST(month(o_orderdate) AS BIGINT) AS m, " +
+        "CAST(day(o_orderdate) AS BIGINT) AS d, " +
+        "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, " +
+        "strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30, " +
+        "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k, " +
+        "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom, " +
+        "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow " +
+        "FROM orders ORDER BY o_orderkey"),
+    "fn_math" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "round(l_extendedprice, 0) AS r0, " +
+        "CAST(floor(l_extendedprice) AS BIGINT) AS fl, " +
+        "CAST(ceil(l_extendedprice) AS BIGINT) AS ce, " +
+        "abs(l_discount - 0.05) AS ab, " +
+        "pow(l_quantity, 2) AS p2, " +
+        "sqrt(l_quantity) AS sq, " +
+        "round(ln(l_extendedprice), 6) AS ln6, " +
+        "greatest(l_quantity, l_discount * 100) AS gr, " +
+        "least(l_quantity, l_tax * 100) AS le, " +
+        "CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg, " +
+        "l_orderkey % 7 AS m7, " +
+        "l_orderkey // 7 AS d7 " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "fn_cond" ->
+      ("SELECT c_custkey, " +
+        "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' " +
+        "ELSE 'high' END AS bal_band, " +
+        "CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS is_building, " +
+        "coalesce(nullif(c_mktsegment, 'MACHINERY'), 'machines') AS seg_repl, " +
+        "CAST(c_custkey AS DOUBLE) AS key_dbl, " +
+        "CAST(c_custkey AS VARCHAR) AS key_str " +
+        "FROM customer ORDER BY c_custkey"),
+    "fn_array" ->
+      ("SELECT vec_id, " +
+        "CAST(len(embedding) AS BIGINT) AS dim, " +
+        "embedding[1] AS first_val, " +
+        "embedding[1:4] AS head4, " +
+        "list_max(embedding) AS maxv, " +
+        "list_sort(embedding[1:4]) AS sorted_head, " +
+        "range(1, CAST(label AS BIGINT) + 3) AS ints, " +
+        "list_transform(range(1, CAST(label AS BIGINT) + 3), x -> x * x) AS squares, " +
+        "list_filter(range(1, CAST(label AS BIGINT) + 3), x -> x % 2 = 0) AS evens, " +
+        "CAST(list_sum(range(1, CAST(label AS BIGINT) + 3)) AS BIGINT) AS total " +
+        "FROM embeddings ORDER BY vec_id"),
+    "fn_map" ->
+      ("SELECT event_id, json_keys(props) AS ks, " +
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS kv, " +
+        "event_type AS mv " +
+        "FROM events ORDER BY event_id"),
+    "fn_json" ->
+      ("SELECT event_id, " +
+        "json_extract_string(props, '$.k') AS jk, " +
+        "CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS js, " +
+        "'STRUCT<k: BIGINT>' AS sch, " +
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS parsed_k " +
+        "FROM events ORDER BY event_id"),
+    "fn_explode" ->
+      ("SELECT doc_id, s.pos - 1 AS pos, s.w AS word FROM " +
+        "(SELECT doc_id, unnest(list_transform(string_split(text, ' '), " +
+        "(x, i) -> struct_pack(pos := i, w := x))) AS s FROM documents) " +
+        "ORDER BY doc_id, pos")
+  )
+}

@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.8 — event-time semantics, batch-emulated.
+  *
+  * The oracle path runs batch-only, so these express windowing semantics
+  * with the same `window()`/`session_window()` grouping Structured
+  * Streaming uses — identical results in batch and streaming mode. True
+  * incremental variants (watermark drops, state-store dedup, foreachBatch
+  * sinks) live in [[StreamingDemos]] and are unit-tested with
+  * MemoryStream (SURVEY.md §5.2).
+  *
+  * Scale notes (100 TB stream): every aggregation keys on
+  * (window, type) or (user, session) — state partitions horizontally;
+  * the sliding window expands each event into 4 rows BEFORE the shuffle
+  * (Spark's `Expand`), which is the standard cost of overlap.
+  */
+object EventOps {
+
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("start_us", "event_type")
+
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("start_us", "event_type")
+
+  /** Session windows (30-min gap) via the built-in session_window —
+    * batch execution of the exact streaming construct.
+    */
+  def session(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
+  /** Gaps-and-islands sessionization with plain window functions — the
+    * SQL-expressible equivalent of [[session]], and its oracle.
+    */
+  def sessionizeSql(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(cum))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .orderBy("user_id", "sid")
+  }
+
+  /** Batch emulation of watermark late-row dropping: keep rows within
+    * 10 minutes of the max event time seen.
+    */
+  def watermarkLate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val mx = e.agg(max("ts").as("max_ts"))
+    e.crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 10 MINUTE"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("event_id")
+  }
+
+  /** Batch form of stateful dedup: double the input, dropDuplicates on
+    * the key — survivors are exactly the original rows.
+    */
+  def dedupState(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+    e.union(e).dropDuplicates("event_id").orderBy("event_id")
+  }
+
+  /** Micro-batch parquet sink via foreachBatch + Trigger.AvailableNow,
+    * then read back (no oracle — side effect + streaming runtime).
+    */
+  def foreachBatchSink(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val schema = Tables(spark, dir, "orders").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(tmp)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(tmp)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> tumbling,
+    "stream_sliding" -> sliding,
+    "stream_session" -> session,
+    "stream_sessionize_sql" -> sessionizeSql,
+    "stream_watermark_late" -> watermarkLate,
+    "stream_dedup_state" -> dedupState,
+    "stream_foreachbatch_sink" -> foreachBatchSink
+  )
+
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      ("SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS start_us, " +
+        "event_type, count(*) AS n, round(sum(value), 2) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "stream_sliding" ->
+      ("SELECT start_us, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value FROM (" +
+        "SELECT ((epoch_us(ts) // 900000000) - k) * 900000000 AS start_us, " +
+        "event_type, value " +
+        "FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "stream_session" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, ts, " +
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
+        "SELECT user_id, min(epoch_us(ts)) AS start_us, " +
+        "max(epoch_us(ts)) + 1800000000 AS end_us, count(*) AS n_events " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"),
+    "stream_sessionize_sql" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, ts, " +
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
+        "SELECT user_id, sid, count(*) AS n_events, " +
+        "min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS last_us " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, sid"),
+    "stream_watermark_late" ->
+      ("SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us " +
+        "FROM events " +
+        "WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE " +
+        "ORDER BY event_id"),
+    "stream_dedup_state" ->
+      ("SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us " +
+        "FROM events ORDER BY event_id")
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Ev, StreamingDemos}
+
+/** MemoryStream-driven tests for the true streaming surface (no oracle:
+  * watermarks/state have no batch-SQL equivalent). processAllAvailable
+  * makes every micro-batch deterministic.
+  */
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long = 1,
+      typ: String = "click"): Ev =
+    Ev(id, Timestamp.valueOf(t), user, typ, 1.0)
+
+  test("windowed counts match batch aggregation (complete mode)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingDemos.windowedCounts(in.toDF)
+      .writeStream.format("memory").queryName("wc_complete")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+        ev(3, "2024-01-01 11:05:00"))
+      q.processAllAvailable()
+      val got = spark.table("wc_complete")
+        .orderBy("start_us").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+      val h11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime * 1000L
+      assert(got == Seq((h10, 2L), (h11, 1L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows in append mode") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingDemos.windowedCounts(in.toDF)
+      .writeStream.format("memory").queryName("wc_append")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      in.addData(ev(3, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      // this row is 100+ min behind the watermark -> must be dropped
+      in.addData(ev(4, "2024-01-01 10:15:00"))
+      q.processAllAvailable()
+      in.addData(ev(5, "2024-01-01 13:30:00"))
+      q.processAllAvailable()
+      val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+      val n10 = spark.table("wc_append")
+        .filter(col("start_us") === h10).collect()
+      assert(n10.length == 1 && n10.head.getLong(2) == 2L,
+        s"late row not dropped: ${n10.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingDemos.dedupWithinWatermark(in.toDF)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"))
+      q.processAllAvailable()
+      in.addData(ev(1, "2024-01-01 10:01:00"), ev(2, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counts across batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingDemos.runningCountPerUser(in.toDS)
+      .writeStream.format("memory").queryName("running_counts")
+      .outputMode("update").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 7),
+        ev(2, "2024-01-01 10:01:00", user = 7))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 10:02:00", user = 7),
+        ev(4, "2024-01-01 10:03:00", user = 8))
+      q.processAllAvailable()
+      val last = spark.table("running_counts").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+      assert(last == Map(7L -> 3L, 8L -> 1L))
+    } finally q.stop()
+  }
+
+  test("batch session_window agrees with gaps-and-islands sessionization") {
+    val a = streaming.EventOps.session(spark, sf0001)
+    val b = streaming.EventOps.sessionizeSql(spark, sf0001)
+    assert(a.count() == b.count())
+    val aAgg = a.agg(sum("n_events")).head.getLong(0)
+    val bAgg = b.agg(sum("n_events")).head.getLong(0)
+    assert(aAgg == bAgg)
+  }
+}
