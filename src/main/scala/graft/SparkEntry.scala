@@ -24,7 +24,12 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.SortsSetOps.queries ++
       functions.ScalarFns.queries ++
-      streaming.EventOps.queries
+      streaming.EventOps.queries ++
+      llm.Dedup.queries ++
+      llm.Similarity.queries ++
+      llm.TextOps.queries ++
+      llm.Multimodal.queries ++
+      functions.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +41,10 @@ object SparkEntry {
       operators.Windows.oracle ++
       operators.SortsSetOps.oracle ++
       functions.ScalarFns.oracle ++
-      streaming.EventOps.oracle
+      streaming.EventOps.oracle ++
+      llm.Dedup.oracle ++
+      llm.Similarity.oracle ++
+      llm.TextOps.oracle ++
+      llm.Multimodal.oracle ++
+      functions.Extensions.oracle
 }

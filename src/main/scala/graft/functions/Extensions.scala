@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Typed UDAF buffer: running log-sum and count. */
+case class GeoBuf(sumLog: Double, n: Long)
+
+/** Geometric mean as an `Aggregator` — mergeable two-phase state
+  * (partial aggregation map-side, merge reduce-side), the shape any
+  * 100 TB-scale custom aggregate must have.
+  */
+object GeoMean extends Aggregator[Double, GeoBuf, Double] {
+  override def zero: GeoBuf = GeoBuf(0.0, 0L)
+  override def reduce(b: GeoBuf, x: Double): GeoBuf =
+    GeoBuf(b.sumLog + math.log(x), b.n + 1)
+  override def merge(a: GeoBuf, b: GeoBuf): GeoBuf =
+    GeoBuf(a.sumLog + b.sumLog, a.n + b.n)
+  override def finish(b: GeoBuf): Double =
+    if (b.n == 0) Double.NaN else math.exp(b.sumLog / b.n)
+  override def bufferEncoder: Encoder[GeoBuf] = Encoders.product[GeoBuf]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** SURVEY.md §2.10 — the three extension points: scalar UDF, typed
+  * Aggregator UDAF, and a generator (UDTF) expressed with codegen'd
+  * higher-order functions + posexplode.
+  *
+  * Scalar UDFs are deliberately the LAST resort (they break
+  * WholeStageCodegen); `udf_scalar` exists to prove the surface, with
+  * semantics (string reverse) that an oracle can state in SQL.
+  */
+object Extensions {
+
+  private val reverseUdf = udf((s: String) => if (s == null) null else s.reverse)
+
+  def udfScalar(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("graft_reverse", reverseUdf)
+    Tables(spark, dir, "part")
+      .select(col("p_partkey"), reverseUdf(col("p_name")).as("rev_name"),
+        expr("graft_reverse(p_brand)").as("rev_brand"))
+      .orderBy("p_partkey")
+  }
+
+  def udafGeomean(spark: SparkSession, dir: String): DataFrame = {
+    val gm = udaf(GeoMean)
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(round(gm(col("o_totalprice")), 2).as("geomean_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Word-bigram generator with position: HOF transform over the word
+    * array, then posexplode — a UDTF with zero closure code.
+    */
+  def udtfNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(w) - lit(1)),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("bigram"))
+      .orderBy("doc_id", "pos")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udf_scalar" -> udfScalar,
+    "udaf_geomean" -> udafGeomean,
+    "udtf_ngrams" -> udtfNgrams
+  )
+
+  def oracle: Map[String, String] = Map(
+    "udf_scalar" ->
+      ("SELECT p_partkey, reverse(p_name) AS rev_name, " +
+        "reverse(p_brand) AS rev_brand FROM part ORDER BY p_partkey"),
+    "udaf_geomean" ->
+      ("SELECT o_orderpriority, " +
+        "round(exp(avg(ln(o_totalprice))), 2) AS geomean_price, " +
+        "count(*) AS n FROM orders GROUP BY o_orderpriority " +
+        "ORDER BY o_orderpriority"),
+    "udtf_ngrams" ->
+      ("SELECT doc_id, s.pos - 1 AS pos, s.w AS bigram FROM " +
+        "(SELECT doc_id, unnest(list_transform(" +
+        "range(1, len(string_split(text, ' '))), " +
+        "(x, i) -> struct_pack(pos := i, " +
+        "w := string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS s " +
+        "FROM documents) ORDER BY doc_id, pos")
+  )
+}

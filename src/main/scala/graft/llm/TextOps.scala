@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.9 — text analysis over `documents`.
+  *
+  * Token stats are exact integer arithmetic (single-space tokenization
+  * means sum-of-word-lengths = length - (n-1)); TF-IDF ranks on an
+  * 8-decimal-rounded score so the top-5 cut is identical across engines
+  * despite libm ln() ulp differences.
+  *
+  * Scale notes: stats are per-row (no shuffle); TF-IDF is two hash
+  * aggregations (term×lang, term) plus a broadcast of the distinct-doc
+  * count — the document-frequency table at real scale is dimension-sized
+  * and broadcastable.
+  */
+object TextOps {
+
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(w).cast("long").as("n_tokens"),
+        (size(array_distinct(w)).cast("double") / size(w).cast("double"))
+          .as("type_token_ratio"),
+        ((length(col("text")) - size(w) + 1).cast("double")
+          / size(w).cast("double")).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
+    val dfq = words.groupBy("word")
+      .agg(countDistinct("doc_id").as("dfd"))
+    val n = words.agg(countDistinct("doc_id").as("nn"))
+    val raw = tf.join(broadcast(dfq), Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("raw",
+        col("tf") * log((col("nn") + 1.0) / (col("dfd") + 1.0)))
+    val w = Window.partitionBy("lang")
+      .orderBy(round(col("raw"), 8).desc, col("word"))
+    raw.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("word"), col("tf"),
+        round(col("raw"), 4).as("score"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_text_stats" -> textStats,
+    "llm_text_tfidf" -> tfidf
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_text_stats" ->
+      ("SELECT doc_id, lang, source, n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS type_token_ratio, " +
+        "CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS avg_token_len " +
+        "FROM documents ORDER BY doc_id"),
+    "llm_text_tfidf" ->
+      ("WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word " +
+        "FROM documents), " +
+        "tf AS (SELECT lang, word, count(*) AS tf FROM words GROUP BY 1, 2), " +
+        "dfq AS (SELECT word, count(DISTINCT doc_id) AS dfd FROM words GROUP BY 1), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS nn FROM words) " +
+        "SELECT lang, word, tf, round(raw, 4) AS score, rnk FROM " +
+        "(SELECT lang, word, tf, tf * ln((nn + 1.0) / (dfd + 1.0)) AS raw, " +
+        "row_number() OVER (PARTITION BY lang " +
+        "ORDER BY round(tf * ln((nn + 1.0) / (dfd + 1.0)), 8) DESC, word) AS rnk " +
+        "FROM tf JOIN dfq USING (word) CROSS JOIN n) " +
+        "WHERE rnk <= 5 ORDER BY lang, rnk")
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property checks for §2.9/§2.10 (SURVEY.md §5.2-5.3): dedup
+  * idempotency, MinHash collision guarantees on the 8 real duplicates at
+  * sf0.1, cosine bounds.
+  */
+class LlmSpec extends GraftSuite {
+  private val sf01 = "/root/testdata/sf0.1"
+
+  test("exact dedup is idempotent and removes the 8 sf0.1 duplicates") {
+    val docs = Tables(spark, sf01, "documents")
+    val total = docs.count()
+    val distinctTexts = docs.select("text").distinct().count()
+    val deduped = llm.Dedup.dedupExact(spark, sf01)
+    assert(total - distinctTexts == 8, s"expected 8 dups, got ${total - distinctTexts}")
+    assert(deduped.count() == distinctTexts)
+    // survivors are unique by text -> dedup(dedup(x)) == dedup(x)
+    assert(deduped.count() ==
+      deduped.dropDuplicates("doc_id").count())
+  }
+
+  test("exact duplicates have identical minhash signatures") {
+    val sigs = llm.Dedup.minhashQuery(spark, sf01)
+    val docs = Tables(spark, sf01, "documents").select("doc_id", "text")
+    val joined = sigs.join(docs, "doc_id")
+    val sigsPerText = joined.groupBy("text")
+      .agg(countDistinct("signature").as("n_sigs"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val bad = sigsPerText.filter(col("n_sigs") =!= 1).count()
+    assert(bad == 0, "duplicate texts produced differing signatures")
+    assert(sigsPerText.count() > 0, "no duplicate groups found at sf0.1")
+  }
+
+  test("LSH near-dup candidates include every exact-duplicate pair") {
+    val docs = Tables(spark, sf01, "documents").select("doc_id", "text")
+    val a = docs.select(col("doc_id").as("id_a"), col("text"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text"))
+    val dupPairs = a.join(b, "text").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val candidates = llm.Dedup.dedupNear(spark, sf01).select("id_a", "id_b")
+    val missed = dupPairs.exceptAll(candidates).count()
+    assert(missed == 0, s"$missed exact-dup pairs missed by LSH")
+    assert(dupPairs.count() > 0)
+  }
+
+  test("near-dup candidates exist even at sf0.01 (no exact dups there)") {
+    assert(llm.Dedup.dedupNear(spark, sf001).count() > 0)
+  }
+
+  test("cosine is bounded and self-similarity is 1") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val sims = e.select(
+      llm.Similarity.cosine(col("embedding"), col("embedding")).as("self"))
+    val offSelf = sims.filter(abs(col("self") - 1.0) > 1e-9).count()
+    assert(offSelf == 0)
+    val top = llm.Similarity.simCosine(spark, sf0001).collect()
+    assert(top.head.getLong(0) == 0L && math.abs(top.head.getDouble(1) - 1.0) < 1e-9,
+      "probe must be its own nearest neighbour")
+    assert(top.forall(r => r.getDouble(1) <= 1.0 + 1e-9 && r.getDouble(1) >= -1.0 - 1e-9))
+  }
+
+  test("tfidf returns exactly top-5 per language") {
+    val rows = llm.TextOps.tfidf(spark, sf001)
+      .groupBy("lang").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n") <= 5 && r.getAs[Long]("mx") <= 5))
+  }
+
+  test("multimodal decode byte length equals n_chars for ASCII corpus") {
+    val dec = llm.Multimodal.multimodalDecode(spark, sf0001)
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "n_chars")
+    val bad = dec.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= col("n_chars")).count()
+    assert(bad == 0)
+  }
+
+  test("geomean lies between min and max") {
+    val rows = functions.Extensions.udafGeomean(spark, sf0001).collect()
+    val bounds = Tables(spark, sf0001, "orders")
+      .groupBy("o_orderpriority")
+      .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (mn, mx) = bounds(r.getString(0))
+      val g = r.getDouble(1)
+      assert(g >= mn && g <= mx, s"${r.getString(0)}: $g outside [$mn,$mx]")
+    }
+  }
+}
