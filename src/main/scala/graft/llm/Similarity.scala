@@ -38,17 +38,28 @@ object Similarity {
   }
 
   /** All pairs with cosine >= 0.25 within the same label (blocked
-    * self-join — the 100 TB-sane shape).
+    * self-join — the 100 TB-sane shape). Norms are computed ONCE per
+    * vector before the join (behind a repartition Exchange so the
+    * projection is materialized, not inlined into the pair filter) —
+    * the pairwise step then does a single dot product instead of three.
     */
   def simPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("norm", sqrt(aggregate(col("emb"),
+        lit(0.0), (acc, x) => acc + x * x)))
+      .repartition(col("label"))
     val a = e.select(col("label"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
     val b = e.select(col("label"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .withColumn("sim", round(
+        aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+          / (col("norm_a") * col("norm_b")), 4))
       .filter(col("sim") >= 0.25)
       .select("label", "id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")

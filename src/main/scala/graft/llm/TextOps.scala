@@ -33,13 +33,19 @@ object TextOps {
   }
 
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables(spark, dir, "documents")
+    // One explode pass: per-(word,lang) term count + distinct-doc count;
+    // per-word doc frequency is the sum over langs (each doc has exactly
+    // one lang, so the lang groups partition the docs). The global doc
+    // count never needs the exploded words at all.
+    val base = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
-    val tf = words.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
-    val dfq = words.groupBy("word")
-      .agg(countDistinct("doc_id").as("dfd"))
-    val n = words.agg(countDistinct("doc_id").as("nn"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("dl"))
+    val tf = base.select("lang", "word", "tf")
+    val dfq = base.groupBy("word").agg(sum("dl").as("dfd"))
+    val n = Tables(spark, dir, "documents")
+      .agg(countDistinct("doc_id").as("nn"))
     val raw = tf.join(broadcast(dfq), Seq("word"))
       .crossJoin(broadcast(n))
       .withColumn("raw",

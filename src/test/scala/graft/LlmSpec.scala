@@ -33,6 +33,15 @@ class LlmSpec extends GraftSuite {
     assert(sigsPerText.count() > 0, "no duplicate groups found at sf0.1")
   }
 
+  test("distributed minhash equals the per-row HOF definition") {
+    val hof = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        llm.Dedup.minhashSignature(col("text")).as("signature"))
+    val dist = llm.Dedup.minhashQuery(spark, sf0001)
+    assert(dist.exceptAll(hof).count() == 0 && hof.exceptAll(dist).count() == 0,
+      "explode+agg minhash diverges from HOF definition")
+  }
+
   test("LSH near-dup candidates include every exact-duplicate pair") {
     val docs = Tables(spark, sf01, "documents").select("doc_id", "text")
     val a = docs.select(col("doc_id").as("id_a"), col("text"))
