@@ -26,8 +26,11 @@ object SparkEntry {
       functions.ScalarFns.queries ++
       streaming.EventOps.queries ++
       llm.Dedup.queries ++
+      llm.DedupVariants.queries ++
       llm.Similarity.queries ++
+      llm.AnnLsh.queries ++
       llm.TextOps.queries ++
+      llm.TextQuality.queries ++
       llm.Multimodal.queries ++
       functions.Extensions.queries
 
@@ -43,8 +46,11 @@ object SparkEntry {
       functions.ScalarFns.oracle ++
       streaming.EventOps.oracle ++
       llm.Dedup.oracle ++
+      llm.DedupVariants.oracle ++
       llm.Similarity.oracle ++
+      llm.AnnLsh.oracle ++
       llm.TextOps.oracle ++
+      llm.TextQuality.oracle ++
       llm.Multimodal.oracle ++
       functions.Extensions.oracle
 }

@@ -1,0 +1,155 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data text pipeline: language ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Scale notes (100 TB): quality/token/fingerprint are pure per-row
+  * expressions (no shuffle at all — they pipeline inside the scan's
+  * WholeStageCodegen where possible). Language ID builds per-lang
+  * profiles with one aggregation and broadcasts them (profiles are
+  * dimension-sized by construction: 10 terms × n_languages).
+  */
+object TextQuality {
+
+  private val stopwords = Seq("the", "a", "big", "small")
+
+  /** N-gram-profile language ID: per-lang top-10 word profile (by term
+    * frequency, ties by word), documents scored by distinct-word overlap
+    * with each profile, argmax with deterministic tie-break on lang.
+    * The fixture vocabulary is shared across langs, so ACCURACY is
+    * meaningless — the mechanism (profile build → broadcast → score →
+    * argmax) is what this operator demonstrates and verifies.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val words = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+    val profRank = Window.partitionBy("plang")
+      .orderBy(col("tf").desc, col("word"))
+    val profiles = words
+      .groupBy(col("lang").as("plang"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rnk", row_number().over(profRank))
+      .filter(col("rnk") <= 10)
+      .select("plang", "word")
+    val docWords = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val scored = docWords.join(broadcast(profiles), Seq("word"))
+      .groupBy("doc_id", "lang", "plang")
+      .agg(count(lit(1)).as("score"))
+    val best = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("plang"))
+    scored.withColumn("r", row_number().over(best))
+      .filter(col("r") === 1)
+      .select(col("doc_id"), col("lang").as("actual"),
+        col("plang").as("predicted"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic quality score: stopword ratio + length saturation —
+    * exact arithmetic, identical across engines.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(w).cast("double")
+    val stopRatio =
+      size(filter(w, x => array_contains(stopArr, x))).cast("double") / nTok
+    val lenScore = least(col("n_chars").cast("double") / 500.0, lit(1.0))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(w).cast("long").as("n_tokens"),
+        stopRatio.as("stopword_ratio"),
+        lenScore.as("len_score"),
+        (lit(0.5) * (lit(1.0) - stopRatio) + lit(0.5) * lenScore)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (ceil(len/4) pieces per word) — exact integer arithmetic.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(w).cast("long").as("ws_tokens"),
+        aggregate(
+          transform(w, x => ((length(x) + lit(3)) / lit(4)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("subword_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Polynomial rolling-hash fingerprints (Karp-Rabin, base 31 mod
+    * 1e9+7): whole-document hash plus a first-64-char prefix hash —
+    * exact integer folds, identical in both engines (Spark's explicit
+    * zero and DuckDB's first-element seed agree because f(0,c)=c).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    def roll(chars: org.apache.spark.sql.Column) =
+      aggregate(transform(chars, c => ascii(c).cast("long")),
+        lit(0L), (acc, x) => (acc * 31L + x) % M)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        roll(split(col("text"), "")).as("doc_hash"),
+        roll(split(substring(col("text"), 1, 64), "")).as("prefix64_hash"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_lang_id" -> langId,
+    "llm_quality_score" -> qualityScore,
+    "llm_token_count" -> tokenCount,
+    "llm_fingerprint" -> fingerprint
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_lang_id" ->
+      ("WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "profiles AS (SELECT plang, word FROM " +
+        "(SELECT lang AS plang, word, count(*) AS tf, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word) AS rnk " +
+        "FROM words GROUP BY lang, word) WHERE rnk <= 10), " +
+        "docwords AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents), " +
+        "scored AS (SELECT doc_id, lang, plang, count(*) AS score " +
+        "FROM docwords JOIN profiles USING (word) GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, actual, predicted, score FROM " +
+        "(SELECT doc_id, lang AS actual, plang AS predicted, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS r " +
+        "FROM scored) WHERE r = 1 ORDER BY doc_id"),
+    "llm_quality_score" ->
+      ("SELECT doc_id, lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_filter(string_split(text, ' '), " +
+        "w -> list_contains(['the','a','big','small'], w))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS stopword_ratio, " +
+        "least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score, " +
+        "0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '), " +
+        "w -> list_contains(['the','a','big','small'], w))) AS DOUBLE) " +
+        "/ len(string_split(text, ' '))) " +
+        "+ 0.5 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS quality " +
+        "FROM documents ORDER BY doc_id"),
+    "llm_token_count" ->
+      ("SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+        "CAST(list_sum(list_transform(string_split(text, ' '), " +
+        "w -> (length(w) + 3) // 4)) AS BIGINT) AS subword_tokens, " +
+        "n_chars FROM documents ORDER BY doc_id"),
+    "llm_fingerprint" ->
+      ("SELECT doc_id, " +
+        "list_reduce(list_transform(range(1, length(text) + 1), " +
+        "i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS doc_hash, " +
+        "list_reduce(list_transform(range(1, least(length(text), 64) + 1), " +
+        "i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS prefix64_hash " +
+        "FROM documents ORDER BY doc_id")
+  )
+}
