@@ -54,13 +54,14 @@ object AnnLsh {
     val candidates = bk.join(broadcast(probeBucket),
         col("bucket") === col("probe_bucket"))
       .select("vec_id")
+    graft.functions.CosineSimilarity.register(spark)
     val e = Tables(spark, dir, "embeddings")
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe"))
     e.join(candidates, Seq("vec_id"))
       .crossJoin(broadcast(probe))
       .select(col("vec_id"),
-        round(Similarity.cosine(col("embedding"), col("probe")), 4).as("sim"))
+        round(expr("cosine_sim(embedding, probe)"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }

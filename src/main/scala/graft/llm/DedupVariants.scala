@@ -95,21 +95,15 @@ object DedupVariants {
     * returned. Blocked self-join + left_anti — no global pairwise pass.
     */
   def embedDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
     val e = Tables(spark, dir, "embeddings")
-      .select(col("label"), col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("emb"))
-      .withColumn("norm", sqrt(aggregate(col("emb"), lit(0.0),
-        (acc, x) => acc + x * x)))
-      .repartition(col("label"))
     val a = e.select(col("label"), col("vec_id").as("id_a"),
-      col("emb").as("emb_a"), col("norm").as("norm_a"))
+      col("embedding").as("emb_a"))
     val b = e.select(col("label"), col("vec_id").as("id_b"),
-      col("emb").as("emb_b"), col("norm").as("norm_b"))
+      col("embedding").as("emb_b"))
     val drops = a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .filter(round(aggregate(zip_with(col("emb_a"), col("emb_b"),
-        (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-        / (col("norm_a") * col("norm_b")), 6) >= 0.35)
+      .filter(round(expr("cosine_sim(emb_a, emb_b)"), 6) >= 0.35)
       .select(col("id_b").as("vec_id")).distinct()
     Tables(spark, dir, "embeddings")
       .join(drops, Seq("vec_id"), "left_anti")

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The codegen'd CosineSimilarity expression must be value-identical to
+  * the HOF definition (same double accumulation order) and must actually
+  * participate in whole-stage codegen.
+  */
+class CosineExprSpec extends GraftSuite {
+
+  test("expression equals HOF cosine bit-for-bit on all sf0.001 vectors") {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, sf0001, "embeddings")
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val both = e.crossJoin(broadcast(probe)).select(
+      col("vec_id"),
+      expr("cosine_sim(embedding, probe)").as("fast"),
+      llm.Similarity.cosine(col("embedding"), col("probe")).as("hof"))
+    val diff = both.filter(col("fast") =!= col("hof")).count()
+    assert(diff == 0, s"$diff rows diverge between codegen and HOF cosine")
+  }
+
+  test("expression runs inside WholeStageCodegen") {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, sf0001, "embeddings")
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("probe"))
+    val df = e.crossJoin(broadcast(probe))
+      .select(expr("cosine_sim(embedding, probe)").as("sim"))
+    // force THIS frame's execution so AQE finalizes its plan
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n) Project [cosinesimilarity..." marks the WholeStageCodegen span
+    assert(plan.contains("*(") && plan.contains("cosinesimilarity"),
+      plan.take(600))
+  }
+
+  test("self-similarity is exactly 1 within fp tolerance") {
+    graft.functions.CosineSimilarity.register(spark)
+    val bad = Tables(spark, sf0001, "embeddings")
+      .select(expr("cosine_sim(embedding, embedding)").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-12).count()
+    assert(bad == 0)
+  }
+}
