@@ -53,15 +53,18 @@ object Extensions {
       .orderBy("o_orderpriority")
   }
 
-  /** Word-bigram generator with position: HOF transform over the word
-    * array, then posexplode — a UDTF with zero closure code.
+  /** Word-bigram generator with position: zip_with the word array with
+    * its shifted slice, then posexplode — a UDTF with zero closure code.
+    * (zip_with, not transform-by-index: index lambdas re-evaluate the
+    * word array per element — see Dedup.shingles.)
     */
   def udtfNgrams(spark: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
+    val bigrams = slice(
+      zip_with(w, slice(w, lit(2), size(w)), (x, y) => concat_ws(" ", x, y)),
+      lit(1), greatest(size(w) - lit(1), lit(1)))
     Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(w) - lit(1)),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))))
+      .select(col("doc_id"), posexplode(bigrams))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("bigram"))
       .orderBy("doc_id", "pos")
