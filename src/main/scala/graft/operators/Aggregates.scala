@@ -145,6 +145,39 @@ object Aggregates {
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
+  /** Two-phase salted aggregation — the skew-mitigation pattern for
+    * 100 TB hot keys, demonstrated end-to-end: explode each row into a
+    * (key, salt) group first (here 8 salts via a deterministic hash of
+    * the order key), partially aggregate per (key, salt), then finish
+    * per key. Result is identical to the direct groupBy (the oracle
+    * states the direct form); what changes is that no single reducer
+    * ever sees a whole hot key.
+    */
+  def saltedSkew(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(8)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pn"), sum("l_quantity").as("pq"))
+      .groupBy("l_returnflag")
+      .agg(sum("pn").as("n_items"), round(sum("pq"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  /** Scalar + correlated subqueries through Spark SQL — exercises
+    * Catalyst's subquery rewrite rules (RewriteCorrelatedScalarSubquery,
+    * RewritePredicateSubquery → semi-join).
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer_sq")
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT c_custkey, c_acctbal
+        |FROM customer_sq
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq)
+        |  AND EXISTS (SELECT 1 FROM orders_sq WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey
+        |""".stripMargin)
+  }
+
   def stats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -167,7 +200,9 @@ object Aggregates {
     "agg_minmax_pivot" -> pivot,
     "agg_unpivot" -> unpivot,
     "agg_collect" -> collectLists,
-    "agg_stats" -> stats
+    "agg_stats" -> stats,
+    "agg_salted_skew" -> saltedSkew,
+    "filter_scalar_subquery" -> scalarSubquery
   )
 
   def oracle: Map[String, String] = Map(
@@ -232,6 +267,15 @@ object Aggregates {
     "agg_collect" ->
       ("SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys, " +
         "count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+    "agg_salted_skew" ->
+      ("SELECT l_returnflag, count(*) AS n_items, " +
+        "round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "filter_scalar_subquery" ->
+      ("SELECT c_custkey, c_acctbal FROM customer " +
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) " +
+        "AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey"),
     "agg_stats" ->
       ("SELECT l_returnflag, " +
         "round(stddev_samp(l_extendedprice),4) AS sd_price, " +

@@ -1,0 +1,93 @@
+package graft
+
+/** Guards the SURVEY.md §2 contract: every inventoried key must exist in
+  * SparkEntry.queries, and plans must be free of accidental cartesian
+  * products (the only intentional one is join_cross, plus the tiny
+  * broadcast-probe cross joins).
+  */
+class SurveyCoverageSpec extends GraftSuite {
+
+  private val surveyKeys = Seq(
+    // §2.1
+    "scan_parquet", "scan_pruned", "scan_csv_roundtrip", "scan_json_lines",
+    "sink_parquet",
+    // §2.2
+    "filter_pred", "project_expr", "filter_like", "filter_null",
+    // §2.3
+    "join_inner_equi", "join_broadcast", "join_left_outer",
+    "join_full_outer", "join_semi", "join_anti", "join_theta_range",
+    "join_cross", "join_asof", "join_interval", "join_multiway",
+    // §2.4
+    "agg_hash_group", "agg_global", "agg_distinct", "agg_approx_distinct",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_minmax_pivot",
+    "agg_unpivot", "agg_collect", "agg_stats",
+    // §2.5
+    "win_rank_topn", "win_rank_variants", "win_analytic", "win_frame_rows",
+    "win_frame_range", "win_running", "win_first_last",
+    // §2.6
+    "sort_multi", "limit_topk", "setop_union", "setop_intersect",
+    "setop_except", "distinct_rows",
+    // §2.7
+    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map",
+    "fn_json", "fn_explode",
+    // §2.8
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_sessionize_sql", "stream_watermark_late", "stream_dedup_state",
+    "stream_foreachbatch_sink",
+    // §2.9 + round-1 delta (§2.11)
+    "llm_dedup_exact", "llm_dedup_near", "llm_dedup_simhash",
+    "llm_dedup_ngram_jaccard", "llm_dedup_embed", "llm_sim_cosine",
+    "llm_sim_pairs", "llm_sim_ann", "llm_text_stats", "llm_text_tfidf",
+    "llm_lang_id", "llm_quality_score", "llm_token_count",
+    "llm_fingerprint", "llm_multimodal_join", "llm_multimodal_decode",
+    "llm_minhash_signature",
+    // §2.10
+    "udf_scalar", "udaf_geomean", "udtf_ngrams",
+    // round-1 additions
+    "agg_salted_skew", "filter_scalar_subquery")
+
+  test("every SURVEY §2 key is declared in SparkEntry.queries") {
+    val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"missing query keys: $missing")
+    val undocumented = SparkEntry.queries.keySet -- surveyKeys.toSet
+    assert(undocumented.isEmpty, s"keys not in SURVEY inventory: $undocumented")
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("no accidental cartesian products in any plan") {
+    val allowed = Set("join_cross", "llm_sim_cosine", "llm_sim_ann",
+      "stream_watermark_late", "llm_text_tfidf", "llm_multimodal_decode")
+    val offenders = SparkEntry.queries.collect {
+      case (name, fn) if !allowed(name) =>
+        val plan =
+          try fn(spark, sf0001).queryExecution.executedPlan.toString
+          catch { case _: Throwable => "" }
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }.flatten
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val plan = operators.Aggregates.pricingSummary(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial+final HashAggregate")
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    val salted = operators.Aggregates.saltedSkew(spark, sf0001)
+    val direct = Tables(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_items"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+    assert(salted.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(salted).count() == 0)
+  }
+}
