@@ -158,7 +158,40 @@ object Joins {
       .limit(10)
   }
 
+  /** Bucket-co-located join: both sides written bucketed+sorted on the
+    * join key (8 buckets), then sort-merge-joined with NO exchange on
+    * either side — the plan Spark produces when bucketing lines up, and
+    * the way a 100 TB fact/fact join avoids reshuffling every run. The
+    * merge hint keeps AQE from demoting to broadcast at toy scale so
+    * the exchange-free SMJ is what actually executes (asserted in
+    * RelationalSpec).
+    */
+  def bucketed(spark: SparkSession, dir: String): DataFrame = {
+    def freshBucketTable(name: String, src: String, key: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      // a previous JVM may have left the managed location behind; the
+      // in-memory catalog won't overwrite an unknown location
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, name)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+      Tables(spark, dir, src).write.mode("overwrite")
+        .format("parquet").bucketBy(8, key).sortBy(key)
+        .saveAsTable(name)
+    }
+    freshBucketTable("orders_bkt", "orders", "o_custkey")
+    freshBucketTable("customer_bkt", "customer", "c_custkey")
+    spark.table("orders_bkt").hint("merge")
+      .join(spark.table("customer_bkt").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed" -> bucketed,
     "join_inner_equi" -> innerEqui,
     "join_broadcast" -> broadcastDims,
     "join_left_outer" -> leftOuter,
@@ -173,6 +206,11 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_bucketed" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "join_inner_equi" ->
       ("SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +

@@ -68,6 +68,13 @@ object Scans {
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_pruned" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    // the roundtrip/sink side effects are deterministic, so their
+    // read-back results ARE oracle-checkable against the source tables
+    "scan_csv_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "sink_parquet" ->
+      ("SELECT o_orderstatus, count(*) AS n FROM orders " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "scan_json_lines" ->
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k " +
         "FROM events ORDER BY event_id")

@@ -168,6 +168,11 @@ object EventOps {
         "ORDER BY event_id"),
     "stream_dedup_state" ->
       ("SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us " +
-        "FROM events ORDER BY event_id")
+        "FROM events ORDER BY event_id"),
+    // the foreachBatch sink lands exactly the orders table, so the
+    // read-back aggregate is oracle-checkable
+    "stream_foreachbatch_sink" ->
+      ("SELECT o_orderstatus, count(*) AS n FROM orders " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
   )
 }

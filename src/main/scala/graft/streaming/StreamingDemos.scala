@@ -10,6 +10,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   event_type: String, value: Double)
 
+/** Open-session state for the flatMapGroupsWithState sessionizer
+  * (top-level: the state Encoder's generated code must reach it).
+  */
+case class SessionState(start_us: Long, last_us: Long, n: Long)
+
 /** SURVEY.md §2.8 — true Structured Streaming transforms.
   *
   * Each function takes a (possibly streaming) DataFrame and returns the
@@ -39,6 +44,72 @@ object StreamingDemos {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Watermarked session windows (30-min gap) in streaming mode —
+    * sessions emit in append mode once the watermark passes their end;
+    * state is keyed (user, session) and bounded by the watermark.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+
+  /** Session row emitted by the custom sessionizer. */
+  case class SessionOut(user_id: Long, start_us: Long, last_us: Long,
+    n_events: Long, closed: Boolean)
+
+  /** Custom sessionization via flatMapGroupsWithState: an explicit
+    * per-user state machine (open session start/last/count) with an
+    * event-time timeout — the fully-general stateful operator shape for
+    * logic session_window can't express. Emits a closed-session row on
+    * gap/timeout and an open-session snapshot per batch.
+    */
+  def sessionize(events: Dataset[Ev],
+      gapUs: Long = 30L * 60 * 1000000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          if (state.hasTimedOut) {
+            val s = state.get
+            out += SessionOut(user, s.start_us, s.last_us, s.n, closed = true)
+            state.remove()
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val tUs = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if tUs - s.last_us > gapUs =>
+                  out += SessionOut(user, s.start_us, s.last_us, s.n,
+                    closed = true)
+                  cur = Some(SessionState(tUs, tUs, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start_us, tUs, s.n + 1))
+                case None =>
+                  cur = Some(SessionState(tUs, tUs, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_us / 1000L + gapUs / 1000L)
+              out += SessionOut(user, s.start_us, s.last_us, s.n,
+                closed = false)
+            }
+          }
+          out.iterator
+      }
+  }
 
   /** Custom keyed state via mapGroupsWithState: running event count per
     * user (update output mode).

@@ -34,6 +34,20 @@ class RelationalSpec extends GraftSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("bucketed join plans an exchange-free sort-merge join") {
+    val df = operators.Joins.bucketed(spark, sf0001)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), plan.take(400))
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2, "scans not bucketed")
+    // no shuffle between the join and the bucketed scans: the only
+    // hash exchange in the final plan is the one above the aggregation
+    val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      "bucketed sides were reshuffled")
+  }
+
   test("semi + anti partition the customer table") {
     val semi = operators.Joins.semi(spark, sf0001).count()
     val anti = operators.Joins.anti(spark, sf0001).count()

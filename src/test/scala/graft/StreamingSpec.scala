@@ -99,6 +99,47 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows close after the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = streaming.StreamingDemos.sessionCounts(in.toDF)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      // 2+ hours later: watermark sails past session end -> session emits
+      in.addData(ev(3, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 15:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(rows.contains((1L, 2L)), s"first session not emitted: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on gap") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = streaming.StreamingDemos.sessionize(in.toDS)
+      .writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 5),
+        ev(2, "2024-01-01 10:05:00", user = 5))
+      q.processAllAvailable()
+      // 31-min gap within one user's stream -> first session closes
+      in.addData(ev(3, "2024-01-01 10:40:00", user = 5))
+      q.processAllAvailable()
+      val closed = spark.table("fmgws_sessions")
+        .filter(col("closed") === true).collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      assert(closed.contains((5L, 2L)),
+        s"gap-closed session missing: ${closed.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("batch session_window agrees with gaps-and-islands sessionization") {
     val a = streaming.EventOps.session(spark, sf0001)
     val b = streaming.EventOps.sessionizeSql(spark, sf0001)

@@ -17,6 +17,7 @@ class SurveyCoverageSpec extends GraftSuite {
     "join_inner_equi", "join_broadcast", "join_left_outer",
     "join_full_outer", "join_semi", "join_anti", "join_theta_range",
     "join_cross", "join_asof", "join_interval", "join_multiway",
+    "join_bucketed",
     // §2.4
     "agg_hash_group", "agg_global", "agg_distinct", "agg_approx_distinct",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_minmax_pivot",
