@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions wiring: the extended session must expose cosine_sim
+  * through the catalog and fold self-similarity via the injected
+  * optimizer rule.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private def withExtendedSession[T](f: SparkSession => T): T = {
+    // warm the shared context first so we extend, not replace, it
+    val base = SparkTestBase.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new plans.GraftExtensions)
+        .getOrCreate()
+      f(s)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("injected function resolves through the catalog") {
+    withExtendedSession { s =>
+      val one = s.sql(
+        "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      assert(math.abs(one.head.getDouble(0) - 1.0) < 1e-12)
+    }
+  }
+
+  test("self-cosine folds to a literal in the optimized plan") {
+    withExtendedSession { s =>
+      val df = Tables(s, SparkTestBase.sf0001, "embeddings")
+        .selectExpr("cosine_sim(embedding, embedding) AS c")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("cosinesimilarity"),
+        s"rule did not fire: $optimized")
+      assert(df.filter("abs(c - 1.0) > 1e-12").count() == 0)
+    }
+  }
+}

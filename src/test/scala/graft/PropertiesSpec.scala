@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties (SURVEY.md §5.2): cosine kernel algebra at the
+  * expression level (no Spark jobs — direct eval), and exactness of the
+  * Det.moneySum grid-snap aggregation against BigDecimal arithmetic.
+  */
+object PropertiesSpec extends Properties("graft") {
+
+  private def cos(a: Array[Float], b: Array[Float]): Double =
+    graft.functions.CosineSimilarity(
+      Literal.create(new GenericArrayData(a), ArrayType(FloatType)),
+      Literal.create(new GenericArrayData(b), ArrayType(FloatType)))
+      .eval(null).asInstanceOf[Double]
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.containerOfN[Array, Float](16, Gen.choose(-100f, 100f))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3f))
+
+  property("cosine bounded and symmetric") = Prop.forAll(vecGen, vecGen) {
+    (a, b) =>
+      val s = cos(a, b)
+      s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 && cos(b, a) == s
+  }
+
+  property("cosine self = 1, negation = -1") = Prop.forAll(vecGen) { a =>
+    math.abs(cos(a, a) - 1.0) < 1e-9 &&
+      math.abs(cos(a, a.map(-_)) + 1.0) < 1e-9
+  }
+
+  property("cosine scale-invariant") =
+    Prop.forAll(vecGen, Gen.choose(0.1f, 50f)) { (a, k) =>
+      math.abs(cos(a, a.map(_ * k)) - 1.0) < 1e-6
+    }
+
+  property("moneySum exact vs BigDecimal") = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val centsGen = Gen.listOfN(200, Gen.choose(1L, 10000000L))
+    Prop.forAllNoShrink(centsGen) { cents =>
+      cents.isEmpty || {
+        val amounts = cents.map(c => BigDecimal(c) / 100)
+        val expected = amounts.sum.toDouble
+        val got = amounts.map(_.toDouble).toDF("x")
+          .agg(Det.moneySum(col("x")).as("s")).head.getDouble(0)
+        got == expected
+      }
+    }
+  }
+
+  property("rolling-hash fold matches reference") = {
+    val M = 1000000007L
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % M)
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    Prop.forAllNoShrink(
+      Gen.listOfN(10, Gen.alphaNumStr.suchThat(_.nonEmpty))) { texts =>
+      texts.isEmpty || {
+        val got = texts.toDF("text")
+          .select(aggregate(transform(split(col("text"), ""),
+            c => ascii(c).cast("long")),
+            lit(0L), (acc, x) => (acc * 31L + x) % M).as("h"))
+          .collect().map(_.getLong(0)).toSeq
+        got == texts.map(ref)
+      }
+    }
+  }
+}
