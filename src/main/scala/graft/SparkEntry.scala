@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Scans.queries ++
+      operators.Etl.queries ++
       operators.Filters.queries ++
       operators.Joins.queries ++
       operators.Aggregates.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Scans.oracle ++
+      operators.Etl.oracle ++
       operators.Filters.oracle ++
       operators.Joins.oracle ++
       operators.Aggregates.oracle ++

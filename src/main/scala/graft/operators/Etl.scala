@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's canonical NOAA-daily ETL chain (SURVEY.md §1.1),
+  * re-expressed Spark-first on the fixtures: fixed-width parse (station
+  * dimension files), quality-flag filtering + tenths→units conversion +
+  * long→wide pivot + dimension join in one declarative plan, and the
+  * idempotent day-partitioned upsert that makes a daily batch re-runnable.
+  *
+  * Scale notes (100 TB): the daily pipeline is one scan → filter →
+  * pivot-aggregate (single exchange on (day, station)) → broadcast dim
+  * join; the upsert uses dynamic partition overwrite so a re-run replaces
+  * exactly the affected day partitions — the standard idempotent
+  * daily-load contract.
+  */
+object Etl {
+
+  /** Fixed-width text roundtrip: render the nation dim as fixed-width
+    * lines (the NOAA station-file format family), read back with
+    * substring/trim/cast parsing. Oracle: the original table.
+    */
+  def fixedWidth(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_fixed").toString
+    Tables(spark, dir, "nation")
+      .select(format_string("%-4d%-20s%-4d",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    spark.read.text(tmp)
+      .select(
+        trim(substring(col("value"), 1, 4)).cast("int").as("n_nationkey"),
+        trim(substring(col("value"), 5, 20)).as("n_name"),
+        trim(substring(col("value"), 25, 4)).cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  /** The reference's daily job in one plan, on the events/customer
+    * fixtures standing in for observations/stations: drop quality-flagged
+    * rows (`error`), convert tenths→units, pivot elements long→wide per
+    * (day, station) with exact milli-unit averages, join the station
+    * dimension. Output stays at (day, station) grain so every value is
+    * exact.
+    */
+  def noaaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val elements = Seq("signup", "click", "view", "purchase")
+    val wide = Tables(spark, dir, "events")
+      .filter(col("event_type") =!= "error")
+      .withColumn("v", col("value") / 10.0)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id").as("station"))
+      .pivot("event_type", elements)
+      .agg(round(sum("v") * 1000, 0).cast("long").cast("double")
+        / (count(lit(1)) * 1000).cast("double"))
+    val dim = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    wide.join(broadcast(dim), wide("station") === dim("c_custkey"))
+      .select(col("day"), col("station"), col("c_mktsegment"),
+        col("signup").as("avg_signup"), col("click").as("avg_click"),
+        col("view").as("avg_view"), col("purchase").as("avg_purchase"))
+      .orderBy("day", "station")
+  }
+
+  /** Idempotent daily upsert: events written day-partitioned, then one
+    * day re-loaded from (deliberately duplicated) input with dedup on the
+    * natural key under dynamic partition overwrite — only that day's
+    * partition is replaced, and the re-run leaves counts unchanged
+    * (which is exactly what the oracle checks).
+    */
+  def upsertPartition(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_upsert").toString
+    val e = Tables(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+    e.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val day = e.filter(col("day") === "2024-01-05")
+      day.union(day).dropDuplicates("event_id")
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+    }
+    spark.read.parquet(tmp)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_fixed_width" -> fixedWidth,
+    "etl_noaa_daily" -> noaaDaily,
+    "sink_upsert_partition" -> upsertPartition
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_fixed_width" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "etl_noaa_daily" ->
+      ("WITH clean AS (SELECT strftime(ts, '%Y-%m-%d') AS day, " +
+        "user_id AS station, event_type, value / 10.0 AS v " +
+        "FROM events WHERE event_type <> 'error'), " +
+        "wide AS (SELECT day, station, " +
+        Seq("signup", "click", "view", "purchase").map { t =>
+          s"CAST(CAST(round(sum(CASE WHEN event_type='$t' THEN v END)*1000) " +
+            s"AS BIGINT) AS DOUBLE)/(count(CASE WHEN event_type='$t' THEN v END)*1000.0) " +
+            s"AS avg_$t"
+        }.mkString(", ") +
+        " FROM clean GROUP BY 1, 2) " +
+        "SELECT day, station, c_mktsegment, avg_signup, avg_click, " +
+        "avg_view, avg_purchase " +
+        "FROM wide JOIN customer ON station = c_custkey " +
+        "ORDER BY day, station"),
+    "sink_upsert_partition" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n " +
+        "FROM events GROUP BY 1 ORDER BY 1")
+  )
+}

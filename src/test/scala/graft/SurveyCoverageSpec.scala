@@ -45,7 +45,8 @@ class SurveyCoverageSpec extends GraftSuite {
     // §2.10
     "udf_scalar", "udaf_geomean", "udtf_ngrams",
     // round-1 additions
-    "agg_salted_skew", "filter_scalar_subquery")
+    "agg_salted_skew", "filter_scalar_subquery",
+    "scan_fixed_width", "etl_noaa_daily", "sink_upsert_partition")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
