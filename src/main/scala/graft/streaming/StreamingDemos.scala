@@ -111,6 +111,29 @@ object StreamingDemos {
       }
   }
 
+  /** Stream-stream inner join: purchases joined to the same user's
+    * signups within [-1h, 0] event time. Both sides watermarked so the
+    * join state is bounded — the standard watermarked interval-join
+    * contract (state for a side is dropped once the other side's
+    * watermark passes the interval).
+    */
+  def purchaseAfterSignup(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("p_user"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("s_ts")).as("signup_us"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running event count per
     * user (update output mode).
     */

@@ -140,6 +140,27 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to in-window signups only") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = streaming.StreamingDemos.purchaseAfterSignup(in.toDF)
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1, typ = "signup"),
+        ev(2, "2024-01-01 10:30:00", user = 1, typ = "purchase"),
+        ev(3, "2024-01-01 09:30:00", user = 2, typ = "signup"),
+        ev(4, "2024-01-01 12:00:00", user = 2, typ = "purchase"),
+        ev(5, "2024-01-01 11:00:00", user = 3, typ = "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // only user 1's purchase has a signup within the preceding hour
+      assert(got == Set((2L, 1L)), s"got ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("batch session_window agrees with gaps-and-islands sessionization") {
     val a = streaming.EventOps.session(spark, sf0001)
     val b = streaming.EventOps.sessionizeSql(spark, sf0001)

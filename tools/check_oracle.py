@@ -2,13 +2,15 @@
 """Local replica of the driver's t2 correctness gate (dev tool only; the
 engine itself is pure Scala/Spark).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--exact]
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
 SQL in DuckDB over views named after the parquet tables in <sfDir>, loads
 the Spark-side result parquet from <verifyOutDir>/<name>/, then compares:
 columns sorted by name, rows sorted by all columns, exact match for
-non-floats, 1e-9-relative for floats. Exits nonzero on any mismatch.
+non-floats, 1e-9-relative for floats — or bit-exact float equality with
+--exact (the whole suite passes --exact as of round 1). Exits nonzero on
+any mismatch.
 """
 import json
 import math
@@ -40,6 +42,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+EXACT = False
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -50,6 +55,8 @@ def values_equal(a, b) -> bool:
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if EXACT:
+            return fa == fb
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
@@ -76,6 +83,10 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
 
 
 def main():
+    global EXACT
+    if "--exact" in sys.argv:
+        EXACT = True
+        sys.argv.remove("--exact")
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
