@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // write timestamps as int64 micros (not INT96) so the dumped
+      // results carry the same physical type DuckDB produces
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
