@@ -134,7 +134,46 @@ object ScalarFns {
         col("col").as("word"))
       .orderBy("doc_id", "pos")
 
+  def fnString2(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+        translate(col("p_name"), "aeiou", "12345").as("tr"),
+        repeat(col("p_brand"), 2).as("rep2"),
+        expr("left(p_name, 3)").as("l3"),
+        expr("right(p_name, 3)").as("r3"),
+        col("p_name").contains("gear").as("has_gear"),
+        md5(col("p_name").cast("binary")).as("name_md5"))
+      .orderBy("p_partkey")
+
+  def fnDate2(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        weekofyear(col("o_orderdate")).cast("long").as("woy"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+          .as("plus3m"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  def fnBitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(lit(255L))).as("band"),
+        (col("o_orderkey").bitwiseOR(lit(16L))).as("bor"),
+        (col("o_orderkey").bitwiseXOR(lit(255L))).as("bxor"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 1).as("shr"))
+      .orderBy("o_orderkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string2" -> fnString2,
+    "fn_date2" -> fnDate2,
+    "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -146,6 +185,28 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_string2" ->
+      ("SELECT p_partkey, " +
+        "regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num, " +
+        "translate(p_name, 'aeiou', '12345') AS tr, " +
+        "repeat(p_brand, 2) AS rep2, " +
+        "left(p_name, 3) AS l3, right(p_name, 3) AS r3, " +
+        "contains(p_name, 'gear') AS has_gear, " +
+        "md5(p_name) AS name_md5 " +
+        "FROM part ORDER BY p_partkey"),
+    "fn_date2" ->
+      ("SELECT o_orderkey, " +
+        "CAST(weekofyear(o_orderdate) AS BIGINT) AS woy, " +
+        "CAST(quarter(o_orderdate) AS BIGINT) AS q, " +
+        "CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, " +
+        "strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m, " +
+        "epoch_us(o_orderdate) // 1000000 AS epoch_s " +
+        "FROM orders ORDER BY o_orderkey"),
+    "fn_bitwise" ->
+      ("SELECT o_orderkey, o_orderkey & 255 AS band, " +
+        "o_orderkey | 16 AS bor, xor(o_orderkey, 255) AS bxor, " +
+        "o_orderkey << 2 AS shl, o_orderkey >> 1 AS shr " +
+        "FROM orders ORDER BY o_orderkey"),
     "fn_string" ->
       ("SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, " +
         "substring(p_name, 1, 5) AS sub, " +

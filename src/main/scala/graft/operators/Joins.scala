@@ -68,6 +68,16 @@ object Joins {
       .orderBy("id")
   }
 
+  def rightOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        max(col("o_orderdate")).isNotNull.as("has_orders"))
+      .orderBy("c_custkey")
+  }
+
   def semi(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
     val o = Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F")
@@ -195,6 +205,7 @@ object Joins {
     "join_inner_equi" -> innerEqui,
     "join_broadcast" -> broadcastDims,
     "join_left_outer" -> leftOuter,
+    "join_right_outer" -> rightOuter,
     "join_full_outer" -> fullOuter,
     "join_semi" -> semi,
     "join_anti" -> anti,
@@ -228,6 +239,11 @@ object Joins {
       ("SELECT c_custkey, count(o_orderkey) AS n_orders, " +
         "round(coalesce(sum(o_totalprice),0),2) AS total_spent " +
         "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey"),
+    "join_right_outer" ->
+      ("SELECT c_custkey, count(o_orderkey) AS n_orders, " +
+        "max(o_orderdate) IS NOT NULL AS has_orders " +
+        "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_custkey ORDER BY c_custkey"),
     "join_full_outer" ->
       ("SELECT coalesce(a.o_custkey, b.user_id) AS id, a.n_orders, b.n_events " +

@@ -101,7 +101,21 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** cume_dist / percent_rank over a unique ordering — both are exact
+    * rational divisions, bit-identical across engines.
+    */
+  def cumeDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_totalprice", "o_orderkey")
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        cume_dist().over(w).as("cd"),
+        percent_rank().over(w).as("pr"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cume_dist" -> cumeDist,
     "win_rank_topn" -> rankTopN,
     "win_rank_variants" -> rankVariants,
     "win_analytic" -> analytic,
@@ -112,6 +126,12 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_cume_dist" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "cume_dist() OVER w AS cd, percent_rank() OVER w AS pr " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
     "win_rank_topn" ->
       ("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
         "row_number() OVER (PARTITION BY o_custkey " +

@@ -14,7 +14,7 @@ class SurveyCoverageSpec extends GraftSuite {
     // §2.2
     "filter_pred", "project_expr", "filter_like", "filter_null",
     // §2.3
-    "join_inner_equi", "join_broadcast", "join_left_outer",
+    "join_inner_equi", "join_broadcast", "join_left_outer", "join_right_outer",
     "join_full_outer", "join_semi", "join_anti", "join_theta_range",
     "join_cross", "join_asof", "join_interval", "join_multiway",
     "join_bucketed",
@@ -24,13 +24,13 @@ class SurveyCoverageSpec extends GraftSuite {
     "agg_unpivot", "agg_collect", "agg_stats",
     // §2.5
     "win_rank_topn", "win_rank_variants", "win_analytic", "win_frame_rows",
-    "win_frame_range", "win_running", "win_first_last",
+    "win_frame_range", "win_running", "win_first_last", "win_cume_dist",
     // §2.6
     "sort_multi", "limit_topk", "setop_union", "setop_intersect",
     "setop_except", "distinct_rows",
     // §2.7
-    "fn_string", "fn_date", "fn_math", "fn_cond", "fn_array", "fn_map",
-    "fn_json", "fn_explode",
+    "fn_string", "fn_string2", "fn_date", "fn_date2", "fn_math",
+    "fn_bitwise", "fn_cond", "fn_array", "fn_map", "fn_json", "fn_explode",
     // §2.8
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_sessionize_sql", "stream_watermark_late", "stream_dedup_state",
