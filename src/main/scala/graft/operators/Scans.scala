@@ -37,6 +37,23 @@ object Scans {
       .orderBy("n_nationkey")
   }
 
+  /** ORC write + read-back (second columnar format). */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    Tables(spark, dir, "supplier").write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp).orderBy("s_suppkey")
+  }
+
+  /** JSON-lines write + schema-on-read read-back (doubles survive via
+    * shortest-roundtrip text encoding).
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_json").toString
+    val region = Tables(spark, dir, "supplier")
+    region.write.mode("overwrite").json(tmp)
+    spark.read.schema(region.schema).json(tmp).orderBy("s_suppkey")
+  }
+
   def jsonLines(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .select(
@@ -59,6 +76,8 @@ object Scans {
     "scan_parquet" -> scanParquet,
     "scan_pruned" -> scanPruned,
     "scan_csv_roundtrip" -> csvRoundtrip,
+    "scan_orc_roundtrip" -> orcRoundtrip,
+    "scan_json_roundtrip" -> jsonRoundtrip,
     "scan_json_lines" -> jsonLines,
     "sink_parquet" -> sinkParquet
   )
@@ -72,6 +91,10 @@ object Scans {
     // read-back results ARE oracle-checkable against the source tables
     "scan_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
+    "scan_json_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
     "sink_parquet" ->
       ("SELECT o_orderstatus, count(*) AS n FROM orders " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),

@@ -9,7 +9,8 @@ class SurveyCoverageSpec extends GraftSuite {
 
   private val surveyKeys = Seq(
     // §2.1
-    "scan_parquet", "scan_pruned", "scan_csv_roundtrip", "scan_json_lines",
+    "scan_parquet", "scan_pruned", "scan_csv_roundtrip",
+    "scan_orc_roundtrip", "scan_json_roundtrip", "scan_json_lines",
     "sink_parquet",
     // §2.2
     "filter_pred", "project_expr", "filter_like", "filter_null",
