@@ -26,10 +26,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The emitted JSON must stay ONE SHORT line: the driver captures only
+    // a bounded output tail, and a per-query dict over the full ~90-key
+    // suite overflows it (round 1's bench recorded parsed:null). Headline
+    // queries only in "queries"; "value" is still the full-suite total.
+    val headline = Seq(
+      "agg_hash_group", "agg_distinct", "join_multiway", "join_broadcast",
+      "win_rank_topn", "limit_topk", "scan_parquet", "stream_tumbling",
+      "etl_noaa_daily", "llm_dedup_near", "llm_dedup_ngram_jaccard",
+      "llm_sim_cosine", "llm_text_tfidf", "sort_multi")
+    val qs = headline.flatMap(k => results.get(k).map(v =>
+      "\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
@@ -83,4 +83,52 @@ object CosineSimilarity {
       "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+}
+
+/** Single-pass `cosine_sim(v, v)`: the optimizer target for the
+  * self-cosine identity (plans.SimplifySelfCosine). Reproduces the
+  * kernel's arithmetic EXACTLY — `nx / (sqrt(nx) * sqrt(nx))`, which is
+  * NaN for zero-norm/empty vectors and can sit an ulp off 1.0 — so the
+  * rewrite is purely algebraic (drops 2 of 3 accumulators and one array
+  * traversal) and never changes an observable result.
+  */
+case class SelfCosine(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"self_cosine expects array<float>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var nx = 0.0; var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
+    nx / (math.sqrt(nx) * math.sqrt(nx))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val nx = ctx.freshName("nx")
+      val v = ctx.freshName("v")
+      s"""
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $nx += $v * $v;
+         |}
+         |${ev.value} = $nx / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($nx));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

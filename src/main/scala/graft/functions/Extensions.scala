@@ -60,9 +60,12 @@ object Extensions {
     */
   def udtfNgrams(spark: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
+    // i = 1 .. n-1 full bigrams only: a 1-word doc emits ZERO rows,
+    // matching the oracle's range(1, len(words)) (a greatest(..,1)
+    // clamp would emit the bare word as a fake bigram).
     val bigrams = slice(
       zip_with(w, slice(w, lit(2), size(w)), (x, y) => concat_ws(" ", x, y)),
-      lit(1), greatest(size(w) - lit(1), lit(1)))
+      lit(1), greatest(size(w) - lit(1), lit(0)))
     Tables(spark, dir, "documents")
       .select(col("doc_id"), posexplode(bigrams))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),

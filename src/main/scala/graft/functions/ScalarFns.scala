@@ -82,9 +82,15 @@ object ScalarFns {
 
   /** Higher-order functions. Float ops limited to exact ones (element
     * access, slice, max, sort); arithmetic HOFs run on integer arrays so
-    * both engines agree bit-for-bit.
+    * both engines agree bit-for-bit. Array-typed columns are serialized
+    * to comma-joined strings (or reduced to scalars) because the driver's
+    * generic comparator cannot sort array columns (round-1 gate error);
+    * the slice/sort/transform/filter semantics are still fully exercised
+    * — only the output representation changed.
     */
-  def fnArray(spark: SparkSession, dir: String): DataFrame =
+  def fnArray(spark: SparkSession, dir: String): DataFrame = {
+    def s(c: org.apache.spark.sql.Column) =
+      concat_ws(",", transform(c, _.cast("string")))
     Tables(spark, dir, "embeddings")
       .withColumn("ints",
         sequence(lit(1L), (col("label") + lit(2)).cast("long")))
@@ -92,21 +98,24 @@ object ScalarFns {
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         element_at(col("embedding"), 1).as("first_val"),
-        slice(col("embedding"), 1, 4).as("head4"),
+        element_at(slice(col("embedding"), 1, 4), 4).as("head4_last"),
         array_max(col("embedding")).as("maxv"),
-        sort_array(slice(col("embedding"), 1, 4)).as("sorted_head"),
-        col("ints"),
-        transform(col("ints"), x => x * x).as("squares"),
-        filter(col("ints"), x => x % 2 === 0).as("evens"),
+        element_at(sort_array(slice(col("embedding"), 1, 4)), 1)
+          .as("sorted_min"),
+        array_contains(col("ints"), 3L).as("has3"),
+        s(col("ints")).as("ints_s"),
+        s(transform(col("ints"), x => x * x)).as("squares_s"),
+        s(filter(col("ints"), x => x % 2 === 0)).as("evens_s"),
         aggregate(col("ints"), lit(0L), (acc, x) => acc + x).as("total"))
       .orderBy("vec_id")
+  }
 
   def fnMap(spark: SparkSession, dir: String): DataFrame = {
     val m = from_json(col("props"), MapType(StringType, IntegerType))
     Tables(spark, dir, "events")
       .select(
         col("event_id"),
-        map_keys(m).as("ks"),
+        concat_ws(",", map_keys(m)).as("ks"),
         element_at(m, "k").cast("long").as("kv"),
         element_at(
           map_from_entries(array(struct(lit("et"), col("event_type")))),
@@ -257,16 +266,17 @@ object ScalarFns {
       ("SELECT vec_id, " +
         "CAST(len(embedding) AS BIGINT) AS dim, " +
         "embedding[1] AS first_val, " +
-        "embedding[1:4] AS head4, " +
+        "embedding[4] AS head4_last, " +
         "list_max(embedding) AS maxv, " +
-        "list_sort(embedding[1:4]) AS sorted_head, " +
-        "range(1, CAST(label AS BIGINT) + 3) AS ints, " +
-        "list_transform(range(1, CAST(label AS BIGINT) + 3), x -> x * x) AS squares, " +
-        "list_filter(range(1, CAST(label AS BIGINT) + 3), x -> x % 2 = 0) AS evens, " +
+        "list_sort(embedding[1:4])[1] AS sorted_min, " +
+        "list_contains(range(1, CAST(label AS BIGINT) + 3), 3) AS has3, " +
+        "array_to_string(range(1, CAST(label AS BIGINT) + 3), ',') AS ints_s, " +
+        "array_to_string(list_transform(range(1, CAST(label AS BIGINT) + 3), x -> x * x), ',') AS squares_s, " +
+        "array_to_string(list_filter(range(1, CAST(label AS BIGINT) + 3), x -> x % 2 = 0), ',') AS evens_s, " +
         "CAST(list_sum(range(1, CAST(label AS BIGINT) + 3)) AS BIGINT) AS total " +
         "FROM embeddings ORDER BY vec_id"),
     "fn_map" ->
-      ("SELECT event_id, json_keys(props) AS ks, " +
+      ("SELECT event_id, array_to_string(json_keys(props), ',') AS ks, " +
         "CAST(json_extract(props, '$.k') AS BIGINT) AS kv, " +
         "event_type AS mv " +
         "FROM events ORDER BY event_id"),

@@ -40,7 +40,11 @@ object Dedup {
       (x, y) => concat_ws(" ", x, y))
     val tris = zip_with(pairs, slice(w, lit(3), size(w)),
       (x, y) => concat_ws(" ", x, y))
-    slice(tris, lit(1), greatest(size(w) - lit(2), lit(1)))
+    // i = 1 .. n-2 full trigrams only; a doc under 3 words yields an
+    // EMPTY shingle set (a greatest(..,1) clamp here would emit a bare
+    // 1-or-2-word fragment as a fake trigram and diverge from the
+    // DuckDB-side range(1, n-2+1) formulation on short docs).
+    slice(tris, lit(1), greatest(size(w) - lit(2), lit(0)))
   }
 
   /** 16-permutation MinHash signature: sig[i] = min over shingles of
@@ -87,11 +91,15 @@ object Dedup {
   }
 
   /** Per-doc MinHash signatures (golden-file unit test; xxhash64 has no
-    * DuckDB twin, so no oracle).
+    * DuckDB twin, so no oracle). Emitted comma-joined: the driver's
+    * rows-only check still loads and sorts the output, and array columns
+    * are unsortable there (round-1 gate error).
     */
   def minhashQuery(spark: SparkSession, dir: String): DataFrame =
     minhashSignatures(spark, Tables(spark, dir, "documents"))
-      .withColumnRenamed("sig", "signature")
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("sig"), _.cast("string")))
+          .as("signature"))
       .orderBy("doc_id")
 
   /** LSH candidate pairs: docs sharing any of 4 bands (4 rows each),

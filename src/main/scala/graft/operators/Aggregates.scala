@@ -138,10 +138,17 @@ object Aggregates {
         "element", "value")
       .orderBy("l_orderkey", "l_linenumber", "element")
 
+  /** Per-group value lists. The list is emitted as a comma-joined string:
+    * the driver's generic comparator sorts every output column, and
+    * array-typed columns are unsortable there (round-1 gate error) —
+    * serializing keeps the full list content hash-checkable.
+    */
   def collectLists(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
       .groupBy("o_custkey")
-      .agg(array_sort(collect_list("o_orderkey")).as("order_keys"),
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list("o_orderkey")), _.cast("string")))
+        .as("order_keys"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
@@ -265,7 +272,7 @@ object Aggregates {
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem " +
         "ORDER BY l_orderkey, l_linenumber, element"),
     "agg_collect" ->
-      ("SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys, " +
+      ("SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys, " +
         "count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
     "agg_salted_skew" ->
       ("SELECT l_returnflag, count(*) AS n_items, " +

@@ -2,23 +2,22 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SelfCosine}
 
-/** Catalyst optimizer rule: `cosine_sim(x, x)` → `if(x IS NULL, NULL,
-  * 1.0)` for deterministic x — the algebraic identity cos(v, v) = 1,
-  * sparing the full dot/norm loop per row. (Precondition shared with the
-  * kernel itself: vectors are normalizable; a zero-norm vector yields
-  * NaN in the kernel and 1.0 here.)
+/** Catalyst optimizer rule: `cosine_sim(x, x)` → `SelfCosine(x)` for
+  * deterministic x — a single-pass kernel that drops the dot product and
+  * second norm accumulator but reproduces the binary kernel's arithmetic
+  * bit-for-bit (NaN on zero-norm/empty vectors, null-in → null-out), so
+  * the rewrite never changes an observable result.
   */
 object SimplifySelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSimilarity(l, r) if l.semanticEquals(r) && l.deterministic =>
-        If(IsNull(l), Literal(null, DoubleType), Literal(1.0))
+        SelfCosine(l)
     }
 }
 

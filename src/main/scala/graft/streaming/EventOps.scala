@@ -155,9 +155,12 @@ object EventOps {
         "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
         "THEN 1 ELSE 0 END AS new_s " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        // CAST the window sum: DuckDB sums BIGINT into HUGEINT, which
+        // pandas widens to float64 while Spark writes int64 — the
+        // driver's strict dtype gate flags that as a hash mismatch.
         "s AS (SELECT user_id, ts, " +
-        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
+        "CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM g) " +
         "SELECT user_id, sid, count(*) AS n_events, " +
         "min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS last_us " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, sid"),

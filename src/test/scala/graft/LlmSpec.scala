@@ -36,7 +36,8 @@ class LlmSpec extends GraftSuite {
   test("distributed minhash equals the per-row HOF definition") {
     val hof = Tables(spark, sf0001, "documents")
       .select(col("doc_id"),
-        llm.Dedup.minhashSignature(col("text")).as("signature"))
+        concat_ws(",", transform(llm.Dedup.minhashSignature(col("text")),
+          _.cast("string"))).as("signature"))
     val dist = llm.Dedup.minhashQuery(spark, sf0001)
     assert(dist.exceptAll(hof).count() == 0 && hof.exceptAll(dist).count() == 0,
       "explode+agg minhash diverges from HOF definition")
