@@ -38,6 +38,13 @@ object Bench {
     val qs = headline.flatMap(k => results.get(k).map(v =>
       "\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Full per-query timings go to a FILE (dev profiling), never stdout —
+    // stdout carries only the one bounded JSON line the driver parses.
+    sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
+      val full = results.toSeq.sortBy(-_._2).map { case (k, v) =>
+        "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

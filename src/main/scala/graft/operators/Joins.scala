@@ -177,7 +177,8 @@ object Joins {
     * RelationalSpec).
     */
   def bucketed(spark: SparkSession, dir: String): DataFrame = {
-    def freshBucketTable(name: String, src: String, key: String): Unit = {
+    def freshBucketTable(name: String, src: String, key: String,
+        cols: Seq[String]): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $name")
       // a previous JVM may have left the managed location behind; the
       // in-memory catalog won't overwrite an unknown location
@@ -185,12 +186,17 @@ object Joins {
       val path = new org.apache.hadoop.fs.Path(wh, name)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.delete(path, true)
-      Tables(spark, dir, src).write.mode("overwrite")
+      // project to the join/agg columns before bucketing — the bucketed
+      // layout is a purpose-built co-location artifact, not a table copy
+      Tables(spark, dir, src).select(cols.map(col): _*)
+        .write.mode("overwrite")
         .format("parquet").bucketBy(8, key).sortBy(key)
         .saveAsTable(name)
     }
-    freshBucketTable("orders_bkt", "orders", "o_custkey")
-    freshBucketTable("customer_bkt", "customer", "c_custkey")
+    freshBucketTable("orders_bkt", "orders", "o_custkey",
+      Seq("o_custkey", "o_totalprice"))
+    freshBucketTable("customer_bkt", "customer", "c_custkey",
+      Seq("c_custkey", "c_mktsegment"))
     spark.table("orders_bkt").hint("merge")
       .join(spark.table("customer_bkt").hint("merge"),
         col("o_custkey") === col("c_custkey"))
