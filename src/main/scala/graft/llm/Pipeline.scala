@@ -1,0 +1,193 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-corpus pipeline operators beyond dedup/similarity: benchmark
+  * contamination checks, deterministic sampling/sharding, PII redaction,
+  * and C4-style quality filtering.
+  *
+  * Scale notes (100 TB):
+  *  - contamination is the shingle inverted-index join again (one
+  *    exchange on the 8-gram), with the eval side orders of magnitude
+  *    smaller than the corpus — broadcastable at real scale;
+  *  - sampling/sharding use a pure-arithmetic LCG hash of the stable doc
+  *    id, so the sample is reproducible run-to-run on any engine with
+  *    64-bit integers (no rand(), no engine-specific hash);
+  *  - redaction and filtering are per-row codegen'd expressions — no
+  *    shuffle at all until the final presentation sort.
+  */
+object Pipeline {
+
+  /** h(doc_id): deterministic 31-bit mix via one LCG step — identical
+    * integer arithmetic in Spark and DuckDB (values stay far below 2^63).
+    */
+  private def idHash(c: Column): Column =
+    (c * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+
+  private def ngrams(w: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(w) - lit(n - 1), lit(0))),
+      i => array_join(slice(w, i, lit(n)), " "))
+
+  /** Benchmark-contamination check: docs outside the eval source
+    * (src0) sharing any distinct 8-gram with an eval doc, scored by how
+    * many eval docs / distinct 8-grams they overlap. `words` is
+    * materialized as a column BEFORE the n-gram lambda so the lambda
+    * captures an attribute — an inline `split()` would re-split the text
+    * once per gram (the round-1 shingle lesson).
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    // repartition on the gram BEFORE the per-side filters: both join
+    // branches then share one identical Exchange subplan (ReusedExchange),
+    // so the scan+explode runs once, and the join needs no further
+    // shuffle — the same exchange-sharing shape as ngramJaccard.
+    val sh = Tables(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(ngrams(col("w"), 8))).as("g"))
+      .repartition(col("g"))
+    val eval_ = sh.filter(col("source") === "src0")
+      .select(col("g"), col("doc_id").as("eval_id"))
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("g"), col("doc_id").as("train_id"))
+    train.join(eval_, Seq("g"))
+      .groupBy(col("train_id"))
+      .agg(countDistinct("eval_id").as("n_eval_docs"),
+        countDistinct("g").as("n_shared_grams"))
+      .orderBy("train_id")
+  }
+
+  /** Deterministic stratified sample: exactly ceil(n/10) docs per lang,
+    * chosen by the arithmetic id hash — reproducible, engine-agnostic,
+    * and exact per stratum (a bernoulli `rand() < 0.1` is neither).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("h", idHash(col("doc_id")))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= expr("(n_lang + 9) div 10"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Shard assignment for training input files: hash-mod placement into
+    * 8 shards with per-shard size accounting (the write side would be
+    * `partitionBy(shard)`; the balance columns are what an operator
+    * would alert on).
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("shard", idHash(col("doc_id")) % lit(8L))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("shard")
+
+  /** PII redaction pass: digit-run ids, emails, phone-shaped tokens →
+    * placeholder tags. The corpus has no real PII, so emails/phones are
+    * synthesized from stable columns first — the redaction expressions
+    * are the operator under test.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .withColumn("email",
+        concat(lower(col("c_mktsegment")), col("c_custkey").cast("string"),
+          lit("@example.com")))
+      .withColumn("phone",
+        concat(lit("555-"), lpad((col("c_custkey") % 10000).cast("string"),
+          4, "0")))
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]{4,}", "[ID]").as("name_red"),
+        regexp_replace(col("email"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "[EMAIL]")
+          .as("email_red"),
+        regexp_replace(col("phone"), "\\d{3}-\\d{4}", "[PHONE]")
+          .as("phone_red"))
+      .orderBy("c_custkey")
+
+  /** C4-style quality filter: token-count band, type-token ratio floor,
+    * and a stopword-evidence rule, with the first failing rule named per
+    * dropped doc. Emits every doc with its verdict (the keep-only
+    * projection is a trailing filter at scale).
+    */
+  def docFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables(spark, dir, "documents")
+      .withColumn("n_tokens", size(w).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(w)).cast("double") / size(w).cast("double"))
+      .withColumn("has_stop",
+        array_contains(w, "the") || array_contains(w, "a"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 30, "too_short")
+          .when(col("n_tokens") > 90, "too_long")
+          .when(col("ttr") < 0.25, "low_diversity")
+          .when(!col("has_stop"), "no_stopwords")
+          .otherwise("keep"))
+      .select("doc_id", "lang", "n_tokens", "ttr", "verdict")
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_contamination" -> contamination,
+    "llm_sample_stratified" -> sampleStratified,
+    "llm_shard_assign" -> shardAssign,
+    "llm_pii_redact" -> piiRedact,
+    "llm_doc_filter" -> docFilter
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_contamination" ->
+      ("WITH sh AS (SELECT doc_id, source, unnest(list_distinct(" +
+        "list_transform(range(1, len(string_split(text, ' ')) - 6), " +
+        "i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS g " +
+        "FROM documents) " +
+        "SELECT t.doc_id AS train_id, count(DISTINCT e.doc_id) AS n_eval_docs, " +
+        "count(DISTINCT t.g) AS n_shared_grams " +
+        "FROM sh t JOIN sh e ON t.g = e.g " +
+        "WHERE t.source <> 'src0' AND e.source = 'src0' " +
+        "GROUP BY t.doc_id ORDER BY train_id"),
+    "llm_sample_stratified" ->
+      ("WITH h AS (SELECT doc_id, lang, " +
+        "(doc_id * 1103515245 + 12345) % 2147483648 AS h, " +
+        "count(*) OVER (PARTITION BY lang) AS n_lang, " +
+        "CAST(row_number() OVER (PARTITION BY lang ORDER BY " +
+        "(doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS BIGINT) AS rn " +
+        "FROM documents) " +
+        "SELECT doc_id, lang, rn FROM h WHERE rn <= (n_lang + 9) // 10 " +
+        "ORDER BY lang, rn"),
+    "llm_shard_assign" ->
+      ("SELECT (doc_id * 1103515245 + 12345) % 2147483648 % 8 AS shard, " +
+        "count(*) AS n_docs, sum(n_chars) AS total_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
+    "llm_pii_redact" ->
+      ("SELECT c_custkey, " +
+        "regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g') AS name_red, " +
+        "regexp_replace(lower(c_mktsegment) || c_custkey || '@example.com', " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+', '[EMAIL]', 'g') AS email_red, " +
+        "regexp_replace('555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), " +
+        "'\\d{3}-\\d{4}', '[PHONE]', 'g') AS phone_red " +
+        "FROM customer ORDER BY c_custkey"),
+    "llm_doc_filter" ->
+      ("SELECT doc_id, lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS ttr, " +
+        "CASE WHEN len(string_split(text, ' ')) < 30 THEN 'too_short' " +
+        "WHEN len(string_split(text, ' ')) > 90 THEN 'too_long' " +
+        "WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) < 0.25 THEN 'low_diversity' " +
+        "WHEN NOT (list_contains(string_split(text, ' '), 'the') " +
+        "OR list_contains(string_split(text, ' '), 'a')) THEN 'no_stopwords' " +
+        "ELSE 'keep' END AS verdict " +
+        "FROM documents ORDER BY doc_id")
+  )
+}
