@@ -35,17 +35,21 @@ object Bench {
       "win_rank_topn", "limit_topk", "scan_parquet", "stream_tumbling",
       "etl_noaa_daily", "llm_dedup_near", "llm_dedup_ngram_jaccard",
       "llm_sim_cosine", "llm_text_tfidf", "sort_multi")
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE etc.) would emit invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = headline.flatMap(k => results.get(k).map(v =>
-      "\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
+      "\"" + k + "\":" + fmt(v))).mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full per-query timings go to a FILE (dev profiling), never stdout —
     // stdout carries only the one bounded JSON line the driver parses.
     sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
       val full = results.toSeq.sortBy(-_._2).map { case (k, v) =>
-        "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+        "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

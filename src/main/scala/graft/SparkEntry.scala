@@ -33,6 +33,7 @@ object SparkEntry {
       llm.TextOps.queries ++
       llm.TextQuality.queries ++
       llm.Multimodal.queries ++
+      llm.Pipeline.queries ++
       functions.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +55,6 @@ object SparkEntry {
       llm.TextOps.oracle ++
       llm.TextQuality.oracle ++
       llm.Multimodal.oracle ++
+      llm.Pipeline.oracle ++
       functions.Extensions.oracle
 }

@@ -21,15 +21,25 @@ import graft.Tables
   */
 object Pipeline {
 
-  /** h(doc_id): deterministic 31-bit mix via one LCG step — identical
-    * integer arithmetic in Spark and DuckDB (values stay far below 2^63).
+  /** h(doc_id): deterministic 31-bit mix via one LCG step. The id is
+    * reduced mod 2^31 BEFORE the multiply, so the product stays below
+    * 2^61 for ANY 64-bit id — Spark would silently wrap on overflow
+    * while DuckDB raises, so overflow-free is the only way "identical
+    * arithmetic on any engine" holds at 100 TB id ranges.
     */
   private def idHash(c: Column): Column =
-    (c * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    ((c % lit(2147483648L)) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
 
+  /** Word n-grams. Guarded: for docs with < n words Spark's
+    * sequence(1, size-n+1) would DESCEND (step defaults to -1 when
+    * start > stop) and slice(w, 0, n) then throws — so short docs get an
+    * explicit empty array, matching DuckDB's empty range(1, len-n+2).
+    */
   private def ngrams(w: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(size(w) - lit(n - 1), lit(0))),
-      i => array_join(slice(w, i, lit(n)), " "))
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
 
   /** Benchmark-contamination check: docs outside the eval source
     * (src0) sharing any distinct 8-gram with an eval doc, scored by how
@@ -156,16 +166,16 @@ object Pipeline {
         "GROUP BY t.doc_id ORDER BY train_id"),
     "llm_sample_stratified" ->
       ("WITH h AS (SELECT doc_id, lang, " +
-        "(doc_id * 1103515245 + 12345) % 2147483648 AS h, " +
+        "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h, " +
         "count(*) OVER (PARTITION BY lang) AS n_lang, " +
         "CAST(row_number() OVER (PARTITION BY lang ORDER BY " +
-        "(doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS BIGINT) AS rn " +
+        "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648, doc_id) AS BIGINT) AS rn " +
         "FROM documents) " +
         "SELECT doc_id, lang, rn FROM h WHERE rn <= (n_lang + 9) // 10 " +
         "ORDER BY lang, rn"),
     "llm_shard_assign" ->
-      ("SELECT (doc_id * 1103515245 + 12345) % 2147483648 % 8 AS shard, " +
-        "count(*) AS n_docs, sum(n_chars) AS total_chars, " +
+      ("SELECT ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 8 AS shard, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
         "min(doc_id) AS min_id, max(doc_id) AS max_id " +
         "FROM documents GROUP BY 1 ORDER BY 1"),
     "llm_pii_redact" ->

@@ -47,7 +47,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "udf_scalar", "udaf_geomean", "udtf_ngrams",
     // round-1 additions
     "agg_salted_skew", "filter_scalar_subquery",
-    "scan_fixed_width", "etl_noaa_daily", "sink_upsert_partition")
+    "scan_fixed_width", "etl_noaa_daily", "sink_upsert_partition",
+    // round-3 additions (llm.Pipeline — §2.11 round-3 delta)
+    "llm_contamination", "llm_sample_stratified", "llm_shard_assign",
+    "llm_pii_redact", "llm_doc_filter")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -32,7 +32,7 @@ def array_cols(df: pd.DataFrame):
     for c in df.columns:
         if df[c].dtype == object and len(df) and any(
                 isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
-                for v in df[c].head(20)):
+                for v in df[c]):
             bad.append(c)
     return bad
 
