@@ -47,6 +47,22 @@ object Dedup {
     slice(tris, lit(1), greatest(size(w) - lit(2), lit(0)))
   }
 
+  /** 3-word shingles hashed straight to 64 bits: xxhash64 over the word
+    * TRIPLE (multi-arg seed chaining), never materializing the trigram
+    * string. Halves the per-doc shingle cost vs hashing
+    * [[shingles]] output — no concat_ws allocations — and is
+    * word-boundary-aware where string concatenation is not. Same
+    * full-trigrams-only windowing as [[shingles]].
+    */
+  def hashedShingles(text: Column): Column = {
+    val w = words(text)
+    val pairs = zip_with(w, slice(w, lit(2), size(w)),
+      (x, y) => struct(x.as("a"), y.as("b")))
+    val tris = zip_with(pairs, slice(w, lit(3), size(w)),
+      (p, z) => xxhash64(p.getField("a"), p.getField("b"), z))
+    slice(tris, lit(1), greatest(size(w) - lit(2), lit(0)))
+  }
+
   /** 16-permutation MinHash signature: sig[i] = min over shingles of
     * xxhash64(shingle, i).
     *
@@ -113,13 +129,17 @@ object Dedup {
     */
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
     val docs = minhashSignatures(spark, Tables(spark, dir, "documents"))
+    // pinned partition count: AQE would coalesce this small shuffle to
+    // one partition and run the whole banding self-join + signature
+    // compare in a single task (the ngramJaccard lesson)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val banded = docs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-      .repartition(col("band"), col("bucket"))
+      .repartition(nPart, col("band"), col("bucket"))
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),

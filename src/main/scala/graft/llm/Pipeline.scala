@@ -52,12 +52,19 @@ object Pipeline {
     // repartition on the gram BEFORE the per-side filters: both join
     // branches then share one identical Exchange subplan (ReusedExchange),
     // so the scan+explode runs once, and the join needs no further
-    // shuffle — the same exchange-sharing shape as ngramJaccard.
+    // shuffle — the same exchange-sharing shape as ngramJaccard. The
+    // count is pinned so AQE doesn't coalesce the small shuffle into one
+    // task and serialize the join (the ngramJaccard lesson); grams are
+    // xxhash64'd to fixed-width longs before the exchange (~70-byte
+    // 8-gram strings otherwise dominate shuffle width; distinct-counts
+    // are preserved modulo 64-bit collisions).
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sh = Tables(spark, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(ngrams(col("w"), 8))).as("g"))
-      .repartition(col("g"))
+        explode(array_distinct(transform(ngrams(col("w"), 8), xxhash64(_))))
+          .as("g"))
+      .repartition(nPart, col("g"))
     val eval_ = sh.filter(col("source") === "src0")
       .select(col("g"), col("doc_id").as("eval_id"))
     val train = sh.filter(col("source") =!= "src0")
