@@ -34,6 +34,7 @@ object SparkEntry {
       llm.TextQuality.queries ++
       llm.Multimodal.queries ++
       llm.Pipeline.queries ++
+      llm.CorpusOps.queries ++
       functions.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +57,6 @@ object SparkEntry {
       llm.TextQuality.oracle ++
       llm.Multimodal.oracle ++
       llm.Pipeline.oracle ++
+      llm.CorpusOps.oracle ++
       functions.Extensions.oracle
 }

@@ -179,7 +179,41 @@ object ScalarFns {
         shiftright(col("o_orderkey"), 1).as("shr"))
       .orderBy("o_orderkey")
 
+  /** Struct build / field access / reconstruction — nested types flowing
+    * through a projection, flattened back to scalars for the gate.
+    */
+  def fnStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .withColumn("o",
+        struct(col("o_orderstatus").as("st"), col("o_orderkey").as("k"),
+          col("o_totalprice").as("p")))
+      .select(
+        col("o_orderkey"),
+        col("o").getField("st").as("st"),
+        (col("o").getField("p") * 2).as("p2"),
+        to_json(struct(col("o").getField("st").as("s"),
+          col("o").getField("k").as("k"))).as("js"))
+      .orderBy("o_orderkey")
+
+  /** Regex family: extract-all (serialized — array outputs are
+    * unsortable in the driver gate), counts via the same list, and a
+    * regex filter.
+    */
+  def fnRegexp(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .filter(col("p_name").rlike("^[a-z]+ "))
+      .select(
+        col("p_partkey"),
+        array_join(expr("regexp_extract_all(p_name, '[a-z]+', 0)"), ",")
+          .as("words"),
+        size(expr("regexp_extract_all(p_name, '[aeiou]', 0)")).cast("long")
+          .as("n_vowels"),
+        regexp_extract(col("p_name"), "^(\\w+) (\\w+)", 2).as("second_word"))
+      .orderBy("p_partkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_struct" -> fnStruct,
+    "fn_regexp" -> fnRegexp,
     "fn_string2" -> fnString2,
     "fn_date2" -> fnDate2,
     "fn_bitwise" -> fnBitwise,
@@ -194,6 +228,21 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_struct" ->
+      ("SELECT o_orderkey, " +
+        "struct_extract(struct_pack(st := o_orderstatus, k := o_orderkey, " +
+        "p := o_totalprice), 'st') AS st, " +
+        "struct_extract(struct_pack(st := o_orderstatus, k := o_orderkey, " +
+        "p := o_totalprice), 'p') * 2 AS p2, " +
+        "to_json(struct_pack(s := o_orderstatus, k := o_orderkey)) AS js " +
+        "FROM orders ORDER BY o_orderkey"),
+    "fn_regexp" ->
+      ("SELECT p_partkey, " +
+        "array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words, " +
+        "CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels, " +
+        "regexp_extract(p_name, '^(\\w+) (\\w+)', 2) AS second_word " +
+        "FROM part WHERE regexp_matches(p_name, '^[a-z]+ ') " +
+        "ORDER BY p_partkey"),
     "fn_string2" ->
       ("SELECT p_partkey, " +
         "regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num, " +

@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 training-corpus operators: sequence packing, per-label
+  * embedding centroids, and IVF-style ANN with coarse quantization.
+  *
+  * Scale notes (100 TB):
+  *  - packing is one window pass per stratum — the running token count
+  *    shuffles once on the stratum key and never materializes pairs;
+  *  - the centroid aggregation is a partial+final hash aggregate over
+  *    (label, dim) — 64 rows per label regardless of corpus size — and
+  *    its sum is an ORDER-INDEPENDENT integer sum (2^-40-grid snap of
+  *    float32-exact doubles), so a 1000-executor sum cannot change the
+  *    answer with scheduling;
+  *  - IVF is the real index structure behind large-scale ANN: a tiny
+  *    broadcast centroid table partitions vectors into cells, the probe
+  *    touches nprobe cells, and the exact rerank is linear in the
+  *    probed-cell population instead of the corpus.
+  */
+object CorpusOps {
+
+  /** 2^40: scaling a float32-valued double by a power of two is exact,
+    * and the rounded long stays far below 2^63 for |v| ≲ 1e6.
+    */
+  private val Snap = 1099511627776.0
+
+  /** Token-budget sequence packing: docs ordered by doc_id within lang,
+    * chunked into 1024-token bins by exclusive running token count (the
+    * deterministic, shuffle-once packer; a greedy first-fit packer is
+    * stateful and order-dependent — wrong shape for a distributed run).
+    * Emits per-bin occupancy for the would-be `partitionBy(lang, bin)`
+    * training-shard write.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1024L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        expr(s"coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) div $budget"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Per-label mean embedding, one row per (label, dim). The float32
+    * elements are snapped to the 2^-40 grid and summed as longs — exact,
+    * order-independent, and reproduced verbatim by the DuckDB oracle —
+    * then divided once ((s / 2^40) / n, same op order both engines →
+    * bit-identical doubles).
+    */
+  def embedCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("col").cast("double") * lit(Snap), 0).cast("long")).as("s"))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        (col("s").cast("double") / lit(Snap) / col("n").cast("double"))
+          .as("centroid"),
+        col("n"))
+      .orderBy("label", "dim")
+
+  /** IVF ANN: vectors with vec_id < 10 serve as the deterministic coarse
+    * codebook; every vector is assigned to its max-cosine centroid
+    * (rounded to 6 decimals, ties to the lower centroid id), the probe
+    * (vec_id = 0) selects nprobe = 3 cells, and the exact top-10 rerank
+    * runs only inside those cells. Oracle-able end-to-end because every
+    * step is a deterministic argmax over rounded cosines.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val cent = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("csim", round(expr("cosine_sim(embedding, cvec)"), 6))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pvec"))
+    val pcells = cent.crossJoin(broadcast(probe))
+      .withColumn("psim", round(expr("cosine_sim(cvec, pvec)"), 6))
+      .orderBy(col("psim").desc, col("cid"))
+      .limit(3)
+      .select("cid")
+    assigned
+      .join(broadcast(pcells), Seq("cid"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("cid"),
+        round(expr("cosine_sim(embedding, pvec)"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pack_sequences" -> packSequences,
+    "llm_embed_centroid" -> embedCentroid,
+    "llm_ann_ivf" -> annIvf
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_pack_sequences" ->
+      ("WITH toks AS (SELECT doc_id, lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "binned AS (SELECT lang, doc_id, n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024 " +
+        "AS BIGINT) AS bin " +
+        "FROM toks) " +
+        "SELECT lang, bin, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS bin_tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM binned GROUP BY lang, bin ORDER BY lang, bin"),
+    "llm_embed_centroid" ->
+      ("SELECT label, CAST(i AS BIGINT) AS dim, " +
+        "CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1099511627776.0) " +
+        "AS BIGINT)) AS DOUBLE) / 1099511627776.0 / count(*) AS centroid, " +
+        "count(*) AS n " +
+        "FROM embeddings CROSS JOIN range(1, 65) t(i) " +
+        "GROUP BY label, i ORDER BY label, dim"),
+    "llm_ann_ivf" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
+        "FROM embeddings), " +
+        "cent AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < 10), " +
+        "assigned AS (SELECT vec_id, emb, cid FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, row_number() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        "round(list_cosine_similarity(e.emb, c.cvec), 6) DESC, c.cid) AS rk " +
+        "FROM e CROSS JOIN cent c) WHERE rk = 1), " +
+        "probe AS (SELECT emb AS pvec FROM e WHERE vec_id = 0), " +
+        "pcells AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+        "ORDER BY round(list_cosine_similarity(c.cvec, " +
+        "(SELECT pvec FROM probe)), 6) DESC, c.cid) AS rk FROM cent c) " +
+        "WHERE rk <= 3) " +
+        "SELECT a.vec_id, a.cid, " +
+        "round(list_cosine_similarity(a.emb, (SELECT pvec FROM probe)), 4) AS sim " +
+        "FROM assigned a JOIN pcells USING (cid) " +
+        "ORDER BY sim DESC, vec_id LIMIT 10")
+  )
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Tables}
 
@@ -196,7 +197,55 @@ object Aggregates {
         round(avg("l_extendedprice"), 4).as("avg_price"))
       .orderBy("l_returnflag")
 
+  /** Exact median + deterministic mode per market segment. The median is
+    * the interpolated percentile(0.5) — both engines interpolate the even
+    * midpoint from identical doubles, so the raw value is bit-identical.
+    * `mode()` is tie-nondeterministic in both engines, so the mode is
+    * computed as a count + row_number argmax with an explicit value
+    * tiebreak.
+    */
+  def medianMode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val med = o.join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(expr("round(percentile(o_totalprice, 0.5), 4)").as("median_price"),
+        count(lit(1)).as("n_orders"))
+    val wMode = Window.partitionBy("c_mktsegment")
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    val mode = o.join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wMode))
+      .filter(col("rk") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_count"))
+    med.join(mode, Seq("c_mktsegment"))
+      .select("c_mktsegment", "median_price", "n_orders",
+        "mode_priority", "mode_count")
+      .orderBy("c_mktsegment")
+  }
+
+  /** Mergeable HLL sketches — the 100 TB distinct-count pattern: one
+    * sketch per (day) partition, merged with hll_union_agg instead of
+    * re-scanning raw data. No oracle (sketch estimates are
+    * implementation-specific); the unit test bounds the estimate against
+    * the exact count.
+    */
+  def sketchMerge(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct("user_id").as("exact_day"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"),
+        sum("exact_day").as("sum_daily_exact"),
+        count(lit(1)).as("n_days"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_median_mode" -> medianMode,
+    "agg_sketch_merge" -> sketchMerge,
     "agg_hash_group" -> pricingSummary,
     "agg_global" -> globalAgg,
     "agg_distinct" -> distinctAgg,
@@ -213,6 +262,19 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_median_mode" ->
+      ("WITH j AS (SELECT c_mktsegment, o_totalprice, o_orderpriority " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "med AS (SELECT c_mktsegment, round(median(o_totalprice), 4) AS " +
+        "median_price, count(*) AS n_orders FROM j GROUP BY 1), " +
+        "m AS (SELECT c_mktsegment, o_orderpriority AS mode_priority, " +
+        "cnt AS mode_count FROM (SELECT c_mktsegment, o_orderpriority, " +
+        "count(*) AS cnt, row_number() OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY count(*) DESC, o_orderpriority) AS rk FROM j " +
+        "GROUP BY 1, 2) WHERE rk = 1) " +
+        "SELECT c_mktsegment, median_price, n_orders, mode_priority, " +
+        "mode_count FROM med JOIN m USING (c_mktsegment) " +
+        "ORDER BY c_mktsegment"),
     "agg_hash_group" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "round(sum(l_quantity),2) AS sum_qty, " +

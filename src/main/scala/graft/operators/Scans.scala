@@ -72,7 +72,27 @@ object Scans {
       .orderBy("o_orderstatus")
   }
 
+  /** Line-oriented text roundtrip: serialize rows to delimited lines,
+    * read back with spark.read.text + parse (the raw-log-ingest family;
+    * deterministic side effect, oracle = source table).
+    */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_text").toString
+    Tables(spark, dir, "nation")
+      .select(concat_ws("\u0001",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val parts = split(col("value"), "\u0001")
+    spark.read.text(tmp)
+      .select(
+        parts.getItem(0).cast("int").as("n_nationkey"),
+        parts.getItem(1).as("n_name"),
+        parts.getItem(2).cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_text_roundtrip" -> textRoundtrip,
     "scan_parquet" -> scanParquet,
     "scan_pruned" -> scanPruned,
     "scan_csv_roundtrip" -> csvRoundtrip,
@@ -83,6 +103,8 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_text_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_pruned" ->

@@ -114,7 +114,23 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** nth_value over both a running frame (value appears only once the
+    * frame has reached row n) and the full partition frame.
+    */
+  def nthValue(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        nth_value(col("o_totalprice"), 2).over(run).as("second_so_far"),
+        nth_value(col("o_totalprice"), 3).over(full).as("third_overall"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_nth_value" -> nthValue,
     "win_cume_dist" -> cumeDist,
     "win_rank_topn" -> rankTopN,
     "win_rank_variants" -> rankVariants,
@@ -126,6 +142,15 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_nth_value" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "nth_value(o_totalprice, 2) OVER (ord ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS second_so_far, " +
+        "nth_value(o_totalprice, 3) OVER (ord ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND UNBOUNDED FOLLOWING) AS third_overall " +
+        "FROM orders WINDOW ord AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
     "win_cume_dist" ->
       ("SELECT o_custkey, o_orderkey, " +
         "cume_dist() OVER w AS cd, percent_rank() OVER w AS pr " +

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends GraftSuite {
+
+  test("hll sketch-merge estimate tracks the exact distinct count") {
+    val row = operators.Aggregates.sketchMerge(spark, sf001).collect().head
+    val est = row.getAs[Long]("est_total").toDouble
+    val exact = Tables(spark, sf001, "events")
+      .agg(countDistinct("user_id")).collect().head.getLong(0).toDouble
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"HLL estimate $est vs exact $exact drifted >5%")
+  }
+
+  test("sequence packing is exhaustive and bins respect the budget") {
+    val docs = Tables(spark, sf001, "documents")
+    val bins = llm.CorpusOps.packSequences(spark, sf001).collect()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val maxDocTokens = docs
+      .select(max(size(split(col("text"), " ")))).collect().head.getInt(0)
+    // chunking bound: a bin closes within one doc of crossing the budget
+    assert(bins.forall(_.getAs[Long]("bin_tokens") <= 1024L + maxDocTokens))
+    // bins are dense per lang: 0..max with no gaps
+    bins.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1L)
+    }
+  }
+
+  test("per-label centroid matches a direct average") {
+    val cents = llm.CorpusOps.embedCentroid(spark, sf001)
+    val nLabels = Tables(spark, sf001, "embeddings")
+      .select("label").distinct().count()
+    assert(cents.count() == nLabels * 64)
+    val c0 = cents.filter(col("label") === 0 && col("dim") === 1)
+      .collect().head.getAs[Double]("centroid")
+    val direct = Tables(spark, sf001, "embeddings")
+      .filter(col("label") === 0)
+      .select(avg(element_at(col("embedding"), 1).cast("double")))
+      .collect().head.getDouble(0)
+    assert(math.abs(c0 - direct) < 1e-9, s"snap-sum centroid $c0 vs $direct")
+  }
+
+  test("IVF rerank returns the probe first and overlaps brute force") {
+    val ivf = llm.CorpusOps.annIvf(spark, sf001).collect()
+    assert(ivf.head.getAs[Long]("vec_id") == 0L && ivf.head.getAs[Double]("sim") == 1.0)
+    val sims = ivf.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse, "IVF results not sorted by sim")
+    val brute = llm.Similarity.simCosine(spark, sf001).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val overlap = ivf.map(_.getAs[Long]("vec_id")).count(brute.contains)
+    assert(overlap >= 5, s"IVF recall@10 too low: $overlap/10 vs brute force")
+  }
+}

@@ -48,9 +48,12 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-1 additions
     "agg_salted_skew", "filter_scalar_subquery",
     "scan_fixed_width", "etl_noaa_daily", "sink_upsert_partition",
-    // round-3 additions (llm.Pipeline — §2.11 round-3 delta)
+    // round-3 additions (§2.11 round-3 delta)
     "llm_contamination", "llm_sample_stratified", "llm_shard_assign",
-    "llm_pii_redact", "llm_doc_filter")
+    "llm_pii_redact", "llm_doc_filter",
+    "llm_pack_sequences", "llm_embed_centroid", "llm_ann_ivf",
+    "win_nth_value", "agg_median_mode", "agg_sketch_merge",
+    "fn_struct", "fn_regexp", "scan_text_roundtrip")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
