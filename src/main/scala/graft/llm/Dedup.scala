@@ -64,7 +64,9 @@ object Dedup {
   }
 
   /** 16-permutation MinHash signature: sig[i] = min over shingles of
-    * xxhash64(shingle, i).
+    * xxhash64(hashed_shingle, i) — permutation hashes run over the
+    * 64-bit [[hashedShingles]], so the 16 per-shingle hashes cost
+    * long-mixes instead of 17-byte string traversals.
     *
     * Per-row HOF form — the semantic definition, used for golden tests.
     * Higher-order functions are interpreted (no codegen) in Spark, so
@@ -74,19 +76,19 @@ object Dedup {
     */
   def minhashSignature(text: Column, perms: Int = 16): Column =
     transform(sequence(lit(0), lit(perms - 1)),
-      i => array_min(transform(shingles(text), s => xxhash64(s, i))))
+      i => array_min(transform(hashedShingles(text), s => xxhash64(s, i))))
 
   /** Distributed MinHash: explode shingles, compute all 16 permutation
     * hashes as parallel codegen'd xxhash64(shingle, i) columns —
     * identical values to [[minhashSignature]] since both hash the same
-    * (string, int) pair — then ONE hash-aggregate per doc taking 16
+    * (long, int) pair — then ONE hash-aggregate per doc taking 16
     * mins, assembled into the signature array. A single narrow shuffle
     * keyed on doc_id; no interpreted lambdas, no row multiplication.
     */
   def minhashSignatures(spark: SparkSession, docs: DataFrame,
       perms: Int = 16): DataFrame = {
     val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), explode(hashedShingles(col("text"))).as("sh"))
     val mins = (0 until perms).map(i =>
       min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     exploded
