@@ -151,6 +151,47 @@ object DedupVariants {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup CLUSTERS: connected components over the prefix-filtered
+    * jaccard pairs via iterative min-label propagation — the standard
+    * distributed CC algorithm (each round: every node takes the min
+    * component id among itself and its neighbours; converges in
+    * O(component diameter) rounds). The pair list and each round's
+    * labels are localCheckpoint'd: the similarity join must run ONCE,
+    * not once per round through lineage, and the plan must not grow
+    * unboundedly. The only driver-side value per round is the scalar
+    * convergence count. Oracle: DuckDB recursive-CTE transitive closure
+    * over the same (string-shingle) pair SQL.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select("id_a", "id_b")
+      .localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")).toDF("id_a", "id_b"))
+      .localCheckpoint()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var changed = 1L
+    var guard = 0
+    while (changed > 0 && guard < 20) {
+      val prop = edges
+        .join(labels.select(col("id").as("id_b"), col("comp").as("nbr")),
+          Seq("id_b"))
+        .groupBy("id_a").agg(min("nbr").as("nbr_min"))
+        .select(col("id_a").as("id"), col("nbr_min"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp")))
+            .as("next_comp"))
+        .localCheckpoint()
+      changed = next.filter(col("next_comp") < col("comp")).count()
+      labels = next.select(col("id"), col("next_comp").as("comp"))
+      guard += 1
+    }
+    labels.groupBy("comp")
+      .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
+      .orderBy("comp")
+  }
+
   /** Embedding-cosine dedup: drop any vector that has a lower-id
     * neighbour with cosine >= 0.35 in the same label block; survivors
     * returned. Blocked self-join + left_anti — no global pairwise pass.
@@ -175,6 +216,7 @@ object DedupVariants {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_simhash" -> simhashPairs,
     "llm_dedup_ngram_jaccard" -> ngramJaccard,
+    "llm_dedup_components" -> dedupComponents,
     "llm_dedup_embed" -> embedDedup
   )
 
@@ -196,6 +238,21 @@ object DedupVariants {
         "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
         "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6 " +
         "ORDER BY id_a, id_b"),
+    "llm_dedup_components" ->
+      (s"WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct($shingleSql)) AS sh FROM documents), " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT id_a, id_b FROM inter " +
+        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6), " +
+        "edges AS (SELECT id_a, id_b FROM pairs UNION ALL " +
+        "SELECT id_b AS id_a, id_a AS id_b FROM pairs), " +
+        "reach(id, r) AS (SELECT DISTINCT id_a AS id, id_a AS r FROM edges " +
+        "UNION SELECT e.id_a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.id_b), " +
+        "comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+        "SELECT comp, count(*) AS n_members, max(id) AS max_id " +
+        "FROM comp GROUP BY comp ORDER BY comp"),
     "llm_dedup_embed" ->
       ("WITH e AS (SELECT vec_id, label, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +

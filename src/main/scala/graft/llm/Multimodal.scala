@@ -11,6 +11,13 @@ case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Long,
 /** Media payload row fed to the per-partition decoder. */
 case class MediaPayload(doc_id: Long, fmt: String, payload: Array[Byte])
 
+/** Stub "image resize" output: fixed 8×8 thumbnail checksum. */
+case class ThumbFeatures(doc_id: Long, n_bytes: Long, out_w: Long,
+  out_h: Long, thumb_sum: Long)
+
+/** Stub "video frame sample" output: one row per sampled frame. */
+case class FrameSample(doc_id: Long, frame_idx: Long, frame_sum: Long)
+
 /** SURVEY.md §2.9 — multimodal columns.
   *
   * Media (image/audio/video) is modeled as an opaque `binary` payload
@@ -67,9 +74,71 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  private def payloads(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), lit("txt").as("fmt"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaPayload]
+  }
+
+  /** Stub "image resize": the payload is treated as a w=16 byte raster,
+    * stride-sampled to a fixed 8×8 thumbnail (a real implementation
+    * swaps the arithmetic for libvips/PIL inside the same
+    * mapPartitions; the partition-batch shape, binary schema and typed
+    * encoders are the real plumbing under test). Pure integer index
+    * arithmetic → reproduced exactly by the DuckDB oracle.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, dir).mapPartitions { iter =>
+      iter.map { p =>
+        val n = p.payload.length
+        val w = 16L
+        val h = (n + 15) / 16L
+        var sum = 0L
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            val idx = math.min(i * h / 8 * w + j * w / 8, n - 1L).toInt
+            sum += (p.payload(idx) & 0xff)
+            j += 1
+          }
+          i += 1
+        }
+        ThumbFeatures(p.doc_id, n.toLong, 8L, 8L, sum)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** Stub "video frame sampling": the payload is cut into 64-byte
+    * frames and every 4th full frame is emitted with a checksum — the
+    * one-payload-to-many-frames decode shape (ffmpeg frame extraction
+    * would replace the checksum loop; the flatMap batch contract is the
+    * operator under test).
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, dir).mapPartitions { iter =>
+      iter.flatMap { p =>
+        val n = p.payload.length
+        val nFrames = n / 64
+        (0 until nFrames by 4).map { f =>
+          var sum = 0L
+          var k = f * 64
+          while (k < f * 64 + 64) { sum += (p.payload(k) & 0xff); k += 1 }
+          FrameSample(p.doc_id, f.toLong, sum)
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_multimodal_join" -> multimodalJoin,
-    "llm_multimodal_decode" -> multimodalDecode
+    "llm_multimodal_decode" -> multimodalDecode,
+    "llm_multimodal_resize" -> multimodalResize,
+    "llm_multimodal_frames" -> multimodalFrames
   )
 
   def oracle: Map[String, String] = Map(
@@ -79,6 +148,23 @@ object Multimodal {
         "max(embedding[1]) AS max_first_dim " +
         "FROM documents JOIN embeddings ON doc_id = vec_id " +
         "GROUP BY label ORDER BY label"),
+    "llm_multimodal_resize" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
+        "CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h, " +
+        "CAST(list_sum(flatten(list_transform(range(0, 8), i -> " +
+        "list_transform(range(0, 8), j -> ascii(substring(text, " +
+        "CAST(least(((i * ((length(text) + 15) // 16)) // 8) * 16 + " +
+        "(j * 16) // 8, length(text) - 1) AS INTEGER) + 1, 1)))))) " +
+        "AS BIGINT) AS thumb_sum " +
+        "FROM documents ORDER BY doc_id"),
+    "llm_multimodal_frames" ->
+      ("SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
+        "CAST(list_sum(list_transform(range(f * 64 + 1, f * 64 + 65), " +
+        "k -> ascii(substring(text, CAST(k AS INTEGER), 1)))) AS BIGINT) " +
+        "AS frame_sum " +
+        "FROM documents CROSS JOIN range(0, 64, 4) t(f) " +
+        "WHERE (f + 1) * 64 <= length(text) " +
+        "ORDER BY doc_id, frame_idx"),
     "llm_multimodal_decode" ->
       ("SELECT doc_id, 'txt' AS fmt, " +
         "CAST(length(text) AS BIGINT) AS n_bytes, " +

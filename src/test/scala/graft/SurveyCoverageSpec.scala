@@ -53,7 +53,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "llm_pii_redact", "llm_doc_filter",
     "llm_pack_sequences", "llm_embed_centroid", "llm_ann_ivf",
     "win_nth_value", "agg_median_mode", "agg_sketch_merge",
-    "fn_struct", "fn_regexp", "scan_text_roundtrip")
+    "fn_struct", "fn_regexp", "scan_text_roundtrip",
+    "llm_dedup_components", "llm_multimodal_resize", "llm_multimodal_frames")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
