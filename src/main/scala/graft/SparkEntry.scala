@@ -35,6 +35,7 @@ object SparkEntry {
       llm.Multimodal.queries ++
       llm.Pipeline.queries ++
       llm.CorpusOps.queries ++
+      llm.Ranking.queries ++
       functions.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +59,6 @@ object SparkEntry {
       llm.Multimodal.oracle ++
       llm.Pipeline.oracle ++
       llm.CorpusOps.oracle ++
+      llm.Ranking.oracle ++
       functions.Extensions.oracle
 }

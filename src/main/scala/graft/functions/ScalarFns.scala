@@ -211,7 +211,21 @@ object ScalarFns {
         regexp_extract(col("p_name"), "^(\\w+) (\\w+)", 2).as("second_word"))
       .orderBy("p_partkey")
 
+  /** Cryptographic / encoding function family: md5, sha2-256, base64,
+    * hex — the content-addressing primitives of a dedup pipeline (stable
+    * doc ids, shard-invariant fingerprints).
+    */
+  def fnHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"),
+        base64(col("c_name").cast("binary")).as("b64"),
+        hex(col("c_name").cast("binary")).as("hx"))
+      .orderBy("c_custkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_hash" -> fnHash,
     "fn_struct" -> fnStruct,
     "fn_regexp" -> fnRegexp,
     "fn_string2" -> fnString2,
@@ -228,6 +242,10 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_hash" ->
+      ("SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256, " +
+        "to_base64(CAST(c_name AS BLOB)) AS b64, hex(c_name) AS hx " +
+        "FROM customer ORDER BY c_custkey"),
     "fn_struct" ->
       ("SELECT o_orderkey, " +
         "struct_extract(struct_pack(st := o_orderstatus, k := o_orderkey, " +

@@ -97,13 +97,51 @@ object Etl {
       .orderBy("day")
   }
 
+  /** Ordered conversion funnel (view → click → purchase): per user, the
+    * first view, the first click strictly after it, the first purchase
+    * strictly after that; output is the stage population counts. All
+    * three stages aggregate and join on the SAME key (user_id), so the
+    * exchange is planned once and reused — one logical shuffle for the
+    * whole funnel, the shape that survives a 100 TB event log.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("c_ts")).as("n_click"),
+        count(col("p_ts")).as("n_purchase"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_funnel" -> funnel,
     "scan_fixed_width" -> fixedWidth,
     "etl_noaa_daily" -> noaaDaily,
     "sink_upsert_partition" -> upsertPartition
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_funnel" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e " +
+        "JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts " +
+        "WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e " +
+        "JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT count(*) AS n_view, count(c.c_ts) AS n_click, " +
+        "count(p.p_ts) AS n_purchase " +
+        "FROM v LEFT JOIN c ON v.user_id = c.user_id " +
+        "LEFT JOIN p ON v.user_id = p.user_id"),
     "scan_fixed_width" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "etl_noaa_daily" ->

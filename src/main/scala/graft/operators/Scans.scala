@@ -91,7 +91,27 @@ object Scans {
       .orderBy("n_nationkey")
   }
 
+  /** Hive-layout partitioned write + partition-PRUNED read-back: the scan
+    * of one `event_type=` directory, not a filter over all of them. The
+    * physical plan shows the predicate under PartitionFilters with zero
+    * PushedFilters — at 100 TB this is the difference between reading one
+    * partition and reading the corpus (asserted in ScansSpec).
+    */
+  def partitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_prune").toString
+    Tables(spark, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("event_type") === "purchase")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_partition_pruned" -> partitionPruned,
     "scan_text_roundtrip" -> textRoundtrip,
     "scan_parquet" -> scanParquet,
     "scan_pruned" -> scanPruned,
@@ -103,6 +123,11 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_partition_pruned" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "GROUP BY 1 ORDER BY 1"),
     "scan_text_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_parquet" ->

@@ -54,7 +54,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "llm_pack_sequences", "llm_embed_centroid", "llm_ann_ivf",
     "win_nth_value", "agg_median_mode", "agg_sketch_merge",
     "fn_struct", "fn_regexp", "scan_text_roundtrip",
-    "llm_dedup_components", "llm_multimodal_resize", "llm_multimodal_frames")
+    "llm_dedup_components", "llm_multimodal_resize", "llm_multimodal_frames",
+    // round-3 wave 2
+    "llm_bm25", "llm_embed_quantize", "llm_kmeans_step",
+    "etl_funnel", "fn_hash", "scan_partition_pruned")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
