@@ -56,8 +56,11 @@ object DedupVariants {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
           .as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the dedup shuffle: a candidate blocked by
+      // k chunks appears k times, so filtering first shrinks the
+      // distinct()'s exchange by the rejection rate × duplication factor
       .filter(col("hamming") <= 12)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -163,13 +166,21 @@ object DedupVariants {
     * over the same (string-shingle) pair SQL.
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select("id_a", "id_b")
+    // Undirected edge list in ONE pass over the similarity join: explode
+    // each pair into both directions instead of a two-branch union (one
+    // checkpoint job, and the expensive jaccard subplan runs exactly once).
+    val edges = ngramJaccard(spark, dir)
+      .select(explode(array(
+        struct(col("id_a").as("id_a"), col("id_b").as("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("e"))
+      .select("e.id_a", "e.id_b")
       .localCheckpoint()
-    val edges = pairs
-      .union(pairs.select(col("id_b"), col("id_a")).toDF("id_a", "id_b"))
-      .localCheckpoint()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Seed labels with round 1 of the propagation for free: comp =
+    // min(id, min neighbor) straight off the edge aggregation, so the
+    // loop below only runs for components of diameter >= 2.
+    var labels = edges.groupBy(col("id_a").as("id"))
+      .agg(min("id_b").as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("comp"))
     var changed = 1L
     var guard = 0
     while (changed > 0 && guard < 20) {
