@@ -36,6 +36,7 @@ object SparkEntry {
       llm.Pipeline.queries ++
       llm.CorpusOps.queries ++
       llm.Ranking.queries ++
+      plans.TopK.queries ++
       functions.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +61,6 @@ object SparkEntry {
       llm.Pipeline.oracle ++
       llm.CorpusOps.oracle ++
       llm.Ranking.oracle ++
+      plans.TopK.oracle ++
       functions.Extensions.oracle
 }

@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => SimplifySelfCosine)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

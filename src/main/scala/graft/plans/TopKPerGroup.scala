@@ -1,0 +1,162 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.Tables
+
+/** Whole-operator Catalyst extension (the SURVEY §2.10 path (c) demo):
+  * top-k per group as a first-class logical operator, planned by a custom
+  * SparkStrategy into a TWO-PHASE physical operator — per-partition
+  * bounded heaps before the exchange, the same k-bounded heaps after it.
+  *
+  * Why a custom operator instead of `row_number().over(...)` + filter:
+  * the window form shuffles EVERY row of the corpus to its group's
+  * partition and sorts it there (Spark 4's WindowGroupLimit prunes the
+  * sort's output but the full-width exchange remains). The two-phase
+  * operator ships at most k rows PER GROUP PER PARTITION into the
+  * exchange — at 100 TB with a bounded group count that is the
+  * difference between shuffling the corpus and shuffling k·|groups|
+  * rows. The ordering must be total (tiebreak included) so the retained
+  * set is partition-schedule-independent — the same determinism contract
+  * as every other operator here.
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Physical top-k-per-group: a hash map of group key → size-k priority
+  * queue whose head is the WORST retained row (reversed comparator), so
+  * each incoming row costs one compare against the current worst and at
+  * most one heap update. `partial = true` runs before the exchange
+  * (UnspecifiedDistribution); the final instance requires
+  * ClusteredDistribution so EnsureRequirements plants the hash exchange
+  * between the two — exactly the partial/final shape of HashAggregate.
+  */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    val g = groupExprs
+    val so = order
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(g, schema)
+      val ord = RowOrdering.create(so, schema)
+      // head of each queue = worst retained row for that group
+      val rev = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ord.compare(b, a)
+      }
+      val heaps =
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var q = heaps.get(key)
+        if (q == null) {
+          q = new java.util.PriorityQueue[InternalRow](kk + 1, rev)
+          heaps.put(key.copy(), q)
+        }
+        if (q.size < kk) q.add(row.copy())
+        else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+      }
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+
+  /** Install [[TopKStrategy]] on the session (idempotent). Also injected
+    * catalog-wide by [[GraftExtensions]].
+    */
+  def install(spark: SparkSession): Unit = {
+    val ex = spark.experimental
+    if (!ex.extraStrategies.contains(TopKStrategy))
+      ex.extraStrategies = ex.extraStrategies :+ TopKStrategy
+  }
+
+  /** Top-k rows per group of `df`. `orderCols` are (name, ascending?)
+    * and MUST form a total order for a deterministic result.
+    */
+  def perGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output
+      .find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val order = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    Bridge.ofRows(spark, TopKPerGroup(groupCols.map(attr), order, k, analyzed))
+  }
+
+  /** Top-3 orders per customer through the native operator (same
+    * semantics as `win_rank_topn` minus the rank column — the oracle is
+    * the standard QUALIFY form).
+    */
+  def topkNative(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    perGroup(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "plan_topk_native" -> topkNative
+  )
+
+  def oracle: Map[String, String] = Map(
+    "plan_topk_native" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) " +
+        "WHERE rk <= 3 " +
+        "ORDER BY o_custkey, o_totalprice DESC, o_orderkey")
+  )
+}

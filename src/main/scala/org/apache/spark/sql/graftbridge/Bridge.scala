@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** The one `private[sql]` doorway graft needs: wrap a custom LogicalPlan
+  * into a DataFrame (`Dataset.ofRows` — the same entry point Spark's own
+  * DataFrameReader uses). Lives under `org.apache.spark.sql` solely for
+  * that access; everything else in graft stays on public API.
+  */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

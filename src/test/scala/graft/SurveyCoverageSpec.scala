@@ -57,7 +57,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "llm_dedup_components", "llm_multimodal_resize", "llm_multimodal_frames",
     // round-3 wave 2
     "llm_bm25", "llm_embed_quantize", "llm_kmeans_step",
-    "etl_funnel", "fn_hash", "scan_partition_pruned")
+    "etl_funnel", "fn_hash", "scan_partition_pruned",
+    // round-3 wave 3
+    "plan_topk_native")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Native TopKPerGroup operator: result parity with the window form,
+  * two-phase physical shape, and heap edge cases (k larger than group,
+  * k = 1, ties broken by the total order).
+  */
+class TopKSpec extends GraftSuite {
+
+  test("plan_topk_native matches row_number window form exactly") {
+    val native = plans.TopK.topkNative(spark, sf001)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ref = Tables(spark, sf001, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .drop("rk")
+    assert(native.exceptAll(ref).count() == 0)
+    assert(ref.exceptAll(native).count() == 0)
+  }
+
+  test("physical plan is two-phase: partial heap before one exchange, final after") {
+    val df = plans.TopK.perGroup(
+      Tables(spark, sf001, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerGroup"), physical)
+    // partial=true and partial=false instances both present
+    assert("TopKPerGroup".r.findAllIn(physical).size == 2, physical)
+  }
+
+  test("k larger than any group returns every row") {
+    val nation = Tables(spark, sf0001, "nation")
+      .select(col("n_regionkey"), col("n_nationkey"), col("n_name"))
+    val all = plans.TopK.perGroup(nation, Seq("n_regionkey"),
+      Seq(("n_nationkey", true)), 1000)
+    assert(all.count() == nation.count())
+  }
+
+  test("k = 1 picks the single extreme row per group with tiebreak") {
+    val top1 = plans.TopK.perGroup(
+      Tables(spark, sf0001, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 1)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ref = Tables(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .drop("rk")
+    assert(top1.exceptAll(ref).count() == 0)
+    assert(ref.exceptAll(top1).count() == 0)
+  }
+}
