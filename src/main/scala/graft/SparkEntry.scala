@@ -36,6 +36,7 @@ object SparkEntry {
       llm.Pipeline.queries ++
       llm.CorpusOps.queries ++
       llm.Ranking.queries ++
+      llm.Chunking.queries ++
       plans.TopK.queries ++
       functions.Extensions.queries
 
@@ -61,6 +62,7 @@ object SparkEntry {
       llm.Pipeline.oracle ++
       llm.CorpusOps.oracle ++
       llm.Ranking.oracle ++
+      llm.Chunking.oracle ++
       plans.TopK.oracle ++
       functions.Extensions.oracle
 }

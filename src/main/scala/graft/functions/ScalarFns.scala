@@ -224,7 +224,29 @@ object ScalarFns {
         hex(col("c_name").cast("binary")).as("hx"))
       .orderBy("c_custkey")
 
+  /** URL handling: construct a canonical URL per document, then take it
+    * apart again with `parse_url` (HOST / PATH / QUERY / a single query
+    * parameter). DuckDB 1.0 has no URL parser, so the oracle states the
+    * expected parts directly from the same source columns — the oracle
+    * defines the CONTRACT, the Spark side must actually parse. All
+    * string-exact, fully codegen'd.
+    */
+  def fnUrl(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.org/"),
+          col("lang"), lit("/"), col("doc_id"), lit("?p="), col("n_chars"),
+          lit("&s=1")))
+      .select(col("doc_id"), col("url"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'p')").as("param_p"),
+        expr("parse_url(url, 'PROTOCOL')").as("scheme"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_url" -> fnUrl,
     "fn_hash" -> fnHash,
     "fn_struct" -> fnStruct,
     "fn_regexp" -> fnRegexp,
@@ -242,6 +264,16 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_url" ->
+      ("SELECT doc_id, 'https://' || source || '.example.org/' || lang || " +
+        "'/' || CAST(doc_id AS VARCHAR) || '?p=' || CAST(n_chars AS VARCHAR) " +
+        "|| '&s=1' AS url, " +
+        "source || '.example.org' AS host, " +
+        "'/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path, " +
+        "'p=' || CAST(n_chars AS VARCHAR) || '&s=1' AS query, " +
+        "CAST(n_chars AS VARCHAR) AS param_p, " +
+        "'https' AS scheme " +
+        "FROM documents ORDER BY doc_id"),
     "fn_hash" ->
       ("SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256, " +
         "to_base64(CAST(c_name AS BLOB)) AS b64, hex(c_name) AS hx " +

@@ -243,7 +243,34 @@ object Aggregates {
         sum("exact_day").as("sum_daily_exact"),
         count(lit(1)).as("n_days"))
 
+  /** Exact quartiles per group via `percentile_cont` WITHIN GROUP.
+    * Inputs are snapped to integer cents first: with integer data points
+    * and quantile fractions in {0.25, 0.5, 0.75} the interpolation
+    * `a + f·(b-a)` is EXACT in double arithmetic (f is a power-of-two
+    * multiple), so Spark and DuckDB (`quantile_cont`) agree bit-for-bit
+    * regardless of how each engine associates the expression — the same
+    * trick as Det.moneySum, applied to order statistics. One hash
+    * aggregate, no window: percentile_cont sorts within each group's
+    * state, never globally.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)").as("c25"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)").as("c50"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)").as("c75"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        (col("c25") / 100).as("p25"),
+        (col("c50") / 100).as("p50"),
+        (col("c75") / 100).as("p75"),
+        col("n"))
+      .orderBy("o_orderpriority")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentile" -> percentiles,
     "agg_median_mode" -> medianMode,
     "agg_sketch_merge" -> sketchMerge,
     "agg_hash_group" -> pricingSummary,
@@ -262,6 +289,14 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_percentile" ->
+      ("WITH c AS (SELECT o_orderpriority, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT o_orderpriority, " +
+        "quantile_cont(cents, 0.25) / 100 AS p25, " +
+        "quantile_cont(cents, 0.5) / 100 AS p50, " +
+        "quantile_cont(cents, 0.75) / 100 AS p75, " +
+        "count(*) AS n FROM c GROUP BY 1 ORDER BY 1"),
     "agg_median_mode" ->
       ("WITH j AS (SELECT c_mktsegment, o_totalprice, o_orderpriority " +
         "FROM orders JOIN customer ON o_custkey = c_custkey), " +

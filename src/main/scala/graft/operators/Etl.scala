@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -121,7 +122,31 @@ object Etl {
         count(col("p_ts")).as("n_purchase"))
   }
 
+  /** SCD type-2 dimension build: per user, collapse the event stream to
+    * its event_type CHANGE points and attach validity intervals —
+    * `valid_from_us` = change timestamp, `valid_to_us` = next change (null
+    * ⇒ current row). The standard warehouse history-table shape, derived
+    * declaratively: one lag() to detect changes, a filter, one lead() for
+    * the closing edge. Both windows share the same (user_id; ts,
+    * event_id) partitioning+ordering, so Catalyst plans ONE exchange +
+    * sort and the second Window reuses it — at 100 TB this is a single
+    * shuffle over the event log, no self-join.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(lead("ts", 1).over(w)).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy("user_id", "valid_from_us")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2" -> scd2,
     "etl_funnel" -> funnel,
     "scan_fixed_width" -> fixedWidth,
     "etl_noaa_daily" -> noaaDaily,
@@ -129,6 +154,17 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_scd2" ->
+      ("WITH chg AS (SELECT user_id, event_type, ts, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev_type FROM events), " +
+        "scd AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us, " +
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS valid_to_us FROM chg " +
+        "WHERE prev_type IS NULL OR prev_type <> event_type) " +
+        "SELECT user_id, event_type, valid_from_us, valid_to_us, " +
+        "valid_to_us IS NULL AS is_current " +
+        "FROM scd ORDER BY user_id, valid_from_us"),
     "etl_funnel" ->
       ("WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events " +
         "WHERE event_type = 'view' GROUP BY 1), " +

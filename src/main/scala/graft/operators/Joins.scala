@@ -206,7 +206,36 @@ object Joins {
       .orderBy("c_mktsegment")
   }
 
+  /** Skew-mitigated fact/fact join: the probe side (lineitem) gets a
+    * deterministic salt in [0, 8), the build side (orders) is replicated
+    * once per salt value, and the join key becomes (key, salt) — a hot
+    * orderkey's rows now spread across 8 reducer partitions instead of
+    * one straggler task. The salt is derived from data
+    * (`pmod(l_linenumber, 8)`), not rand(), so the query stays
+    * deterministic and oracle-able; the join RESULT is provably identical
+    * to the unsalted join (each probe row matches exactly its own salt's
+    * replica). This is the manual fallback for skew AQE can't fix (e.g.
+    * when the skewed stage feeds a non-splittable downstream op);
+    * replicating 8× is the price of an 8-way hot-key fan-out.
+    */
+  def skewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("salt", pmod(col("l_linenumber"), lit(S)).cast("int"))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+    li.join(ord,
+        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Det.moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> skewSalted,
     "join_bucketed" -> bucketed,
     "join_inner_equi" -> innerEqui,
     "join_broadcast" -> broadcastDims,
@@ -223,6 +252,11 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_skew_salted" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        Det.moneySumSql("l_extendedprice") + " AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
     "join_bucketed" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "round(sum(o_totalprice), 2) AS total " +

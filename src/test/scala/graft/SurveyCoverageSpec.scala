@@ -59,7 +59,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "llm_bm25", "llm_embed_quantize", "llm_kmeans_step",
     "etl_funnel", "fn_hash", "scan_partition_pruned",
     // round-3 wave 3
-    "plan_topk_native")
+    "plan_topk_native", "etl_scd2", "agg_percentile", "join_skew_salted",
+    "fn_url", "llm_chunk_split", "llm_cross_entropy")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
