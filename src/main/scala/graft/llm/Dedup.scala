@@ -157,8 +157,29 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Canonicalization dedup — the normalization step that runs BEFORE
+    * exact dedup in a real corpus pipeline: lowercase, strip everything
+    * but [a-z0-9 ], collapse whitespace, trim; then one hash aggregate on
+    * the canonical form with a deterministic min-id survivor. Catches
+    * case/punctuation variants that byte-exact dedup misses. Map-side
+    * string work + one exchange on the canonical key.
+    */
+  def canonicalize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("canon",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")))
+      .groupBy("canon")
+      .agg(min("doc_id").as("survivor_id"),
+        count(lit(1)).cast("long").as("n_variants"))
+      .select(col("survivor_id"), col("n_variants"),
+        length(col("canon")).cast("long").as("canon_len"))
+      .orderBy("survivor_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
+    "llm_canonicalize" -> canonicalize,
     "llm_minhash_signature" -> minhashQuery,
     "llm_dedup_near" -> dedupNear
   )
@@ -167,6 +188,13 @@ object Dedup {
     "llm_dedup_exact" ->
       ("SELECT doc_id, lang, source, n_chars FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
-        "FROM documents) WHERE rn = 1 ORDER BY doc_id")
+        "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
+    "llm_canonicalize" ->
+      ("WITH c AS (SELECT doc_id, trim(regexp_replace(" +
+        "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +
+        "' +', ' ', 'g')) AS canon FROM documents) " +
+        "SELECT min(doc_id) AS survivor_id, count(*) AS n_variants, " +
+        "CAST(length(canon) AS BIGINT) AS canon_len " +
+        "FROM c GROUP BY canon ORDER BY survivor_id")
   )
 }

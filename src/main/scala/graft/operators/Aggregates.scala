@@ -269,7 +269,42 @@ object Aggregates {
         col("n"))
       .orderBy("o_orderpriority")
 
+  /** Correlation + least-squares regression per group, computed the
+    * 100-TB way: the five raw moments (Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    * integer sums of cent/unit-scaled inputs (decimal(38,0) in Spark,
+    * HUGEINT in DuckDB — both exact, both order-independent), and the
+    * closed-form corr/slope/intercept is one identical double expression
+    * over those exact components. Builtin corr()/regr_slope() stream
+    * float state whose partition-order-dependent rounding can't
+    * hash-match across engines; moment sums CAN, with one aggregation
+    * pass either way.
+    */
+  def corrRegression(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(38,0)") // integer-valued units
+    val y = round(col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+    val m = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = cov / vx
+    m.select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        (cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
+        (slope / 100).as("slope_price_per_qty"),
+        ((col("sy") - slope * col("sx")) / (col("n") * 100))
+          .as("intercept_price"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_regression" -> corrRegression,
     "agg_percentile" -> percentiles,
     "agg_median_mode" -> medianMode,
     "agg_sketch_merge" -> sketchMerge,
@@ -289,6 +324,19 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_corr_regression" ->
+      ("WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, " +
+        "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price, " +
+        "((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 100 AS slope_price_per_qty, " +
+        "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / (n * 100) AS intercept_price " +
+        "FROM m ORDER BY l_returnflag"),
     "agg_percentile" ->
       ("WITH c AS (SELECT o_orderpriority, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +

@@ -87,6 +87,29 @@ class Wave3Spec extends GraftSuite {
     assert(math.abs(got - expected) < 1e-9, s"$got vs $expected")
   }
 
+  test("agg_corr_regression matches builtin corr/regr to float tolerance") {
+    val m = operators.Aggregates.corrRegression(spark, sf0001)
+    val ref = Tables(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        var_samp(col("l_quantity")).as("vx"))
+    val j = m.join(ref, "l_returnflag")
+      .filter(abs(col("corr_qty_price") - col("c")) > 1e-6 ||
+        abs(col("slope_price_per_qty") - col("cv") / col("vx")) > 1e-4)
+    assert(j.count() == 0)
+  }
+
+  test("llm_canonicalize groups case/punct variants under one survivor") {
+    val c = llm.Dedup.canonicalize(spark, sf0001)
+    val docs = Tables(spark, sf0001, "documents")
+    // survivors partition the corpus: variant counts sum to doc count
+    assert(c.agg(sum("n_variants")).head.getLong(0) == docs.count())
+    // canonical dedup can only merge MORE than byte-exact dedup
+    val exactGroups = docs.select("text").distinct().count()
+    assert(c.count() <= exactGroups)
+  }
+
   test("fn_url parses host/path/query back out of the built url") {
     val u = functions.ScalarFns.fnUrl(spark, sf0001)
     val bad = u.filter(
