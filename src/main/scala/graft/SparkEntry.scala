@@ -17,7 +17,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Scans.queries ++
+    sources.Sources.queries ++
+      operators.Scans.queries ++
       operators.Etl.queries ++
       operators.Filters.queries ++
       operators.Joins.queries ++
@@ -43,7 +44,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Scans.oracle ++
+    sources.Sources.oracle ++
+      operators.Scans.oracle ++
       operators.Etl.oracle ++
       operators.Filters.oracle ++
       operators.Joins.oracle ++

@@ -1,0 +1,42 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Query-surface wiring for the native DSv2 connectors. */
+object Sources {
+
+  /** Fixed-width roundtrip through [[FixedWidthDataSource]]: render the
+    * nation dim as fixed-width lines, read back through the V2 connector,
+    * and select a strict subset of fields — the point is that column
+    * pruning reaches the connector (`FixedWidthScan(n_nationkey,n_name)`
+    * in the plan; asserted in SourcesSpec), so the unused byte range is
+    * never parsed.
+    */
+  def fixedWidthDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_fw2").toString
+    Tables(spark, dir, "nation")
+      .select(format_string("%-4d%-20s%-4d",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    spark.read
+      .format("graft.sources.FixedWidthDataSource")
+      .option("fields",
+        "n_nationkey:1:4:int,n_name:5:20:string,n_regionkey:25:4:int")
+      .load(tmp)
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_fixed_width_dsv2" -> fixedWidthDsv2
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_fixed_width_dsv2" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+  )
+}
