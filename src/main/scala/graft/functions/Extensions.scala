@@ -73,10 +73,27 @@ object Extensions {
       .orderBy("doc_id", "pos")
   }
 
+  /** The same window-generation semantics as `llm_chunk_split`, but
+    * through a REAL custom `Generator` expression (`SlidingWindows`)
+    * instead of HOF+posexplode — the §2.10 path-(c) UDTF surface.
+    * 32/16 windows so the two keys don't merely alias each other.
+    */
+  def udtfSlidingWindows(spark: SparkSession, dir: String): DataFrame = {
+    SlidingWindows.register(spark)
+    Tables(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), expr("sliding_windows(w, 32, 16)"))
+      .select(col("doc_id"), col("win_id").cast("long").as("win_id"),
+        size(col("win")).cast("long").as("n_tokens"),
+        array_join(col("win"), " ").as("win_text"))
+      .orderBy("doc_id", "win_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_scalar" -> udfScalar,
     "udaf_geomean" -> udafGeomean,
-    "udtf_ngrams" -> udtfNgrams
+    "udtf_ngrams" -> udtfNgrams,
+    "udtf_sliding_windows" -> udtfSlidingWindows
   )
 
   def oracle: Map[String, String] = Map(
@@ -94,6 +111,14 @@ object Extensions {
         "range(1, len(string_split(text, ' '))), " +
         "(x, i) -> struct_pack(pos := i, " +
         "w := string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS s " +
-        "FROM documents) ORDER BY doc_id, pos")
+        "FROM documents) ORDER BY doc_id, pos"),
+    "udtf_sliding_windows" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "st AS (SELECT doc_id, w, unnest(range(1, " +
+        "greatest(len(w) - 16, 1) + 1, 16)) AS s FROM d) " +
+        "SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS win_id, " +
+        "CAST(len(list_slice(w, s, s + 31)) AS BIGINT) AS n_tokens, " +
+        "array_to_string(list_slice(w, s, s + 31), ' ') AS win_text " +
+        "FROM st ORDER BY doc_id, win_id")
   )
 }

@@ -152,7 +152,42 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Deterministic weighted source interleaving — the data-mixing step
+    * that turns per-source corpora into one training stream honoring
+    * mixing ratios. Stride scheduling: within each source, docs are
+    * shuffled by the LCG hash (rank r); a source of weight w emits its
+    * r-th doc at virtual time (2r+1)/(2w), and the global order is the
+    * sort of those virtual times (ties: source, doc_id). Sources with
+    * 2× weight appear 2× as often at every prefix of the stream — the
+    * property the unit test asserts. Weights here derive from the source
+    * name (1 + srcnum % 4) to keep the query self-contained.
+    *
+    * Scale note: the global row_number is a single-partition window —
+    * fine for a verification surface; at 100 TB assign positions with
+    * rangepartitioning on `p` + per-partition offsets (the exclusive
+    * running-count pattern of llm_pack_sequences), which orders the
+    * stream without any single-task stage.
+    */
+  def interleaveSources(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        idHash(col("doc_id")).as("h"),
+        (lit(1) + substring(col("source"), 4, 10).cast("int") % lit(4))
+          .as("wt"))
+      .withColumn("r", row_number().over(bySource).cast("long") - 1)
+      .withColumn("p",
+        (col("r") * 2 + 1).cast("double") / (col("wt") * 2).cast("double"))
+      .withColumn("position", row_number()
+        .over(Window.orderBy(col("p"), col("source"), col("doc_id")))
+        .cast("long"))
+      .select("position", "doc_id", "source", "wt")
+      .orderBy("position")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_interleave_sources" -> interleaveSources,
     "llm_contamination" -> contamination,
     "llm_sample_stratified" -> sampleStratified,
     "llm_shard_assign" -> shardAssign,
@@ -161,6 +196,17 @@ object Pipeline {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_interleave_sources" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+        "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h, " +
+        "1 + CAST(substring(source, 4, 10) AS INT) % 4 AS wt FROM documents), " +
+        "r AS (SELECT doc_id, source, wt, " +
+        "row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 AS r " +
+        "FROM d) " +
+        "SELECT CAST(row_number() OVER (ORDER BY " +
+        "CAST(r * 2 + 1 AS DOUBLE) / (wt * 2), source, doc_id) AS BIGINT) " +
+        "AS position, doc_id, source, wt " +
+        "FROM r ORDER BY position"),
     "llm_contamination" ->
       ("WITH sh AS (SELECT doc_id, source, unnest(list_distinct(" +
         "list_transform(range(1, len(string_split(text, ' ')) - 6), " +

@@ -110,6 +110,40 @@ class Wave3Spec extends GraftSuite {
     assert(c.count() <= exactGroups)
   }
 
+  test("sliding_windows generator matches the HOF chunking formulation") {
+    functions.SlidingWindows.register(spark)
+    val gen = Tables(spark, sf0001, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), expr("sliding_windows(w, 64, 48)"))
+      .select(col("doc_id"), col("win_id").cast("long").as("chunk_id"),
+        size(col("win")).cast("long").as("n_tokens"),
+        array_join(col("win"), " ").as("chunk_text"))
+    val hof = llm.Chunking.chunkSplit(spark, sf0001)
+    assert(gen.exceptAll(hof).count() == 0)
+    assert(hof.exceptAll(gen).count() == 0)
+    // and it runs through GenerateExec (a real Generator, not a HOF)
+    val plan = gen.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate slidingwindows"), plan)
+  }
+
+  test("llm_interleave_sources: weight-2 sources appear ~2x weight-1 sources in any prefix") {
+    val s = llm.Pipeline.interleaveSources(spark, sf001).cache()
+    val n = s.count()
+    // per-source rate in the first half of the stream tracks wt
+    val half = s.filter(col("position") <= n / 2)
+      .groupBy("wt").agg(count(lit(1)).as("cnt"),
+        countDistinct("source").as("n_src"))
+      .withColumn("per_source", col("cnt").cast("double") / col("n_src"))
+      .orderBy("wt").collect()
+    val r1 = half.find(_.getInt(0) == 1).get.getAs[Double]("per_source")
+    val r2 = half.find(_.getInt(0) == 2).get.getAs[Double]("per_source")
+    assert(r2 / r1 > 1.6 && r2 / r1 < 2.4, s"ratio ${r2 / r1}")
+    // positions are a dense 1..n permutation
+    assert(s.agg(min("position"), max("position")).head() ==
+      org.apache.spark.sql.Row(1L, n))
+    s.unpersist()
+  }
+
   test("fn_url parses host/path/query back out of the built url") {
     val u = functions.ScalarFns.fnUrl(spark, sf0001)
     val bad = u.filter(
