@@ -112,8 +112,14 @@ object DedupVariants {
     // specified partitioning is exempt from AQE coalescing, keeping the
     // compute-heavy pipeline parallel.
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // carry |X| with each posting: the PPJoin LENGTH filter
+    // (τ·|A| ≤ |B| ≤ |A|/τ is necessary for J ≥ τ) prunes
+    // size-incompatible candidates before the verify join ever sees them.
+    // Measured neutral at sf0.1 (verify is already cheap there); the win
+    // is asymptotic — at corpus scale posting lists are long and the
+    // filter bounds candidate volume independent of the verify path
     val prefix = sets
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("shs")).as("sz"),
         explode(slice(array_sort(col("shs")), lit(1),
           (size(col("shs"))
             - ceil(size(col("shs")) * lit(tau)) + lit(1)).cast("int")))
@@ -127,10 +133,13 @@ object DedupVariants {
     // side would re-run the shingle chain behind its own exchange) —
     // with both sides on the SAME pinned exchange, the probe side is a
     // ReusedExchange and the scan→shingle→prefix chain runs once.
-    val cand = prefix.select(col("sh"), col("doc_id").as("id_a"))
-      .join(prefix.select(col("sh"), col("doc_id").as("id_b")).hint("shuffle_hash"),
+    val cand = prefix.select(col("sh"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("sh"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
+          .hint("shuffle_hash"),
         Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") * lit(1.0) >= col("sz_a") * lit(tau) &&
+        col("sz_a") * lit(1.0) >= col("sz_b") * lit(tau))
       .select("id_a", "id_b")
     // verify against the full shingle sets: `sets` is doc-count-sized with
     // ~60-element long arrays — broadcastable here; at 100 TB swap these

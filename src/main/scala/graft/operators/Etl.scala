@@ -145,7 +145,42 @@ object Etl {
       .orderBy("user_id", "valid_from_us")
   }
 
+  /** One-pass data-quality audit over the fact table: null counts,
+    * domain-range violations, duplicate natural keys, and referential
+    * orphans — the checks a daily load gate runs before publishing a
+    * partition. All but the orphan check ride ONE aggregation over one
+    * scan (conditional sums + a two-column distinct); orphans are a
+    * left_anti against the parent keys. Output is tidy (check_name,
+    * n_violations) rows via stack().
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val base = li.agg(
+      sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("null_quantity"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
+        .otherwise(0)).as("range_quantity"),
+      sum(when(col("l_discount") < 0
+        || col("l_discount") > lit(0.10).cast("double"), 1)
+        .otherwise(0)).as("range_discount"),
+      (count(lit(1))
+        - countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .as("dup_natural_key"))
+    val orphans = li.select("l_orderkey")
+      .join(Tables(spark, dir, "orders").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitem"))
+    base.crossJoin(orphans)
+      .selectExpr("stack(5, " +
+        "'dup_natural_key', dup_natural_key, " +
+        "'null_quantity', null_quantity, " +
+        "'orphan_lineitem', orphan_lineitem, " +
+        "'range_discount', range_discount, " +
+        "'range_quantity', range_quantity) AS (check_name, n_violations)")
+      .orderBy("check_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dq_checks" -> dqChecks,
     "etl_scd2" -> scd2,
     "etl_funnel" -> funnel,
     "scan_fixed_width" -> fixedWidth,
@@ -154,6 +189,21 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_dq_checks" ->
+      ("WITH a AS (SELECT " +
+        "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity, " +
+        "CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS range_quantity, " +
+        "CAST(sum(CASE WHEN l_discount < 0 OR l_discount > CAST(0.10 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS range_discount, " +
+        "count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_natural_key " +
+        "FROM lineitem), " +
+        "o AS (SELECT count(*) AS orphan_lineitem FROM lineitem " +
+        "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) " +
+        "SELECT 'dup_natural_key' AS check_name, dup_natural_key AS n_violations FROM a " +
+        "UNION ALL SELECT 'null_quantity', null_quantity FROM a " +
+        "UNION ALL SELECT 'orphan_lineitem', orphan_lineitem FROM o " +
+        "UNION ALL SELECT 'range_discount', range_discount FROM a " +
+        "UNION ALL SELECT 'range_quantity', range_quantity FROM a " +
+        "ORDER BY check_name"),
     "etl_scd2" ->
       ("WITH chg AS (SELECT user_id, event_type, ts, event_id, " +
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
