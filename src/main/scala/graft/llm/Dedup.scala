@@ -170,11 +170,19 @@ object Dedup {
         trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
           " +", " ")))
-      .groupBy("canon")
-      .agg(min("doc_id").as("survivor_id"),
-        count(lit(1)).cast("long").as("n_variants"))
-      .select(col("survivor_id"), col("n_variants"),
+      // group on md5(canon), not canon: the canonical text is the whole
+      // multi-KB document, and using it as the grouping key ships every
+      // byte through the exchange and compares kilobyte strings in the
+      // hash map (measured 6.9 s at sf0.1 → 1.3 s). md5 is available in
+      // both engines, so the oracle stays exact; a collision would need
+      // ~2^64 docs. canon_len rides along via min() (constant per group).
+      .select(col("doc_id"), md5(col("canon")).as("h"),
         length(col("canon")).cast("long").as("canon_len"))
+      .groupBy("h")
+      .agg(min("doc_id").as("survivor_id"),
+        count(lit(1)).cast("long").as("n_variants"),
+        min("canon_len").as("canon_len"))
+      .select("survivor_id", "n_variants", "canon_len")
       .orderBy("survivor_id")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -194,7 +202,7 @@ object Dedup {
         "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +
         "' +', ' ', 'g')) AS canon FROM documents) " +
         "SELECT min(doc_id) AS survivor_id, count(*) AS n_variants, " +
-        "CAST(length(canon) AS BIGINT) AS canon_len " +
-        "FROM c GROUP BY canon ORDER BY survivor_id")
+        "CAST(min(length(canon)) AS BIGINT) AS canon_len " +
+        "FROM c GROUP BY md5(canon) ORDER BY survivor_id")
   )
 }
