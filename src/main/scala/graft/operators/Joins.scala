@@ -206,28 +206,48 @@ object Joins {
       .orderBy("c_mktsegment")
   }
 
-  /** Skew-mitigated fact/fact join: the probe side (lineitem) gets a
-    * deterministic salt in [0, 8), the build side (orders) is replicated
-    * once per salt value, and the join key becomes (key, salt) — a hot
-    * orderkey's rows now spread across 8 reducer partitions instead of
-    * one straggler task. The salt is derived from data
-    * (`pmod(l_linenumber, 8)`), not rand(), so the query stays
-    * deterministic and oracle-able; the join RESULT is provably identical
-    * to the unsalted join (each probe row matches exactly its own salt's
-    * replica). This is the manual fallback for skew AQE can't fix (e.g.
-    * when the skewed stage feeds a non-splittable downstream op);
-    * replicating 8× is the price of an 8-way hot-key fan-out.
+  /** SELECTIVELY salted skew join — the production pattern: detect the
+    * hot keys first, salt ONLY those (probe side gets a deterministic
+    * salt in [0, 8), build side replicates ×8 for just the hot keys),
+    * and run the long cold tail as a plain equi-join; union before the
+    * final aggregate. Replication cost scales with the skew, not the
+    * table. The hot set is a broadcast dimension for routing both sides;
+    * at 100 TB it comes from a sampled frequency sketch instead of an
+    * exact count, and the threshold is partition-size/heap driven. The
+    * salt derives from data (`pmod(l_linenumber, 8)`), not rand(), and
+    * each probe row matches exactly its own salt's replica — so the
+    * result is provably identical to the unsalted join and the oracle is
+    * the plain SQL join. This is the manual fallback for skew AQE can't
+    * split (e.g. a skewed stage feeding a non-splittable operator).
     */
   def skewSalted(spark: SparkSession, dir: String): DataFrame = {
     val S = 8
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .withColumn("salt", pmod(col("l_linenumber"), lit(S)).cast("int"))
     val ord = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
+    // deterministic stand-in for a skew detector: orders with >= 6 lines
+    // (TPC-H caps at 7, so this selects a real, stable subset)
+    val hot = li.groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 6).select(col("l_orderkey").as("hk"))
+    val liHot = li.join(broadcast(hot), col("l_orderkey") === col("hk"))
+      .drop("hk")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(S)).cast("int"))
+    val liCold = li.join(broadcast(hot), col("l_orderkey") === col("hk"),
+      "left_anti")
+    val ordHot = ord.join(broadcast(hot), col("o_orderkey") === col("hk"))
+      .drop("hk")
       .withColumn("salt", explode(array((0 until S).map(lit): _*)))
-    li.join(ord,
-        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+    val ordCold = ord.join(broadcast(hot), col("o_orderkey") === col("hk"),
+      "left_anti")
+    val hotJoin = liHot.join(ordHot,
+        liHot("l_orderkey") === ordHot("o_orderkey")
+          && liHot("salt") === ordHot("salt"))
+      .select(col("o_orderpriority"), col("l_extendedprice"))
+    val coldJoin = liCold.join(ordCold,
+        liCold("l_orderkey") === ordCold("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_extendedprice"))
+    hotJoin.unionByName(coldJoin)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         Det.moneySum(col("l_extendedprice")).as("revenue"))
