@@ -185,10 +185,26 @@ object Dedup {
       .select("survivor_id", "n_variants", "canon_len")
       .orderBy("survivor_id")
 
+  /** The signature pipeline through the native TypedImperativeAggregate
+    * ([[graft.functions.MinHashAgg]]) instead of 16 min() columns — one
+    * aggregate expression, raw long[16] buffer, same bit-exact values
+    * (asserted in Wave3Spec). No oracle (xxhash64 has no DuckDB
+    * counterpart).
+    */
+  def minhashAggQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashAgg.register(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(hashedShingles(col("text"))).as("sh"))
+      .groupBy("doc_id")
+      .agg(expr("minhash_agg(sh)").as("sig"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_canonicalize" -> canonicalize,
     "llm_minhash_signature" -> minhashQuery,
+    "llm_minhash_agg" -> minhashAggQuery,
     "llm_dedup_near" -> dedupNear
   )
 

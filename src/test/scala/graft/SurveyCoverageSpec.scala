@@ -62,7 +62,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "plan_topk_native", "etl_scd2", "agg_percentile", "join_skew_salted",
     "fn_url", "llm_chunk_split", "llm_cross_entropy",
     "agg_corr_regression", "llm_canonicalize", "scan_fixed_width_dsv2",
-    "llm_interleave_sources", "udtf_sliding_windows", "etl_dq_checks")
+    "llm_interleave_sources", "udtf_sliding_windows", "etl_dq_checks",
+    "llm_minhash_agg")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -144,6 +144,16 @@ class Wave3Spec extends GraftSuite {
     s.unpersist()
   }
 
+  test("minhash_agg TypedImperativeAggregate is bit-identical to the column form") {
+    val viaAgg = llm.Dedup.minhashAggQuery(spark, sf0001)
+    val viaCols = llm.Dedup.minhashSignatures(spark,
+      Tables(spark, sf0001, "documents"))
+      .withColumnRenamed("sig", "sig2")
+    val joined = viaAgg.join(viaCols, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("sig") =!= col("sig2")).count() == 0)
+  }
+
   test("fn_url parses host/path/query back out of the built url") {
     val u = functions.ScalarFns.fnUrl(spark, sf0001)
     val bad = u.filter(
