@@ -254,7 +254,27 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** Correlated LATERAL subquery — top-1 order per customer through the
+    * SQL-surface form. Catalyst DECORRELATES this (DecorrelateInnerQuery
+    * + RewriteCorrelatedScalarSubquery family) into a window/join plan —
+    * no per-row re-execution of the inner query, which is what makes the
+    * lateral form usable at all on a distributed engine. The same
+    * statement runs verbatim on DuckDB as the oracle.
+    */
+  def lateralTop1(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      "SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice " +
+        "FROM customer_v, LATERAL (" +
+        "SELECT o_orderkey, o_totalprice FROM orders_v " +
+        "WHERE o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o " +
+        "ORDER BY c_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_lateral" -> lateralTop1,
     "join_skew_salted" -> skewSalted,
     "join_bucketed" -> bucketed,
     "join_inner_equi" -> innerEqui,
@@ -272,6 +292,13 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_lateral" ->
+      ("SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice " +
+        "FROM customer, LATERAL (" +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o " +
+        "ORDER BY c_custkey"),
     "join_skew_salted" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         Det.moneySumSql("l_extendedprice") + " AS revenue " +
