@@ -245,7 +245,25 @@ object ScalarFns {
         expr("parse_url(url, 'PROTOCOL')").as("scheme"))
       .orderBy("doc_id")
 
+  /** Spark 4 VARIANT path: `parse_json` → `variant_get` with typed
+    * extraction — the semi-structured column type that replaces
+    * string-JSON re-parsing per access (the variant is parsed ONCE into
+    * a binary form; each field access is a binary probe, not a JSON
+    * scan). Missing paths yield null, not an error. Oracle states the
+    * same values via DuckDB json_extract.
+    */
+  def fnVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint') * 2")
+          .as("k_doubled"),
+        expr("variant_get(parse_json(props), '$.absent', 'string')")
+          .as("missing"))
+      .orderBy("event_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_variant" -> fnVariant,
     "fn_url" -> fnUrl,
     "fn_hash" -> fnHash,
     "fn_struct" -> fnStruct,
@@ -264,6 +282,12 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_variant" ->
+      ("SELECT event_id, " +
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k, " +
+        "CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled, " +
+        "CAST(NULL AS VARCHAR) AS missing " +
+        "FROM events ORDER BY event_id"),
     "fn_url" ->
       ("SELECT doc_id, 'https://' || source || '.example.org/' || lang || " +
         "'/' || CAST(doc_id AS VARCHAR) || '?p=' || CAST(n_chars AS VARCHAR) " +

@@ -303,7 +303,25 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** EXACT distinct counting via bitmap aggregation — the mergeable
+    * exact-distinct pattern: each (day, bucket) builds a fixed-size
+    * bitmap of user-id bit positions (`bitmap_construct_agg`), bitmaps
+    * OR-merge in partial aggregation, and the final count is a sum of
+    * `bitmap_count`s. Unlike countDistinct's two-phase expand, the
+    * shuffled state is one bitmap per bucket regardless of row count;
+    * unlike HLL it is exact — so the oracle is plain count(DISTINCT).
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy("day")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy("day")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> bitmapDistinct,
     "agg_corr_regression" -> corrRegression,
     "agg_percentile" -> percentiles,
     "agg_median_mode" -> medianMode,
@@ -324,6 +342,10 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "agg_corr_regression" ->
       ("WITH m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, " +
         "CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx, " +
