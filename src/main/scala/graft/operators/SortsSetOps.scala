@@ -26,6 +26,20 @@ object SortsSetOps {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  /** Pagination: page 3 of the price-ordered orders (OFFSET 20 LIMIT
+    * 10). Spark 4's `offset` plans with the limit as a single
+    * CollectLimit(30)-then-drop — the skipped rows still flow to the
+    * driver stage, so deep pagination (OFFSET 1e9) is an anti-pattern at
+    * scale; keyset pagination (WHERE price < last_seen) is the 100 TB
+    * form. This key pins the shallow-page semantics.
+    */
+  def limitOffset(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(20)
+      .limit(10)
+
   def union(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
     val a = o.filter(col("o_orderpriority") === "1-URGENT")
@@ -58,6 +72,7 @@ object SortsSetOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sort_multi" -> sortMulti,
     "limit_topk" -> limitTopK,
+    "limit_offset" -> limitOffset,
     "setop_union" -> union,
     "setop_intersect" -> intersect,
     "setop_except" -> except,
@@ -71,6 +86,9 @@ object SortsSetOps {
     "limit_topk" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "limit_offset" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20"),
     "setop_union" ->
       ("SELECT DISTINCT * FROM (" +
         "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT' " +

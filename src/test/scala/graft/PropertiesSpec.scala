@@ -53,6 +53,34 @@ object PropertiesSpec extends Properties("graft") {
     }
   }
 
+  property("sliding_windows generator: coverage, bounds, overlap") = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val paramGen = for {
+      n <- Gen.choose(1, 200)
+      k <- Gen.choose(1, 50)
+      s <- Gen.choose(1, k)
+    } yield (n, k, s)
+    Prop.forAllNoShrink(paramGen) { case (n, k, s) =>
+      val arr = (0L until n.toLong).toArray
+      val rows = graft.functions.SlidingWindows(
+        Literal.create(new GenericArrayData(arr), ArrayType(LongType)),
+        Literal(k), Literal(s))
+        .eval(null).iterator.toSeq
+      val wins = rows.map(r =>
+        r.getArray(1).toLongArray().toSeq)
+      val ids = rows.map(_.getInt(0))
+      // ids are 0..m-1; windows at stride s; sizes within (0, k];
+      // concatenated coverage is exactly 0..n-1 with (m-1)*(k-s) overlap
+      ids == ids.indices &&
+        wins.forall(w => w.nonEmpty && w.size <= k) &&
+        wins.flatten.toSet == arr.toSet &&
+        wins.map(_.size).sum == n + (wins.size - 1) * (k - s) &&
+        wins.zipWithIndex.forall { case (w, i) => w.head == i.toLong * s }
+    }
+  }
+
   property("rolling-hash fold matches reference") = {
     val M = 1000000007L
     def ref(s: String): Long =

@@ -63,7 +63,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "fn_url", "llm_chunk_split", "llm_cross_entropy",
     "agg_corr_regression", "llm_canonicalize", "scan_fixed_width_dsv2",
     "llm_interleave_sources", "udtf_sliding_windows", "etl_dq_checks",
-    "llm_minhash_agg", "join_lateral", "agg_bitmap_distinct", "fn_variant")
+    "llm_minhash_agg", "join_lateral", "agg_bitmap_distinct", "fn_variant",
+    "limit_offset")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
