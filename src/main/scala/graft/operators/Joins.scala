@@ -273,7 +273,39 @@ object Joins {
         "ORDER BY c_custkey")
   }
 
+  /** Large-large RANGE self-join via time-bucket BANDING — the scale
+    * path when neither side fits a broadcast (join_interval's approach)
+    * and a raw theta-join would be quadratic: bucket event time into
+    * 30-min bands, replicate ONE side into {band, band+1}, equi-join on
+    * (user_id, band), then apply the exact |Δt| ≤ W residual. Pairs are
+    * oriented by (time, id), so a qualifying pair matches in EXACTLY one
+    * band copy — no post-join distinct. The shuffle is a plain hash
+    * exchange on narrow keys; candidate volume is bounded by band
+    * population, not table size. 2× replication of one side is the
+    * entire overhead.
+    */
+  def rangeBanded(spark: SparkSession, dir: String): DataFrame = {
+    val W = 30L * 60L * 1000000L // 30 minutes in microseconds
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"))
+    val a = e.select(col("event_id").as("id_first"), col("user_id"),
+        col("t").as("t_a"),
+        explode(array(expr(s"CAST(t DIV $W AS BIGINT)"),
+          expr(s"CAST(t DIV $W AS BIGINT) + 1"))).as("band"))
+    val b = e.select(col("event_id").as("id_second"), col("user_id"),
+      col("t").as("t_b"), expr(s"CAST(t DIV $W AS BIGINT)").as("band"))
+    a.join(b, Seq("user_id", "band"))
+      .filter((col("t_a") < col("t_b")
+          || (col("t_a") === col("t_b") && col("id_first") < col("id_second")))
+        && col("t_b") - col("t_a") <= W)
+      .select(col("user_id"), col("id_first"), col("id_second"),
+        (col("t_b") - col("t_a")).as("gap_us"))
+      .orderBy("user_id", "id_first", "id_second")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_range_banded" -> rangeBanded,
     "join_lateral" -> lateralTop1,
     "join_skew_salted" -> skewSalted,
     "join_bucketed" -> bucketed,
@@ -292,6 +324,13 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_range_banded" ->
+      ("SELECT a.user_id, a.event_id AS id_first, b.event_id AS id_second, " +
+        "epoch_us(b.ts) - epoch_us(a.ts) AS gap_us " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id)) " +
+        "AND epoch_us(b.ts) - epoch_us(a.ts) <= 30*60*1000000 " +
+        "ORDER BY a.user_id, id_first, id_second"),
     "join_lateral" ->
       ("SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice " +
         "FROM customer, LATERAL (" +
