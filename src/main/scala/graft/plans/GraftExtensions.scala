@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => SimplifySelfCosine)
+    e.injectOptimizerRule(_ => RewriteWindowTopK)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

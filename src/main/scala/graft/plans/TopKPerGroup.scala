@@ -5,8 +5,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.functions._
@@ -94,6 +96,55 @@ case class TopKPerGroupExec(
   }
 }
 
+/** Auto-rewrite: `Project(Filter(row_number() <= k, Window(...)))` where
+  * the rank column is dropped by the projection becomes the native
+  * [[TopKPerGroup]] operator — users keep writing the idiomatic window
+  * form and get the two-phase k-heap plan (measured ~2× at sf0.1; at
+  * scale the win is shuffling k·|groups| rows instead of the corpus).
+  *
+  * Fires ONLY when: the window computes exactly one expression and it is
+  * `row_number()` (rank/dense_rank admit ties — different semantics);
+  * the filter is `rn <= k` / `rn < k` / `rn = 1` over an integer
+  * literal and references nothing else; and the projection uses only
+  * child columns (the rank value must be dead). Runs in the
+  * user-provided optimizer batch, i.e. AFTER InferWindowGroupLimit has
+  * possibly planted a WindowGroupLimit under the Window — that node is
+  * redundant once the whole Window collapses, so it is skipped.
+  */
+object RewriteWindowTopK extends Rule[LogicalPlan] {
+
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+        if a.exprId == rn.exprId => Some(k)
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+        if a.exprId == rn.exprId => Some(k - 1)
+      case EqualTo(a: Attribute, Literal(1, IntegerType))
+        if a.exprId == rn.exprId => Some(1)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList,
+        Filter(cond,
+          Window(Seq(al @ Alias(WindowExpression(RowNumber(), _), _)),
+            part, order, child0, _)))
+        if order.nonEmpty =>
+      // InferWindowGroupLimit may already have planted its limit node;
+      // it becomes redundant when the Window collapses entirely
+      val child = child0 match {
+        case WindowGroupLimit(_, _, _, _, inner) => inner
+        case other => other
+      }
+      limitOf(cond, al.toAttribute) match {
+        case Some(k) if k > 0
+            && projList.forall(_.references.subsetOf(child.outputSet)) =>
+          Project(projList, TopKPerGroup(part, order, k, child))
+        case _ => p
+      }
+  }
+}
+
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
@@ -146,17 +197,47 @@ object TopK {
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Install strategy + rewrite rule (idempotent). */
+  def installRewrite(spark: SparkSession): Unit = {
+    install(spark)
+    val ex = spark.experimental
+    if (!ex.extraOptimizations.contains(RewriteWindowTopK))
+      ex.extraOptimizations = ex.extraOptimizations :+ RewriteWindowTopK
+  }
+
+  /** The IDIOMATIC window formulation (row_number ≤ 3, rank dropped) —
+    * rewritten automatically to the native operator by
+    * [[RewriteWindowTopK]]; the plan assertion lives in TopKSpec. Same
+    * oracle as plan_topk_native.
+    */
+  def topkRewrite(spark: SparkSession, dir: String): DataFrame = {
+    installRewrite(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "plan_topk_native" -> topkNative
+    "plan_topk_native" -> topkNative,
+    "plan_topk_rewrite" -> topkRewrite
   )
 
+  private val topkSql =
+    "SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
+      "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
+      "PARTITION BY o_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) " +
+      "WHERE rk <= 3 " +
+      "ORDER BY o_custkey, o_totalprice DESC, o_orderkey"
+
   def oracle: Map[String, String] = Map(
-    "plan_topk_native" ->
-      ("SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
-        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
-        "PARTITION BY o_custkey " +
-        "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) " +
-        "WHERE rk <= 3 " +
-        "ORDER BY o_custkey, o_totalprice DESC, o_orderkey")
+    "plan_topk_native" -> topkSql,
+    "plan_topk_rewrite" -> topkSql
   )
 }

@@ -32,6 +32,31 @@ class TopKSpec extends GraftSuite {
     assert("TopKPerGroup".r.findAllIn(physical).size == 2, physical)
   }
 
+  test("RewriteWindowTopK turns the idiomatic window form into the native operator") {
+    val df = plans.TopK.topkRewrite(spark, sf001)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerGroup"), physical)
+    assert(!physical.contains("Window"), physical) // the Window collapsed
+    // and it returns exactly the native operator's rows
+    val native = plans.TopK.topkNative(spark, sf001)
+    assert(df.exceptAll(native).count() == 0)
+    assert(native.exceptAll(df).count() == 0)
+  }
+
+  test("rewrite does NOT fire when the rank column is still referenced") {
+    plans.TopK.installRewrite(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val keepsRank = Tables(spark, sf0001, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+    val physical = keepsRank.queryExecution.executedPlan.toString
+    assert(!physical.contains("TopKPerGroup"), physical)
+    assert(keepsRank.count() > 0)
+  }
+
   test("k larger than any group returns every row") {
     val nation = Tables(spark, sf0001, "nation")
       .select(col("n_regionkey"), col("n_nationkey"), col("n_name"))
