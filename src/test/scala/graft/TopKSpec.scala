@@ -57,6 +57,29 @@ class TopKSpec extends GraftSuite {
     assert(keepsRank.count() > 0)
   }
 
+  test("randomized parity with the window form across group shapes and k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed — reproducible
+    (1 to 6).foreach { trial =>
+      val nGroups = 1 + rnd.nextInt(20)
+      val nRows = 1 + rnd.nextInt(2000)
+      val k = 1 + rnd.nextInt(7)
+      val data = (0 until nRows).map { i =>
+        (rnd.nextInt(nGroups).toLong, i.toLong, rnd.nextInt(50).toDouble)
+      }
+      val df = data.toDF("g", "id", "v").repartition(7)
+      val native = plans.TopK.perGroup(df, Seq("g"),
+        Seq(("v", false), ("id", true)), k)
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val ref = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+      assert(native.exceptAll(ref).count() == 0,
+        s"trial $trial ($nGroups groups, $nRows rows, k=$k)")
+      assert(ref.exceptAll(native).count() == 0,
+        s"trial $trial ($nGroups groups, $nRows rows, k=$k)")
+    }
+  }
+
   test("k larger than any group returns every row") {
     val nation = Tables(spark, sf0001, "nation")
       .select(col("n_regionkey"), col("n_nationkey"), col("n_name"))
