@@ -115,7 +115,42 @@ object EventOps {
       .orderBy("o_orderstatus")
   }
 
+  /** mapGroupsWithState run in BATCH mode — Spark executes the same
+    * typed state function over a bounded Dataset (state starts empty,
+    * one invocation per key), so the custom-state API itself gets an
+    * oracle-verified key instead of only MemoryStream unit coverage.
+    * Emits per-user event count, total value (integer-snapped —
+    * iteration order inside a group is partition-order-dependent, so
+    * the fold must be order-independent exactly like a shuffle
+    * aggregate), and last event time by (ts, event_id) order.
+    */
+  def mapGroupsBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ds = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Double, Long)](
+        GroupStateTimeout.NoTimeout) { case (uid, rows, _) =>
+        var n = 0L; var cents = 0L
+        var lastUs = Long.MinValue; var lastId = Long.MinValue
+        rows.foreach { case (_, us, id, value) =>
+          n += 1
+          cents += math.rint(value * 100).toLong
+          if (us > lastUs || (us == lastUs && id > lastId)) {
+            lastUs = us; lastId = id
+          }
+        }
+        (uid, n, cents / 100.0, lastUs)
+      }
+      .toDF("user_id", "n_events", "sum_value", "last_us")
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_mapgroups_batch" -> mapGroupsBatch,
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
     "stream_session" -> session,
@@ -126,6 +161,12 @@ object EventOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_mapgroups_batch" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 " +
+        "AS sum_value, " +
+        "max(epoch_us(ts)) AS last_us " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "stream_tumbling" ->
       ("SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS start_us, " +
         "event_type, count(*) AS n, round(sum(value), 2) AS sum_value " +

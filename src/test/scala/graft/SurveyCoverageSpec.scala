@@ -64,7 +64,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "agg_corr_regression", "llm_canonicalize", "scan_fixed_width_dsv2",
     "llm_interleave_sources", "udtf_sliding_windows", "etl_dq_checks",
     "llm_minhash_agg", "join_lateral", "agg_bitmap_distinct", "fn_variant",
-    "limit_offset", "join_range_banded", "plan_topk_rewrite")
+    "limit_offset", "join_range_banded", "plan_topk_rewrite",
+    "stream_mapgroups_batch")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
