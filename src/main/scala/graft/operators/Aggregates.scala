@@ -320,7 +320,26 @@ object Aggregates {
       .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
       .orderBy("day")
 
+  /** GROUPING SETS with grouping metadata: `grouping(col)` flags tell
+    * subtotal rows apart from genuine NULL group keys — the contract
+    * BI layers rely on. Same single-pass Expand shuffle as rollup/cube.
+    */
+  def groupingId(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_gid")
+    spark.sql(
+      "SELECT o_orderpriority, o_orderstatus, " +
+        "grouping(o_orderpriority) AS g_pri, " +
+        "grouping(o_orderstatus) AS g_st, " +
+        "count(*) AS n, " +
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents " +
+        "FROM orders_gid " +
+        "GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), " +
+        "(o_orderpriority), (o_orderstatus), ()) " +
+        "ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_id" -> groupingId,
     "agg_bitmap_distinct" -> bitmapDistinct,
     "agg_corr_regression" -> corrRegression,
     "agg_percentile" -> percentiles,
@@ -342,6 +361,17 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_grouping_id" ->
+      ("SELECT o_orderpriority, o_orderstatus, " +
+        "CAST(grouping(o_orderpriority) AS TINYINT) AS g_pri, " +
+        "CAST(grouping(o_orderstatus) AS TINYINT) AS g_st, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS total_cents " +
+        "FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), " +
+        "(o_orderpriority), (o_orderstatus), ()) " +
+        "ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus"),
     "agg_bitmap_distinct" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, " +
         "count(DISTINCT user_id) AS n_users " +

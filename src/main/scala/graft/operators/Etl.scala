@@ -179,7 +179,29 @@ object Etl {
       .orderBy("check_name")
   }
 
+  /** Cohort retention: users grouped by first-seen day, counted on each
+    * later activity day as (cohort_day, days_since) distinct actives —
+    * the standard product-analytics retention triangle. Two aggregations
+    * and one join, ALL keyed on user_id/day: cohort assignment is a
+    * per-user min, the join back to activity is user-keyed (shuffle
+    * hash at scale — the cohort table is user-dimension sized), and the
+    * final distinct-count shuffles the (cohort, offset) pairs only.
+    */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("days_since"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .withColumn("cohort_day", col("cohort_day").cast("string"))
+      .orderBy("cohort_day", "days_since")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_retention_cohort" -> retentionCohort,
     "etl_dq_checks" -> dqChecks,
     "etl_scd2" -> scd2,
     "etl_funnel" -> funnel,
@@ -189,6 +211,17 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_retention_cohort" ->
+      ("WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day " +
+        "FROM events), " +
+        "cohort AS (SELECT user_id, min(day) AS cohort_day FROM act " +
+        "GROUP BY 1) " +
+        "SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, " +
+        "CAST(day - cohort_day AS BIGINT) AS days_since, " +
+        "count(DISTINCT act.user_id) AS n_active " +
+        "FROM act JOIN cohort ON act.user_id = cohort.user_id " +
+        "GROUP BY cohort.cohort_day, day - cohort_day " +
+        "ORDER BY cohort_day, days_since"),
     "etl_dq_checks" ->
       ("WITH a AS (SELECT " +
         "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity, " +
