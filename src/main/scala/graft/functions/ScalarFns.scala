@@ -262,7 +262,21 @@ object ScalarFns {
           .as("missing"))
       .orderBy("event_id")
 
+  /** Error-safe function family: `try_cast` / `try_divide` return null
+    * instead of failing the task — the difference between one malformed
+    * row and a dead 100 TB job. All codegen'd.
+    */
+  def fnTry(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("try_cast(lang AS INT)").as("bad_int"),
+        expr("try_cast(CAST(n_chars AS STRING) AS INT)").as("good_int"),
+        expr("try_divide(n_chars, 0)").as("div0"),
+        expr("try_divide(n_chars, 4)").as("div4"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_try" -> fnTry,
     "fn_variant" -> fnVariant,
     "fn_url" -> fnUrl,
     "fn_hash" -> fnHash,
@@ -282,6 +296,12 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_try" ->
+      ("SELECT doc_id, TRY_CAST(lang AS INT) AS bad_int, " +
+        "TRY_CAST(CAST(n_chars AS VARCHAR) AS INT) AS good_int, " +
+        "CAST(NULL AS DOUBLE) AS div0, " +
+        "n_chars / 4 AS div4 " +
+        "FROM documents ORDER BY doc_id"),
     "fn_variant" ->
       ("SELECT event_id, " +
         "CAST(json_extract(props, '$.k') AS BIGINT) AS k, " +

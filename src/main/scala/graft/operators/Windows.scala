@@ -129,7 +129,25 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** IGNORE NULLS navigation — gap-filling over a sparse column (the
+    * last-observation-carried-forward shape): previous and running-last
+    * non-null event_type, with 'error' rows nulled out. Same single
+    * (user_id; ts, event_id) window exchange as the other analytics.
+    */
+  def ignoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("et", expr("nullif(event_type, 'error')"))
+      .select(col("event_id"), col("user_id"), col("et"),
+        lag(col("et"), 1, null, ignoreNulls = true).over(w)
+          .as("prev_nonnull"),
+        last(col("et"), ignoreNulls = true).over(wRun).as("locf"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ignore_nulls" -> ignoreNulls,
     "win_nth_value" -> nthValue,
     "win_cume_dist" -> cumeDist,
     "win_rank_topn" -> rankTopN,
@@ -142,6 +160,14 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_ignore_nulls" ->
+      ("SELECT event_id, user_id, nullif(event_type, 'error') AS et, " +
+        "lag(nullif(event_type, 'error') IGNORE NULLS) OVER w AS prev_nonnull, " +
+        "last_value(nullif(event_type, 'error') IGNORE NULLS) OVER " +
+        "(w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY event_id"),
     "win_nth_value" ->
       ("SELECT o_custkey, o_orderkey, " +
         "nth_value(o_totalprice, 2) OVER (ord ROWS BETWEEN UNBOUNDED " +

@@ -65,7 +65,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "llm_interleave_sources", "udtf_sliding_windows", "etl_dq_checks",
     "llm_minhash_agg", "join_lateral", "agg_bitmap_distinct", "fn_variant",
     "limit_offset", "join_range_banded", "plan_topk_rewrite",
-    "stream_mapgroups_batch", "agg_grouping_id", "etl_retention_cohort")
+    "stream_mapgroups_batch", "agg_grouping_id", "etl_retention_cohort",
+    "win_ignore_nulls", "fn_try")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
