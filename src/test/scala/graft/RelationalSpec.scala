@@ -48,6 +48,28 @@ class RelationalSpec extends GraftSuite {
       "bucketed sides were reshuffled")
   }
 
+  test("round-3 operators plan their intended physical shapes") {
+    // banded range join: hash/merge equi-join, never a nested loop
+    val banded = operators.Joins.rangeBanded(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!banded.contains("BroadcastNestedLoopJoin")
+      && !banded.contains("CartesianProduct"), banded)
+    // bitmap distinct: two aggregation levels, no expand-based distinct
+    val bm = operators.Aggregates.bitmapDistinct(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(bm.contains("bitmap_construct_agg")
+      && !bm.contains("Expand"), bm)
+    // selective skew salting: hot/cold union, broadcast routing set
+    val salted = operators.Joins.skewSalted(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(salted.contains("Union") && salted.contains("BroadcastHashJoin"),
+      salted)
+    // DSv2 source appears as a BatchScan
+    val fw = sources.Sources.fixedWidthDsv2(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(fw.contains("BatchScan"), fw)
+  }
+
   test("semi + anti partition the customer table") {
     val semi = operators.Joins.semi(spark, sf0001).count()
     val anti = operators.Joins.anti(spark, sf0001).count()
