@@ -89,7 +89,33 @@ object Extensions {
       .orderBy("doc_id", "win_id")
   }
 
+  /** SQL-defined scalar UDFs (Spark 4 `CREATE … FUNCTION … RETURN expr`):
+    * the body is INLINED by Catalyst at resolution time, so unlike the
+    * JVM closure in [[udfScalar]] these stay inside WholeStageCodegen and
+    * are pushdown/prune-transparent — the preferred way to package
+    * reusable business expressions. The oracle states the inlined
+    * expressions directly (per-row products of stored columns are
+    * bit-exact cross-engine; see [[graft.Det]]).
+    */
+  def udfSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY FUNCTION graft_discounted(" +
+        "price DOUBLE, disc DOUBLE) RETURNS DOUBLE " +
+        "RETURN price * (1.0 - disc)")
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band(q DOUBLE) " +
+        "RETURNS STRING RETURN CASE WHEN q < 10 THEN 'small' " +
+        "WHEN q < 30 THEN 'mid' ELSE 'bulk' END")
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("graft_discounted(l_extendedprice, l_discount)")
+          .as("disc_price"),
+        expr("graft_qty_band(l_quantity)").as("qty_band"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udf_sql" -> udfSql,
     "udf_scalar" -> udfScalar,
     "udaf_geomean" -> udafGeomean,
     "udtf_ngrams" -> udtfNgrams,
@@ -97,6 +123,12 @@ object Extensions {
   )
 
   def oracle: Map[String, String] = Map(
+    "udf_sql" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "l_extendedprice * (1.0 - l_discount) AS disc_price, " +
+        "CASE WHEN l_quantity < 10 THEN 'small' " +
+        "WHEN l_quantity < 30 THEN 'mid' ELSE 'bulk' END AS qty_band " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "udf_scalar" ->
       ("SELECT p_partkey, reverse(p_name) AS rev_name, " +
         "reverse(p_brand) AS rev_brand FROM part ORDER BY p_partkey"),

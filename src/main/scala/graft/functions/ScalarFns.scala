@@ -275,7 +275,37 @@ object ScalarFns {
         expr("try_divide(n_chars, 4)").as("div4"))
       .orderBy("doc_id")
 
+  /** Interval / timestamp arithmetic family: literal-interval shifts,
+    * `timestampdiff`/`timestampadd` unit arithmetic, `make_timestamp`
+    * construction, and sub-day field extraction. All pure per-row codegen
+    * (no shuffle); timestamps are emitted as formatted strings so the
+    * gate compares text, not engine-local epoch encodings. The
+    * minutes-since-midnight diff anchors on a minute-aligned truncation,
+    * where boundary-count (DuckDB) and elapsed-floor (Spark) semantics
+    * provably coincide.
+    */
+  def fnInterval(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        date_format(col("ts") + expr("INTERVAL 90 MINUTE"),
+          "yyyy-MM-dd HH:mm:ss").as("plus90m"),
+        date_format(col("ts") - expr("INTERVAL 1 DAY"),
+          "yyyy-MM-dd HH:mm:ss").as("minus1d"),
+        date_format(expr("timestampadd(HOUR, 6, ts)"),
+          "yyyy-MM-dd HH:mm:ss").as("plus6h"),
+        expr("timestampdiff(MINUTE, date_trunc('DAY', ts), ts)")
+          .cast("long").as("min_of_day"),
+        date_format(
+          expr("make_timestamp(2024, 1, 15, hour(ts), minute(ts), 0)"),
+          "yyyy-MM-dd HH:mm:ss").as("made"),
+        hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("mi"),
+        second(col("ts")).cast("long").as("s"))
+      .orderBy("event_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_interval" -> fnInterval,
     "fn_try" -> fnTry,
     "fn_variant" -> fnVariant,
     "fn_url" -> fnUrl,
@@ -296,6 +326,19 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_interval" ->
+      ("SELECT event_id, " +
+        "strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus90m, " +
+        "strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS minus1d, " +
+        "strftime(ts + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS plus6h, " +
+        "CAST(date_diff('minute', date_trunc('day', ts), ts) AS BIGINT) " +
+        "AS min_of_day, " +
+        "strftime(make_timestamp(2024, 1, 15, hour(ts), minute(ts), 0), " +
+        "'%Y-%m-%d %H:%M:%S') AS made, " +
+        "CAST(hour(ts) AS BIGINT) AS h, " +
+        "CAST(minute(ts) AS BIGINT) AS mi, " +
+        "CAST(second(ts) AS BIGINT) AS s " +
+        "FROM events ORDER BY event_id"),
     "fn_try" ->
       ("SELECT doc_id, TRY_CAST(lang AS INT) AS bad_int, " +
         "TRY_CAST(CAST(n_chars AS VARCHAR) AS INT) AS good_int, " +

@@ -338,7 +338,35 @@ object Aggregates {
         "ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus")
   }
 
+  /** FILTER-clause / conditional aggregates + deterministic arg-extrema.
+    * Each `FILTER (WHERE …)` aggregate is one conditional accumulator
+    * inside the SAME partial+final HashAggregate — no expand, no
+    * per-predicate self-join the way naive subquery rewrites would
+    * (at 100 TB that is one pass over the fact table for any number of
+    * conditions). `max_by`/`min_by` are keyed on the UNIQUE o_orderkey so
+    * the arg-extremum is deterministic — arg-extrema on non-unique keys
+    * are scheduling-dependent and would break the §5.3 hash gate. The
+    * filtered money sum goes through the integer-cent grid ([[Det]]) so
+    * partial-merge order cannot change the answer.
+    */
+  def filteredAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_finished"),
+        expr("count_if(o_totalprice > 150000)").as("n_big"),
+        (expr("sum(CAST(round(o_totalprice * 100, 0) AS LONG)) " +
+          "FILTER (WHERE o_orderstatus = 'F')") / lit(100.0))
+          .as("sum_finished_price"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_totalprice > 400000)").as("any_jumbo"),
+        expr("max_by(o_totalprice, o_orderkey)").as("price_of_max_key"),
+        expr("min_by(o_totalprice, o_orderkey)").as("price_of_min_key"))
+      .orderBy("o_orderpriority")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_filtered" -> filteredAgg,
     "agg_grouping_id" -> groupingId,
     "agg_bitmap_distinct" -> bitmapDistinct,
     "agg_corr_regression" -> corrRegression,
@@ -361,6 +389,18 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_filtered" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished, " +
+        "count(*) FILTER (WHERE o_totalprice > 150000) AS n_big, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) " +
+        "FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100 " +
+        "AS sum_finished_price, " +
+        "bool_and(o_totalprice > 0) AS all_positive, " +
+        "bool_or(o_totalprice > 400000) AS any_jumbo, " +
+        "max_by(o_totalprice, o_orderkey) AS price_of_max_key, " +
+        "min_by(o_totalprice, o_orderkey) AS price_of_min_key " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "agg_grouping_id" ->
       ("SELECT o_orderpriority, o_orderstatus, " +
         "CAST(grouping(o_orderpriority) AS TINYINT) AS g_pri, " +

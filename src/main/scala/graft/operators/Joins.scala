@@ -304,7 +304,37 @@ object Joins {
       .orderBy("user_id", "id_first", "id_second")
   }
 
+  /** Runtime bloom-filter pruned join (Spark's `InjectRuntimeFilter`):
+    * a bloom filter is built AT RUNTIME from the selectively-filtered
+    * orders side and pushed into the lineitem scan as a
+    * `BloomFilterMightContain` predicate, so most probe-side rows die at
+    * the scan instead of flowing through the exchange — at 100 TB that is
+    * the difference between shuffling the full fact table and shuffling
+    * the ~1/5 that can possibly match. Injection is threshold-gated
+    * (`…runtime.bloomFilter.applicationSideScanSizeThreshold`, 10 GB
+    * default) and requires a creation side too big to broadcast (a
+    * broadcast build already prunes inline) — both true on real
+    * clusters, neither at fixture scale, so Round3cSpec forces the
+    * thresholds, asserts the injected `might_contain` probe in the
+    * physical plan, and checks bloom/no-bloom result equality. The
+    * filter is semantically transparent, which is exactly what the
+    * oracle verifies.
+    */
+  def bloomRuntime(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    l.hint("shuffle_hash")
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        Det.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_runtime" -> bloomRuntime,
     "join_range_banded" -> rangeBanded,
     "join_lateral" -> lateralTop1,
     "join_skew_salted" -> skewSalted,
@@ -324,6 +354,12 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_bloom_runtime" ->
+      ("SELECT o_orderstatus, count(*) AS n_items, " +
+        Det.moneySumSql("l_extendedprice*(1-l_discount)") + " AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "GROUP BY 1 ORDER BY 1"),
     "join_range_banded" ->
       ("SELECT a.user_id, a.event_id AS id_first, b.event_id AS id_second, " +
         "epoch_us(b.ts) - epoch_us(a.ts) AS gap_us " +

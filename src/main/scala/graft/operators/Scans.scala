@@ -110,7 +110,38 @@ object Scans {
       .orderBy("day")
   }
 
+  /** `binaryFile` ingestion — the raw-bytes multimodal path: one opaque
+    * blob per asset read as (path, length, content), keyed by an id parsed
+    * from the filename. Fixture blobs are rendered executor-side
+    * (foreachPartition + NIO, no driver collect) from `documents.text`,
+    * so the oracle can recompute the expected (byte length, md5) from the
+    * source rows. At 100 TB this same scan shape reads image/audio shards;
+    * binaryFile never splits a file, so a pre-bucketed many-files layout
+    * (not few giant blobs) is what keeps tasks even.
+    */
+  def binaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_bin").toString
+    Tables(spark, dir, "documents")
+      .filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    spark.read.format("binaryFile").load(tmp)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_binary_files" -> binaryFiles,
     "scan_partition_pruned" -> partitionPruned,
     "scan_text_roundtrip" -> textRoundtrip,
     "scan_parquet" -> scanParquet,
@@ -123,6 +154,12 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    // the blobs are byte-exact renderings of documents.text, so byte
+    // length and md5 are recomputable from the source rows
+    "scan_binary_files" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length, " +
+        "md5(text) AS content_md5 " +
+        "FROM documents WHERE source = 'src0' ORDER BY doc_id"),
     "scan_partition_pruned" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n, " +
         "round(sum(value), 2) AS sum_value " +

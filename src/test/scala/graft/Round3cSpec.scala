@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-3 late-wave operators: FILTER-clause aggregates, interval
+  * arithmetic, SQL-defined UDFs, binaryFile ingestion, and runtime
+  * bloom-filter join pruning. Bit-exactness is the oracle gate's job;
+  * these tests assert the operator-specific invariants and plan shapes.
+  */
+class Round3cSpec extends GraftSuite {
+
+  test("agg_filtered: conditional accumulators agree with explicit filters") {
+    val r = operators.Aggregates.filteredAgg(spark, sf001).cache()
+    val orders = Tables(spark, sf001, "orders")
+    // FILTER (WHERE status='F') == count of the filtered slice, per group
+    val expected = orders.filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("exp_f"))
+    val joined = r.join(expected, Seq("o_orderpriority"), "left")
+      .withColumn("exp_f", coalesce(col("exp_f"), lit(0L)))
+    assert(joined.filter(col("n_finished") =!= col("exp_f")).count() == 0)
+    // filtered counts can never exceed the group total
+    assert(r.filter(col("n_finished") > col("n_orders")).count() == 0)
+    assert(r.filter(col("n_big") > col("n_orders")).count() == 0)
+    // fixture prices are all positive
+    assert(r.filter(!col("all_positive")).count() == 0)
+    r.unpersist()
+  }
+
+  test("agg_filtered: single aggregate pass, no join or expand in the plan") {
+    val plan = operators.Aggregates.filteredAgg(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "conditional aggs must not become joins")
+    assert(!plan.contains("Expand"), "FILTER clause must not expand rows")
+  }
+
+  test("fn_interval: minutes-since-midnight decomposes as 60h+m") {
+    val r = functions.ScalarFns.fnInterval(spark, sf0001)
+    assert(r.filter(col("min_of_day") =!= col("h") * 60 + col("mi"))
+      .count() == 0)
+    // +90min then -90min is identity: spot-check via reparse
+    val bad = r.withColumn("back",
+        date_format(to_timestamp(col("plus90m")) - expr("INTERVAL 90 MINUTE"),
+          "yyyy-MM-dd HH:mm:ss"))
+      .join(Tables(spark, sf0001, "events").select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("orig")), "event_id")
+      .filter(col("back") =!= col("orig"))
+    assert(bad.count() == 0)
+  }
+
+  test("udf_sql: SQL UDF body is inlined and codegen'd, result matches native") {
+    val r = functions.Extensions.udfSql(spark, sf0001) // also registers the fns
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture, so compare
+    // both forms inside ONE row rather than via a key join
+    val both = Tables(spark, sf0001, "lineitem")
+      .select(
+        expr("graft_discounted(l_extendedprice, l_discount)").as("u"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("n"))
+    assert(both.filter(col("u") =!= col("n")).count() == 0,
+      "SQL UDF result diverges from inline expression")
+    // inlining: no BatchEvalPython / ScalaUDF node — pure projection
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), "SQL UDF must inline, not close over JVM code")
+    assert(r.filter(!col("qty_band").isin("small", "mid", "bulk")).count() == 0)
+  }
+
+  test("scan_binary_files: blobs round-trip bytes and md5 from source rows") {
+    val r = operators.Scans.binaryFiles(spark, sf0001).cache()
+    val src = Tables(spark, sf0001, "documents")
+      .filter(col("source") === "src0")
+      .select(col("doc_id"), length(col("text")).cast("long").as("exp_len"),
+        md5(col("text").cast("binary")).as("exp_md5"))
+    assert(r.count() == src.count(), "one blob per src0 document")
+    val bad = r.join(src, "doc_id")
+      .filter(col("length") =!= col("exp_len") ||
+        col("content_md5") =!= col("exp_md5"))
+    assert(bad.count() == 0, "byte length / md5 mismatch after round-trip")
+    r.unpersist()
+  }
+
+  test("join_bloom_runtime: bloom probe injected under thresholds, result unchanged") {
+    val conf = spark.conf
+    // injection requires a creation side that is NOT broadcastable-by-size
+    // (Spark's isProbablyShuffleJoin treats a broadcastable build side as
+    // already-pruning); true at 100 TB, forced here via the threshold
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "0")
+      conf.set(keys(1), "100MB")
+      conf.set(keys(2), "-1")
+      val df = operators.Joins.bloomRuntime(spark, sf001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      val withBloom = df.collect()
+      // restore defaults -> no injection; results must be identical
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+      val without = operators.Joins.bloomRuntime(spark, sf001)
+      assert(!without.queryExecution.executedPlan.toString
+        .toLowerCase.contains("might_contain"))
+      assert(withBloom.sameElements(without.collect()),
+        "bloom filter must be semantically transparent")
+    } finally {
+      saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
+}

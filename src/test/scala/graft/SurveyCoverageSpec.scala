@@ -66,7 +66,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "llm_minhash_agg", "join_lateral", "agg_bitmap_distinct", "fn_variant",
     "limit_offset", "join_range_banded", "plan_topk_rewrite",
     "stream_mapgroups_batch", "agg_grouping_id", "etl_retention_cohort",
-    "win_ignore_nulls", "fn_try")
+    "win_ignore_nulls", "fn_try",
+    // round-3 wave 4
+    "agg_filtered", "fn_interval", "udf_sql", "scan_binary_files",
+    "join_bloom_runtime")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
