@@ -365,7 +365,29 @@ object Aggregates {
         expr("min_by(o_totalprice, o_orderkey)").as("price_of_min_key"))
       .orderBy("o_orderpriority")
 
+  /** Quantile sketch: `approx_percentile` (Greenwald-Khanna) — the
+    * constant-memory, MERGEABLE quantile path for 100 TB where exact
+    * percentile_cont's full sort/expand is off the table. Like the HLL
+    * and bitmap keys this is two-phase (per-partition sketches merged
+    * reduce-side). No oracle (sketch output is merge-order-sensitive in
+    * general); Round3cSpec bounds it against the exact quartiles.
+    */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), " +
+          "10000)").as("q"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        col("n"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_percentile" -> approxPercentile,
     "agg_filtered" -> filteredAgg,
     "agg_grouping_id" -> groupingId,
     "agg_bitmap_distinct" -> bitmapDistinct,

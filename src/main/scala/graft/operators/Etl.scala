@@ -200,7 +200,74 @@ object Etl {
       .orderBy("cohort_day", "days_since")
   }
 
+  /** Calendar gap-fill + last-observation-carried-forward: per-user daily
+    * rollups joined against a generated day spine (min→max day per user),
+    * missing days emitted with zero counts and the previous day's value
+    * carried forward. The spine is `sequence` + `explode` — pure map-side
+    * generation, no driver loop; the LOCF is one window pass over the
+    * already user-partitioned join output, so the whole fill costs a
+    * single user-keyed shuffle. Day sums go through the integer-cent grid
+    * so the carried doubles are bit-identical cross-engine ([[graft.Det]]).
+    * The standard time-series regularization step before any rolling
+    * statistic.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("is_gap"),
+        (last("cents", ignoreNulls = true).over(w) / lit(100.0))
+          .as("carried_value"))
+      .orderBy("user_id", "day")
+  }
+
+  /** PERMISSIVE ingestion with a dead-letter column: malformed CSV rows
+    * land with the raw line captured in `_corrupt` and the unparseable
+    * field nulled, instead of failing the task — at 100 TB the
+    * `_corrupt IS NOT NULL` slice routes to a quarantine sink while the
+    * job keeps running (the batch counterpart of a streaming dead-letter
+    * queue). Malformed fixture lines are synthesized deterministically
+    * (every 7th key gets a non-numeric region), so the oracle can state
+    * the expected split exactly.
+    */
+  def malformedSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dlq").toString
+    Tables(spark, dir, "nation")
+      .select(concat_ws(",",
+        col("n_nationkey"), col("n_name"),
+        when(col("n_nationkey") % 7 === 0, lit("bad"))
+          .otherwise(col("n_regionkey").cast("string"))).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType),
+      StructField("_corrupt", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(tmp)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("_corrupt").isNotNull.as("is_dead_letter"),
+        col("_corrupt").as("raw_line"))
+      .orderBy("n_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_gap_fill" -> gapFill,
+    "etl_malformed_split" -> malformedSplit,
     "etl_retention_cohort" -> retentionCohort,
     "etl_dq_checks" -> dqChecks,
     "etl_scd2" -> scd2,
@@ -211,6 +278,30 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_gap_fill" ->
+      ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "count(*) AS n_events, " +
+        "sum(CAST(round(value * 100) AS BIGINT)) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT user_id, CAST(unnest(generate_series(min(day), " +
+        "max(day), INTERVAL 1 DAY)) AS DATE) AS day FROM d GROUP BY user_id) " +
+        "SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day, " +
+        "coalesce(d.n_events, 0) AS n_events, " +
+        "d.n_events IS NULL AS is_gap, " +
+        "CAST(last_value(d.cents IGNORE NULLS) OVER (" +
+        "PARTITION BY s.user_id ORDER BY s.day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 " +
+        "AS carried_value " +
+        "FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day " +
+        "ORDER BY s.user_id, day"),
+    "etl_malformed_split" ->
+      ("SELECT n_nationkey, n_name, " +
+        "CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_regionkey END " +
+        "AS n_regionkey, " +
+        "n_nationkey % 7 = 0 AS is_dead_letter, " +
+        "CASE WHEN n_nationkey % 7 = 0 THEN CAST(n_nationkey AS VARCHAR) " +
+        "|| ',' || n_name || ',bad' END AS raw_line " +
+        "FROM nation ORDER BY n_nationkey"),
     "etl_retention_cohort" ->
       ("WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day " +
         "FROM events), " +

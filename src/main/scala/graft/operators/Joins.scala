@@ -333,7 +333,44 @@ object Joins {
       .orderBy("o_orderstatus")
   }
 
+  /** Dynamic partition pruning (DPP): the fact side is laid out
+    * Hive-partitioned on the join key; the dim side's selective filter is
+    * evaluated FIRST (reusing the broadcast exchange), and the surviving
+    * key set becomes a runtime partition filter on the fact scan —
+    * `dynamicpruningexpression(event_type IN dynamicpruning#N)` under
+    * PartitionFilters (asserted in Round3cSpec). At 100 TB this skips
+    * whole partition directories at planning-of-scan time: the
+    * partition-layout complement to [[bloomRuntime]]'s row-level pruning.
+    * Both sides must be FILE-based relations (the category dim is staged
+    * as parquet too — a broadcastable in-memory LocalRelation gets
+    * constant-folded instead of planned as a DPP subquery), which is the
+    * real star-schema shape DPP was built for.
+    */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables(spark, dir, "events")
+      .repartition(col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(tmp + "/fact")
+    Seq(
+      ("signup", "acquisition"), ("purchase", "revenue"),
+      ("click", "engagement"), ("view", "engagement"),
+      ("error", "ops")).toDF("event_type", "category")
+      .write.mode("overwrite").parquet(tmp + "/dim")
+    val dim = spark.read.parquet(tmp + "/dim")
+    spark.read.parquet(tmp + "/fact")
+      .join(broadcast(dim.filter(col("category") === "engagement")),
+        Seq("event_type"))
+      .groupBy("event_type", "category")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / lit(100.0))
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_dpp" -> dppJoin,
     "join_bloom_runtime" -> bloomRuntime,
     "join_range_banded" -> rangeBanded,
     "join_lateral" -> lateralTop1,
@@ -354,6 +391,12 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_dpp" ->
+      ("SELECT event_type, 'engagement' AS category, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 " +
+        "AS sum_value " +
+        "FROM events WHERE event_type IN ('click', 'view') " +
+        "GROUP BY event_type ORDER BY event_type"),
     "join_bloom_runtime" ->
       ("SELECT o_orderstatus, count(*) AS n_items, " +
         Det.moneySumSql("l_extendedprice*(1-l_discount)") + " AS revenue " +

@@ -77,6 +77,56 @@ class Round3cSpec extends GraftSuite {
     r.unpersist()
   }
 
+  test("join_dpp: fact scan carries a dynamic partition-pruning filter") {
+    val df = operators.Joins.dppJoin(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"no DPP filter on the partitioned fact scan:\n$plan")
+    // only the two engagement partitions survive
+    val types = df.select("event_type").collect().map(_.getString(0)).sorted
+    assert(types.sameElements(Array("click", "view")))
+  }
+
+  test("etl_gap_fill: spine is dense, gaps are zero-count, LOCF never regresses") {
+    val r = operators.Etl.gapFill(spark, sf0001).cache()
+    // per user: row count == day span, i.e. no missing or duplicate days
+    val spans = r.groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("span"))
+    assert(spans.filter(col("n_rows") =!= col("span")).count() == 0)
+    // gap rows carry zero events and a non-null carried value
+    assert(r.filter(col("is_gap") &&
+      (col("n_events") =!= 0 || col("carried_value").isNull)).count() == 0)
+    r.unpersist()
+  }
+
+  test("etl_malformed_split: corrupt rows quarantined, clean rows parse fully") {
+    val r = operators.Etl.malformedSplit(spark, sf0001).cache()
+    val dead = r.filter(col("is_dead_letter"))
+    assert(dead.count() == r.filter(col("n_nationkey") % 7 === 0).count())
+    assert(dead.filter(col("n_regionkey").isNotNull).count() == 0,
+      "malformed field must be nulled")
+    assert(dead.filter(!col("raw_line").contains(",bad")).count() == 0,
+      "dead letter must carry the raw line")
+    assert(r.filter(!col("is_dead_letter") && (col("n_regionkey").isNull ||
+      col("raw_line").isNotNull)).count() == 0)
+    r.unpersist()
+  }
+
+  test("agg_approx_percentile: sketch quartiles bound the exact ones") {
+    val approx = operators.Aggregates.approxPercentile(spark, sf001)
+    val exact = Tables(spark, sf001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .as("exact_p50"))
+    val bad = approx.join(exact, "l_returnflag")
+      .filter(abs(col("p50") - col("exact_p50")) >
+        col("exact_p50") * 0.02)
+    assert(bad.count() == 0, "approx p50 off by more than 2%")
+    assert(approx.filter(col("p25") > col("p50") || col("p50") > col("p75"))
+      .count() == 0, "quartiles must be ordered")
+  }
+
   test("join_bloom_runtime: bloom probe injected under thresholds, result unchanged") {
     val conf = spark.conf
     // injection requires a creation side that is NOT broadcastable-by-size

@@ -69,7 +69,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "win_ignore_nulls", "fn_try",
     // round-3 wave 4
     "agg_filtered", "fn_interval", "udf_sql", "scan_binary_files",
-    "join_bloom_runtime")
+    "join_bloom_runtime", "join_dpp", "etl_gap_fill",
+    "etl_malformed_split", "agg_approx_percentile")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
