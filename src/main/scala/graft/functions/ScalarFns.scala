@@ -304,7 +304,32 @@ object ScalarFns {
         second(col("ts")).cast("long").as("s"))
       .orderBy("event_id")
 
+  /** Spark 4 collation-aware comparison: case-insensitive grouping and
+    * equality through `collate(col, 'UTF8_LCASE')` — collation travels
+    * WITH the type, so every downstream comparison/join/group on the
+    * column is case-insensitive without wrapping each use in lower()
+    * (and unlike lower(), collation preserves the original bytes).
+    * Mixed-case input is synthesized deterministically from the row key;
+    * output projects lower() of the representative so the result is
+    * engine-stable, which is what the oracle (a lower()-based rewrite)
+    * states.
+    */
+  def fnCollation(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+      .otherwise(col("c_mktsegment"))
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"), mixed.as("seg_mixed"))
+      .groupBy(collate(col("seg_mixed"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n"),
+        count(when(expr(
+          "seg_mixed = collate('building', 'UTF8_LCASE')"), 1))
+          .as("n_eq_building"))
+      .select(lower(col("k")).as("segment"), col("n"), col("n_eq_building"))
+      .orderBy("segment")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_collation" -> fnCollation,
     "fn_interval" -> fnInterval,
     "fn_try" -> fnTry,
     "fn_variant" -> fnVariant,
@@ -326,6 +351,13 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_collation" ->
+      ("SELECT lower(seg_mixed) AS segment, count(*) AS n, " +
+        "count(CASE WHEN lower(seg_mixed) = 'building' THEN 1 END) " +
+        "AS n_eq_building " +
+        "FROM (SELECT CASE WHEN c_custkey % 2 = 0 " +
+        "THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg_mixed " +
+        "FROM customer) GROUP BY 1 ORDER BY 1"),
     "fn_interval" ->
       ("SELECT event_id, " +
         "strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus90m, " +

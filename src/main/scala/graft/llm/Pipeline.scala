@@ -186,7 +186,32 @@ object Pipeline {
       .orderBy("position")
   }
 
+  /** Deterministic WEIGHTED sampling: each source keeps a quota
+    * proportional to its mixing weight (wt/8 of its docs, wt = 1 +
+    * srcnum % 4 as in [[interleaveSources]]), members chosen by the LCG
+    * hash order — so a 2×-weight source contributes 2× the fraction of
+    * its docs, reproducibly on any engine (pure integer arithmetic: the
+    * quota is `(n·wt + 7) div 8`, never a float rate, and `rand()` never
+    * appears). The up-/down-sampling step that enforces a data-mixing
+    * recipe on a raw corpus.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy("source")
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        idHash(col("doc_id")).as("h"),
+        (lit(1) + substring(col("source"), 4, 10).cast("int") % lit(4))
+          .as("wt"))
+      .withColumn("n_src", count(lit(1)).over(bySource))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= expr("(n_src * wt + 7) div 8"))
+      .select(col("doc_id"), col("source"), col("wt"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_weighted" -> sampleWeighted,
     "llm_interleave_sources" -> interleaveSources,
     "llm_contamination" -> contamination,
     "llm_sample_stratified" -> sampleStratified,
@@ -196,6 +221,17 @@ object Pipeline {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_sample_weighted" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+        "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h, " +
+        "1 + CAST(substring(source, 4, 10) AS INT) % 4 AS wt, " +
+        "count(*) OVER (PARTITION BY source) AS n_src " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, source, wt, n_src, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) " +
+        "AS BIGINT) AS rn FROM d) " +
+        "SELECT doc_id, source, wt, rn FROM r " +
+        "WHERE rn <= (n_src * wt + 7) // 8 ORDER BY source, rn"),
     "llm_interleave_sources" ->
       ("WITH d AS (SELECT doc_id, source, " +
         "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h, " +

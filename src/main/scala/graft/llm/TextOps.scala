@@ -62,12 +62,47 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** One BPE training round: count adjacent symbol pairs inside every
+    * corpus word and rank the top merge candidates (count desc, pair asc
+    * tiebreak). Full BPE training is this step iterated with the winning
+    * pair merged into one symbol before the next count — a driver loop of
+    * identical map-side explode + ONE count shuffle per round (the same
+    * iterate-a-cheap-step shape as `llm_kmeans_step`), never a driver-side
+    * corpus scan. Pairs are generated with `Column.substr(i, 2)` over a
+    * position sequence — per-row codegen, no UDF.
+    */
+  def bpeMergeStep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair"))).cast("long"))
+      .filter(col("rank") <= 20)
+      .select("rank", "pair", "n_occurrences")
+      .orderBy("rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bpe_merge_step" -> bpeMergeStep,
     "llm_text_stats" -> textStats,
     "llm_text_tfidf" -> tfidf
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_bpe_merge_step" ->
+      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "p AS (SELECT unnest(list_transform(range(1, len(w)), " +
+        "i -> substr(w, i, 2))) AS pair FROM w WHERE len(w) >= 2), " +
+        "c AS (SELECT pair, count(*) AS n_occurrences FROM p GROUP BY 1) " +
+        "SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) " +
+        "AS BIGINT) AS rank, pair, n_occurrences FROM c " +
+        "QUALIFY rank <= 20 ORDER BY rank"),
     "llm_text_stats" ->
       ("SELECT doc_id, lang, source, n_chars, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +

@@ -140,7 +140,45 @@ object Scans {
       .orderBy("doc_id")
   }
 
+  /** Hidden `_metadata` columns (file_name / file_size / row_index
+    * family): per-file lineage available on ANY file-based scan without
+    * touching the data schema — at 100 TB this is how per-shard audits,
+    * incremental-load bookkeeping, and bad-file quarantine attribute rows
+    * to their source files with zero extra bookkeeping columns. Grouping
+    * by file here proves the column resolves and aggregates like any
+    * other; the fixture is a single parquet file, so the oracle states
+    * the expected (file_name, stats) row exactly.
+    */
+  def metadataCols(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("_metadata.file_name").as("file_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_key"),
+        max("l_orderkey").as("max_key"))
+      .orderBy("file_name")
+
+  /** Range-clustered, sorted parquet sink: `repartitionByRange` assigns
+    * disjoint key ranges to output files and `sortWithinPartitions`
+    * orders rows inside each — so parquet row-group min/max stats become
+    * selective and a later key-range scan skips whole files AND whole
+    * row groups. At 100 TB this write-time clustering is the difference
+    * between a point-range query reading one file and reading the fleet.
+    * The oracle checks the round-trip is lossless; Round3cSpec reads the
+    * `_metadata` stats back and asserts the per-file ranges really are
+    * disjoint and internally sorted.
+    */
+  def clusteredWrite(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_cluster").toString
+    Tables(spark, dir, "orders")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_metadata_cols" -> metadataCols,
+    "sink_clustered_write" -> clusteredWrite,
     "scan_binary_files" -> binaryFiles,
     "scan_partition_pruned" -> partitionPruned,
     "scan_text_roundtrip" -> textRoundtrip,
@@ -154,6 +192,12 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_metadata_cols" ->
+      ("SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows, " +
+        "min(l_orderkey) AS min_key, max(l_orderkey) AS max_key " +
+        "FROM lineitem"),
+    "sink_clustered_write" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
     // the blobs are byte-exact renderings of documents.text, so byte
     // length and md5 are recomputable from the source rows
     "scan_binary_files" ->

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, D
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
@@ -60,6 +60,9 @@ case class TopKPerGroupExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
+    // no grouping keys → global top-k → all rows on one partition
+    // (ClusteredDistribution(Nil) is rejected by Catalyst)
+    else if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
@@ -125,11 +128,17 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // part.nonEmpty: a GLOBAL row_number ≤ k (no PARTITION BY) must stay
+    // on Spark's TakeOrdered path — rewriting it would build a
+    // TopKPerGroup with no grouping keys (ClusteredDistribution(Nil) is
+    // illegal). Hit in practice via count(): column pruning drops the
+    // rank projection, making an otherwise rank-referencing global query
+    // match the dead-rank guard vacuously.
     case p @ Project(projList,
         Filter(cond,
           Window(Seq(al @ Alias(WindowExpression(RowNumber(), _), _)),
             part, order, child0, _)))
-        if order.nonEmpty =>
+        if order.nonEmpty && part.nonEmpty =>
       // InferWindowGroupLimit may already have planted its limit node;
       // it becomes redundant when the Window collapses entirely
       val child = child0 match {

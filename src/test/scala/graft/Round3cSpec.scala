@@ -127,6 +127,55 @@ class Round3cSpec extends GraftSuite {
       .count() == 0, "quartiles must be ordered")
   }
 
+  test("sink_clustered_write: file key-ranges are disjoint and sorted inside") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_cluster_t").toString
+    Tables(spark, sf001, "orders")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(tmp)
+    val stats = spark.read.parquet(tmp)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .orderBy("lo").collect()
+    assert(stats.length == 8, s"expected 8 clustered files, got ${stats.length}")
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) < b.getLong(1),
+        s"overlapping file ranges: $a vs $b")
+    }
+    // rows inside one file are sorted (row order == key order)
+    val one = spark.read.parquet(tmp)
+      .filter(col("_metadata.file_name") === stats.head.getString(0))
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(one.sameElements(one.sorted), "rows not sorted within file")
+  }
+
+  test("llm_bpe_merge_step: top pair count equals a direct recount") {
+    val r = llm.TextOps.bpeMergeStep(spark, sf0001).collect()
+    assert(r.length == 20)
+    assert(r.map(_.getLong(2)).sliding(2).forall(p => p(0) >= p(1)),
+      "counts must be non-increasing by rank")
+    val top = r.head
+    val direct = Tables(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("p"))
+      .filter(col("p") === top.getString(1)).count()
+    assert(direct == top.getLong(2), "top pair count mismatch")
+  }
+
+  test("llm_sample_weighted: per-source sample fraction tracks the weight") {
+    val sampled = llm.Pipeline.sampleWeighted(spark, sf001)
+      .groupBy("source", "wt").agg(count(lit(1)).as("n_kept"))
+    val totals = Tables(spark, sf001, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_src"))
+    val bad = sampled.join(totals, "source")
+      .filter(col("n_kept") =!=
+        expr("CAST((n_src * wt + 7) div 8 AS BIGINT)"))
+    assert(bad.count() == 0, "quota not honored exactly")
+  }
+
   test("join_bloom_runtime: bloom probe injected under thresholds, result unchanged") {
     val conf = spark.conf
     // injection requires a creation side that is NOT broadcastable-by-size

@@ -70,7 +70,10 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-3 wave 4
     "agg_filtered", "fn_interval", "udf_sql", "scan_binary_files",
     "join_bloom_runtime", "join_dpp", "etl_gap_fill",
-    "etl_malformed_split", "agg_approx_percentile")
+    "etl_malformed_split", "agg_approx_percentile",
+    // round-3 wave 5
+    "scan_metadata_cols", "sink_clustered_write", "llm_bpe_merge_step",
+    "fn_collation", "llm_sample_weighted")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -57,6 +57,21 @@ class TopKSpec extends GraftSuite {
     assert(keepsRank.count() > 0)
   }
 
+  test("rewrite does NOT fire on a GLOBAL window, even under count() pruning") {
+    plans.TopK.installRewrite(spark)
+    import org.apache.spark.sql.expressions.Window
+    // no PARTITION BY: count() prunes the rank projection, which once made
+    // this match the dead-rank guard vacuously and build an illegal
+    // TopKPerGroup with no grouping keys (regression)
+    val global = Tables(spark, sf0001, "orders")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 10)
+      .select("o_custkey", "o_orderkey", "rn")
+    assert(global.count() == 10)
+    assert(!global.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+  }
+
   test("randomized parity with the window form across group shapes and k") {
     import spark.implicits._
     val rnd = new scala.util.Random(42) // fixed seed — reproducible
