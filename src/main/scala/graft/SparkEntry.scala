@@ -35,6 +35,7 @@ object SparkEntry {
       llm.TextQuality.queries ++
       llm.Multimodal.queries ++
       llm.Pipeline.queries ++
+      llm.GraphOps.queries ++
       llm.CorpusOps.queries ++
       llm.Ranking.queries ++
       llm.Chunking.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       llm.TextQuality.oracle ++
       llm.Multimodal.oracle ++
       llm.Pipeline.oracle ++
+      llm.GraphOps.oracle ++
       llm.CorpusOps.oracle ++
       llm.Ranking.oracle ++
       llm.Chunking.oracle ++

@@ -210,7 +210,45 @@ object Pipeline {
       .orderBy("source", "rn")
   }
 
+  /** END-TO-END corpus pipeline — the five stages a real pretraining
+    * data build chains, composed as ONE lazy DAG so Catalyst optimizes
+    * across stage boundaries (the filter prunes columns into the scan;
+    * no intermediate materialization):
+    *   1. normalize (lower/trim/collapse-ws),
+    *   2. C4-style quality gate (token band + stopword evidence),
+    *   3. exact dedup on the normalized form (min-id survivor; the
+    *      window partitions on md5(canon), NEVER the multi-KB canon
+    *      string itself — the llm_canonicalize shuffle-width lesson),
+    *   4. deterministic 75% LCG sample,
+    *   5. hash-shard assignment, reported as per-shard manifest rows.
+    * Every stage is engine-portable integer/string arithmetic, so the
+    * whole five-stage chain is oracle-verified bit-exact end to end.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val canon = Tables(spark, dir, "documents")
+      .withColumn("canon",
+        lower(trim(regexp_replace(col("text"), " +", " "))))
+      .withColumn("w", split(col("canon"), " "))
+    val quality = canon.filter(
+      size(col("w")).between(30, 90) &&
+        (array_contains(col("w"), "the") || array_contains(col("w"), "a")))
+    val surv = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("canon"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val sampled = surv.filter(idHash(col("doc_id")) % 4 =!= 0)
+    sampled
+      .withColumn("shard", idHash(col("doc_id")) % lit(8L))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("shard")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_corpus_pipeline" -> corpusPipeline,
     "llm_sample_weighted" -> sampleWeighted,
     "llm_interleave_sources" -> interleaveSources,
     "llm_contamination" -> contamination,
@@ -221,6 +259,23 @@ object Pipeline {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_corpus_pipeline" ->
+      ("WITH c AS (SELECT doc_id, n_chars, " +
+        "lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS canon " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, n_chars, canon FROM c " +
+        "WHERE len(string_split(canon, ' ')) BETWEEN 30 AND 90 " +
+        "AND (list_contains(string_split(canon, ' '), 'the') " +
+        "OR list_contains(string_split(canon, ' '), 'a'))), " +
+        "s AS (SELECT doc_id, n_chars, row_number() OVER (" +
+        "PARTITION BY md5(canon) ORDER BY doc_id) AS rn FROM q), " +
+        "smp AS (SELECT doc_id, n_chars, " +
+        "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h " +
+        "FROM s WHERE rn = 1) " +
+        "SELECT h % 8 AS shard, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id " +
+        "FROM smp WHERE h % 4 <> 0 GROUP BY 1 ORDER BY 1"),
     "llm_sample_weighted" ->
       ("WITH d AS (SELECT doc_id, source, " +
         "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h, " +

@@ -176,6 +176,40 @@ class Round3cSpec extends GraftSuite {
     assert(bad.count() == 0, "quota not honored exactly")
   }
 
+  test("llm_corpus_pipeline: manifest accounts for every surviving doc exactly once") {
+    val manifest = llm.Pipeline.corpusPipeline(spark, sf001).collect()
+    assert(manifest.nonEmpty && manifest.length <= 8)
+    // recompute the survivor set stage by stage and compare totals
+    val docs = Tables(spark, sf001, "documents")
+      .withColumn("canon", lower(trim(regexp_replace(col("text"), " +", " "))))
+      .withColumn("w", split(col("canon"), " "))
+      .filter(size(col("w")).between(30, 90) &&
+        (array_contains(col("w"), "the") || array_contains(col("w"), "a")))
+    val surv = docs.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("canon"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .filter(((col("doc_id") % 2147483648L) * 1103515245L + 12345L)
+        % 2147483648L % 4 =!= 0)
+    assert(manifest.map(_.getLong(1)).sum == surv.count(),
+      "per-shard doc counts must sum to the survivor count")
+    // shards partition the survivors: no doc counted twice
+    assert(manifest.map(_.getLong(0)).distinct.length == manifest.length)
+  }
+
+  test("graph_pagerank_step: mass is conserved up to integer-floor loss") {
+    val r = llm.GraphOps.pagerankStep(spark, sf001).collect()
+    val nUsers = Tables(spark, sf001, "events")
+      .select("user_id").distinct().count()
+    val inflow = r.map(_.getLong(2)).sum
+    val emitted = nUsers * 1000000L
+    // div-floor loses < deg units per user (deg <= 5)
+    assert(inflow <= emitted && inflow > emitted - nUsers * 5,
+      s"mass not conserved: emitted $emitted, arrived $inflow")
+    // every item collected from at least one user
+    assert(r.forall(_.getLong(1) > 0))
+  }
+
   test("join_bloom_runtime: bloom probe injected under thresholds, result unchanged") {
     val conf = spark.conf
     // injection requires a creation side that is NOT broadcastable-by-size

@@ -73,7 +73,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "etl_malformed_split", "agg_approx_percentile",
     // round-3 wave 5
     "scan_metadata_cols", "sink_clustered_write", "llm_bpe_merge_step",
-    "fn_collation", "llm_sample_weighted")
+    "fn_collation", "llm_sample_weighted",
+    // round-3 wave 6
+    "llm_corpus_pipeline", "graph_pagerank_step")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
