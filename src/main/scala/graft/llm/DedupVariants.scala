@@ -233,7 +233,49 @@ object DedupVariants {
       .orderBy("vec_id")
   }
 
+  /** Fuzzy (edit-distance) neighbor scan — the record-linkage dedup for
+    * small in-place edits that hash/shingle methods miss. Blocking keeps
+    * it corpus-scale: candidates must share `lang` and sit within ±4
+    * chars of length, implemented as an equi-join on (lang, 8-char
+    * length band) with the SUBJECT side replicated into {b-1, b, b+1}
+    * (±4 < band width 8 ⇒ every qualifying candidate band is adjacent,
+    * and each candidate's band is unique ⇒ no pair double-counted). Each
+    * candidate pair pays ONE levenshtein over a 64-char prefix — bounded
+    * cost per pair, never the full multi-KB text. Output is a per-doc
+    * summary (candidate/close-match counts, min distance), so the key is
+    * total over the corpus — non-empty at every SF even with no
+    * near-dups — and the oracle can state the UNBLOCKED theta-join
+    * semantics, proving the banding loses nothing.
+    */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        substring(col("text"), 1, 64).as("pfx"))
+    val subj = d.select(col("doc_id").as("id"), col("lang"),
+        col("n_chars").as("nc"), col("pfx").as("pfx_s"),
+        explode(array(expr("n_chars div 8 - 1"), expr("n_chars div 8"),
+          expr("n_chars div 8 + 1"))).as("band"))
+    val cand = d.select(col("doc_id").as("cand_id"), col("lang"),
+      col("n_chars").as("cand_nc"), col("pfx").as("pfx_c"),
+      expr("n_chars div 8").as("band"))
+    val stats = subj.join(cand, Seq("lang", "band"))
+      .filter(col("id") =!= col("cand_id") &&
+        abs(col("nc") - col("cand_nc")) <= 4)
+      .withColumn("dist", levenshtein(col("pfx_s"), col("pfx_c")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("dist") <= 8, 1)).as("n_close"),
+        min("dist").cast("long").as("min_dist"))
+    d.join(stats, d("doc_id") === stats("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        col("min_dist"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_edit_distance" -> editDistance,
     "llm_dedup_simhash" -> simhashPairs,
     "llm_dedup_ngram_jaccard" -> ngramJaccard,
     "llm_dedup_components" -> dedupComponents,
@@ -249,6 +291,20 @@ object DedupVariants {
       "|| ' ' || string_split(text, ' ')[i+2])"
 
   def oracle: Map[String, String] = Map(
+    // the UNBLOCKED theta-join statement of the same semantics — the
+    // banded Spark plan must lose no pair
+    "llm_dedup_edit_distance" ->
+      ("WITH d AS (SELECT doc_id, lang, n_chars, substr(text, 1, 64) " +
+        "AS pfx FROM documents), " +
+        "p AS (SELECT a.doc_id AS id, levenshtein(a.pfx, b.pfx) AS dist " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id " +
+        "AND abs(a.n_chars - b.n_chars) <= 4), " +
+        "s AS (SELECT id, count(*) AS n_candidates, " +
+        "count(CASE WHEN dist <= 8 THEN 1 END) AS n_close, " +
+        "min(dist) AS min_dist FROM p GROUP BY 1) " +
+        "SELECT doc_id, coalesce(n_candidates, 0) AS n_candidates, " +
+        "coalesce(n_close, 0) AS n_close, min_dist " +
+        "FROM d LEFT JOIN s ON d.doc_id = s.id ORDER BY doc_id"),
     "llm_dedup_ngram_jaccard" ->
       (s"WITH sh AS (SELECT doc_id, unnest(list_distinct($shingleSql)) AS sh FROM documents), " +
         "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +

@@ -176,7 +176,49 @@ object Scans {
     spark.read.parquet(tmp).orderBy("o_orderkey")
   }
 
+  /** 16-bit Morton (Z-order) code of two 8-bit dimensions, generated as
+    * one bitwise expression per dialect from the same bit layout — pure
+    * codegen'd arithmetic, no UDF.
+    */
+  private def mortonSpark(x: String, y: String): String =
+    (0 until 8).flatMap(i => Seq(
+      s"shiftleft(shiftright($x % 256, $i) & 1, ${2 * i})",
+      s"shiftleft(shiftright($y % 256, $i) & 1, ${2 * i + 1})"))
+      .mkString(" | ")
+
+  private[operators] def mortonDuck(x: String, y: String): String =
+    (0 until 8).flatMap(i => Seq(
+      s"((((($x) % 256) >> $i) & 1) << ${2 * i})",
+      s"((((($y) % 256) >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" | ")
+
+  /** Z-ORDER clustered sink: rows are written range-partitioned and
+    * sorted by the Morton interleave of TWO key dimensions, so per-file
+    * (and per-row-group) min/max stats are tight boxes in BOTH
+    * dimensions at once — a selective filter on EITHER key skips most
+    * files, which single-key clustering ([[clusteredWrite]]) can only do
+    * for its one key. This is the multi-dimensional data-skipping layout
+    * (Delta/Iceberg Z-ORDER) expressed with nothing but an expression +
+    * repartitionByRange. The oracle re-states the interleave arithmetic
+    * and checks the round-trip; Round3cSpec measures the per-file 2-D
+    * bounding boxes and asserts they cover a small fraction of the key
+    * space.
+    */
+  def zorderWrite(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_zorder").toString
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        expr(mortonSpark("l_partkey", "l_suppkey")).as("z"))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .orderBy("z", "l_orderkey", "l_linenumber")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_zorder_write" -> zorderWrite,
     "scan_metadata_cols" -> metadataCols,
     "sink_clustered_write" -> clusteredWrite,
     "scan_binary_files" -> binaryFiles,
@@ -192,6 +234,10 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    "sink_zorder_write" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        s"CAST(${mortonDuck("l_partkey", "l_suppkey")} AS BIGINT) AS z " +
+        "FROM lineitem ORDER BY z, l_orderkey, l_linenumber"),
     "scan_metadata_cols" ->
       ("SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows, " +
         "min(l_orderkey) AS min_key, max(l_orderkey) AS max_key " +

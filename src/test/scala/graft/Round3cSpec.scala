@@ -210,6 +210,52 @@ class Round3cSpec extends GraftSuite {
     assert(r.forall(_.getLong(1) > 0))
   }
 
+  test("sink_zorder_write: per-file boxes are tight in BOTH dimensions") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_zorder_t").toString
+    val morton = (0 until 8).flatMap(i => Seq(
+      s"shiftleft(shiftright(l_partkey % 256, $i) & 1, ${2 * i})",
+      s"shiftleft(shiftright(l_suppkey % 256, $i) & 1, ${2 * i + 1})"))
+      .mkString(" | ")
+    Tables(spark, sf001, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), expr(morton).as("z"))
+      .repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(tmp)
+    val boxes = spark.read.parquet(tmp)
+      .select(col("_metadata.file_name").as("f"),
+        (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+      .groupBy("f")
+      .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1))
+        .as("area"))
+      .collect().map(_.getLong(1))
+    assert(boxes.length == 8)
+    // a contiguous 1/8 z-range is ~2 Morton cells of 128x64: every box
+    // must be far below the full 256x256 space, unlike a random split
+    assert(boxes.forall(_ < 256 * 256 / 2),
+      s"a file's 2-D box covers half the key space: ${boxes.mkString(",")}")
+    assert(boxes.sum < 256 * 256 * 2,
+      s"total box coverage too loose: ${boxes.sum}")
+  }
+
+  test("llm_dedup_edit_distance: banded join equals the unblocked theta join") {
+    val banded = llm.DedupVariants.editDistance(spark, sf0001)
+    val d = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        substring(col("text"), 1, 64).as("pfx"))
+    val a = d.select(col("doc_id").as("id"), col("lang"),
+      col("n_chars").as("nc"), col("pfx").as("pa"))
+    val b = d.select(col("doc_id").as("cid"), col("lang"),
+      col("n_chars").as("cnc"), col("pfx").as("pb"))
+    val naive = a.join(b, Seq("lang"))
+      .filter(col("id") =!= col("cid") && abs(col("nc") - col("cnc")) <= 4)
+      .groupBy("id").agg(count(lit(1)).as("n_candidates"))
+    val joined = banded.join(naive, banded("doc_id") === naive("id"), "left")
+      .filter(banded("n_candidates") =!= coalesce(naive("n_candidates"), lit(0L)))
+    assert(joined.count() == 0, "banding lost or duplicated candidate pairs")
+    // exact duplicate texts (if any) must show distance 0
+    assert(banded.filter(col("min_dist") < 0).count() == 0)
+  }
+
   test("join_bloom_runtime: bloom probe injected under thresholds, result unchanged") {
     val conf = spark.conf
     // injection requires a creation side that is NOT broadcastable-by-size

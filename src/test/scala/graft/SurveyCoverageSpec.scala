@@ -75,7 +75,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "scan_metadata_cols", "sink_clustered_write", "llm_bpe_merge_step",
     "fn_collation", "llm_sample_weighted",
     // round-3 wave 6
-    "llm_corpus_pipeline", "graph_pagerank_step")
+    "llm_corpus_pipeline", "graph_pagerank_step",
+    "sink_zorder_write", "llm_dedup_edit_distance")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
