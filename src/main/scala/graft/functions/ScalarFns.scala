@@ -328,7 +328,23 @@ object ScalarFns {
       .orderBy("segment")
   }
 
+  /** Data masking: `mask()` preserves character CLASS structure (upper →
+    * X, lower → x, digit → n) so masked values keep their format for
+    * debugging/joins while destroying content — the complement of
+    * `llm_pii_redact`'s pattern deletion. Custom replacement chars cover
+    * the fourth (non-alnum) class too. Oracle: chained regexp_replace of
+    * the same classes.
+    */
+  def fnMask(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"),
+        expr("mask(c_name)").as("masked_name"),
+        expr("mask(c_mktsegment, 'Z', 'z', '9', '-')").as("masked_seg"),
+        expr("mask(concat(c_mktsegment, '#', c_custkey))").as("masked_mix"))
+      .orderBy("c_custkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_mask" -> fnMask,
     "fn_collation" -> fnCollation,
     "fn_interval" -> fnInterval,
     "fn_try" -> fnTry,
@@ -351,6 +367,19 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_mask" ->
+      ("SELECT c_custkey, " +
+        "regexp_replace(regexp_replace(regexp_replace(c_name, " +
+        "'[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') " +
+        "AS masked_name, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "c_mktsegment, '[A-Z]', 'Z', 'g'), '[a-z]', 'z', 'g'), " +
+        "'[0-9]', '9', 'g'), '[^Zz9]', '-', 'g') AS masked_seg, " +
+        "regexp_replace(regexp_replace(regexp_replace(" +
+        "c_mktsegment || '#' || c_custkey, " +
+        "'[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') " +
+        "AS masked_mix " +
+        "FROM customer ORDER BY c_custkey"),
     "fn_collation" ->
       ("SELECT lower(seg_mixed) AS segment, count(*) AS n, " +
         "count(CASE WHEN lower(seg_mixed) = 'building' THEN 1 END) " +

@@ -265,7 +265,40 @@ object Etl {
       .orderBy("n_nationkey")
   }
 
+  /** Snapshot diff (batch CDC): classify every key across two table
+    * versions as added / removed / changed via ONE full-outer join on the
+    * key — the standard way to derive a change feed when the source can't
+    * emit one. The "new" snapshot is synthesized deterministically from
+    * orders (every 97th key deleted, every 13th repriced +1, every 89th
+    * re-inserted shifted by 10M), so the oracle can state the exact diff.
+    * At 100 TB both sides shuffle once on the key; emitting only
+    * non-unchanged rows keeps the output the size of the change set, not
+    * the table.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+    val newBase = old.filter(col("key") % 97 =!= 0)
+      .withColumn("price",
+        when(col("key") % 13 === 0, col("price") + 1).otherwise(col("price")))
+    val inserted = old.filter(col("key") % 89 === 0)
+      .select((col("key") + 10000000L).as("key"), col("price"))
+    val neu = newBase.unionByName(inserted)
+    old.select(col("key"), col("price").as("old_price"))
+      .join(neu.select(col("key"), col("price").as("new_price")),
+        Seq("key"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_price").isNull, "added")
+          .when(col("new_price").isNull, "removed")
+          .when(col("old_price") =!= col("new_price"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select("key", "change_type", "old_price", "new_price")
+      .orderBy("key")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_snapshot_diff" -> snapshotDiff,
     "etl_gap_fill" -> gapFill,
     "etl_malformed_split" -> malformedSplit,
     "etl_retention_cohort" -> retentionCohort,
@@ -278,6 +311,22 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_snapshot_diff" ->
+      ("WITH old AS (SELECT o_orderkey AS key, o_totalprice AS price " +
+        "FROM orders), " +
+        "neu AS (SELECT key, CASE WHEN key % 13 = 0 THEN price + 1 " +
+        "ELSE price END AS price FROM old WHERE key % 97 <> 0 " +
+        "UNION ALL SELECT key + 10000000, price FROM old " +
+        "WHERE key % 89 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT coalesce(o.key, n.key) AS key, " +
+        "CASE WHEN o.key IS NULL THEN 'added' " +
+        "WHEN n.key IS NULL THEN 'removed' " +
+        "WHEN o.price <> n.price THEN 'changed' " +
+        "ELSE 'unchanged' END AS change_type, " +
+        "o.price AS old_price, n.price AS new_price " +
+        "FROM old o FULL OUTER JOIN neu n ON o.key = n.key) " +
+        "WHERE change_type <> 'unchanged' ORDER BY key"),
     "etl_gap_fill" ->
       ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
         "count(*) AS n_events, " +

@@ -146,7 +146,38 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Rolling median over a 5-row frame per user. Spark's `median()`
+    * REJECTS window frames (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC —
+    * measured), so the engine composes it: `collect_list` over the ROWS
+    * frame, `sort_array`, exact middle selection — on integer cents, so
+    * the even-count midpoint (a+b)/2 is a dyadic rational and the result
+    * is bit-identical to DuckDB's native frame median. The frame holds
+    * ≤5 elements, so per-row cost is O(k log k) on a constant k — the
+    * robust-smoothing window for noisy metrics where a rolling MEAN
+    * chases outliers.
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-4, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("arr", sort_array(collect_list("cents").over(w)))
+      .withColumn("n", size(col("arr")))
+      .select(col("user_id"), col("event_id"),
+        (when(col("n") % 2 === 1,
+          element_at(col("arr"), expr("CAST((n + 1) div 2 AS INT)"))
+            .cast("double"))
+          .otherwise((element_at(col("arr"), expr("CAST(n div 2 AS INT)"))
+            + element_at(col("arr"), expr("CAST(n div 2 + 1 AS INT)")))
+            / lit(2.0))
+          / lit(100.0)).as("rolling_median"),
+        col("n").cast("long").as("frame_size"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_median" -> rollingMedian,
     "win_ignore_nulls" -> ignoreNulls,
     "win_nth_value" -> nthValue,
     "win_cume_dist" -> cumeDist,
@@ -160,6 +191,17 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_rolling_median" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+        "SELECT user_id, event_id, " +
+        "median(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100 " +
+        "AS rolling_median, " +
+        "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS frame_size " +
+        "FROM e ORDER BY event_id"),
     "win_ignore_nulls" ->
       ("SELECT event_id, user_id, nullif(event_type, 'error') AS et, " +
         "lag(nullif(event_type, 'error') IGNORE NULLS) OVER w AS prev_nonnull, " +

@@ -256,6 +256,48 @@ class Round3cSpec extends GraftSuite {
     assert(banded.filter(col("min_dist") < 0).count() == 0)
   }
 
+  test("etl_snapshot_diff: every change class present and correctly typed") {
+    val r = operators.Etl.snapshotDiff(spark, sf001).cache()
+    val byType = r.groupBy("change_type").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byType.keySet == Set("added", "removed", "changed"))
+    val orders = Tables(spark, sf001, "orders")
+    assert(byType("removed") ==
+      orders.filter(col("o_orderkey") % 97 === 0).count())
+    assert(byType("added") ==
+      orders.filter(col("o_orderkey") % 89 === 0).count())
+    // changed = repriced keys that were not also deleted
+    assert(byType("changed") == orders
+      .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 97 =!= 0)
+      .count())
+    assert(r.filter(col("change_type") === "added" &&
+      col("old_price").isNotNull).count() == 0)
+    r.unpersist()
+  }
+
+  test("win_rolling_median: matches a brute-force frame median") {
+    val r = operators.Windows.rollingMedian(spark, sf0001)
+    // brute force one user: frame of last 5 cents, median by hand
+    val uid = r.select("user_id").first().getLong(0)
+    val rows = Tables(spark, sf0001, "events")
+      .filter(col("user_id") === uid)
+      .select(col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .orderBy("ts", "event_id") // the query's frame order
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val got = r.filter(col("user_id") === uid)
+      .select("event_id", "rolling_median").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    rows.indices.foreach { i =>
+      val frame = rows.slice(math.max(0, i - 4), i + 1).map(_._2).sorted
+      val m =
+        if (frame.length % 2 == 1) frame(frame.length / 2).toDouble
+        else (frame(frame.length / 2 - 1) + frame(frame.length / 2)) / 2.0
+      assert(got(rows(i)._1) == m / 100.0,
+        s"median mismatch at event ${rows(i)._1}")
+    }
+  }
+
   test("join_bloom_runtime: bloom probe injected under thresholds, result unchanged") {
     val conf = spark.conf
     // injection requires a creation side that is NOT broadcastable-by-size

@@ -76,7 +76,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "fn_collation", "llm_sample_weighted",
     // round-3 wave 6
     "llm_corpus_pipeline", "graph_pagerank_step",
-    "sink_zorder_write", "llm_dedup_edit_distance")
+    "sink_zorder_write", "llm_dedup_edit_distance",
+    // round-3 wave 7
+    "fn_mask", "etl_snapshot_diff", "win_rolling_median")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
