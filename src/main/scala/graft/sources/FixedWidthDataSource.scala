@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -80,6 +81,38 @@ object FixedWidth {
       case other => throw new IllegalStateException(other.toString)
     }
   }
+
+  /** Three-valued-logic-safe evaluation of a pushed filter against one
+    * parsed record: a null field fails every comparison (and IsNotNull).
+    */
+  def evalFilter(f: Filter, get: String => Any, dtOf: String => DataType): Boolean = {
+    def cmp(a: String, lit: Any): Option[Int] = {
+      val v = get(a)
+      if (v == null || lit == null) None
+      else Some(dtOf(a) match {
+        case IntegerType =>
+          Integer.compare(v.asInstanceOf[Int], lit.asInstanceOf[Number].intValue)
+        case LongType =>
+          java.lang.Long.compare(v.asInstanceOf[Long], lit.asInstanceOf[Number].longValue)
+        case DoubleType =>
+          java.lang.Double.compare(v.asInstanceOf[Double], lit.asInstanceOf[Number].doubleValue)
+        case StringType => v.toString.compareTo(lit.toString)
+        case other => throw new IllegalStateException(other.toString)
+      })
+    }
+    f match {
+      case IsNotNull(a) => get(a) != null
+      case EqualTo(a, v) => cmp(a, v).contains(0)
+      case GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+      case _ => throw new IllegalStateException(s"unsupported pushed filter $f")
+    }
+  }
+
+  /** Column names a pushed filter references. */
+  def refs(f: Filter): Seq[String] = f.references.toSeq
 }
 
 class FixedWidthTable(path: String, fields: Seq[FixedWidth.Field])
@@ -94,8 +127,10 @@ class FixedWidthTable(path: String, fields: Seq[FixedWidth.Field])
 }
 
 class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: Seq[FixedWidth.Field] = fields
+  private var pushed: Array[Filter] = Array.empty
 
   // Catalyst hands us the pruned schema; keep spec order, drop the rest —
   // the reader then never even substrings the unused byte ranges.
@@ -104,15 +139,40 @@ class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
     required = fields.filter(f => keep.contains(f.name))
   }
 
-  override def build(): Scan = new FixedWidthScan(path, required)
+  // Accept simple comparisons/null-checks on declared fields; the reader
+  // evaluates them pre-emit so filtered records never become rows (and a
+  // filter-only column never reaches the output schema — see the
+  // evalFields union in FixedWidthScan). Residual filters go back to
+  // Spark untouched.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val names = fields.map(_.name).toSet
+    def ok(f: Filter): Boolean = f match {
+      case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual | _: IsNotNull =>
+        FixedWidth.refs(f).forall(names.contains)
+      case _ => false
+    }
+    pushed = filters.filter(ok)
+    filters.filterNot(ok)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new FixedWidthScan(path, required, fields, pushed)
 }
 
-class FixedWidthScan(path: String, fields: Seq[FixedWidth.Field])
+class FixedWidthScan(path: String, output: Seq[FixedWidth.Field],
+    allFields: Seq[FixedWidth.Field], pushed: Array[Filter])
     extends Scan with Batch {
-  override def readSchema(): StructType = FixedWidth.schemaOf(fields)
+
+  def this(path: String, output: Seq[FixedWidth.Field]) =
+    this(path, output, output, Array.empty)
+
+  override def readSchema(): StructType = FixedWidth.schemaOf(output)
   override def toBatch: Batch = this
   override def description(): String =
-    s"FixedWidthScan(${fields.map(_.name).mkString(",")})"
+    s"FixedWidthScan(${output.map(_.name).mkString(",")})" +
+      (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(", ")}]" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -126,16 +186,25 @@ class FixedWidthScan(path: String, fields: Seq[FixedWidth.Field])
     files.map(f => FixedWidthPartition(f): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(fields)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // parse the union of output + filter-referenced byte ranges; emit
+    // only the output fields — a filter-only column costs its substring
+    // but never a row slot
+    val filterNames = pushed.flatMap(FixedWidth.refs).toSet
+    val evalFields = allFields.filter(f =>
+      output.exists(_.name == f.name) || filterNames.contains(f.name))
+    new FixedWidthReaderFactory(output, evalFields, pushed)
+  }
 }
 
 final case class FixedWidthPartition(file: String) extends InputPartition
 
-class FixedWidthReaderFactory(fields: Seq[FixedWidth.Field])
+class FixedWidthReaderFactory(output: Seq[FixedWidth.Field],
+    evalFields: Seq[FixedWidth.Field], pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[FixedWidthPartition].file
+    val dtOf = evalFields.map(f => f.name -> f.dt).toMap
     new PartitionReader[InternalRow] {
       // local-mode simplification: default Hadoop conf (production ships
       // the driver conf via a broadcast SerializableConfiguration)
@@ -143,12 +212,22 @@ class FixedWidthReaderFactory(fields: Seq[FixedWidth.Field])
       private val in = p.getFileSystem(new Configuration()).open(p)
       private val reader =
         new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
-      private var line: String = _
+      private var parsed: Map[String, Any] = _
 
-      override def next(): Boolean = { line = reader.readLine(); line != null }
+      override def next(): Boolean = {
+        var line = reader.readLine()
+        while (line != null) {
+          val vals = evalFields.map(f => f.name -> FixedWidth.parse(line, f)).toMap
+          if (pushed.forall(FixedWidth.evalFilter(_, vals, dtOf))) {
+            parsed = vals
+            return true
+          }
+          line = reader.readLine()
+        }
+        false
+      }
       override def get(): InternalRow =
-        new GenericInternalRow(
-          fields.map(f => FixedWidth.parse(line, f)).toArray)
+        new GenericInternalRow(output.map(f => parsed(f.name)).toArray)
       override def close(): Unit = reader.close()
     }
   }

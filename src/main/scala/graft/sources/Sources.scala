@@ -31,11 +31,39 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** The same connector with FILTER pushdown
+    * ([[FixedWidthScanBuilder.pushFilters]]): the predicate runs inside
+    * the line reader, so filtered records never materialize as rows, and
+    * the filter-only column (`n_regionkey` here) is parsed for the test
+    * but never occupies an output slot. The plan shows the predicates
+    * under `pushed=[…]` in the scan description with NO Spark-side
+    * Filter re-check for the pushed conjuncts (asserted in SourcesSpec).
+    */
+  def fixedWidthFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_fw3").toString
+    Tables(spark, dir, "nation")
+      .select(format_string("%-4d%-20s%-4d",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    spark.read
+      .format("graft.sources.FixedWidthDataSource")
+      .option("fields",
+        "n_nationkey:1:4:int,n_name:5:20:string,n_regionkey:25:4:int")
+      .load(tmp)
+      .filter(col("n_regionkey") === 1 && col("n_nationkey") >= 5)
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_fixed_width_filtered" -> fixedWidthFiltered,
     "scan_fixed_width_dsv2" -> fixedWidthDsv2
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_fixed_width_filtered" ->
+      ("SELECT n_nationkey, n_name FROM nation " +
+        "WHERE n_regionkey = 1 AND n_nationkey >= 5 ORDER BY n_nationkey"),
     "scan_fixed_width_dsv2" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
   )

@@ -23,6 +23,22 @@ class SourcesSpec extends GraftSuite {
     assert(!scan.contains("n_regionkey"), scan)
   }
 
+  test("filter pushdown reaches the V2 reader; filter column stays pruned") {
+    val df = sources.Sources.fixedWidthFiltered(spark, sf0001)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("pushed=["), scan)
+    assert(scan.contains("EqualTo(n_regionkey,1)"), scan)
+    assert(scan.contains("GreaterThanOrEqual(n_nationkey,5)"), scan)
+    // output schema excludes the filter-only column
+    assert(df.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name"))
+    // reader-side evaluation is correct vs the plain-parquet answer
+    val expect = Tables(spark, sf0001, "nation")
+      .filter(col("n_regionkey") === 1 && col("n_nationkey") >= 5)
+      .select("n_nationkey", "n_name").orderBy("n_nationkey").collect()
+    assert(df.collect().sameElements(expect))
+  }
+
   test("all-column read and type parsing work through the spec") {
     val tmpDf = sources.Sources.fixedWidthDsv2(spark, sf0001)
     assert(tmpDf.schema.map(_.dataType.typeName) == Seq("integer", "string"))

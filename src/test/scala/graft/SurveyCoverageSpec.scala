@@ -78,7 +78,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "llm_corpus_pipeline", "graph_pagerank_step",
     "sink_zorder_write", "llm_dedup_edit_distance",
     // round-3 wave 7
-    "fn_mask", "etl_snapshot_diff", "win_rolling_median")
+    "fn_mask", "etl_snapshot_diff", "win_rolling_median",
+    "scan_fixed_width_filtered")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
