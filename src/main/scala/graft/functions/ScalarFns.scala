@@ -343,7 +343,32 @@ object ScalarFns {
         expr("mask(concat(c_mktsegment, '#', c_custkey))").as("masked_mix"))
       .orderBy("c_custkey")
 
+  /** Map higher-order functions: transform_keys / transform_values /
+    * map_filter / map_zip_with over a map built from row columns, each
+    * result serialized to a `k=v,…` string (entry order = literal build
+    * order, deterministic). The oracle reconstructs the same strings
+    * directly from the columns — proving the map-HOF semantics without
+    * needing map types in the oracle engine.
+    */
+  def fnMap2(spark: SparkSession, dir: String): DataFrame = {
+    val m = map(lit("a"), col("n_chars"), lit("b"), col("doc_id"))
+    def s(c: org.apache.spark.sql.Column) =
+      concat_ws(",", transform(map_entries(c),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))))
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        s(transform_values(m, (_, v) => v * 2)).as("doubled"),
+        s(map_filter(m, (k, _) => k === "a")).as("only_a"),
+        s(transform_keys(m, (k, _) => upper(k))).as("upper_keys"),
+        s(map_zip_with(m, transform_values(m, (_, v) => v * 2),
+          (_, v1, v2) => v1 + v2)).as("zipped"),
+        element_at(m, "b").as("b_val"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_map2" -> fnMap2,
     "fn_mask" -> fnMask,
     "fn_collation" -> fnCollation,
     "fn_interval" -> fnInterval,
@@ -367,6 +392,14 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_map2" ->
+      ("SELECT doc_id, " +
+        "'a=' || (n_chars * 2) || ',b=' || (doc_id * 2) AS doubled, " +
+        "'a=' || n_chars AS only_a, " +
+        "'A=' || n_chars || ',B=' || doc_id AS upper_keys, " +
+        "'a=' || (n_chars * 3) || ',b=' || (doc_id * 3) AS zipped, " +
+        "doc_id AS b_val " +
+        "FROM documents ORDER BY doc_id"),
     "fn_mask" ->
       ("SELECT c_custkey, " +
         "regexp_replace(regexp_replace(regexp_replace(c_name, " +

@@ -106,13 +106,44 @@ object CorpusOps {
       .limit(10)
   }
 
+  /** Dataset-card manifest: the (lang × source) statistics grid with
+    * subtotals and a grand total in ONE Expand pass (`rollup`), the
+    * summary block a corpus release ships. All metrics are exact integer
+    * sums, so the card is bit-identical on any engine and any partition
+    * schedule.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.col("text"), " ")
+    Tables(spark, dir, "documents")
+      .withColumn("n_tokens", size(w).cast("long"))
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        max("n_tokens").as("max_doc_tokens"),
+        grouping(col("lang")).cast("int").as("g_lang"),
+        grouping(col("source")).cast("int").as("g_source"))
+      .orderBy("g_lang", "g_source", "lang", "source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dataset_card" -> datasetCard,
     "llm_pack_sequences" -> packSequences,
     "llm_embed_centroid" -> embedCentroid,
     "llm_ann_ivf" -> annIvf
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_dataset_card" ->
+      ("SELECT lang, source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_doc_tokens, " +
+        "CAST(grouping(lang) AS INT) AS g_lang, " +
+        "CAST(grouping(source) AS INT) AS g_source " +
+        "FROM documents GROUP BY ROLLUP (lang, source) " +
+        "ORDER BY g_lang, g_source, lang, source"),
     "llm_pack_sequences" ->
       ("WITH toks AS (SELECT doc_id, lang, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +

@@ -386,7 +386,33 @@ object Aggregates {
         col("n"))
       .orderBy("l_returnflag")
 
+  /** Explicit materialization + multi-consumer reuse: an aggregated base
+    * is persist()ed and consumed by TWO branches (top-5 / bottom-5
+    * suppliers); the second branch reads the InMemoryRelation instead of
+    * re-running the scan+aggregate chain (InMemoryTableScan asserted in
+    * Round3cSpec). Spark does NOT share common subplans across branches
+    * of one query (measured on llm_text_tfidf, where an unshared explode
+    * ran twice) — persist/checkpoint is the user-controlled fix, and at
+    * 100 TB it is the difference between one pass and N over a fan-out
+    * DataFrame. Ordered limits carry a unique suppkey tiebreak (§5.3).
+    */
+  def cacheReuse(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        Det.moneySum(col("l_extendedprice")).as("revenue"))
+      .persist()
+    val top = base.orderBy(col("n_items").desc, col("l_suppkey"))
+      .limit(5).withColumn("which", lit("top"))
+    val bottom = base.orderBy(col("n_items").asc, col("l_suppkey"))
+      .limit(5).withColumn("which", lit("bottom"))
+    top.unionByName(bottom)
+      .select("which", "l_suppkey", "n_items", "revenue")
+      .orderBy("which", "l_suppkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "plan_cache_reuse" -> cacheReuse,
     "agg_approx_percentile" -> approxPercentile,
     "agg_filtered" -> filteredAgg,
     "agg_grouping_id" -> groupingId,
@@ -411,6 +437,16 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "plan_cache_reuse" ->
+      ("WITH b AS (SELECT l_suppkey, count(*) AS n_items, " +
+        Det.moneySumSql("l_extendedprice") + " AS revenue " +
+        "FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT 'top' AS which, l_suppkey, n_items, revenue " +
+        "FROM b ORDER BY n_items DESC, l_suppkey LIMIT 5), " +
+        "bo AS (SELECT 'bottom' AS which, l_suppkey, n_items, revenue " +
+        "FROM b ORDER BY n_items ASC, l_suppkey LIMIT 5) " +
+        "SELECT * FROM t UNION ALL SELECT * FROM bo " +
+        "ORDER BY which, l_suppkey"),
     "agg_filtered" ->
       ("SELECT o_orderpriority, count(*) AS n_orders, " +
         "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished, " +

@@ -298,6 +298,27 @@ class Round3cSpec extends GraftSuite {
     }
   }
 
+  test("plan_cache_reuse: second branch reads the InMemoryRelation") {
+    val df = operators.Aggregates.cacheReuse(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"branches must consume the persisted base:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.count(_.getString(0) == "top") == 5)
+  }
+
+  test("llm_dataset_card: subtotal rows reconcile with the grand total") {
+    val card = llm.CorpusOps.datasetCard(spark, sf0001).collect()
+    val grand = card.filter(r => r.getInt(6) == 1 && r.getInt(7) == 1)
+    assert(grand.length == 1)
+    val leaves = card.filter(r => r.getInt(6) == 0 && r.getInt(7) == 0)
+    assert(leaves.map(_.getLong(2)).sum == grand.head.getLong(2))
+    assert(leaves.map(_.getLong(3)).sum == grand.head.getLong(3))
+    val langSub = card.filter(r => r.getInt(6) == 0 && r.getInt(7) == 1)
+    assert(langSub.map(_.getLong(2)).sum == grand.head.getLong(2))
+  }
+
   test("join_bloom_runtime: bloom probe injected under thresholds, result unchanged") {
     val conf = spark.conf
     // injection requires a creation side that is NOT broadcastable-by-size

@@ -79,7 +79,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "sink_zorder_write", "llm_dedup_edit_distance",
     // round-3 wave 7
     "fn_mask", "etl_snapshot_diff", "win_rolling_median",
-    "scan_fixed_width_filtered")
+    "scan_fixed_width_filtered",
+    "fn_map2", "llm_dataset_card", "plan_cache_reuse")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
