@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Aggregates.queries ++
       operators.Windows.queries ++
       operators.SortsSetOps.queries ++
+      operators.SqlSurface.queries ++
       functions.ScalarFns.queries ++
       streaming.EventOps.queries ++
       llm.Dedup.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       operators.Aggregates.oracle ++
       operators.Windows.oracle ++
       operators.SortsSetOps.oracle ++
+      operators.SqlSurface.oracle ++
       functions.ScalarFns.oracle ++
       streaming.EventOps.oracle ++
       llm.Dedup.oracle ++

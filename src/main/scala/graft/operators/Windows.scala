@@ -176,7 +176,26 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Running DISTINCT count per partition — Spark REJECTS
+    * `count(DISTINCT …) OVER` outright, so the engine composes it as
+    * `size(collect_set(…))` over the running frame: the set state is the
+    * same bounded structure a native distinct-window would keep (≤
+    * #distinct values per group — here ≤5 event types), and the count is
+    * exact, not a sketch. The "how many distinct items has this user
+    * touched so far" cumulative-cardinality shape.
+    */
+  def distinctRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        size(collect_set("event_type").over(w)).cast("long")
+          .as("distinct_types_so_far"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distinct_running" -> distinctRunning,
     "win_rolling_median" -> rollingMedian,
     "win_ignore_nulls" -> ignoreNulls,
     "win_nth_value" -> nthValue,
@@ -191,6 +210,13 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_distinct_running" ->
+      ("SELECT user_id, event_id, " +
+        "count(DISTINCT event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS distinct_types_so_far " +
+        "FROM events ORDER BY event_id"),
     "win_rolling_median" ->
       ("WITH e AS (SELECT user_id, event_id, ts, " +
         "CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +

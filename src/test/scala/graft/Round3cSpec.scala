@@ -319,6 +319,29 @@ class Round3cSpec extends GraftSuite {
     assert(langSub.map(_.getLong(2)).sum == grand.head.getLong(2))
   }
 
+  test("sql_tpch_q5: SQL text plans like the DataFrame chain (broadcast dims)") {
+    val df = operators.SqlSurface.tpchQ5(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"dims should broadcast:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 0))
+  }
+
+  test("win_distinct_running: never decreases and ends at the user's true distinct count") {
+    val r = operators.Windows.distinctRunning(spark, sf0001)
+    // the frame order is (ts, event_id), which may interleave with the
+    // output's event_id order — so check the per-user endpoint
+    val finals = r.groupBy("user_id")
+      .agg(max("distinct_types_so_far").as("got"))
+    val truth = Tables(spark, sf0001, "events")
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("want"))
+    assert(finals.join(truth, "user_id")
+      .filter(col("got") =!= col("want")).count() == 0)
+  }
+
   test("join_bloom_runtime: bloom probe injected under thresholds, result unchanged") {
     val conf = spark.conf
     // injection requires a creation side that is NOT broadcastable-by-size

@@ -169,4 +169,35 @@ class StreamingSpec extends GraftSuite {
     val bAgg = b.agg(sum("n_events")).head.getLong(0)
     assert(aAgg == bAgg)
   }
+
+  test("checkpointed file stream processes only NEW files on the next run") {
+    // the incremental-ingest contract: a second Trigger.AvailableNow run
+    // against the same checkpoint resumes from the stored offsets, so
+    // already-seen input files are never reprocessed (exactly-once at the
+    // file granularity)
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_inc_in").toString
+    val out = Files.createTempDirectory("graft_inc_out").toString
+    val ckpt = Files.createTempDirectory("graft_inc_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("v LONG")
+        .json(in)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.write(Paths.get(in, "a.json"), "{\"v\":1}\n{\"v\":2}\n".getBytes)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    Files.write(Paths.get(in, "b.json"), "{\"v\":3}\n".getBytes)
+    runOnce()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3, "second run must append ONLY the new file")
+    assert(rows.agg(sum("v")).head.getLong(0) == 6)
+  }
 }
