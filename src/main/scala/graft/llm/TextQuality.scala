@@ -103,7 +103,26 @@ object TextQuality {
       .orderBy("doc_id")
   }
 
+  /** GPT-2-style PRE-tokenization by regex (contractions, space-prefixed
+    * word/number runs, punctuation runs) — the pass that feeds BPE
+    * ([[TextOps.bpeMergeStep]]). The pattern is RE2-safe (no lookahead —
+    * the oracle engine's regex has none), so both engines extract the
+    * identical token stream; verified on punctuated text in the spec and
+    * bit-exact through the oracle on the corpus.
+    */
+  def tokenizeRegex(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+    Tables(spark, dir, "documents")
+      .withColumn("toks",
+        expr(s"""regexp_extract_all(text, "$pat", 0)"""))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_regex_tokens"),
+        array_join(slice(col("toks"), 1, 5), "|").as("head5"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_tokenize_regex" -> tokenizeRegex,
     "llm_lang_id" -> langId,
     "llm_quality_score" -> qualityScore,
     "llm_token_count" -> tokenCount,
@@ -111,6 +130,15 @@ object TextQuality {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_tokenize_regex" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, " +
+        "'''[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS BIGINT) " +
+        "AS n_regex_tokens, " +
+        "array_to_string(list_slice(regexp_extract_all(text, " +
+        "'''[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+'), 1, 5), '|') " +
+        "AS head5 " +
+        "FROM documents ORDER BY doc_id"),
     "llm_lang_id" ->
       ("WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
         "profiles AS (SELECT plang, word FROM " +

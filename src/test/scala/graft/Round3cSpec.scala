@@ -342,6 +342,21 @@ class Round3cSpec extends GraftSuite {
       .filter(col("got") =!= col("want")).count() == 0)
   }
 
+  test("llm_tokenize_regex: contractions, numbers, punctuation split correctly") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat's 42 hats, ok!")).toDF("doc_id", "text")
+    val toks = df.withColumn("toks", expr(
+        """regexp_extract_all(text, "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+", 0)"""))
+      .select(array_join(col("toks"), "|")).head.getString(0)
+    assert(toks == "the| cat|'s| 42| hats|,| ok|!", toks)
+    // corpus sanity: regex token count >= whitespace token count
+    val r = llm.TextQuality.tokenizeRegex(spark, sf0001)
+      .join(Tables(spark, sf0001, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ws")),
+        "doc_id")
+    assert(r.filter(col("n_regex_tokens") < col("ws")).count() == 0)
+  }
+
   test("join_bloom_runtime: bloom probe injected under thresholds, result unchanged") {
     val conf = spark.conf
     // injection requires a creation side that is NOT broadcastable-by-size
