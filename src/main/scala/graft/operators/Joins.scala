@@ -349,7 +349,10 @@ object Joins {
   def dppJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    // stage only the columns the query reads — the fixture write is per-run
+    // cost, and a partitioned layout never needs the unused wide columns
     Tables(spark, dir, "events")
+      .select("event_type", "value")
       .repartition(col("event_type"))
       .write.mode("overwrite").partitionBy("event_type")
       .parquet(tmp + "/fact")

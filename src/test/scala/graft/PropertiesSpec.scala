@@ -100,4 +100,32 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
   }
+
+  /** The z-order interleave used by sink_zorder_write: bijective on the
+    * 8-bit × 8-bit grid, and contiguous z-ranges have bounded 2-D extent
+    * (the property file-level min/max skipping relies on).
+    */
+  property("morton interleave is a bijection on the 256x256 grid") = {
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i =>
+        (((x % 256) >> i & 1L) << (2 * i)) |
+          (((y % 256) >> i & 1L) << (2 * i + 1))).reduce(_ | _)
+    val coord = Gen.choose(0L, 255L)
+    Prop.forAll(coord, coord, coord, coord) { (x1, y1, x2, y2) =>
+      val same = (x1 == x2) && (y1 == y2)
+      (morton(x1, y1) == morton(x2, y2)) == same &&
+        morton(x1, y1) >= 0 && morton(x1, y1) < 65536
+    }
+  }
+
+  property("LCG id hash: stable, in-range, and overflow-free for any long") = {
+    def h(id: Long): Long =
+      ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { id =>
+      val v = h(id)
+      // stays below 2^61 pre-mod (no silent wrap), result in [0, 2^31)
+      (id % 2147483648L) * 1103515245L + 12345L > 0 &&
+        v >= 0 && v < 2147483648L && h(id) == v
+    }
+  }
 }
