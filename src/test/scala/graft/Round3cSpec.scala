@@ -357,6 +357,14 @@ class Round3cSpec extends GraftSuite {
     assert(r.filter(col("n_regex_tokens") < col("ws")).count() == 0)
   }
 
+  test("Tuning.confs sizes partitions to cores and keeps AQE + skew handling on") {
+    val c = plans.Tuning.confs(cores = 4000)
+    assert(c("spark.sql.shuffle.partitions") == "12000")
+    assert(c("spark.sql.adaptive.enabled") == "true")
+    assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(c("spark.sql.files.maxPartitionBytes").toLong == 256L << 20)
+  }
+
   test("join_bloom_runtime: bloom probe injected under thresholds, result unchanged") {
     val conf = spark.conf
     // injection requires a creation side that is NOT broadcastable-by-size
