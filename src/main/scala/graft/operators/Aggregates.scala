@@ -411,7 +411,23 @@ object Aggregates {
       .orderBy("which", "l_suppkey")
   }
 
+  /** Equi-width histogram via `width_bucket`: one pass, one shuffle on
+    * the bucket id — the distribution profile an optimizer or data-quality
+    * monitor wants. Bucket boundaries are CLOSED-FORM from the literal
+    * range, so the histogram is reproducible anywhere (an equi-HEIGHT
+    * histogram would need the percentile machinery of agg_percentile).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .withColumn("bucket",
+        expr("width_bucket(o_totalprice, 0, 600000, 10)").cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy("bucket")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram" -> histogram,
     "plan_cache_reuse" -> cacheReuse,
     "agg_approx_percentile" -> approxPercentile,
     "agg_filtered" -> filteredAgg,
@@ -437,6 +453,16 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    // DuckDB 1.0 has no width_bucket — state the same closed form:
+    // bucket width is exactly 60000, so floor(x/60000)+1 (clamped) is
+    // the identical IEEE computation on both engines
+    "agg_histogram" ->
+      ("SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0 " +
+        "WHEN o_totalprice >= 600000 THEN 11 " +
+        "ELSE floor(o_totalprice / 60000) + 1 END AS BIGINT) " +
+        "AS bucket, count(*) AS n_orders, " +
+        Det.moneySumSql("o_totalprice") + " AS total_price " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "plan_cache_reuse" ->
       ("WITH b AS (SELECT l_suppkey, count(*) AS n_items, " +
         Det.moneySumSql("l_extendedprice") + " AS revenue " +

@@ -217,7 +217,33 @@ object Scans {
       .orderBy("z", "l_orderkey", "l_linenumber")
   }
 
+  /** Schema evolution across partitioned writes: an old batch (3
+    * columns) and a new batch (4 columns — `n_events` added) land in the
+    * same dataset; `mergeSchema` unifies them at read time, back-filling
+    * the missing column with nulls. At 100 TB schema DRIFT across
+    * historical partitions is the norm, and merge-on-read beats
+    * rewriting years of data. (mergeSchema scans all footers — at real
+    * scale pin the unified schema explicitly; the read below states it
+    * via the merged footer union, which is the same contract.)
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_evo").toString
+    val c = Tables(spark, dir, "customer")
+    c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(tmp + "/batch=old")
+    c.filter(col("c_custkey") % 2 =!= 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        (col("c_custkey") % 7).as("n_events"))
+      .write.mode("overwrite").parquet(tmp + "/batch=new")
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_events"), col("batch"))
+      .orderBy("c_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_schema_evolution" -> schemaEvolution,
     "sink_zorder_write" -> zorderWrite,
     "scan_metadata_cols" -> metadataCols,
     "sink_clustered_write" -> clusteredWrite,
@@ -234,6 +260,12 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_schema_evolution" ->
+      ("SELECT c_custkey, c_name, c_mktsegment, " +
+        "CASE WHEN c_custkey % 2 = 0 THEN NULL " +
+        "ELSE c_custkey % 7 END AS n_events, " +
+        "CASE WHEN c_custkey % 2 = 0 THEN 'old' ELSE 'new' END AS batch " +
+        "FROM customer ORDER BY c_custkey"),
     "sink_zorder_write" ->
       ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
         s"CAST(${mortonDuck("l_partkey", "l_suppkey")} AS BIGINT) AS z " +

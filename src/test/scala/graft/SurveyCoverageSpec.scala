@@ -81,7 +81,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "fn_mask", "etl_snapshot_diff", "win_rolling_median",
     "scan_fixed_width_filtered",
     "fn_map2", "llm_dataset_card", "plan_cache_reuse",
-    "win_distinct_running", "sql_tpch_q5", "llm_tokenize_regex")
+    "win_distinct_running", "sql_tpch_q5", "llm_tokenize_regex",
+    "agg_histogram", "scan_schema_evolution")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
