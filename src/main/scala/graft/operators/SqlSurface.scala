@@ -9,6 +9,13 @@ import graft.Tables
   * gets) end to end with the same §5.3 exactness discipline. Revenue
   * sums go through the integer-micro grid inside the SQL itself, so the
   * statement is engine-portable verbatim.
+  *
+  * The TPC-H statements are adapted to the fixture's column subset
+  * (FIXTURES.md lists the columns missing vs standard TPC-H — e.g. Q3
+  * drops `o_shippriority`, Q10 drops address/phone, Q13 drops the
+  * comment filter, Q14 uses the fixture's exact `p_type = 'PROMO'`
+  * domain) and to determinism: every top-k ORDER BY carries a unique
+  * key tiebreak, and every float sum is grid-snapped.
   */
 object SqlSurface {
 
@@ -18,51 +25,184 @@ object SqlSurface {
     v
   }
 
+  /** sum(l_extendedprice*(1-l_discount)) on the integer-micro grid:
+    * identical bigint partials on any engine under any ordering, one
+    * final exact division. `expr` must be engine-portable SQL.
+    */
+  private def gridSum(expr: String): String =
+    s"CAST(sum(CAST(round($expr * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6"
+
+  private def q(spark: SparkSession, dir: String, tables: Seq[String],
+                sql: String): DataFrame = {
+    tables.foreach(view(spark, dir, _))
+    spark.sql(sql)
+  }
+
+  /** The statement pairs: Spark runs over `<t>_v` views, DuckDB over the
+    * raw parquet table names — same text otherwise (`round(x,0)` vs
+    * `round(x)` is the one dialect split the grid helper hides).
+    */
+  private def stmt(sparkSide: Boolean, name: String): String = {
+    def t(base: String) = if (sparkSide) base + "_v" else base
+    val rev = if (sparkSide) gridSum("l_extendedprice * (1 - l_discount)")
+    else "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"
+    name match {
+      case "q5" =>
+        s"SELECT n_name, $rev AS revenue, count(*) AS n_items " +
+          s"FROM ${t("customer")} JOIN ${t("orders")} ON c_custkey = o_custkey " +
+          s"JOIN ${t("lineitem")} ON l_orderkey = o_orderkey " +
+          s"JOIN ${t("supplier")} ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+          s"JOIN ${t("nation")} ON s_nationkey = n_nationkey " +
+          s"JOIN ${t("region")} ON n_regionkey = r_regionkey " +
+          "WHERE r_name = 'ASIA' " +
+          "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+          "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+          "GROUP BY n_name ORDER BY revenue DESC, n_name"
+      case "q3" =>
+        s"SELECT l_orderkey, $rev AS revenue, o_orderdate " +
+          s"FROM ${t("customer")} JOIN ${t("orders")} ON c_custkey = o_custkey " +
+          s"JOIN ${t("lineitem")} ON l_orderkey = o_orderkey " +
+          "WHERE c_mktsegment = 'BUILDING' " +
+          "AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00' " +
+          "AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00' " +
+          "GROUP BY l_orderkey, o_orderdate " +
+          "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+      case "q10" =>
+        s"SELECT c_custkey, c_name, $rev AS revenue, c_acctbal, n_name " +
+          s"FROM ${t("customer")} JOIN ${t("orders")} ON c_custkey = o_custkey " +
+          s"JOIN ${t("lineitem")} ON l_orderkey = o_orderkey " +
+          s"JOIN ${t("nation")} ON c_nationkey = n_nationkey " +
+          "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+          "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' " +
+          "AND l_returnflag = 'R' " +
+          "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+          "ORDER BY revenue DESC, c_custkey LIMIT 20"
+      case "q13" =>
+        "SELECT c_count, count(*) AS custdist FROM (" +
+          "SELECT c_custkey, count(o_orderkey) AS c_count " +
+          s"FROM ${t("customer")} LEFT OUTER JOIN ${t("orders")} " +
+          "ON c_custkey = o_custkey GROUP BY c_custkey) c_orders " +
+          "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+      case "q18" =>
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+          "sum(l_quantity) AS sum_qty " +
+          s"FROM ${t("customer")} JOIN ${t("orders")} ON c_custkey = o_custkey " +
+          s"JOIN ${t("lineitem")} ON o_orderkey = l_orderkey " +
+          s"WHERE o_orderkey IN (SELECT l_orderkey FROM ${t("lineitem")} " +
+          "GROUP BY l_orderkey HAVING sum(l_quantity) > 250) " +
+          "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+      case _ => sys.error(s"unknown stmt $name")
+    }
+  }
+
   /** TPC-H Q5 (local supplier volume): six-table star join, region/date
     * selective filters, revenue per nation. Catalyst broadcast-joins the
     * dims and leaves one exchange for the aggregate — the same plan the
     * hand-built DataFrame chain gets (asserted in Round3cSpec: no
     * cartesian, ≥3 broadcasts).
     */
-  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
-    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
-      .foreach(view(spark, dir, _))
-    spark.sql(
-      "SELECT n_name, " +
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame =
+    q(spark, dir, Seq("customer", "orders", "lineitem", "supplier",
+      "nation", "region"), stmt(sparkSide = true, "q5"))
+
+  /** TPC-H Q3 (shipping priority, sans `o_shippriority`): segment-filtered
+    * customer dim broadcast into orders⋈lineitem, revenue per unshipped
+    * order, top-10. At scale the o_orderdate/l_shipdate predicates push to
+    * the scans, and the LIMIT plans as TakeOrderedAndProject over the
+    * aggregated (small) side — never a global sort of lineitem.
+    */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame =
+    q(spark, dir, Seq("customer", "orders", "lineitem"),
+      stmt(sparkSide = true, "q3"))
+
+  /** TPC-H Q6 (forecast revenue change): pure scan-side query — every
+    * predicate (date range, discount band, quantity cap) reaches
+    * PushedFilters, one partial+final agg, zero joins. The canary for
+    * "filters reach the parquet reader".
+    */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    q(spark, dir, Seq("lineitem"),
+      "SELECT " + gridSum("l_extendedprice * l_discount") + " AS revenue " +
+        "FROM lineitem_v " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24")
+
+  /** TPC-H Q10 (returned-item reporting, sans address/phone): quarter of
+    * orders × returned lineitems, revenue per customer, top-20. nation
+    * broadcasts; the one exchange is the customer-keyed aggregate.
+    */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame =
+    q(spark, dir, Seq("customer", "orders", "lineitem", "nation"),
+      stmt(sparkSide = true, "q10"))
+
+  /** TPC-H Q13 (customer order-count distribution, sans comment filter):
+    * LEFT OUTER join keeps zero-order customers, two cascaded aggregates.
+    * The outer count(o_orderkey) counts non-null keys only — the
+    * LEFT-JOIN-null convention both engines share.
+    */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame =
+    q(spark, dir, Seq("customer", "orders"), stmt(sparkSide = true, "q13"))
+
+  /** TPC-H Q14 (promotion effect): promo revenue share as one ratio row.
+    * Both grid sums come out of a single partial+final aggregate (a
+    * conditional sum is just another accumulator — no second scan), then
+    * one exact bigint→double division; identical on any engine because
+    * the operands are identical integers.
+    */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame =
+    q(spark, dir, Seq("lineitem", "part"),
+      "SELECT CAST(100 * sum(CASE WHEN p_type = 'PROMO' " +
+        "THEN CAST(round(l_extendedprice * (1 - l_discount) * 1e6, 0) AS BIGINT) " +
+        "ELSE 0 END) AS DOUBLE) / " +
         "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6, 0) " +
-        "AS BIGINT)) AS DOUBLE) / 1e6 AS revenue, " +
-        "count(*) AS n_items " +
-        "FROM customer_v JOIN orders_v ON c_custkey = o_custkey " +
-        "JOIN lineitem_v ON l_orderkey = o_orderkey " +
-        "JOIN supplier_v ON l_suppkey = s_suppkey " +
-        "AND c_nationkey = s_nationkey " +
-        "JOIN nation_v ON s_nationkey = n_nationkey " +
-        "JOIN region_v ON n_regionkey = r_regionkey " +
-        "WHERE r_name = 'ASIA' " +
-        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
-        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
-        "GROUP BY n_name ORDER BY revenue DESC, n_name")
-  }
+        "AS BIGINT)) AS DOUBLE) AS promo_revenue " +
+        "FROM lineitem_v JOIN part_v ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'")
+
+  /** TPC-H Q18 (large-volume customers): HAVING-filtered IN subquery over
+    * lineitem (plans as a semi join against the aggregated keys — the
+    * small side), then the detail join + per-order quantity rollup.
+    * l_quantity is integral (1..50) so its double sums are order-exact
+    * without a grid. Threshold 250 (vs standard 300) sized to the
+    * fixture's ≤7-line orders so all three SFs return rows.
+    */
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame =
+    q(spark, dir, Seq("customer", "orders", "lineitem"),
+      stmt(sparkSide = true, "q18"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql_tpch_q5" -> tpchQ5
+    "sql_tpch_q5" -> tpchQ5,
+    "sql_tpch_q3" -> tpchQ3,
+    "sql_tpch_q6" -> tpchQ6,
+    "sql_tpch_q10" -> tpchQ10,
+    "sql_tpch_q13" -> tpchQ13,
+    "sql_tpch_q14" -> tpchQ14,
+    "sql_tpch_q18" -> tpchQ18
   )
 
   def oracle: Map[String, String] = Map(
-    "sql_tpch_q5" ->
-      ("SELECT n_name, " +
+    "sql_tpch_q5" -> stmt(sparkSide = false, "q5"),
+    "sql_tpch_q3" -> stmt(sparkSide = false, "q3"),
+    "sql_tpch_q6" ->
+      ("SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 1e6) " +
+        "AS BIGINT)) AS DOUBLE) / 1e6 AS revenue FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    "sql_tpch_q10" -> stmt(sparkSide = false, "q10"),
+    "sql_tpch_q13" -> stmt(sparkSide = false, "q13"),
+    "sql_tpch_q14" ->
+      ("SELECT CAST(100 * sum(CASE WHEN p_type = 'PROMO' " +
+        "THEN CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT) " +
+        "ELSE 0 END) AS DOUBLE) / " +
         "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) " +
-        "AS BIGINT)) AS DOUBLE) / 1e6 AS revenue, " +
-        "count(*) AS n_items " +
-        "FROM customer JOIN orders ON c_custkey = o_custkey " +
-        "JOIN lineitem ON l_orderkey = o_orderkey " +
-        "JOIN supplier ON l_suppkey = s_suppkey " +
-        "AND c_nationkey = s_nationkey " +
-        "JOIN nation ON s_nationkey = n_nationkey " +
-        "JOIN region ON n_regionkey = r_regionkey " +
-        "WHERE r_name = 'ASIA' " +
-        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
-        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
-        "GROUP BY n_name ORDER BY revenue DESC, n_name")
+        "AS BIGINT)) AS DOUBLE) AS promo_revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"),
+    "sql_tpch_q18" -> stmt(sparkSide = false, "q18")
   )
 }
