@@ -367,7 +367,30 @@ object ScalarFns {
       .orderBy("doc_id")
   }
 
+  /** Binary encodings: base64 round-trip, hex (lowercased — Spark emits
+    * uppercase, DuckDB lowercase), SHA-256, and byte lengths. The
+    * round-trip column (`decode(unbase64(base64(x)))`) proves both
+    * directions engine-side. Spark 4.1's base64 still emits the MIME
+    * 76-char `\r\n` chunking (measured — the non-chunked default did not
+    * land here), so the emitted column strips the line breaks to the
+    * canonical form; unbase64 accepts either.
+    */
+  def fnEncode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_replace(base64(col("text").cast("binary")), "\r\n", "")
+          .as("b64"),
+        decode(unbase64(base64(col("text").cast("binary"))), "UTF-8")
+          .as("roundtrip"),
+        lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("hex8"),
+        sha2(col("text"), 256).as("sha256_hex"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        bit_length(col("text")).as("n_bits"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_encode" -> fnEncode,
     "fn_map2" -> fnMap2,
     "fn_mask" -> fnMask,
     "fn_collation" -> fnCollation,
@@ -392,6 +415,13 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_encode" ->
+      ("SELECT doc_id, base64(encode(text)) AS b64, text AS roundtrip, " +
+        "lower(hex(encode(substring(text, 1, 8)))) AS hex8, " +
+        "sha256(text) AS sha256_hex, " +
+        "octet_length(encode(text)) AS n_bytes, " +
+        "8 * octet_length(encode(text)) AS n_bits " +
+        "FROM documents ORDER BY doc_id"),
     "fn_map2" ->
       ("SELECT doc_id, " +
         "'a=' || (n_chars * 2) || ',b=' || (doc_id * 2) AS doubled, " +

@@ -426,7 +426,25 @@ object Aggregates {
         Det.moneySum(col("o_totalprice")).as("total_price"))
       .orderBy("bucket")
 
+  /** Ordered string aggregation via Spark 4's `listagg(x, sep) WITHIN
+    * GROUP (ORDER BY ...)` — the SQL-standard surface (DuckDB spells it
+    * `string_agg(... ORDER BY ...)`). The WITHIN GROUP ordering makes the
+    * concatenation deterministic under any partitioning; without it the
+    * result depends on task schedule. At scale the concat state grows
+    * with group size — keep it for bounded groups (names per segment
+    * here), use collect_list+sort for anything that needs post-processing.
+    */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql(
+      "SELECT c_mktsegment, count(*) AS n_customers, " +
+        "listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names " +
+        "FROM customer_v WHERE c_custkey <= 200 " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_string_agg" -> stringAgg,
     "agg_histogram" -> histogram,
     "plan_cache_reuse" -> cacheReuse,
     "agg_approx_percentile" -> approxPercentile,
@@ -453,6 +471,11 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_string_agg" ->
+      ("SELECT c_mktsegment, count(*) AS n_customers, " +
+        "string_agg(c_name, ',' ORDER BY c_name) AS names " +
+        "FROM customer WHERE c_custkey <= 200 " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // DuckDB 1.0 has no width_bucket — state the same closed form:
     // bucket width is exactly 60000, so floor(x/60000)+1 (clamped) is
     // the identical IEEE computation on both engines

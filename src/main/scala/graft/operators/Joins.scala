@@ -372,7 +372,31 @@ object Joins {
       .orderBy("event_type")
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of vanishing — the semantics every
+    * change-data-capture or snapshot-reconcile join needs on nullable
+    * natural keys. Catalyst treats EqualNullSafe as a hash-join key
+    * (coalescing it into the shuffle key), so the plan is the same
+    * single-exchange SortMergeJoin/HashJoin as plain equality — NOT a
+    * theta join. Both sides pre-aggregate per key, so the NULL group is
+    * one row each side and the join carries |keys| rows.
+    */
+  def nullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables(spark, dir, "orders")
+      .withColumn("k",
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey") % 50))
+    val a = keyed.groupBy(col("k").as("k_a"))
+      .agg(count(lit(1)).as("n_orders"))
+    val b = keyed.groupBy(col("k").as("k_b"))
+      .agg(Det.moneySum(col("o_totalprice")).as("total_price"))
+    a.join(b, a("k_a") <=> b("k_b"))
+      .select(a("k_a").as("k"), col("n_orders"), col("total_price"))
+      .orderBy("k")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_nullsafe" -> nullSafe,
     "join_dpp" -> dppJoin,
     "join_bloom_runtime" -> bloomRuntime,
     "join_range_banded" -> rangeBanded,
@@ -394,6 +418,14 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_nullsafe" ->
+      ("WITH keyed AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL " +
+        "ELSE o_custkey % 50 END AS k, o_totalprice FROM orders), " +
+        "a AS (SELECT k, count(*) AS n_orders FROM keyed GROUP BY k), " +
+        "b AS (SELECT k, " + Det.moneySumSql("o_totalprice") +
+        " AS total_price FROM keyed GROUP BY k) " +
+        "SELECT a.k, a.n_orders, b.total_price FROM a JOIN b " +
+        "ON a.k IS NOT DISTINCT FROM b.k ORDER BY a.k"),
     "join_dpp" ->
       ("SELECT event_type, 'engagement' AS category, count(*) AS n, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 " +

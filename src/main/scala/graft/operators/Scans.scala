@@ -44,6 +44,37 @@ object Scans {
     spark.read.orc(tmp).orderBy("s_suppkey")
   }
 
+  /** Avro write + read-back (the row-oriented interchange format; Spark
+    * 4 bundles the Avro source in spark-sql). Schema travels in the file
+    * footer, so read-back needs no declared schema; int32/string/double
+    * columns map 1:1. Avro's role at scale is streaming/interchange —
+    * columnar scans stay parquet/ORC.
+    */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_avro").toString
+    // this build's spark-sql jar carries the Avro classes but not the
+    // `avro` DataSourceRegister service entry — address the FileFormat
+    // by class name (lookupDataSource accepts it)
+    val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    Tables(spark, dir, "nation").write.mode("overwrite")
+      .format(fmt).save(tmp)
+    spark.read.format(fmt).load(tmp).orderBy("n_nationkey")
+  }
+
+  /** XML write + read-back (Spark 4 built-in XML source, ex spark-xml).
+    * Values round-trip as element text; read-back casts through the
+    * source schema because XML inference widens ints. The `rowTag`
+    * option is the record framing — one element per row.
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    val nation = Tables(spark, dir, "nation")
+    nation.write.mode("overwrite").option("rowTag", "nation")
+      .format("xml").save(tmp)
+    spark.read.option("rowTag", "nation").schema(nation.schema)
+      .format("xml").load(tmp).orderBy("n_nationkey")
+  }
+
   /** JSON-lines write + schema-on-read read-back (doubles survive via
     * shortest-roundtrip text encoding).
     */
@@ -243,6 +274,8 @@ object Scans {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_avro_roundtrip" -> avroRoundtrip,
+    "scan_xml_roundtrip" -> xmlRoundtrip,
     "scan_schema_evolution" -> schemaEvolution,
     "sink_zorder_write" -> zorderWrite,
     "scan_metadata_cols" -> metadataCols,
@@ -260,6 +293,10 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_avro_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_xml_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_schema_evolution" ->
       ("SELECT c_custkey, c_name, c_mktsegment, " +
         "CASE WHEN c_custkey % 2 = 0 THEN NULL " +
