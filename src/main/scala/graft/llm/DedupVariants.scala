@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -233,6 +234,43 @@ object DedupVariants {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-style semantic dedup: cluster by nearest centroid, then
+    * drop within-cluster near-duplicates. Unlike [[embedDedup]] (which
+    * blocks on a GIVEN label), the blocking key here comes from the data
+    * — argmax-cosine assignment against a deterministic codebook
+    * (vec_id < 10, the llm_ann_ivf convention; production swaps in
+    * k-means centroids from llm_kmeans_step). The pairwise pass then
+    * runs per CELL — cost Σ|cell|², never |corpus|² — and survivors are
+    * the min-id representative of each near-dup set. Assignment uses the
+    * 6-decimal rounded cosine with cid tiebreak so the argmax is exact
+    * cross-engine.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val cent = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("csim", round(expr("cosine_sim(embedding, cvec)"), 6))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val drops = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(expr("cosine_sim(emb_a, emb_b)"), 6) >= 0.4)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cid")
+      .orderBy("vec_id")
+  }
+
   /** Fuzzy (edit-distance) neighbor scan — the record-linkage dedup for
     * small in-place edits that hash/shingle methods miss. Blocking keeps
     * it corpus-scale: candidates must share `lang` and sit within ±4
@@ -276,6 +314,7 @@ object DedupVariants {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_edit_distance" -> editDistance,
+    "llm_dedup_semantic" -> semanticDedup,
     "llm_dedup_simhash" -> simhashPairs,
     "llm_dedup_ngram_jaccard" -> ngramJaccard,
     "llm_dedup_components" -> dedupComponents,
@@ -329,6 +368,21 @@ object DedupVariants {
         "comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
         "SELECT comp, count(*) AS n_members, max(id) AS max_id " +
         "FROM comp GROUP BY comp ORDER BY comp"),
+    "llm_dedup_semantic" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
+        "FROM embeddings), " +
+        "cent AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < 10), " +
+        "assigned AS (SELECT vec_id, emb, cid FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, row_number() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        "round(list_cosine_similarity(e.emb, c.cvec), 6) DESC, c.cid) AS rk " +
+        "FROM e CROSS JOIN cent c) WHERE rk = 1), " +
+        "drops AS (SELECT DISTINCT b.vec_id FROM assigned a " +
+        "JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4) " +
+        "SELECT vec_id, cid FROM assigned " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id"),
     "llm_dedup_embed" ->
       ("WITH e AS (SELECT vec_id, label, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -128,9 +128,20 @@ class FixedWidthTable(path: String, fields: Seq[FixedWidth.Field])
 
 class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
   private var required: Seq[FixedWidth.Field] = fields
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  // PARTIAL limit pushdown (return false): each partition reader stops
+  // after emitting `limit` rows — the file read ends early, which is the
+  // real I/O win — while Spark keeps its own global Limit on top, since
+  // a multi-file scan can exceed the bound across partitions.
+  override def pushLimit(l: Int): Boolean = {
+    limit = l
+    false
+  }
 
   // Catalyst hands us the pruned schema; keep spec order, drop the rest —
   // the reader then never even substrings the unused byte ranges.
@@ -158,21 +169,23 @@ class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new FixedWidthScan(path, required, fields, pushed)
+  override def build(): Scan =
+    new FixedWidthScan(path, required, fields, pushed, limit)
 }
 
 class FixedWidthScan(path: String, output: Seq[FixedWidth.Field],
-    allFields: Seq[FixedWidth.Field], pushed: Array[Filter])
+    allFields: Seq[FixedWidth.Field], pushed: Array[Filter], limit: Int)
     extends Scan with Batch {
 
   def this(path: String, output: Seq[FixedWidth.Field]) =
-    this(path, output, output, Array.empty)
+    this(path, output, output, Array.empty, -1)
 
   override def readSchema(): StructType = FixedWidth.schemaOf(output)
   override def toBatch: Batch = this
   override def description(): String =
     s"FixedWidthScan(${output.map(_.name).mkString(",")})" +
-      (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(", ")}]" else "")
+      (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(", ")}]" else "") +
+      (if (limit >= 0) s" limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -193,14 +206,14 @@ class FixedWidthScan(path: String, output: Seq[FixedWidth.Field],
     val filterNames = pushed.flatMap(FixedWidth.refs).toSet
     val evalFields = allFields.filter(f =>
       output.exists(_.name == f.name) || filterNames.contains(f.name))
-    new FixedWidthReaderFactory(output, evalFields, pushed)
+    new FixedWidthReaderFactory(output, evalFields, pushed, limit)
   }
 }
 
 final case class FixedWidthPartition(file: String) extends InputPartition
 
 class FixedWidthReaderFactory(output: Seq[FixedWidth.Field],
-    evalFields: Seq[FixedWidth.Field], pushed: Array[Filter])
+    evalFields: Seq[FixedWidth.Field], pushed: Array[Filter], limit: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[FixedWidthPartition].file
@@ -213,13 +226,18 @@ class FixedWidthReaderFactory(output: Seq[FixedWidth.Field],
       private val reader =
         new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
       private var parsed: Map[String, Any] = _
+      private var emitted = 0
 
       override def next(): Boolean = {
+        // pushed-limit stop: quit reading the stream once this partition
+        // has emitted its bound — the early-EOF that makes LIMIT cheap
+        if (limit >= 0 && emitted >= limit) return false
         var line = reader.readLine()
         while (line != null) {
           val vals = evalFields.map(f => f.name -> FixedWidth.parse(line, f)).toMap
           if (pushed.forall(FixedWidth.evalFilter(_, vals, dtOf))) {
             parsed = vals
+            emitted += 1
             return true
           }
           line = reader.readLine()

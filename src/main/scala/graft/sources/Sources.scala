@@ -55,12 +55,40 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** LIMIT pushdown ([[FixedWidthScanBuilder.pushLimit]]): the reader
+    * stops consuming the file after `limit` emitted records instead of
+    * scanning to EOF — partial pushdown, so Spark's global Limit stays on
+    * top (correct across multi-file scans). The fixture is one sorted
+    * file, so "first 10 records" is the 10 lowest keys and the key is
+    * oracle-able; the plan shows `limit=10` in the scan description
+    * (asserted in SourcesSpec).
+    */
+  def fixedWidthLimit(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_fw4").toString
+    Tables(spark, dir, "nation").orderBy("n_nationkey").coalesce(1)
+      .select(format_string("%-4d%-20s%-4d",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    spark.read
+      .format("graft.sources.FixedWidthDataSource")
+      .option("fields",
+        "n_nationkey:1:4:int,n_name:5:20:string,n_regionkey:25:4:int")
+      .load(tmp)
+      .limit(10)
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_fixed_width_limit" -> fixedWidthLimit,
     "scan_fixed_width_filtered" -> fixedWidthFiltered,
     "scan_fixed_width_dsv2" -> fixedWidthDsv2
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_fixed_width_limit" ->
+      ("SELECT n_nationkey, n_name FROM nation " +
+        "ORDER BY n_nationkey LIMIT 10"),
     "scan_fixed_width_filtered" ->
       ("SELECT n_nationkey, n_name FROM nation " +
         "WHERE n_regionkey = 1 AND n_nationkey >= 5 ORDER BY n_nationkey"),

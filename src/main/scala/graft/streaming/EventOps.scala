@@ -149,7 +149,43 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Stream-stream interval join (click attribution), batch-emulated:
+    * every click joins the views by the same user in the preceding 30
+    * minutes. The batch plan is the scale shape Structured Streaming's
+    * symmetric-hash join state would hold: both sides bucket into 30-min
+    * time bands, the view side replicated into {band, band+1} so each
+    * qualifying (view, click) pair meets on EXACTLY one (user, band)
+    * equi-key (gap ≤ band width ⇒ the click's band is one of the two) —
+    * no theta join, no post-dedup. The true streaming form (watermarked
+    * `ts BETWEEN` join — state eviction replaces the band trick) runs in
+    * StreamingSpec over MemoryStream with identical results.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val e = Tables(spark, dir, "events")
+    def band(c: Column): Column =
+      (unix_micros(c) / lit(1800000000L)).cast("long")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withColumn("band",
+        explode(array(band(col("view_ts")), band(col("view_ts")) + 1)))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withColumn("band", band(col("click_ts")))
+    views.join(clicks, Seq("user_id", "band"))
+      .filter(col("click_ts") >= col("view_ts") &&
+        unix_micros(col("click_ts")) - unix_micros(col("view_ts"))
+          <= 1800000000L)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> streamStreamJoin,
     "stream_mapgroups_batch" -> mapGroupsBatch,
     "stream_tumbling" -> tumbling,
     "stream_sliding" -> sliding,
@@ -161,6 +197,15 @@ object EventOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_stream_join" ->
+      ("SELECT v.user_id AS user_id, v.event_id AS view_id, " +
+        "c.event_id AS click_id, " +
+        "epoch_us(c.ts) - epoch_us(v.ts) AS lag_us " +
+        "FROM events v JOIN events c ON v.user_id = c.user_id " +
+        "AND v.event_type = 'view' AND c.event_type = 'click' " +
+        "AND c.ts >= v.ts " +
+        "AND epoch_us(c.ts) - epoch_us(v.ts) <= 1800000000 " +
+        "ORDER BY user_id, view_id, click_id"),
     "stream_mapgroups_batch" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 " +

@@ -39,6 +39,17 @@ class SourcesSpec extends GraftSuite {
     assert(df.collect().sameElements(expect))
   }
 
+  test("limit pushdown reaches the V2 scan and bounds the reader") {
+    val df = sources.Sources.fixedWidthLimit(spark, sf0001)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("limit=10"), scan)
+    // partial pushdown: Spark's own Limit must STAY in the plan
+    assert(df.queryExecution.executedPlan.toString.contains("Limit"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.collect().map(_.getInt(0)).toSeq == (0 until 10))
+  }
+
   test("all-column read and type parsing work through the spec") {
     val tmpDf = sources.Sources.fixedWidthDsv2(spark, sf0001)
     assert(tmpDf.schema.map(_.dataType.typeName) == Seq("integer", "string"))

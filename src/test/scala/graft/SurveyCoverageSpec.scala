@@ -82,7 +82,13 @@ class SurveyCoverageSpec extends GraftSuite {
     "scan_fixed_width_filtered",
     "fn_map2", "llm_dataset_card", "plan_cache_reuse",
     "win_distinct_running", "sql_tpch_q5", "llm_tokenize_regex",
-    "agg_histogram", "scan_schema_evolution")
+    "agg_histogram", "scan_schema_evolution",
+    // round-3 wave 11 (second session)
+    "sql_tpch_q3", "sql_tpch_q6", "sql_tpch_q10", "sql_tpch_q13",
+    "sql_tpch_q14", "sql_tpch_q18",
+    "join_nullsafe", "agg_string_agg", "fn_encode",
+    "scan_avro_roundtrip", "scan_xml_roundtrip", "scan_fixed_width_limit",
+    "stream_stream_join", "llm_dedup_semantic")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
