@@ -297,7 +297,38 @@ object Etl {
       .orderBy("key")
   }
 
+  /** Globally-dense deterministic surrogate keys WITHOUT a global sort:
+    * the naive `row_number() OVER (ORDER BY key)` plans a single-
+    * partition exchange (one task holds the corpus), and
+    * `monotonically_increasing_id` is dense only per partition and not
+    * reproducible across layouts. The scale shape is two passes:
+    * (1) one tiny aggregate derives explicit key-range buckets and their
+    * cumulative row offsets (8 rows, broadcast); (2) rows rank WITHIN
+    * their bucket (parallel window, one bucket-keyed exchange) and add
+    * the bucket's offset. Result ≡ the global row_number, bit-for-bit,
+    * at any partition count — which is exactly what the oracle states.
+    */
+  def surrogateKey(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val mx = c.agg(max("c_custkey").as("mx"))
+    val bucketed = c.crossJoin(broadcast(mx))
+      .withColumn("bkt", floor(col("c_custkey") * 8 / (col("mx") + 1)))
+    val offsets = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "offset")
+    val wB = Window.partitionBy("bkt").orderBy("c_custkey")
+    bucketed
+      .withColumn("rk", row_number().over(wB))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("c_custkey"), col("c_name"),
+        (col("offset") + col("rk")).as("sk"))
+      .orderBy("sk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_surrogate_key" -> surrogateKey,
     "etl_snapshot_diff" -> snapshotDiff,
     "etl_gap_fill" -> gapFill,
     "etl_malformed_split" -> malformedSplit,
@@ -311,6 +342,10 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_surrogate_key" ->
+      ("SELECT c_custkey, c_name, " +
+        "row_number() OVER (ORDER BY c_custkey) AS sk " +
+        "FROM customer ORDER BY sk"),
     "etl_snapshot_diff" ->
       ("WITH old AS (SELECT o_orderkey AS key, o_totalprice AS price " +
         "FROM orders), " +

@@ -173,7 +173,63 @@ object SqlSurface {
     q(spark, dir, Seq("customer", "orders", "lineitem"),
       stmt(sparkSide = true, "q18"))
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): depth-bounded BFS
+    * expansion from a seed vector over the cosine-similarity graph — the
+    * "give me the neighborhood of this document" retrieval op. The edge
+    * list is the [[graft.llm.Similarity]] blocked pair join materialized
+    * as a view; each recursion step is ONE equi-join of the frontier
+    * against the (symmetric) edge list plus a depth guard — exactly the
+    * iterate-until-fixpoint shape of llm_dedup_components, but expressed
+    * declaratively and planned by Catalyst's UnionLoop. Spark only
+    * supports UNION ALL recursion (no cycle-collapsing UNION), so the
+    * depth bound d < 3 is what terminates traversal of the undirected
+    * graph; min(d) collapses revisits.
+    */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(expr("cosine_sim(emb_a, emb_b)"), 6) >= 0.25)
+      .select("id_a", "id_b")
+      .createOrReplaceTempView("sim_pairs_v")
+    spark.sql(
+      "WITH RECURSIVE edges AS (" +
+        "SELECT id_a AS src, id_b AS dst FROM sim_pairs_v " +
+        "UNION ALL SELECT id_b AS src, id_a AS dst FROM sim_pairs_v), " +
+        "reach(id, d) AS (" +
+        "SELECT CAST(0 AS BIGINT) AS id, 0 AS d " +
+        "UNION ALL SELECT e.dst, r.d + 1 FROM reach r " +
+        "JOIN edges e ON r.id = e.src WHERE r.d < 3) " +
+        "SELECT id, min(d) AS hops FROM reach GROUP BY id " +
+        "ORDER BY hops, id")
+  }
+
+  /** Parameterized SQL (`spark.sql(text, args)`): named `:param` markers
+    * bound server-side — the injection-safe front door for templated
+    * production queries (the literal never concatenates into the text).
+    * Catalyst folds the bound constants exactly like literals, so
+    * pushdown/pruning are unchanged.
+    */
+  def parameterized(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql(
+      "SELECT o_orderpriority, count(*) AS n, " +
+        gridSum("o_totalprice") + " AS total " +
+        "FROM orders_v WHERE o_totalprice > :minp " +
+        "AND o_orderdate >= CAST(:d0 AS TIMESTAMP) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+      Map("minp" -> 200000, "d0" -> "1996-01-01 00:00:00"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte" -> recursiveCte,
+    "sql_parameterized" -> parameterized,
     "sql_tpch_q5" -> tpchQ5,
     "sql_tpch_q3" -> tpchQ3,
     "sql_tpch_q6" -> tpchQ6,
@@ -184,6 +240,27 @@ object SqlSurface {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_recursive_cte" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
+        "FROM embeddings), " +
+        "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.25), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs), " +
+        "reach(id, d) AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS d " +
+        "UNION ALL SELECT e.dst, r.d + 1 FROM reach r " +
+        "JOIN edges e ON r.id = e.src WHERE r.d < 3) " +
+        "SELECT id, min(d) AS hops FROM reach GROUP BY id " +
+        "ORDER BY hops, id"),
+    "sql_parameterized" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS DOUBLE) " +
+        "/ 1e6 AS total " +
+        "FROM orders WHERE o_totalprice > 200000 " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "sql_tpch_q5" -> stmt(sparkSide = false, "q5"),
     "sql_tpch_q3" -> stmt(sparkSide = false, "q3"),
     "sql_tpch_q6" ->

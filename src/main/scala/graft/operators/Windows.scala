@@ -194,7 +194,29 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Time-based RANGE frame (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    * AND CURRENT ROW` over the event timestamp): the per-entity rolling
+    * 1-hour activity window — unlike [[frameRows]]' physical row frames,
+    * the frame width here is wall-clock, so bursts widen the frame and
+    * quiet periods shrink it. One user-keyed exchange; the frame scan is
+    * the standard sliding two-pointer inside each partition. The sum
+    * accumulates integer cents, so frame totals are order-exact.
+    */
+  def frameTime(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("count(*) OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")
+          .as("n_1h"),
+        (expr("sum(cents) OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")
+          / 100.0).as("sum_1h"))
+      .orderBy("user_id", "ts_us", "event_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_frame_time" -> frameTime,
     "win_distinct_running" -> distinctRunning,
     "win_rolling_median" -> rollingMedian,
     "win_ignore_nulls" -> ignoreNulls,
@@ -210,6 +232,20 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    // operate on µs-truncated timestamps (make_timestamp of epoch_us) so
+    // the RANGE frame boundaries match Spark's µs TimestampType exactly
+    // (the raw parquet column is TIMESTAMP_NS on the DuckDB side)
+    "win_frame_time" ->
+      ("WITH e AS (SELECT user_id, event_id, " +
+        "make_timestamp(epoch_us(ts)) AS ts, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h, " +
+        "sum(cents) OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) / 100.0 " +
+        "AS sum_1h " +
+        "FROM e ORDER BY user_id, ts_us, event_id"),
     "win_distinct_running" ->
       ("SELECT user_id, event_id, " +
         "count(DISTINCT event_type) OVER (PARTITION BY user_id " +

@@ -88,7 +88,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "sql_tpch_q14", "sql_tpch_q18",
     "join_nullsafe", "agg_string_agg", "fn_encode",
     "scan_avro_roundtrip", "scan_xml_roundtrip", "scan_fixed_width_limit",
-    "stream_stream_join", "llm_dedup_semantic")
+    "stream_stream_join", "llm_dedup_semantic",
+    "sql_recursive_cte", "sql_parameterized",
+    "etl_surrogate_key", "win_frame_time")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
