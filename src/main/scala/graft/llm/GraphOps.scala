@@ -43,11 +43,81 @@ object GraphOps {
       .orderBy("event_type")
   }
 
+  /** THREE chained PageRank power-iterations on the event-type
+    * transition graph (edge src→dst with weight = how often dst follows
+    * src in a user's stream; order is by event_id, which FIXTURES.md
+    * documents as the event-time order — engine-identical without
+    * timestamp comparisons). Rank mass stays in integer micro-units
+    * ([[pagerankStep]]'s contract), so all three iterations are
+    * bit-stable under any schedule.
+    *
+    * The loop body calls `localCheckpoint()` after each step — the
+    * iterative-algorithm scale pattern: without it, iteration k's plan
+    * contains k copies of the whole upstream DAG (re-executed per
+    * action, and eventually overwhelming the optimizer); the checkpoint
+    * truncates lineage so each step plans against materialized ranks,
+    * which is how a 50-iteration PageRank stays plannable at 100 TB.
+    * (At cluster scale prefer `checkpoint()` to HDFS for fault
+    * tolerance; localCheckpoint trades re-computability for speed.)
+    */
+  def pagerankIter3(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val ev = Tables(spark, dir, "events")
+      .select("user_id", "event_id", "event_type")
+    val edges = ev.withColumn("src", lag("event_type", 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val wout = edges.groupBy("src").agg(sum("w").as("wout"))
+    val ew = edges.join(wout, "src")
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.withColumn("rank_units", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = ew.join(ranks, col("src") === col("node"))
+        .withColumn("units", expr("(rank_units * w) div wout"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("units").as("in_units"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nNodes))
+        .select(col("node"),
+          (expr("(1000000L * 15) div (100 * n_nodes)") +
+            expr("(coalesce(in_units, 0L) * 85) div 100")).as("rank_units"))
+        .localCheckpoint()
+    }
+    ranks.orderBy("node")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank_iter3" -> pagerankIter3,
     "graph_pagerank_step" -> pagerankStep
   )
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = {
+    // one unrolled iteration k: nodes LEFT JOIN the weighted in-mass of
+    // r{k-1}, teleport + damp in the same integer arithmetic as Spark
+    def step(prev: String): String =
+      "(SELECT n.node, CAST((1000000 * 15) // (100 * " +
+        "(SELECT n_nodes FROM nn)) + (coalesce(s.in_units, 0) * 85) // 100 " +
+        "AS BIGINT) AS rank_units FROM nodes n LEFT JOIN (" +
+        "SELECT dst AS node, sum((r.rank_units * w) // wout) AS in_units " +
+        s"FROM ew JOIN $prev r ON ew.src = r.node GROUP BY dst) s " +
+        "ON n.node = s.node)"
+    Map(
+    "graph_pagerank_iter3" ->
+      ("WITH seq AS (SELECT user_id, event_type, lag(event_type) OVER (" +
+        "PARTITION BY user_id ORDER BY event_id) AS src FROM events), " +
+        "edges AS (SELECT src, event_type AS dst, count(*) AS w " +
+        "FROM seq WHERE src IS NOT NULL GROUP BY 1, 2), " +
+        "wout AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1), " +
+        "ew AS (SELECT e.src, e.dst, e.w, o.wout FROM edges e " +
+        "JOIN wout o USING (src)), " +
+        "nodes AS (SELECT DISTINCT event_type AS node FROM events), " +
+        "nn AS (SELECT count(*) AS n_nodes FROM nodes), " +
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_units FROM nodes), " +
+        s"r1 AS ${step("r0")}, r2 AS ${step("r1")}, r3 AS ${step("r2")} " +
+        "SELECT node, rank_units FROM r3 ORDER BY node"),
     "graph_pagerank_step" ->
       ("WITH e AS (SELECT DISTINCT user_id, event_type FROM events), " +
         "d AS (SELECT user_id, count(*) AS deg FROM e GROUP BY 1), " +
@@ -60,5 +130,6 @@ object GraphOps {
         "CAST((1000000 * 15) // (100 * n_items) + (in_units * 85) // 100 " +
         "AS BIGINT) AS rank_units " +
         "FROM agg CROSS JOIN n ORDER BY event_type")
-  )
+    )
+  }
 }

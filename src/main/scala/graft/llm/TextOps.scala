@@ -87,13 +87,50 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Corpus bigram language model: P(w2 | w1) = c(w1 w2) / c(w1·) as an
+    * EXACT ratio of the two integer counts (one double division of
+    * identical bigints — bit-equal on any engine; the ln() that a
+    * perplexity computation would add lives in llm_cross_entropy with
+    * its grid snap). Conditional counts come from one pair aggregate
+    * plus a window sum over the (small) distinct-bigram table — no
+    * second corpus scan. Top-25 by support with full tiebreak.
+    */
+  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val pairs = Tables(spark, dir, "documents")
+      .select(explode(arrays_zip(
+        slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
+      .withColumn("p",
+        col("c12").cast("double") / col("c1").cast("double"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ngram_lm" -> ngramLm,
     "llm_bpe_merge_step" -> bpeMergeStep,
     "llm_text_stats" -> textStats,
     "llm_text_tfidf" -> tfidf
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_ngram_lm" ->
+      ("WITH d AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "pairs AS (SELECT unnest(list_transform(" +
+        "range(1, len(w)), i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) " +
+        "AS p FROM d), " +
+        "c AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12 " +
+        "FROM pairs GROUP BY 1, 2) " +
+        "SELECT w1, w2, c12, " +
+        "CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1, " +
+        "CAST(c12 AS DOUBLE) / CAST(sum(c12) OVER (PARTITION BY w1) " +
+        "AS DOUBLE) AS p " +
+        "FROM c ORDER BY c12 DESC, w1, w2 LIMIT 25"),
     "llm_bpe_merge_step" ->
       ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS w " +
         "FROM documents), " +

@@ -227,7 +227,53 @@ object SqlSurface {
       Map("minp" -> 200000, "d0" -> "1996-01-01 00:00:00"))
   }
 
+  /** SQL PIVOT clause (long→wide in the statement text, complementing
+    * the DataFrame-API `pivot` of agg_minmax_pivot): one Aggregate with
+    * conditional accumulators per IN value — no self-join per column.
+    * l_quantity is integral so the pivoted sums are order-exact.
+    */
+  def sqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql(
+      "SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity " +
+        "FROM lineitem_v) " +
+        "PIVOT (sum(l_quantity) AS qty, count(l_quantity) AS n " +
+        "FOR l_linestatus IN ('O' AS open, 'F' AS fin)) " +
+        "ORDER BY l_returnflag")
+  }
+
+  /** Cost-based-optimizer wiring: persist the fact as a catalog table,
+    * `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS`, and query
+    * with CBO + join reorder on. The point at 100 TB: without table/
+    * column stats the optimizer guesses sizes from file bytes — stats
+    * give it rowCount/NDV/min-max, which drive broadcast decisions and
+    * star-schema join ordering. Round3dSpec asserts the analyzed
+    * rowCount is visible to the optimizer. Results are engine-exact
+    * (stats change plans, never answers).
+    */
+  def cboStats(spark: SparkSession, dir: String): DataFrame = {
+    // external table at a per-run temp location: a managed table's fixed
+    // warehouse path survives the JVM and collides with the next run's
+    // fresh (in-memory) catalog
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cbo").toString
+    spark.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+    Tables(spark, dir, "orders")
+      .write.mode("overwrite").option("path", tmp)
+      .saveAsTable("graft_cbo_orders")
+    spark.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS " +
+      "FOR ALL COLUMNS")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.sql(
+      "SELECT o_orderstatus, count(*) AS n, " +
+        gridSum("o_totalprice") + " AS total " +
+        "FROM graft_cbo_orders GROUP BY o_orderstatus " +
+        "ORDER BY o_orderstatus")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pivot" -> sqlPivot,
+    "plan_cbo_stats" -> cboStats,
     "sql_recursive_cte" -> recursiveCte,
     "sql_parameterized" -> parameterized,
     "sql_tpch_q5" -> tpchQ5,
@@ -240,6 +286,18 @@ object SqlSurface {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_pivot" ->
+      ("SELECT l_returnflag, " +
+        "sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS open_qty, " +
+        "count(l_quantity) FILTER (WHERE l_linestatus = 'O') AS open_n, " +
+        "sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS fin_qty, " +
+        "count(l_quantity) FILTER (WHERE l_linestatus = 'F') AS fin_n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "plan_cbo_stats" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS DOUBLE) " +
+        "/ 1e6 AS total " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "sql_recursive_cte" ->
       ("WITH RECURSIVE e AS (SELECT vec_id, label, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +

@@ -149,6 +149,43 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** `transformWithState` (Spark 4's arbitrary-state processor API) run
+    * in BATCH mode — like [[mapGroupsBatch]] for the old API, this makes
+    * the new state-variable surface itself an oracle-verified key: state
+    * starts empty, each key's rows arrive in one handleInputRows call,
+    * and the emitted fold must therefore equal the plain aggregate the
+    * oracle states. Accumulation is integer cents — iteration order
+    * within a key is partition-dependent, so the fold is written
+    * order-independent exactly like a shuffle aggregate.
+    */
+  def transformWithStateBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // transformWithState requires the RocksDB provider even in batch
+    // (the HDFS-backed store doesn't implement the new state variables);
+    // disable the snapshot-lag telemetry — its StateStoreCoordinator RPC
+    // endpoint only exists under a real streaming query
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+      "false")
+    // touch the StreamingQueryManager: it registers the driver-side
+    // StateStoreCoordinator RPC endpoint the RocksDB store reports to —
+    // under batch execution nothing else creates it
+    spark.streams.active
+    val ds = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .as[(Long, Long, Long)]
+    ds.groupByKey(_._1)
+      .transformWithState(new UserFoldProcessor(),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "sum_value", "n_purchases")
+      .orderBy("user_id")
+  }
+
   /** Stream-stream interval join (click attribution), batch-emulated:
     * every click joins the views by the same user in the preceding 30
     * minutes. The batch plan is the scale shape Structured Streaming's
@@ -185,6 +222,7 @@ object EventOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_transform_state" -> transformWithStateBatch,
     "stream_stream_join" -> streamStreamJoin,
     "stream_mapgroups_batch" -> mapGroupsBatch,
     "stream_tumbling" -> tumbling,
@@ -197,6 +235,12 @@ object EventOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_transform_state" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 " +
+        "AS sum_value, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "stream_stream_join" ->
       ("SELECT v.user_id AS user_id, v.event_id AS view_id, " +
         "c.event_id AS click_id, " +

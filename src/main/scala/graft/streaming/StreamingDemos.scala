@@ -15,6 +15,41 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   */
 case class SessionState(start_us: Long, last_us: Long, n: Long)
 
+/** Per-user fold through Spark 4's `transformWithState` arbitrary-state
+  * API (the successor to mapGroupsWithState: named state variables via
+  * the handle, timers, TTL). State is two ValueStates — the count and
+  * the integer-cent sum (order-independent, like any shuffle aggregate).
+  * Top-level class: the processor is serialized to executors.
+  */
+class UserFoldProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Long, Double, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var nState: ValueState[Long] = _
+  @transient private var centState: ValueState[Long] = _
+  @transient private var purchState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    centState = getHandle.getValueState[Long]("cents", Encoders.scalaLong, TTLConfig.NONE)
+    purchState = getHandle.getValueState[Long]("purch", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double, Long)] = {
+    var n = if (nState.exists()) nState.get() else 0L
+    var cents = if (centState.exists()) centState.get() else 0L
+    var purch = if (purchState.exists()) purchState.get() else 0L
+    rows.foreach { case (_, c, isPurchase) =>
+      n += 1; cents += c; purch += isPurchase
+    }
+    nState.update(n); centState.update(cents); purchState.update(purch)
+    Iterator.single((key, n, cents / 100.0, purch))
+  }
+}
+
 /** SURVEY.md §2.8 — true Structured Streaming transforms.
   *
   * Each function takes a (possibly streaming) DataFrame and returns the

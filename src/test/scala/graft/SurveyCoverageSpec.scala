@@ -90,7 +90,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "scan_avro_roundtrip", "scan_xml_roundtrip", "scan_fixed_width_limit",
     "stream_stream_join", "llm_dedup_semantic",
     "sql_recursive_cte", "sql_parameterized",
-    "etl_surrogate_key", "win_frame_time")
+    "etl_surrogate_key", "win_frame_time",
+    "stream_transform_state", "graph_pagerank_iter3", "llm_ngram_lm",
+    "sql_pivot", "plan_cbo_stats")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
