@@ -200,7 +200,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** URL-canonicalization dedup — the crawl-side dedup that runs BEFORE
+    * any content hashing: synthesize each doc's URL deterministically
+    * from its fields, then canonicalize (lowercase host via `parse_url`,
+    * strip the trailing path slash, drop `utm_*` tracking params, keep
+    * semantic params) and collapse per canonical URL with the min-id
+    * survivor. Pure map-side until the one canonical-keyed aggregate.
+    * The oracle restates the canonical form CLOSED-FORM from the source
+    * columns (the synthesis is invertible), so the parse_url → strip →
+    * reassemble chain is verified end-to-end.
+    */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), upper(col("source")),
+      lit(".Example.COM/"), col("lang"), lit("/doc-"),
+      col("doc_id") % 100, lit("/?utm_campaign=c"), col("doc_id"),
+      lit("&ref="), col("lang"))
+    Tables(spark, dir, "documents")
+      .withColumn("url", url)
+      .withColumn("host", lower(expr("parse_url(url, 'HOST')")))
+      .withColumn("path", regexp_replace(
+        expr("parse_url(url, 'PATH')"), "/$", ""))
+      .withColumn("q", regexp_replace(
+        expr("parse_url(url, 'QUERY')"), "(^|&)utm_[^&]*", ""))
+      .withColumn("canonical", concat(col("host"), col("path"),
+        when(col("q") =!= "", concat(lit("?"), regexp_replace(col("q"), "^&", "")))
+          .otherwise(lit(""))))
+      .groupBy("canonical")
+      .agg(min("doc_id").as("canon_id"), count(lit(1)).as("n_variants"))
+      .orderBy("canonical")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_url" -> dedupUrl,
     "llm_dedup_exact" -> dedupExact,
     "llm_canonicalize" -> canonicalize,
     "llm_minhash_signature" -> minhashQuery,
@@ -209,6 +240,11 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_dedup_url" ->
+      ("SELECT source || '.example.com/' || lang || '/doc-' || " +
+        "CAST(doc_id % 100 AS VARCHAR) || '?ref=' || lang AS canonical, " +
+        "min(doc_id) AS canon_id, count(*) AS n_variants " +
+        "FROM documents GROUP BY 1 ORDER BY canonical"),
     "llm_dedup_exact" ->
       ("SELECT doc_id, lang, source, n_chars FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +

@@ -395,7 +395,45 @@ object Joins {
       .orderBy("k")
   }
 
+  /** The AQE skew-join shape: 3/4 of lineitem collapses onto one hot
+    * key, the other side is a per-key aggregate, and the merge hint
+    * keeps the join a shuffle join (a broadcast would hide the skew).
+    * Under defaults the hot reduce partition simply runs long and the
+    * result is exact — Wave11Spec re-runs this WITH
+    * `spark.sql.adaptive.skewJoin` thresholds lowered and asserts the
+    * adaptive plan splits the hot partition (`skew=true` markers) while
+    * producing identical rows: the automatic complement to
+    * [[skewSalted]]'s manual selective salting.
+    */
+  def skewAqe(spark: SparkSession, dir: String): DataFrame = {
+    def k(c: org.apache.spark.sql.Column) =
+      when(c % 4 =!= 0, lit(0L)).otherwise(c)
+    // repartition(8) before keying: AQE splits a skewed reduce partition
+    // at MAP-output granularity, and the toy fixture is one parquet row
+    // group = one mapper = one unsplittable block. Eight round-robin
+    // mappers restore the many-mapper layout a real cluster always has
+    // (where this repartition would be a no-op to remove).
+    val facts = Tables(spark, dir, "lineitem")
+      .repartition(8)
+      .select(k(col("l_orderkey")).as("k"), col("l_quantity"),
+        col("l_extendedprice"))
+    // materialize the per-key dim: OptimizeSkewedJoin only rewrites a
+    // join whose children are plain shuffle stages — an aggregate
+    // between the exchange and the join disqualifies the pattern, so the
+    // dim is computed first and re-enters the join as a leaf
+    val dim = Tables(spark, dir, "orders")
+      .select(k(col("o_orderkey")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_orders"))
+      .localCheckpoint()
+    facts.join(dim.hint("merge"), Seq("k"))
+      .groupBy("k", "n_orders")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"),
+        graft.Det.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("k")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_aqe" -> skewAqe,
     "join_nullsafe" -> nullSafe,
     "join_dpp" -> dppJoin,
     "join_bloom_runtime" -> bloomRuntime,
@@ -418,6 +456,17 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_skew_aqe" ->
+      ("WITH f AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0 " +
+        "ELSE l_orderkey END AS k, l_quantity, l_extendedprice FROM lineitem), " +
+        "d AS (SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 0 " +
+        "ELSE o_orderkey END AS k, count(*) AS n_orders " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT f.k, d.n_orders, count(*) AS n_lines, " +
+        "sum(l_quantity) AS sum_qty, " +
+        Det.moneySumSql("l_extendedprice") + " AS sum_price " +
+        "FROM f JOIN d ON f.k = d.k GROUP BY f.k, d.n_orders " +
+        "ORDER BY f.k"),
     "join_nullsafe" ->
       ("WITH keyed AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL " +
         "ELSE o_custkey % 50 END AS k, o_totalprice FROM orders), " +

@@ -221,7 +221,30 @@ object EventOps {
       .orderBy("user_id", "view_id", "click_id")
   }
 
+  /** LEFT OUTER stream-stream interval join: every view row survives,
+    * clicks attach when they landed within the 30-min window. In true
+    * streaming the null rows emit only once the watermark passes the
+    * view's join window (state eviction proves no match can still
+    * arrive); batch emulation gets the same rows from a plain left join
+    * of the banded inner matches back onto views. The banded inner join
+    * is [[streamStreamJoin]]; the outer wrapper adds one broadcast-free
+    * left join keyed on the view id — no second theta pass.
+    */
+  def streamStreamOuter(spark: SparkSession, dir: String): DataFrame = {
+    val matches = streamStreamJoin(spark, dir)
+      .select(col("view_id"), col("click_id"), col("lag_us"))
+    val views = Tables(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("view_us"))
+    views.join(matches, Seq("view_id"), "left_outer")
+      .select(col("user_id"), col("view_id"), col("view_us"),
+        col("click_id"), col("lag_us"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_outer" -> streamStreamOuter,
     "stream_transform_state" -> transformWithStateBatch,
     "stream_stream_join" -> streamStreamJoin,
     "stream_mapgroups_batch" -> mapGroupsBatch,
@@ -235,6 +258,15 @@ object EventOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_stream_outer" ->
+      ("SELECT v.user_id AS user_id, v.event_id AS view_id, " +
+        "epoch_us(v.ts) AS view_us, c.event_id AS click_id, " +
+        "epoch_us(c.ts) - epoch_us(v.ts) AS lag_us " +
+        "FROM events v LEFT OUTER JOIN events c ON v.user_id = c.user_id " +
+        "AND c.event_type = 'click' AND c.ts >= v.ts " +
+        "AND epoch_us(c.ts) - epoch_us(v.ts) <= 1800000000 " +
+        "WHERE v.event_type = 'view' " +
+        "ORDER BY user_id, view_id, click_id"),
     "stream_transform_state" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 " +

@@ -92,7 +92,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "sql_recursive_cte", "sql_parameterized",
     "etl_surrogate_key", "win_frame_time",
     "stream_transform_state", "graph_pagerank_iter3", "llm_ngram_lm",
-    "sql_pivot", "plan_cbo_stats")
+    "sql_pivot", "plan_cbo_stats",
+    "stream_stream_outer", "llm_dedup_url", "join_skew_aqe")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

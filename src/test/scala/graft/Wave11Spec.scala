@@ -63,6 +63,41 @@ class Wave11Spec extends GraftSuite {
     assert(tws.collect().toSeq == agg.collect().toSeq)
   }
 
+  test("AQE splits the skewed join partition and keeps the result exact") {
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // default 1MB floor would clamp the 16KB split target back up
+      c.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4KB")
+      // the downstream aggregate reuses the join's hash partitioning, so
+      // by default AQE declines the split (it would cost an extra
+      // shuffle); force opts in — the split + re-exchange is the right
+      // trade exactly when one straggler partition dominates the stage
+      c.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val df = operators.Joins.skewAqe(spark, sf001)
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+      // identical rows with and without the skew rewrite
+      c.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plain = operators.Joins.skewAqe(spark, sf001).collect()
+      assert(rows.toSeq == plain.toSeq)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
+
   test("sql pivot equals the DataFrame pivot") {
     val sqlForm = operators.SqlSurface.sqlPivot(spark, sf0001)
     val dfForm = Tables(spark, sf0001, "lineitem")
