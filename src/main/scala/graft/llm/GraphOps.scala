@@ -70,8 +70,12 @@ object GraphOps {
       .groupBy(col("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("w"))
     val wout = edges.groupBy("src").agg(sum("w").as("wout"))
-    val ew = edges.join(wout, "src")
+    // loop-INVARIANT frames materialize once: without this each
+    // iteration re-runs the lag-window edge derivation (measured 3.8 s →
+    // 2.3 s for 3 iterations at sf0.1)
+    val ew = edges.join(wout, "src").localCheckpoint()
     val nodes = ev.select(col("event_type").as("node")).distinct()
+      .localCheckpoint()
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.withColumn("rank_units", lit(1000000L))
     for (_ <- 1 to 3) {
