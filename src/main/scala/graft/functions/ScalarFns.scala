@@ -389,7 +389,28 @@ object ScalarFns {
         bit_length(col("text")).as("n_bits"))
       .orderBy("doc_id")
 
+  /** `aggregate()` higher-order fold with a STRUCT accumulator — the
+    * general per-row reduction (beyond transform/filter/zip_with): one
+    * pass over the token array accumulates (char_sum, count), the finish
+    * lambda emits the derived mean. All integers until one exact final
+    * division, so the fold is cross-engine exact. HOF lambdas are
+    * interpreted (the bm25 lesson) — fine here because the op IS the
+    * per-element work, not a derived column beside codegen'd ones.
+    */
+  def fnAggregateHof(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("acc", expr(
+        "aggregate(w, named_struct('c', 0L, 'n', 0L), " +
+          "(acc, x) -> named_struct('c', acc.c + length(x), 'n', acc.n + 1), " +
+          "acc -> named_struct('c', acc.c, 'n', acc.n, " +
+          "'avg', CAST(acc.c AS DOUBLE) / acc.n))"))
+      .select(col("doc_id"), col("acc.c").as("sum_chars"),
+        col("acc.n").as("n_words"), col("acc.avg").as("avg_len"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_aggregate_hof" -> fnAggregateHof,
     "fn_encode" -> fnEncode,
     "fn_map2" -> fnMap2,
     "fn_mask" -> fnMask,
@@ -415,6 +436,15 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    // closed form: tokens are single-space separated, so Σ word lengths
+    // = len(text) - (n_words - 1)
+    "fn_aggregate_hof" ->
+      ("WITH d AS (SELECT doc_id, len(text) AS lc, " +
+        "len(string_split(text, ' ')) AS n FROM documents) " +
+        "SELECT doc_id, CAST(lc - (n - 1) AS BIGINT) AS sum_chars, " +
+        "CAST(n AS BIGINT) AS n_words, " +
+        "CAST(lc - (n - 1) AS DOUBLE) / n AS avg_len " +
+        "FROM d ORDER BY doc_id"),
     "fn_encode" ->
       ("SELECT doc_id, base64(encode(text)) AS b64, text AS roundtrip, " +
         "lower(hex(encode(substring(text, 1, 8)))) AS hex8, " +

@@ -443,7 +443,33 @@ object Aggregates {
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")
   }
 
+  /** `Observation` metrics: audit aggregates collected DURING the main
+    * action (one pass — no second scan for the audit job), here against
+    * a no-op sink. The pipeline-instrumentation surface: at 100 TB the
+    * row count/total you log must come from the same pass that wrote
+    * the data, or it can silently disagree. Metrics re-emitted as the
+    * result frame; the oracle states the same aggregates — proving the
+    * observed values equal a real aggregation.
+    */
+  def observeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val obs = Observation()
+    Tables(spark, dir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"),
+        max("l_orderkey").as("max_key"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("cents").asInstanceOf[Long] / 100.0,
+      m("max_key").asInstanceOf[Long]))
+      .toDF("n_rows", "total_price", "max_key")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "plan_observe" -> observeMetrics,
     "agg_string_agg" -> stringAgg,
     "agg_histogram" -> histogram,
     "plan_cache_reuse" -> cacheReuse,
@@ -471,6 +497,11 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "plan_observe" ->
+      ("SELECT count(*) AS n_rows, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+        "/ 100.0 AS total_price, " +
+        "max(l_orderkey) AS max_key FROM lineitem"),
     "agg_string_agg" ->
       ("SELECT c_mktsegment, count(*) AS n_customers, " +
         "string_agg(c_name, ',' ORDER BY c_name) AS names " +

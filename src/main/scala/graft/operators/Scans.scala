@@ -273,7 +273,28 @@ object Scans {
       .orderBy("c_custkey")
   }
 
+  /** Layout-tuned parquet sink: range-clustered files, zstd compression,
+    * dictionary encoding, small row groups (`parquet.block.size`) — the
+    * knobs that decide scan cost at 100 TB (row-group size bounds the
+    * skip granularity; zstd trades ~10% cpu for ~30% smaller scans vs
+    * snappy). Wave12Spec opens a footer and asserts the codec +
+    * multiple row groups actually took effect; the key itself proves
+    * the round-trip is lossless.
+    */
+  def parquetTuned(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_zstd").toString
+    Tables(spark, dir, "orders")
+      .repartitionByRange(2, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.block.size", 256 * 1024)
+      .parquet(tmp)
+    spark.read.parquet(tmp).orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_parquet_tuned" -> parquetTuned,
     "scan_avro_roundtrip" -> avroRoundtrip,
     "scan_xml_roundtrip" -> xmlRoundtrip,
     "scan_schema_evolution" -> schemaEvolution,
@@ -293,6 +314,8 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    "sink_parquet_tuned" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
     "scan_avro_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_xml_roundtrip" ->

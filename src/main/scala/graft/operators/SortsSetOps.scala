@@ -69,7 +69,24 @@ object SortsSetOps {
       .distinct()
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** `unionByName(allowMissingColumns = true)`: schema-drift-tolerant
+    * union — columns align by NAME (positional union silently pairs
+    * mismatched columns), and columns absent on one side null-fill. The
+    * batch-append shape when historical batches gained columns over
+    * time (the read-side dual of scan_schema_evolution).
+    */
+  def unionByName(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val oldBatch = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val newBatch = c.filter(col("c_custkey") % 2 =!= 0)
+      .select(col("c_name"), col("c_custkey"), col("c_mktsegment"))
+    oldBatch.unionByName(newBatch, allowMissingColumns = true)
+      .orderBy("c_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "setop_union_by_name" -> unionByName,
     "sort_multi" -> sortMulti,
     "limit_topk" -> limitTopK,
     "limit_offset" -> limitOffset,
@@ -80,6 +97,11 @@ object SortsSetOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "setop_union_by_name" ->
+      ("SELECT c_custkey, c_name, NULL AS c_mktsegment FROM customer " +
+        "WHERE c_custkey % 2 = 0 " +
+        "UNION ALL SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE c_custkey % 2 <> 0 ORDER BY c_custkey"),
     "sort_multi" ->
       ("SELECT c_custkey, nullif(c_mktsegment,'BUILDING') AS seg, c_acctbal " +
         "FROM customer ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey"),

@@ -271,7 +271,39 @@ object SqlSurface {
         "ORDER BY o_orderstatus")
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (the analyst-ergonomics surface both
+    * Spark 4 and the oracle engine share — the statement runs VERBATIM
+    * on both): non-aggregated select items become the grouping key.
+    */
+  def groupByAll(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql(
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "max(o_totalprice) AS max_price " +
+        "FROM orders_v GROUP BY ALL ORDER BY ALL")
+  }
+
+  /** DDL column DEFAULTs: CREATE TABLE with a DEFAULT clause, INSERT
+    * that omits the column, and `DEFAULT` as an explicit VALUES entry.
+    * The defaults are stored in catalog metadata and injected at write —
+    * reads see plain data (no runtime cost at scan).
+    */
+  def ddlDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_defaults")
+    spark.sql(
+      "CREATE TABLE graft_ddl_defaults (" +
+        "id BIGINT, status STRING DEFAULT 'NEW', score INT DEFAULT 10) " +
+        s"USING parquet LOCATION '$tmp'")
+    spark.sql("INSERT INTO graft_ddl_defaults (id) VALUES (1), (2)")
+    spark.sql("INSERT INTO graft_ddl_defaults VALUES " +
+      "(3, 'DONE', DEFAULT), (4, DEFAULT, 99)")
+    spark.table("graft_ddl_defaults").orderBy("id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_group_by_all" -> groupByAll,
+    "sql_ddl_defaults" -> ddlDefaults,
     "sql_pivot" -> sqlPivot,
     "plan_cbo_stats" -> cboStats,
     "sql_recursive_cte" -> recursiveCte,
@@ -286,6 +318,15 @@ object SqlSurface {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_group_by_all" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "max(o_totalprice) AS max_price " +
+        "FROM orders GROUP BY ALL ORDER BY ALL"),
+    "sql_ddl_defaults" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), 'NEW', 10), (2, 'NEW', 10), " +
+        "(3, 'DONE', 10), (4, 'NEW', 99)) t(id, status, score) " +
+        "ORDER BY id"),
     "sql_pivot" ->
       ("SELECT l_returnflag, " +
         "sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS open_qty, " +

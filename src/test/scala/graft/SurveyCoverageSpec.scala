@@ -93,7 +93,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "etl_surrogate_key", "win_frame_time",
     "stream_transform_state", "graph_pagerank_iter3", "llm_ngram_lm",
     "sql_pivot", "plan_cbo_stats",
-    "stream_stream_outer", "llm_dedup_url", "join_skew_aqe")
+    "stream_stream_outer", "llm_dedup_url", "join_skew_aqe",
+    // round-3 wave 12
+    "sql_group_by_all", "sql_ddl_defaults", "setop_union_by_name",
+    "fn_aggregate_hof", "plan_observe", "sink_parquet_tuned")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
