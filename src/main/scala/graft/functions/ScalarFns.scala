@@ -409,7 +409,28 @@ object ScalarFns {
         col("acc.n").as("n_words"), col("acc.avg").as("avg_len"))
       .orderBy("doc_id")
 
+  /** Named-zone timestamp conversion (`to_utc_timestamp` /
+    * `from_utc_timestamp` with an IANA zone): wall-clock ↔ instant in
+    * America/New_York, plus the local hour — the everyday ETL need the
+    * session-UTC policy (§5) otherwise hides. Outputs are epoch-µs
+    * BIGINTs: session-timezone-independent on both engines (the DuckDB
+    * oracle builds its instants via to_timestamp(epoch), never a
+    * session-tz-dependent cast).
+    */
+  def fnTimezone(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(to_utc_timestamp(col("ts"), "America/New_York"))
+          .as("as_ny_wall_us"),
+        unix_micros(from_utc_timestamp(col("ts"), "America/New_York"))
+          .as("ny_local_us"),
+        hour(from_utc_timestamp(col("ts"), "America/New_York"))
+          .as("ny_hour"))
+      .orderBy("event_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_timezone" -> fnTimezone,
     "fn_aggregate_hof" -> fnAggregateHof,
     "fn_encode" -> fnEncode,
     "fn_map2" -> fnMap2,
@@ -436,6 +457,17 @@ object ScalarFns {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_timezone" ->
+      ("SELECT event_id, epoch_us(ts) AS ts_us, " +
+        // wall-clock in NY → absolute instant
+        "epoch_us(timezone('America/New_York', " +
+        "make_timestamp(epoch_us(ts)))) AS as_ny_wall_us, " +
+        // absolute instant → NY wall-clock
+        "epoch_us(timezone('America/New_York', " +
+        "to_timestamp(epoch_us(ts) / 1000000.0))) AS ny_local_us, " +
+        "CAST(hour(timezone('America/New_York', " +
+        "to_timestamp(epoch_us(ts) / 1000000.0))) AS INT) AS ny_hour " +
+        "FROM events ORDER BY event_id"),
     // closed form: tokens are single-space separated, so Σ word lengths
     // = len(text) - (n_words - 1)
     "fn_aggregate_hof" ->

@@ -134,7 +134,32 @@ object Multimodal {
     }.toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** Content-type sniffing by magic bytes — the ingest-side gate that
+    * catches mislabeled media before a decoder segfaults on it. Each
+    * doc gets a synthetic binary payload with a REAL format header
+    * (JPEG/PNG/PDF magic, chosen by doc_id so the oracle can restate
+    * it), and detection reads the first four bytes via hex prefix
+    * match — pure codegen'd column ops, no UDF.
+    */
+  def mimeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val magic = when(col("doc_id") % 4 === 0, unhex(lit("FFD8FFE0")))
+      .when(col("doc_id") % 4 === 1, unhex(lit("89504E47")))
+      .when(col("doc_id") % 4 === 2, unhex(lit("25504446")))
+      .otherwise(unhex(lit("20202020")))
+    val d = Tables(spark, dir, "documents")
+      .withColumn("payload", concat(magic, encode(col("text"), "UTF-8")))
+    val prefix = lower(hex(substring(col("payload"), 1, 4)))
+    d.select(col("doc_id"),
+      when(prefix.startsWith("ffd8ff"), "image/jpeg")
+        .when(prefix.startsWith("89504e47"), "image/png")
+        .when(prefix.startsWith("25504446"), "application/pdf")
+        .otherwise("text/plain").as("mime"),
+      length(col("payload")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mime_detect" -> mimeDetect,
     "llm_multimodal_join" -> multimodalJoin,
     "llm_multimodal_decode" -> multimodalDecode,
     "llm_multimodal_resize" -> multimodalResize,
@@ -142,6 +167,12 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_mime_detect" ->
+      ("SELECT doc_id, CASE doc_id % 4 " +
+        "WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png' " +
+        "WHEN 2 THEN 'application/pdf' ELSE 'text/plain' END AS mime, " +
+        "CAST(octet_length(encode(text)) + 4 AS BIGINT) AS n_bytes " +
+        "FROM documents ORDER BY doc_id"),
     "llm_multimodal_join" ->
       ("SELECT label, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, " +

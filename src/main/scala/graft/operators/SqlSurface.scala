@@ -301,7 +301,49 @@ object SqlSurface {
     spark.table("graft_ddl_defaults").orderBy("id")
   }
 
+  /** TPC-H Q4 shape on the fixture's columns (the standard form needs
+    * l_commitdate/l_receiptdate): priority count of orders with at
+    * least one line shipped AFTER the order quarter ends — a correlated
+    * EXISTS that Catalyst plans as a left-semi join on o_orderkey with
+    * the date residual, never a per-row subquery execution.
+    */
+  def tpchQ4x(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(view(spark, dir, _))
+    spark.sql(
+      "SELECT o_orderpriority, count(*) AS order_count " +
+        "FROM orders_v " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem_v " +
+        "WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 90 DAYS) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+  }
+
+  /** TPC-H Q22 shape on the fixture's columns (the standard form keys
+    * on c_phone country codes): "rich but inactive" customers — balance
+    * above the positive-balance average (scalar subquery, broadcast as
+    * a one-row frame) with no orders on file (anti join). Grouped by
+    * nation key band as the Q22 cntrycode stand-in.
+    */
+  def tpchQ22x(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(view(spark, dir, _))
+    spark.sql(
+      "SELECT c_nationkey % 5 AS code, count(*) AS numcust, " +
+        "CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) " +
+        "/ 100 AS totacctbal " +
+        "FROM customer_v " +
+        // exact-cents mean: a raw avg(double) is an order-dependent sum
+        "WHERE c_acctbal > (SELECT " +
+        "CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) " +
+        "/ (100 * count(*)) FROM customer_v WHERE c_acctbal > 0.0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders_v WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_nationkey % 5 ORDER BY code")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_tpch_q4x" -> tpchQ4x,
+    "sql_tpch_q22x" -> tpchQ22x,
     "sql_group_by_all" -> groupByAll,
     "sql_ddl_defaults" -> ddlDefaults,
     "sql_pivot" -> sqlPivot,
@@ -318,6 +360,25 @@ object SqlSurface {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_tpch_q4x" ->
+      ("SELECT o_orderpriority, count(*) AS order_count " +
+        "FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 90 DAY) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "sql_tpch_q22x" ->
+      ("SELECT c_nationkey % 5 AS code, count(*) AS numcust, " +
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ 100 AS totacctbal " +
+        "FROM customer " +
+        "WHERE c_acctbal > (SELECT " +
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ (100 * count(*)) FROM customer WHERE c_acctbal > 0.0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_nationkey % 5 ORDER BY code"),
     "sql_group_by_all" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
         "max(o_totalprice) AS max_price " +

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -175,7 +175,31 @@ class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
 
 class FixedWidthScan(path: String, output: Seq[FixedWidth.Field],
     allFields: Seq[FixedWidth.Field], pushed: Array[Filter], limit: Int)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
+
+  /** Planner-visible size: total bytes under the path. Without this a
+    * DSv2 relation defaults to `defaultSizeInBytes` (effectively
+    * infinite), so it can never sit on the build side of a broadcast
+    * join; with it, a small fixed-width dim auto-broadcasts like any
+    * parquet dim (asserted in SourcesSpec). Rows are estimated from the
+    * pruned record width — an upper bound the optimizer treats as such.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      else st.getLen
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = {
+      val lineWidth = allFields.map(f => f.start - 1 + f.len).max + 1
+      java.util.OptionalLong.of(bytes / math.max(lineWidth, 1))
+    }
+  }
 
   def this(path: String, output: Seq[FixedWidth.Field]) =
     this(path, output, output, Array.empty, -1)

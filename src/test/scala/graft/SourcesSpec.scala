@@ -50,6 +50,27 @@ class SourcesSpec extends GraftSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == (0 until 10))
   }
 
+  test("reported statistics let the planner broadcast the V2 dim") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fw_stats").toString
+    Tables(spark, sf0001, "nation")
+      .select(format_string("%-4d%-20s%-4d",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val dim = spark.read.format("graft.sources.FixedWidthDataSource")
+      .option("fields",
+        "n_nationkey:1:4:int,n_name:5:20:string,n_regionkey:25:4:int")
+      .load(tmp)
+    // planner-visible size must be the real ~725 bytes, not the
+    // "unknown source" default
+    val stats = dim.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes < 100000, stats.sizeInBytes.toString)
+    // and a join against a fact auto-broadcasts the V2 side (no hint)
+    val joined = Tables(spark, sf0001, "customer")
+      .join(dim, col("c_nationkey") === col("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("all-column read and type parsing work through the spec") {
     val tmpDf = sources.Sources.fixedWidthDsv2(spark, sf0001)
     assert(tmpDf.schema.map(_.dataType.typeName) == Seq("integer", "string"))
