@@ -25,10 +25,20 @@ object Bench {
       // fn_collation's number reflects the operator, not class loading
       spark.sql("SELECT collate('a', 'UTF8_LCASE') = 'A'").collect()
     } catch { case _: Throwable => () }
+    // Two timed repetitions per query, report the MIN: single-shot numbers
+    // on this shared box swing ±30-40% with machine contention (r2 driver
+    // total 84.7 s vs 55.9 s same-code re-measure; r3 flagged 3 "regressions"
+    // that were load noise). The min of two runs is the contention-robust
+    // estimator of the plan's actual cost; plan pathologies (the thing the
+    // bench exists to catch) survive both reps.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     // The emitted JSON must stay ONE SHORT line: the driver captures only
     // a bounded output tail, and a per-query dict over the full ~90-key
@@ -53,7 +63,7 @@ object Bench {
         "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -152,8 +152,13 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast("double") / 16.0)
           .as("est_jaccard"))
-      .distinct()
+      // filter BEFORE distinct: a pair seen in k bands carries the same
+      // est_jaccard in every copy, so the threshold is distinct-invariant,
+      // and sub-threshold candidates (the bulk of the pair stream) never
+      // enter the dedup exchange (r3: distinct-then-filter shipped ALL
+      // candidate pairs through the shuffle).
       .filter(col("est_jaccard") >= 0.5)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -189,7 +194,9 @@ object Dedup {
     * ([[graft.functions.MinHashAgg]]) instead of 16 min() columns — one
     * aggregate expression, raw long[16] buffer, same bit-exact values
     * (asserted in Wave3Spec). No oracle (xxhash64 has no DuckDB
-    * counterpart).
+    * counterpart). Like [[minhashQuery]], the signature is emitted
+    * comma-joined: the driver's rows-only check sorts the frame and raw
+    * array columns are unsortable there (r3 gate crash on this key).
     */
   def minhashAggQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.MinHashAgg.register(spark)
@@ -197,6 +204,9 @@ object Dedup {
       .select(col("doc_id"), explode(hashedShingles(col("text"))).as("sh"))
       .groupBy("doc_id")
       .agg(expr("minhash_agg(sh)").as("sig"))
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("sig"), _.cast("string")))
+          .as("signature"))
       .orderBy("doc_id")
   }
 

@@ -162,16 +162,20 @@ object Pipeline {
     * property the unit test asserts. Weights here derive from the source
     * name (1 + srcnum % 4) to keep the query self-contained.
     *
-    * Scale note: the global row_number is a single-partition window —
-    * fine for a verification surface; at 100 TB assign positions with
-    * rangepartitioning on `p` + per-partition offsets (the exclusive
-    * running-count pattern of llm_pack_sequences), which orders the
-    * stream without any single-task stage.
+    * Global positions are assigned WITHOUT a global window (the r3
+    * scale-killer: `row_number() OVER (ORDER BY p,...)` funnels the
+    * whole stream through one task). Same bucket-offset technique as
+    * `etl_surrogate_key`: (1) a tiny aggregate derives 32 virtual-time
+    * range buckets and their cumulative row offsets (broadcast); (2)
+    * rows rank WITHIN their bucket (parallel window, one bucket-keyed
+    * exchange) and add the bucket's offset. bkt is monotone in p, so
+    * the result is bit-identical to the global row_number at any
+    * partition count — exactly what the oracle states.
     */
   def interleaveSources(spark: SparkSession, dir: String): DataFrame = {
     val bySource = Window.partitionBy("source")
       .orderBy(col("h"), col("doc_id"))
-    Tables(spark, dir, "documents")
+    val base = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         idHash(col("doc_id")).as("h"),
         (lit(1) + substring(col("source"), 4, 10).cast("int") % lit(4))
@@ -179,10 +183,29 @@ object Pipeline {
       .withColumn("r", row_number().over(bySource).cast("long") - 1)
       .withColumn("p",
         (col("r") * 2 + 1).cast("double") / (col("wt") * 2).cast("double"))
-      .withColumn("position", row_number()
-        .over(Window.orderBy(col("p"), col("source"), col("doc_id")))
-        .cast("long"))
-      .select("position", "doc_id", "source", "wt")
+    val mx = base.agg(max("p").as("mx"))
+    val bucketed = base.crossJoin(broadcast(mx))
+      .withColumn("bkt", least(floor(col("p") * 32 / col("mx")), lit(31L)))
+    // exclusive prefix sum over the 32-row bucket-count table as a
+    // broadcast theta-join (32² comparisons) instead of a global window:
+    // even a windowed prefix sum over 32 rows plans a single-partition
+    // WindowExec and trips the scale-killer scan. localCheckpoint pins
+    // the counts so both join sides read 32 materialized rows rather
+    // than re-running the corpus aggregate.
+    val cnts = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val offsets = cnts
+      .join(broadcast(cnts.select(col("bkt").as("b2"), col("cnt").as("cnt2"))),
+        col("b2") < col("bkt"), "left")
+      .groupBy("bkt")
+      .agg(coalesce(sum("cnt2"), lit(0L)).as("offset"))
+    val wB = Window.partitionBy("bkt")
+      .orderBy(col("p"), col("source"), col("doc_id"))
+    bucketed
+      .withColumn("rk", row_number().over(wB).cast("long"))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select((col("offset") + col("rk")).as("position"),
+        col("doc_id"), col("source"), col("wt"))
       .orderBy("position")
   }
 

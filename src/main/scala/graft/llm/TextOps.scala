@@ -78,11 +78,28 @@ object TextOps {
       .select(explode(transform(
         sequence(lit(1), length(col("w")) - 1),
         i => col("w").substr(i, lit(2)))).as("pair"))
-    pairs.groupBy("pair")
+    // top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
+    // top-k, k-row merge at the driver) instead of row_number over a
+    // GLOBAL window, which funnels the whole vocab²-sized pair table
+    // through ONE task at corpus scale (r3 scale-killer). localCheckpoint
+    // materializes the 20 survivors so ranking doesn't re-run the corpus
+    // aggregate on both sides of the self-join.
+    val top = pairs.groupBy("pair")
       .agg(count(lit(1)).as("n_occurrences"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n_occurrences").desc, col("pair"))).cast("long"))
-      .filter(col("rank") <= 20)
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+      .localCheckpoint()
+    // rank within the 20-row frame: 1 + number of rows strictly ahead in
+    // (count desc, pair asc) order — a broadcast theta-join over k²=400
+    // comparisons, no WindowExec anywhere in the plan.
+    val ahead = broadcast(top.select(col("pair").as("p2"),
+      col("n_occurrences").as("n2")))
+    top.join(ahead,
+        col("n2") > col("n_occurrences") ||
+          (col("n2") === col("n_occurrences") && col("p2") < col("pair")),
+        "left")
+      .groupBy("pair", "n_occurrences")
+      .agg((count(col("p2")) + 1).cast("long").as("rank"))
       .select("rank", "pair", "n_occurrences")
       .orderBy("rank")
   }

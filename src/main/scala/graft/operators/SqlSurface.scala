@@ -321,10 +321,16 @@ object SqlSurface {
   }
 
   /** TPC-H Q22 shape on the fixture's columns (the standard form keys
-    * on c_phone country codes): "rich but inactive" customers — balance
+    * on c_phone country codes): "rich but lapsed" customers — balance
     * above the positive-balance average (scalar subquery, broadcast as
-    * a one-row frame) with no orders on file (anti join). Grouped by
-    * nation key band as the Q22 cntrycode stand-in.
+    * a one-row frame) with no RECENT orders (anti join with a date
+    * residual). The fixture gives every customer at least one order, so
+    * the textbook "no orders at all" predicate is structurally empty at
+    * every sf (r3 vacuous-pass finding); "no orders since 2000-01-01"
+    * selects 5 / 55 / 646 customers at sf0.001/0.01/0.1 while keeping
+    * the same plan shape (scalar subquery + left-anti join on
+    * o_custkey). Grouped by nation key band as the Q22 cntrycode
+    * stand-in.
     */
   def tpchQ22x(spark: SparkSession, dir: String): DataFrame = {
     Seq("customer", "orders").foreach(view(spark, dir, _))
@@ -337,7 +343,8 @@ object SqlSurface {
         "WHERE c_acctbal > (SELECT " +
         "CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) " +
         "/ (100 * count(*)) FROM customer_v WHERE c_acctbal > 0.0) " +
-        "AND NOT EXISTS (SELECT 1 FROM orders_v WHERE o_custkey = c_custkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders_v WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
         "GROUP BY c_nationkey % 5 ORDER BY code")
   }
 
@@ -377,7 +384,8 @@ object SqlSurface {
         "WHERE c_acctbal > (SELECT " +
         "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) " +
         "/ (100 * count(*)) FROM customer WHERE c_acctbal > 0.0) " +
-        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
         "GROUP BY c_nationkey % 5 ORDER BY code"),
     "sql_group_by_all" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +

@@ -96,7 +96,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "stream_stream_outer", "llm_dedup_url", "join_skew_aqe",
     // round-3 wave 12
     "sql_group_by_all", "sql_ddl_defaults", "setop_union_by_name",
-    "fn_aggregate_hof", "plan_observe", "sink_parquet_tuned")
+    "fn_aggregate_hof", "plan_observe", "sink_parquet_tuned",
+    // round-4 (§2.14): keys shipped late in r3, documented r4
+    "sql_tpch_q4x", "sql_tpch_q22x", "llm_mime_detect", "fn_timezone")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

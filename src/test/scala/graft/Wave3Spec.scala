@@ -146,12 +146,17 @@ class Wave3Spec extends GraftSuite {
 
   test("minhash_agg TypedImperativeAggregate is bit-identical to the column form") {
     val viaAgg = llm.Dedup.minhashAggQuery(spark, sf0001)
+    // minhashAggQuery serializes the signature (comma-joined) for the
+    // driver's rows-only gate, so compare against the identically
+    // serialized column form
     val viaCols = llm.Dedup.minhashSignatures(spark,
       Tables(spark, sf0001, "documents"))
-      .withColumnRenamed("sig", "sig2")
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("sig"), _.cast("string")))
+          .as("sig2"))
     val joined = viaAgg.join(viaCols, "doc_id")
     assert(joined.count() > 0)
-    assert(joined.filter(col("sig") =!= col("sig2")).count() == 0)
+    assert(joined.filter(col("signature") =!= col("sig2")).count() == 0)
   }
 
   test("fn_url parses host/path/query back out of the built url") {
