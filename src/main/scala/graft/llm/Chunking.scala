@@ -74,12 +74,53 @@ object Chunking {
       .orderBy("doc_id")
   }
 
+  /** Within-doc unigram entropy H = -Σ p·ln p over the document's OWN
+    * word distribution — the diversity/repetition signal dual to
+    * [[crossEntropy]] (which scores against the corpus LM). Low entropy
+    * = repetitive doc. Same micro-unit grid as crossEntropy: ln is
+    * snapped to integer micro-nats BEFORE the sum, so the aggregate is
+    * an exact integer in both engines and the final division is one
+    * double op on identical operands. Two doc-keyed hash aggregates +
+    * one partitioned window for the total — no global shuffle.
+    */
+  def wordEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ct = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("c"))
+    ct
+      .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+      .withColumn("lq",
+        round(log(col("c").cast("double") / col("n").cast("double"))
+          * lit(1e6), 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_tokens"), sum(col("c") * col("lq")).as("sq"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("sq").cast("double")
+          / (col("n_tokens") * lit(1000000L)).cast("double"))
+          .as("word_entropy"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_chunk_split" -> chunkSplit,
+    "llm_word_entropy" -> wordEntropy,
     "llm_cross_entropy" -> crossEntropy
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_word_entropy" ->
+      ("WITH wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+        "FROM documents), " +
+        "ct AS (SELECT doc_id, word, count(*) AS c FROM wds GROUP BY 1, 2), " +
+        "tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM ct GROUP BY 1), " +
+        "q AS (SELECT ct.doc_id AS doc_id, c, " +
+        "CAST(round(ln(CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT) AS lq " +
+        "FROM ct JOIN tot ON ct.doc_id = tot.doc_id) " +
+        "SELECT q.doc_id AS doc_id, max(tot.n) AS n_tokens, " +
+        "CAST(-sum(c * lq) AS DOUBLE) / (max(tot.n) * 1000000) AS word_entropy " +
+        "FROM q JOIN tot ON q.doc_id = tot.doc_id GROUP BY 1 ORDER BY doc_id"),
     "llm_chunk_split" ->
       (s"WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         s"st AS (SELECT doc_id, w, unnest(range(1, " +

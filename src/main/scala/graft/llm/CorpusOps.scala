@@ -127,10 +127,57 @@ object CorpusOps {
       .orderBy("g_lang", "g_source", "lang", "source")
   }
 
+  /** Batched k-NN JOIN — the retrieval shape a training pipeline runs
+    * per-document (neighbor features, RETRO-style retrieval, kNN-LM),
+    * vs [[annIvf]]'s single probe: EVERY query vector (here vec_id ≡ 0
+    * mod 25) gets its exact top-3 among the corpus vectors in its
+    * nprobe=2 nearest IVF cells. Topology at 100 TB: centroid
+    * assignment is map-side (broadcast codebook), the probe table is
+    * queries × nprobe rows (broadcast), candidate generation is a
+    * broadcast join on cell id — the only shuffle is the per-query
+    * top-k window, keyed by query id (partitioned window, never
+    * global). Candidate volume per query is bounded by cell size, not
+    * corpus size — the IVF contract.
+    */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val cent = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("csim", round(expr("cosine_sim(embedding, cvec)"), 6))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val qv = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("psim").desc, col("cid"))
+    val probed = qv.crossJoin(broadcast(cent))
+      .withColumn("psim", round(expr("cosine_sim(qvec, cvec)"), 6))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 2)
+      .select("qid", "qvec", "cid")
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("nbr"))
+    assigned
+      .join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"), col("cid"),
+        round(expr("cosine_sim(qvec, embedding)"), 4).as("sim"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select("qid", "nbr", "cid", "sim")
+      .orderBy(col("qid"), col("sim").desc, col("nbr"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dataset_card" -> datasetCard,
     "llm_pack_sequences" -> packSequences,
     "llm_embed_centroid" -> embedCentroid,
+    "llm_knn_join" -> knnJoin,
     "llm_ann_ivf" -> annIvf
   )
 
@@ -164,6 +211,27 @@ object CorpusOps {
         "count(*) AS n " +
         "FROM embeddings CROSS JOIN range(1, 65) t(i) " +
         "GROUP BY label, i ORDER BY label, dim"),
+    "llm_knn_join" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "cent AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < 10), " +
+        "assigned AS (SELECT vec_id, emb, cid FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6) DESC, c.cid) AS rk " +
+        "FROM e CROSS JOIN cent c) WHERE rk = 1), " +
+        "qv AS (SELECT vec_id AS qid, emb AS qvec FROM e WHERE vec_id % 25 = 0), " +
+        "probed AS (SELECT qid, cid FROM (" +
+        "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid " +
+        "ORDER BY round(list_cosine_similarity(q.qvec, c.cvec), 6) DESC, c.cid) AS rk " +
+        "FROM qv q CROSS JOIN cent c) WHERE rk <= 2), " +
+        "cand AS (SELECT p.qid, a.vec_id AS nbr, a.cid, " +
+        "round(list_cosine_similarity(q.qvec, a.emb), 4) AS sim " +
+        "FROM probed p JOIN assigned a ON a.cid = p.cid " +
+        "JOIN qv q ON q.qid = p.qid WHERE a.vec_id <> p.qid) " +
+        "SELECT qid, nbr, cid, sim FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY sim DESC, nbr) AS rk FROM cand) " +
+        "WHERE rk <= 3 ORDER BY qid, sim DESC, nbr"),
     "llm_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +

@@ -175,7 +175,17 @@ object DedupVariants {
     * convergence count. Oracle: DuckDB recursive-CTE transitive closure
     * over the same (string-shingle) pair SQL.
     */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentLabels(spark, dir)
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
+      .orderBy("comp")
+
+  /** (id, comp) labels for every doc that appears in a near-dup pair —
+    * the min-label propagation loop shared by [[dedupComponents]] and
+    * [[dedupSurvivor]].
+    */
+  private def componentLabels(spark: SparkSession, dir: String): DataFrame = {
     // Undirected edge list in ONE pass over the similarity join: explode
     // each pair into both directions instead of a two-branch union (one
     // checkpoint job, and the expensive jaccard subplan runs exactly once).
@@ -208,10 +218,28 @@ object DedupVariants {
       labels = next.select(col("id"), col("next_comp").as("comp"))
       guard += 1
     }
-    labels.groupBy("comp")
-      .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
-      .orderBy("comp")
+    labels
   }
+
+  /** The end-to-end near-dup DELIVERABLE: every document labeled with
+    * its dedup cluster (singleton docs are their own cluster) and a
+    * `keep` flag — true iff the doc is its cluster's min-id survivor.
+    * `WHERE keep` is the cleaned corpus. One left join of the corpus
+    * against the (small: only docs in some near-dup pair) component
+    * label table, broadcast-able by construction at any scale where
+    * near-dups are a minority.
+    */
+  def dedupSurvivor(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select("doc_id")
+      .join(
+        componentLabels(spark, dir)
+          .select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"),
+        (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("keep"))
+      .orderBy("doc_id")
 
   /** Embedding-cosine dedup: drop any vector that has a lower-id
     * neighbour with cosine >= 0.35 in the same label block; survivors
@@ -318,6 +346,7 @@ object DedupVariants {
     "llm_dedup_simhash" -> simhashPairs,
     "llm_dedup_ngram_jaccard" -> ngramJaccard,
     "llm_dedup_components" -> dedupComponents,
+    "llm_dedup_survivor" -> dedupSurvivor,
     "llm_dedup_embed" -> embedDedup
   )
 
@@ -368,6 +397,23 @@ object DedupVariants {
         "comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
         "SELECT comp, count(*) AS n_members, max(id) AS max_id " +
         "FROM comp GROUP BY comp ORDER BY comp"),
+    "llm_dedup_survivor" ->
+      (s"WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct($shingleSql)) AS sh FROM documents), " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT id_a, id_b FROM inter " +
+        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6), " +
+        "edges AS (SELECT id_a, id_b FROM pairs UNION ALL " +
+        "SELECT id_b AS id_a, id_a AS id_b FROM pairs), " +
+        "reach(id, r) AS (SELECT DISTINCT id_a AS id, id_a AS r FROM edges " +
+        "UNION SELECT e.id_a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.id_b), " +
+        "comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+        "SELECT d.doc_id, coalesce(comp.comp, d.doc_id) AS comp, " +
+        "(coalesce(comp.comp, d.doc_id) = d.doc_id) AS keep " +
+        "FROM documents d LEFT JOIN comp ON comp.id = d.doc_id " +
+        "ORDER BY d.doc_id"),
     "llm_dedup_semantic" ->
       ("WITH e AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +

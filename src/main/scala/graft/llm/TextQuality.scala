@@ -121,15 +121,86 @@ object TextQuality {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition filter (Rae et al. 2021 §A1.1 rules,
+    * adapted to this fixture's space-separated text): per document,
+    * the fraction of tokens taken by the single most frequent word,
+    * the fraction of bigrams taken by the most frequent bigram, and
+    * the fraction of trigram OCCURRENCES that are duplicates
+    * (1 - distinct/total), each thresholded into a named verdict.
+    *
+    * ONE corpus scan: the three gram streams are tagged structs
+    * concatenated per row and exploded together, then counted with a
+    * single (doc, n, gram)-keyed aggregate and collapsed to per-doc
+    * stats — two narrow shuffles both keyed by doc_id, no joins, no
+    * windows. At 100 TB this is the same explode + hash-agg topology
+    * as llm_minhash_signature.
+    */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    // zip_with pads the shorter side with null; concat_ws would silently
+    // turn the padded tail into a bare unigram, so slice to exactly the
+    // n-1 full bigrams (the Dedup.shingles windowing rule)
+    val bigrams = slice(
+      zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat_ws(" ", a, b)),
+      lit(1), greatest(size(w) - 1, lit(0)))
+    val grams = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(concat(
+        transform(w, g => struct(lit(1).as("n"), g.as("gram"))),
+        transform(bigrams, g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(Dedup.shingles(col("text")),
+          g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val st = grams.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("ct"))
+      .groupBy("doc_id", "n")
+      .agg(max("ct").as("mx"), sum("ct").as("tot"), count(lit(1)).as("dst"))
+    st.groupBy("doc_id")
+      .agg(
+        round(max(when(col("n") === 1,
+          col("mx").cast("double") / col("tot"))), 4).as("top_word_frac"),
+        round(max(when(col("n") === 2,
+          col("mx").cast("double") / col("tot"))), 4).as("top_bigram_frac"),
+        round(max(when(col("n") === 3,
+          lit(1.0) - col("dst").cast("double") / col("tot"))), 4)
+          .as("dup_trigram_frac"))
+      .withColumn("verdict",
+        when(col("top_word_frac") > 0.15, "repetitive_word")
+          .when(col("top_bigram_frac") > 0.08, "repetitive_bigram")
+          .when(col("dup_trigram_frac") > 0.01, "repetitive_trigram")
+          .otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_tokenize_regex" -> tokenizeRegex,
     "llm_lang_id" -> langId,
     "llm_quality_score" -> qualityScore,
     "llm_token_count" -> tokenCount,
+    "llm_repetition_filter" -> repetitionFilter,
     "llm_fingerprint" -> fingerprint
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_repetition_filter" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "g AS (SELECT doc_id, 1 AS n, unnest(w) AS gram FROM d " +
+        "UNION ALL SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(w)), " +
+        "i -> w[i] || ' ' || w[i+1])) AS gram FROM d " +
+        "UNION ALL SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(w) - 1), " +
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM d), " +
+        "per AS (SELECT doc_id, n, gram, count(*) AS ct FROM g GROUP BY 1, 2, 3), " +
+        "st AS (SELECT doc_id, n, max(ct) AS mx, sum(ct) AS tot, count(*) AS dst " +
+        "FROM per GROUP BY 1, 2), " +
+        "f AS (SELECT doc_id, " +
+        "round(max(CASE WHEN n = 1 THEN CAST(mx AS DOUBLE) / tot END), 4) AS top_word_frac, " +
+        "round(max(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) / tot END), 4) AS top_bigram_frac, " +
+        "round(max(CASE WHEN n = 3 THEN 1.0 - CAST(dst AS DOUBLE) / tot END), 4) AS dup_trigram_frac " +
+        "FROM st GROUP BY 1) " +
+        "SELECT doc_id, top_word_frac, top_bigram_frac, dup_trigram_frac, " +
+        "CASE WHEN top_word_frac > 0.15 THEN 'repetitive_word' " +
+        "WHEN top_bigram_frac > 0.08 THEN 'repetitive_bigram' " +
+        "WHEN dup_trigram_frac > 0.01 THEN 'repetitive_trigram' " +
+        "ELSE 'keep' END AS verdict FROM f ORDER BY doc_id"),
     "llm_tokenize_regex" ->
       ("SELECT doc_id, " +
         "CAST(len(regexp_extract_all(text, " +

@@ -98,7 +98,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "sql_group_by_all", "sql_ddl_defaults", "setop_union_by_name",
     "fn_aggregate_hof", "plan_observe", "sink_parquet_tuned",
     // round-4 (§2.14): keys shipped late in r3, documented r4
-    "sql_tpch_q4x", "sql_tpch_q22x", "llm_mime_detect", "fn_timezone")
+    "sql_tpch_q4x", "sql_tpch_q22x", "llm_mime_detect", "fn_timezone",
+    // round-4 wave 13
+    "llm_repetition_filter", "llm_word_entropy", "llm_knn_join",
+    "llm_dedup_survivor")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

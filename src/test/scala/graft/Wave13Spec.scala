@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Wave-13 operators (round 4): plan-shape and property assertions
+  * beyond the oracle hash checks.
+  */
+class Wave13Spec extends GraftSuite {
+
+  test("repetition_filter: fracs in [0,1], all verdicts legal, ONE corpus scan") {
+    val df = llm.TextQuality.repetitionFilter(spark, sf001).cache()
+    try {
+      val n = df.count()
+      assert(n == 500)
+      assert(df.filter(
+        col("top_word_frac") < 0 || col("top_word_frac") > 1 ||
+          col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1 ||
+          col("dup_trigram_frac") < 0 || col("dup_trigram_frac") > 1)
+        .count() == 0)
+      val verdicts = df.select("verdict").distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(verdicts.subsetOf(Set("keep", "repetitive_word",
+        "repetitive_bigram", "repetitive_trigram")))
+      assert(verdicts.contains("keep"))
+    } finally df.unpersist()
+    // one tagged explode = one scan of documents in the (uncached) plan
+    val plan = llm.TextQuality.repetitionFilter(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("word_entropy: every doc covered, 0 <= H <= ln(n_tokens)") {
+    val df = llm.Chunking.wordEntropy(spark, sf001).cache()
+    try {
+      assert(df.count() == 500)
+      assert(df.filter(col("n_tokens") <= 0).count() == 0)
+      // H of any distribution over n outcomes lies in [0, ln n]; the
+      // micro-nat snap perturbs by < 1e-4 nats, covered by the epsilon
+      val bad = df.filter(col("word_entropy") < -1e-3 ||
+        col("word_entropy") > log(col("n_tokens").cast("double")) + 1e-3)
+      assert(bad.count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("knn_join: <=3 neighbors per query, no self-match, sims in [-1,1] descending") {
+    val df = llm.CorpusOps.knnJoin(spark, sf001).cache()
+    try {
+      val perQ = df.groupBy("qid").count()
+      assert(perQ.filter(col("count") > 3).count() == 0)
+      assert(df.filter(col("qid") === col("nbr")).count() == 0)
+      assert(df.filter(col("sim") < -1 || col("sim") > 1).count() == 0)
+      // descending within query: max rank-violation count is 0
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+      val viol = df.withColumn("prev",
+          lag("sim", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") < col("sim"))
+      assert(viol.count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("dedup_survivor: clusters agree with dedup_components, survivors are min-ids") {
+    val surv = llm.DedupVariants.dedupSurvivor(spark, sf001).cache()
+    try {
+      assert(surv.count() == 500)
+      // comp is always <= doc_id (min-label) and survivors carry comp == doc_id
+      assert(surv.filter(col("comp") > col("doc_id")).count() == 0)
+      assert(surv.filter(col("keep") && col("comp") =!= col("doc_id"))
+        .count() == 0)
+      // non-singleton cluster count matches the components rollup
+      val nClusters = surv.filter(!col("keep"))
+        .select("comp").distinct().count()
+      val compRollup = llm.DedupVariants.dedupComponents(spark, sf001)
+        .filter(col("n_members") > 1).count()
+      assert(nClusters == compRollup, s"$nClusters vs $compRollup")
+    } finally surv.unpersist()
+  }
+}
