@@ -128,14 +128,120 @@ object TextOps {
       .limit(25)
   }
 
+  /** Adjacent word-pair counts of `docs` — the BPE statistic, shared by
+    * [[bpeMergeStep]] (one ranked round) and [[bpeTrain]] (chained
+    * rounds).
+    */
+  private def pairCounts(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val bigrams = slice(
+      zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat_ws(" ", a, b)),
+      lit(1), greatest(size(w) - 1, lit(0)))
+    docs.select(explode(bigrams).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("ct"))
+  }
+
+  /** TWO chained BPE training rounds with the merge applied between them
+    * — the data-dependent iterate-and-rewrite shape of real tokenizer
+    * training, entirely declarative: the round-1 winner feeds round 2 as
+    * a broadcast one-row frame (`crossJoin(broadcast(top1))`), never a
+    * driver-side collect. Each round is one corpus pair-count aggregate
+    * + TakeOrderedAndProject(1); the rewrite is a map-side `replace`.
+    * localCheckpoint pins each winner so the round-1 aggregate runs once,
+    * not once per consumer.
+    *
+    * The merge is a plain leftmost non-overlapping SUBSTRING replace —
+    * identical semantics in both engines (that is what makes the round-2
+    * counts oracle-exact); a production tokenizer would tokenize first
+    * and merge symbol-wise. Word-level pairs stand in for character
+    * pairs, as in [[bpeMergeStep]].
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables(spark, dir, "documents").select("doc_id", "text")
+    val p1 = pairCounts(d0)
+      .orderBy(col("ct").desc, col("pair")).limit(1).localCheckpoint()
+    val d1 = d0
+      .crossJoin(broadcast(p1.select(col("pair").as("mpair"))))
+      .select(col("doc_id"),
+        expr("replace(text, mpair, replace(mpair, ' ', '_'))").as("text"))
+    val p2 = pairCounts(d1)
+      .orderBy(col("ct").desc, col("pair")).limit(1).localCheckpoint()
+    p1.select(lit(1).as("iter"), col("pair"),
+        col("ct").cast("long").as("n_occurrences"))
+      .unionAll(p2.select(lit(2).as("iter"), col("pair"),
+        col("ct").cast("long").as("n_occurrences")))
+      .orderBy("iter")
+  }
+
+  /** Vocabulary build with cumulative corpus coverage: top-50 words by
+    * frequency, each with its rank and the fraction of all token
+    * occurrences covered by the vocab up to and including it — the
+    * curve that picks a vocab size. Rank AND the cumulative sum both
+    * come from one broadcast theta-join over the 50-row top table
+    * (strictly-ahead rows counted/summed per word), so there is no
+    * global window anywhere; the corpus-level work is one word-count
+    * aggregate + TakeOrderedAndProject(50).
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("ct"))
+    val tot = wc.agg(sum("ct").cast("double").as("n"))
+    val top = wc.orderBy(col("ct").desc, col("word")).limit(50)
+      .localCheckpoint()
+    val ahead = broadcast(top.select(col("word").as("w2"),
+      col("ct").as("ct2")))
+    top
+      .join(ahead,
+        col("ct2") > col("ct") ||
+          (col("ct2") === col("ct") && col("w2") < col("word")),
+        "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("word", "ct", "n")
+      .agg((count(col("w2")) + 1).cast("long").as("rank"),
+        round((sum(coalesce(col("ct2"), lit(0L))) + col("ct")) / col("n"), 6)
+          .as("cum_coverage"))
+      .select(col("word"), col("ct").cast("long").as("ct"),
+        col("rank"), col("cum_coverage"))
+      .orderBy("rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ngram_lm" -> ngramLm,
     "llm_bpe_merge_step" -> bpeMergeStep,
+    "llm_bpe_train" -> bpeTrain,
+    "llm_vocab_coverage" -> vocabCoverage,
     "llm_text_stats" -> textStats,
     "llm_text_tfidf" -> tfidf
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_bpe_train" ->
+      ("WITH d0 AS (SELECT doc_id, text FROM documents), " +
+        "p1 AS (SELECT gram, count(*) AS ct FROM (" +
+        "SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram " +
+        "FROM (SELECT string_split(text, ' ') AS w FROM d0)) " +
+        "GROUP BY 1 ORDER BY ct DESC, gram LIMIT 1), " +
+        "d1 AS (SELECT doc_id, replace(text, (SELECT gram FROM p1), " +
+        "replace((SELECT gram FROM p1), ' ', '_')) AS text FROM d0), " +
+        "p2 AS (SELECT gram, count(*) AS ct FROM (" +
+        "SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram " +
+        "FROM (SELECT string_split(text, ' ') AS w FROM d1)) " +
+        "GROUP BY 1 ORDER BY ct DESC, gram LIMIT 1) " +
+        "SELECT 1 AS iter, gram AS pair, CAST(ct AS BIGINT) AS n_occurrences FROM p1 " +
+        "UNION ALL " +
+        "SELECT 2 AS iter, gram AS pair, CAST(ct AS BIGINT) AS n_occurrences FROM p2 " +
+        "ORDER BY iter"),
+    "llm_vocab_coverage" ->
+      ("WITH wc AS (SELECT word, count(*) AS ct FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1), " +
+        "tot AS (SELECT sum(ct) AS n FROM wc), " +
+        "top AS (SELECT word, ct FROM wc ORDER BY ct DESC, word LIMIT 50) " +
+        "SELECT a.word, CAST(a.ct AS BIGINT) AS ct, " +
+        "CAST(count(b.word) + 1 AS BIGINT) AS rank, " +
+        "round((sum(coalesce(b.ct, 0)) + a.ct) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS cum_coverage " +
+        "FROM top a LEFT JOIN top b ON b.ct > a.ct OR (b.ct = a.ct AND b.word < a.word) " +
+        "GROUP BY a.word, a.ct ORDER BY rank"),
     "llm_ngram_lm" ->
       ("WITH d AS (SELECT string_split(text, ' ') AS w FROM documents), " +
         "pairs AS (SELECT unnest(list_transform(" +

@@ -101,7 +101,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "sql_tpch_q4x", "sql_tpch_q22x", "llm_mime_detect", "fn_timezone",
     // round-4 wave 13
     "llm_repetition_filter", "llm_word_entropy", "llm_knn_join",
-    "llm_dedup_survivor")
+    "llm_dedup_survivor",
+    // round-4 wave 14
+    "llm_bpe_train", "llm_vocab_coverage")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

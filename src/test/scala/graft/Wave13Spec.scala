@@ -59,6 +59,29 @@ class Wave13Spec extends GraftSuite {
     } finally df.unpersist()
   }
 
+  test("bpe_train: round-2 winner differs (round-1 pair was merged away)") {
+    val rows = llm.TextOps.bpeTrain(spark, sf001).collect()
+    assert(rows.length == 2)
+    val (p1, n1) = (rows(0).getString(1), rows(0).getLong(2))
+    val (p2, n2) = (rows(1).getString(1), rows(1).getLong(2))
+    assert(p1 != p2, s"merge not applied: $p1 == $p2")
+    assert(n1 > 0 && n2 > 0)
+    // the merged round-1 pair can no longer be the most frequent pair,
+    // and round-2's count cannot exceed round-1's (a merge only removes
+    // pair occurrences)
+    assert(n2 <= n1, s"$n2 > $n1")
+  }
+
+  test("vocab_coverage: ranks dense from 1, coverage monotone to 1.0") {
+    val rows = llm.TextOps.vocabCoverage(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq)
+    val cov = rows.map(_.getDouble(3)).toSeq
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, cov)
+    // fixture vocab is < 50 words, so the top-50 covers everything
+    assert(math.abs(cov.last - 1.0) < 1e-9, cov.last)
+  }
+
   test("dedup_survivor: clusters agree with dedup_components, survivors are min-ids") {
     val surv = llm.DedupVariants.dedupSurvivor(spark, sf001).cache()
     try {
