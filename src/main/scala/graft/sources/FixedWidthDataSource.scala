@@ -11,8 +11,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -113,6 +114,36 @@ object FixedWidth {
 
   /** Column names a pushed filter references. */
   def refs(f: Filter): Seq[String] = f.references.toSeq
+
+  /** An aggregate accepted for pushdown into the line reader. */
+  sealed trait PushedAgg
+  case object CountAll extends PushedAgg
+  final case class MinOf(f: Field) extends PushedAgg
+  final case class MaxOf(f: Field) extends PushedAgg
+
+  def aggName(a: PushedAgg): String = a match {
+    case CountAll => "COUNT(*)"
+    case MinOf(f) => s"MIN(${f.name})"
+    case MaxOf(f) => s"MAX(${f.name})"
+  }
+
+  def aggSchema(aggs: Seq[PushedAgg]): StructType =
+    StructType(aggs.map {
+      case CountAll => StructField("count(*)", LongType, nullable = false)
+      case MinOf(f) => StructField(s"min(${f.name})", f.dt, nullable = true)
+      case MaxOf(f) => StructField(s"max(${f.name})", f.dt, nullable = true)
+    })
+
+  /** Total order used by pushed MIN/MAX accumulation — the same
+    * comparisons [[evalFilter]] uses for pushed predicates.
+    */
+  def compareValues(dt: DataType, a: Any, b: Any): Int = dt match {
+    case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case StringType => a.toString.compareTo(b.toString)
+    case other => throw new IllegalStateException(other.toString)
+  }
 }
 
 class FixedWidthTable(path: String, fields: Seq[FixedWidth.Field])
@@ -129,10 +160,42 @@ class FixedWidthTable(path: String, fields: Seq[FixedWidth.Field])
 class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: Seq[FixedWidth.Field] = fields
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggs: Seq[FixedWidth.PushedAgg] = Nil
+
+  /** PARTIAL aggregate pushdown (supportCompletePushDown stays false —
+    * a multi-file scan cannot produce the one global row): each
+    * partition reader folds its lines into a single (count, min, max)
+    * record instead of emitting rows, and Spark's final HashAggregate
+    * merges the per-partition partials (SUM over the counts, MIN over
+    * the mins). At 100 TB this turns "ship every record into an
+    * aggregate" into "ship one row per file" — the scan-level
+    * pre-aggregation parquet gets from row-group statistics, here for
+    * a text format that has none. Accepted only for global (no GROUP
+    * BY) COUNT(*) / MIN / MAX over declared columns, composed AFTER
+    * filter pushdown (Catalyst only offers the aggregation once every
+    * filter was consumed by the source) and never together with a
+    * pushed limit.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty || limit >= 0) return false
+    def fieldOf(e: V2Expression): Option[FixedWidth.Field] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        fields.find(_.name == nr.fieldNames()(0))
+      case _ => None
+    }
+    val parsed = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(FixedWidth.CountAll)
+      case m: Min => fieldOf(m.column).map(FixedWidth.MinOf)
+      case m: Max => fieldOf(m.column).map(FixedWidth.MaxOf)
+      case _ => None
+    }
+    if (parsed.contains(None)) false
+    else { aggs = parsed.flatten; true }
+  }
 
   // PARTIAL limit pushdown (return false): each partition reader stops
   // after emitting `limit` rows — the file read ends early, which is the
@@ -170,7 +233,99 @@ class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new FixedWidthScan(path, required, fields, pushed, limit)
+    if (aggs.nonEmpty) new FixedWidthAggScan(path, fields, pushed, aggs)
+    else new FixedWidthScan(path, required, fields, pushed, limit)
+}
+
+/** Scan produced when an aggregation was pushed: output schema is the
+  * aggregate columns, one partial row per file partition.
+  */
+class FixedWidthAggScan(path: String, allFields: Seq[FixedWidth.Field],
+    pushed: Array[Filter], aggs: Seq[FixedWidth.PushedAgg])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = FixedWidth.aggSchema(aggs)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FixedWidthAggScan pushedAggs=[${aggs.map(FixedWidth.aggName).mkString(", ")}]" +
+      (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(", ")}]" else "")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString).sorted
+      else Array(path)
+    files.map(f => FixedWidthPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val filterNames = pushed.flatMap(FixedWidth.refs).toSet
+    val aggNames = aggs.collect {
+      case FixedWidth.MinOf(f) => f.name
+      case FixedWidth.MaxOf(f) => f.name
+    }.toSet
+    val evalFields = allFields.filter(f =>
+      filterNames.contains(f.name) || aggNames.contains(f.name))
+    new FixedWidthAggReaderFactory(evalFields, pushed, aggs)
+  }
+}
+
+class FixedWidthAggReaderFactory(evalFields: Seq[FixedWidth.Field],
+    pushed: Array[Filter], aggs: Seq[FixedWidth.PushedAgg])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[FixedWidthPartition].file
+    val dtOf = evalFields.map(f => f.name -> f.dt).toMap
+    new PartitionReader[InternalRow] {
+      private val p = new Path(file)
+      private val in = p.getFileSystem(new Configuration()).open(p)
+      private val reader =
+        new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      private var done = false
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        if (done) return false
+        var count = 0L
+        val mins = new java.util.HashMap[String, Any]()
+        val maxs = new java.util.HashMap[String, Any]()
+        var line = reader.readLine()
+        while (line != null) {
+          val vals = evalFields.map(f => f.name -> FixedWidth.parse(line, f)).toMap
+          if (pushed.forall(FixedWidth.evalFilter(_, vals, dtOf))) {
+            count += 1
+            aggs.foreach {
+              case FixedWidth.MinOf(f) =>
+                val v = vals(f.name)
+                if (v != null && (mins.get(f.name) == null ||
+                    FixedWidth.compareValues(f.dt, v, mins.get(f.name)) < 0))
+                  mins.put(f.name, v)
+              case FixedWidth.MaxOf(f) =>
+                val v = vals(f.name)
+                if (v != null && (maxs.get(f.name) == null ||
+                    FixedWidth.compareValues(f.dt, v, maxs.get(f.name)) > 0))
+                  maxs.put(f.name, v)
+              case FixedWidth.CountAll => ()
+            }
+          }
+          line = reader.readLine()
+        }
+        row = new GenericInternalRow(aggs.map {
+          case FixedWidth.CountAll => count: Any
+          case FixedWidth.MinOf(f) => mins.get(f.name)
+          case FixedWidth.MaxOf(f) => maxs.get(f.name)
+        }.toArray)
+        done = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = reader.close()
+    }
+  }
 }
 
 class FixedWidthScan(path: String, output: Seq[FixedWidth.Field],

@@ -79,9 +79,38 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** AGGREGATE pushdown ([[FixedWidthScanBuilder.pushAggregation]]): a
+    * global COUNT(*)/MIN/MAX over the connector collapses inside each
+    * partition reader — the scan emits ONE partial row per file and
+    * Spark's final HashAggregate merges them, instead of every record
+    * crossing the source boundary. The money column rides as exact
+    * integer cents so the fixed-width render loses nothing. The scan
+    * description shows `pushedAggs=[COUNT(*), MIN(o_cents),
+    * MAX(o_cents)]` with the filter also pushed (asserted in
+    * SourcesSpec).
+    */
+  def fixedWidthAgg(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_fw5").toString
+    Tables(spark, dir, "orders")
+      .select(format_string("%-12d%-12d%-14d",
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    spark.read
+      .format("graft.sources.FixedWidthDataSource")
+      .option("fields",
+        "o_orderkey:1:12:long,o_custkey:13:12:long,o_cents:25:14:long")
+      .load(tmp)
+      .filter(col("o_custkey") >= 100)
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_cents")).as("min_cents"),
+        max(col("o_cents")).as("max_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_fixed_width_limit" -> fixedWidthLimit,
     "scan_fixed_width_filtered" -> fixedWidthFiltered,
+    "scan_fixed_width_agg" -> fixedWidthAgg,
     "scan_fixed_width_dsv2" -> fixedWidthDsv2
   )
 
@@ -93,6 +122,11 @@ object Sources {
       ("SELECT n_nationkey, n_name FROM nation " +
         "WHERE n_regionkey = 1 AND n_nationkey >= 5 ORDER BY n_nationkey"),
     "scan_fixed_width_dsv2" ->
-      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "scan_fixed_width_agg" ->
+      ("SELECT count(*) AS n_orders, " +
+        "min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents, " +
+        "max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents " +
+        "FROM orders WHERE o_custkey >= 100")
   )
 }

@@ -84,4 +84,21 @@ class SourcesSpec extends GraftSuite {
     val row = r.head
     assert(row.getInt(0) == 7 && row.getString(1) == "ONLYKEY" && row.isNullAt(2))
   }
+
+  test("aggregate pushdown: one partial row per file, results equal the raw aggregate") {
+    val df = sources.Sources.fixedWidthAgg(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggs=[COUNT(*), MIN(o_cents), MAX(o_cents)]"), plan)
+    // the filter was consumed by the source too (prerequisite for the push)
+    assert(plan.contains("GreaterThanOrEqual(o_custkey,100)"), plan)
+    val row = df.head
+    // same numbers computed without the connector
+    val direct = Tables(spark, sf0001, "orders")
+      .filter(col("o_custkey") >= 100)
+      .agg(count(lit(1)), min(round(col("o_totalprice") * 100, 0).cast("long")),
+        max(round(col("o_totalprice") * 100, 0).cast("long"))).head
+    assert(row.getLong(0) == direct.getLong(0))
+    assert(row.getLong(1) == direct.getLong(1))
+    assert(row.getLong(2) == direct.getLong(2))
+  }
 }

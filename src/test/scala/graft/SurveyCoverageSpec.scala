@@ -103,7 +103,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "llm_repetition_filter", "llm_word_entropy", "llm_knn_join",
     "llm_dedup_survivor",
     // round-4 wave 14
-    "llm_bpe_train", "llm_vocab_coverage")
+    "llm_bpe_train", "llm_vocab_coverage",
+    // round-4 wave 15
+    "scan_fixed_width_agg")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
