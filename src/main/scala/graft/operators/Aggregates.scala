@@ -411,6 +411,25 @@ object Aggregates {
       .orderBy("which", "l_suppkey")
   }
 
+  /** Exchange REUSE without caching: the per-customer order-count
+    * aggregate appears twice in the plan (each customer joined to its
+    * predecessor's count), and Catalyst's ReuseExchange rule collapses
+    * the two identical aggregate subtrees into ONE shuffle + a
+    * ReusedExchange node — the zero-storage sibling of
+    * [[cacheReuse]]'s persist(): no memory pinned, the map stage just
+    * runs once (plan-asserted in Wave13Spec). At 100 TB this is what
+    * makes self-join-on-derived-table queries pay one corpus pass.
+    */
+  def exchangeReuse(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    cnt.as("a")
+      .join(cnt.as("b"), col("a.o_custkey") === col("b.o_custkey") + 1)
+      .select(col("a.o_custkey").as("o_custkey"), col("a.n").as("n"),
+        col("b.n").as("prev_n"))
+      .orderBy("o_custkey")
+  }
+
   /** Equi-width histogram via `width_bucket`: one pass, one shuffle on
     * the bucket id — the distribution profile an optimizer or data-quality
     * monitor wants. Bucket boundaries are CLOSED-FORM from the literal
@@ -473,6 +492,7 @@ object Aggregates {
     "agg_string_agg" -> stringAgg,
     "agg_histogram" -> histogram,
     "plan_cache_reuse" -> cacheReuse,
+    "plan_exchange_reuse" -> exchangeReuse,
     "agg_approx_percentile" -> approxPercentile,
     "agg_filtered" -> filteredAgg,
     "agg_grouping_id" -> groupingId,
@@ -517,6 +537,11 @@ object Aggregates {
         "AS bucket, count(*) AS n_orders, " +
         Det.moneySumSql("o_totalprice") + " AS total_price " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+    "plan_exchange_reuse" ->
+      ("WITH cnt AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) " +
+        "SELECT a.o_custkey, a.n, b.n AS prev_n " +
+        "FROM cnt a JOIN cnt b ON a.o_custkey = b.o_custkey + 1 " +
+        "ORDER BY a.o_custkey"),
     "plan_cache_reuse" ->
       ("WITH b AS (SELECT l_suppkey, count(*) AS n_items, " +
         Det.moneySumSql("l_extendedprice") + " AS revenue " +

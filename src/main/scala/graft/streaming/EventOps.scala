@@ -243,7 +243,44 @@ object EventOps {
       .orderBy("user_id", "view_id", "click_id")
   }
 
+  /** State continuity ACROSS micro-batches: the events table split into
+    * 4 files, streamed with `maxFilesPerTrigger=1` (so the backlog
+    * drains in 4 micro-batches under Trigger.AvailableNow), aggregated
+    * in complete mode to a memory sink. Each batch's HashAggregate
+    * merges into the state store carried over from the previous batch —
+    * the final table equals the one-shot batch aggregate ONLY if state
+    * survives batch boundaries, which is exactly what the oracle
+    * asserts. (foreachBatchSink drains in one batch; this key is the
+    * multi-batch stateful variant.)
+    */
+  def multiBatchState(spark: SparkSession, dir: String): DataFrame = {
+    val tmpIn = java.nio.file.Files
+      .createTempDirectory("graft_stream_mb").toString
+    Tables(spark, dir, "events").repartition(4)
+      .write.mode("overwrite").parquet(tmpIn)
+    val schema = Tables(spark, dir, "events").schema
+    val name = "graft_multi_batch_state"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmpIn)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100)
+          .as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select("event_type", "n_events", "sum_value")
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_multi_batch_state" -> multiBatchState,
     "stream_stream_outer" -> streamStreamOuter,
     "stream_transform_state" -> transformWithStateBatch,
     "stream_stream_join" -> streamStreamJoin,
@@ -258,6 +295,10 @@ object EventOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_multi_batch_state" ->
+      ("SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 " +
+        "AS sum_value FROM events GROUP BY event_type ORDER BY event_type"),
     "stream_stream_outer" ->
       ("SELECT v.user_id AS user_id, v.event_id AS view_id, " +
         "epoch_us(v.ts) AS view_us, c.event_id AS click_id, " +

@@ -105,7 +105,9 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-4 wave 14
     "llm_bpe_train", "llm_vocab_coverage",
     // round-4 wave 15
-    "scan_fixed_width_agg")
+    "scan_fixed_width_agg",
+    // round-4 wave 16
+    "plan_exchange_reuse", "stream_multi_batch_state")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -59,6 +59,41 @@ class Wave13Spec extends GraftSuite {
     } finally df.unpersist()
   }
 
+  test("exchange_reuse: the duplicated aggregate subtree plans ONE exchange") {
+    val df = operators.Aggregates.exchangeReuse(spark, sf001)
+    // AQE materializes exchange reuse at stage-creation time, so the
+    // ReusedExchange node only exists in the FINAL adaptive plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan)
+  }
+
+  test("streaming backlog drains in multiple batches, state carried across them") {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val tmpIn = java.nio.file.Files
+      .createTempDirectory("graft_stream_mb_spec").toString
+    Tables(spark, sf001, "events").repartition(4)
+      .write.mode("overwrite").parquet(tmpIn)
+    val schema = Tables(spark, sf001, "events").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmpIn)
+      .groupBy("event_type").agg(cnt(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("graft_mb_spec")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    val streamed = spark.table("graft_mb_spec").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables(spark, sf001, "events")
+      .groupBy("event_type").agg(cnt(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == direct)
+  }
+
   test("bpe_train: round-2 winner differs (round-1 pair was merged away)") {
     val rows = llm.TextOps.bpeTrain(spark, sf001).collect()
     assert(rows.length == 2)
