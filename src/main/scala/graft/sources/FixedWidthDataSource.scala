@@ -11,9 +11,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -38,13 +39,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * reader streams lines; memory is O(1) per partition.
   */
 class FixedWidthDataSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FixedWidth.schemaOf(FixedWidth.parseSpec(options.get("fields")))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = FixedWidth.schemaOf(FixedWidth.parseSpec(options.get("fields")))
+    Option(options.get("partcol")) match {
+      case Some(pc) => base.add(StructField(pc, LongType, nullable = false))
+      case None => base
+    }
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new FixedWidthTable(properties.get("path"),
-      FixedWidth.parseSpec(properties.get("fields")))
+      FixedWidth.parseSpec(properties.get("fields")),
+      Option(properties.get("partcol")))
 }
 
 object FixedWidth {
@@ -146,15 +153,124 @@ object FixedWidth {
   }
 }
 
-class FixedWidthTable(path: String, fields: Seq[FixedWidth.Field])
+class FixedWidthTable(path: String, fields: Seq[FixedWidth.Field],
+    partcol: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"fixed_width($path)"
-  override def schema(): StructType = FixedWidth.schemaOf(fields)
+  override def schema(): StructType = {
+    val base = FixedWidth.schemaOf(fields)
+    partcol.fold(base)(pc => base.add(StructField(pc, LongType, nullable = false)))
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FixedWidthScanBuilder(path, fields)
+    partcol match {
+      case Some(pc) => new FixedWidthPartitionedScanBuilder(path, fields, pc)
+      case None => new FixedWidthScanBuilder(path, fields)
+    }
+}
+
+/** ScanBuilder for the hive-layout (`<root>/<partcol>=<v>/…`) variant —
+  * column pruning only; the point of this path is the REPORTED
+  * partitioning, not reader-side pushdown.
+  */
+class FixedWidthPartitionedScanBuilder(path: String,
+    fields: Seq[FixedWidth.Field], partcol: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: Seq[FixedWidth.Field] = fields
+  private var includePart = true
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = fields.filter(f => keep.contains(f.name))
+    includePart = keep.contains(partcol)
+  }
+
+  override def build(): Scan =
+    new FixedWidthPartitionedScan(path, required, partcol, includePart)
+}
+
+/** Scan over a hive-partitioned fixed-width layout that REPORTS its
+  * partitioning ([[SupportsReportPartitioning]] →
+  * [[KeyGroupedPartitioning]] on the directory key, one
+  * [[HasPartitionKey]] split per file): with
+  * `spark.sql.sources.v2.bucketing.enabled` Spark groups the splits by
+  * key and plans joins AND aggregations keyed on `partcol` WITHOUT an
+  * Exchange — the storage-partitioned join. At 100 TB this is the
+  * bucketed-table contract for a plain-text lake layout: the shuffle
+  * happened once at write time, every subsequent key-aligned join and
+  * group-by is exchange-free.
+  */
+class FixedWidthPartitionedScan(path: String,
+    output: Seq[FixedWidth.Field], partcol: String, includePart: Boolean)
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = {
+    val base = FixedWidth.schemaOf(output)
+    if (includePart) base.add(StructField(partcol, LongType, nullable = false))
+    else base
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FixedWidthPartitionedScan(${output.map(_.name).mkString(",")})" +
+      s" keyGrouped=[$partcol]"
+
+  private lazy val partitions: Array[InputPartition] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partcol="))
+      .sortBy(_.getPath.getName)
+      .flatMap { dir =>
+        val key = dir.getPath.getName.stripPrefix(s"$partcol=").toLong
+        fs.listStatus(dir.getPath)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+            && !s.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+          .map(f => FixedWidthKeyedPartition(f.getPath.toString, key): InputPartition)
+      }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity(partcol)), partitions.length)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixedWidthKeyedReaderFactory(output, includePart)
+}
+
+final case class FixedWidthKeyedPartition(file: String, key: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key))
+}
+
+class FixedWidthKeyedReaderFactory(output: Seq[FixedWidth.Field],
+    includePart: Boolean) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val kp = partition.asInstanceOf[FixedWidthKeyedPartition]
+    new PartitionReader[InternalRow] {
+      private val p = new Path(kp.file)
+      private val in = p.getFileSystem(new Configuration()).open(p)
+      private val reader =
+        new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      private var line: String = _
+
+      override def next(): Boolean = {
+        line = reader.readLine()
+        line != null
+      }
+      override def get(): InternalRow = {
+        val vals = output.map(f => FixedWidth.parse(line, f))
+        new GenericInternalRow(
+          (if (includePart) vals :+ (kp.key: Any) else vals).toArray)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
 }
 
 class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
@@ -193,7 +309,11 @@ class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
       case m: Max => fieldOf(m.column).map(FixedWidth.MaxOf)
       case _ => None
     }
-    if (parsed.contains(None)) false
+    // parsed.isEmpty: an outer count() over an already-aggregated query
+    // offers an EMPTY aggregation list — accepting it vacuously makes
+    // Spark expect a zero-column scan while build() would fall back to
+    // the row scan ("unexpected number of columns" internal error)
+    if (parsed.isEmpty || parsed.contains(None)) false
     else { aggs = parsed.flatten; true }
   }
 

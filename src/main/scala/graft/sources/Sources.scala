@@ -107,10 +107,52 @@ object Sources {
         max(col("o_cents")).as("max_cents"))
   }
 
+  /** STORAGE-PARTITIONED JOIN through the connector's reported
+    * partitioning: orders and customer are laid out hive-style
+    * (`grp=<k>/…`, grp = custkey % 8) as fixed-width text, the scans
+    * report [[graft.sources.FixedWidthPartitionedScanKeyGroupedPartitioning]]
+    * on `grp`, and with `spark.sql.sources.v2.bucketing.enabled` BOTH
+    * per-side aggregations AND the join plan with no Exchange anywhere
+    * below the final presentation sort (asserted in SourcesSpec). The
+    * merge hint keeps the tiny fixture off the broadcast path so the
+    * exchange-free co-partitioned plan is what actually runs — at lake
+    * scale this is the write-once-shuffle-never-again bucketed layout.
+    */
+  def storagePartitionedJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val tmpO = Files.createTempDirectory("graft_spj_o").toString
+    Tables(spark, dir, "orders")
+      .withColumn("grp", col("o_custkey") % 8)
+      .select(format_string("%-12d%-14d",
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long")).as("value"),
+        col("grp"))
+      .write.partitionBy("grp").mode("overwrite").text(tmpO)
+    val tmpC = Files.createTempDirectory("graft_spj_c").toString
+    Tables(spark, dir, "customer")
+      .withColumn("grp", col("c_custkey") % 8)
+      .select(format_string("%-12d", col("c_custkey")).as("value"),
+        col("grp"))
+      .write.partitionBy("grp").mode("overwrite").text(tmpC)
+    val o = spark.read.format("graft.sources.FixedWidthDataSource")
+      .option("fields", "o_orderkey:1:12:long,o_cents:13:14:long")
+      .option("partcol", "grp").load(tmpO)
+    val c = spark.read.format("graft.sources.FixedWidthDataSource")
+      .option("fields", "c_custkey:1:12:long")
+      .option("partcol", "grp").load(tmpC)
+    val oa = o.groupBy("grp").agg(count(lit(1)).as("n_orders"),
+      (sum("o_cents").cast("double") / 100).as("revenue"))
+    val ca = c.groupBy("grp").agg(count(lit(1)).as("n_customers"))
+    oa.hint("merge").join(ca, Seq("grp"))
+      .select("grp", "n_orders", "revenue", "n_customers")
+      .orderBy("grp")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_fixed_width_limit" -> fixedWidthLimit,
     "scan_fixed_width_filtered" -> fixedWidthFiltered,
     "scan_fixed_width_agg" -> fixedWidthAgg,
+    "join_storage_partitioned" -> storagePartitionedJoin,
     "scan_fixed_width_dsv2" -> fixedWidthDsv2
   )
 
@@ -127,6 +169,14 @@ object Sources {
       ("SELECT count(*) AS n_orders, " +
         "min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents, " +
         "max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents " +
-        "FROM orders WHERE o_custkey >= 100")
+        "FROM orders WHERE o_custkey >= 100"),
+    "join_storage_partitioned" ->
+      ("WITH o AS (SELECT o_custkey % 8 AS grp, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ 100 AS revenue FROM orders GROUP BY 1), " +
+        "c AS (SELECT c_custkey % 8 AS grp, count(*) AS n_customers " +
+        "FROM customer GROUP BY 1) " +
+        "SELECT grp, n_orders, revenue, n_customers " +
+        "FROM o JOIN c USING (grp) ORDER BY grp")
   )
 }

@@ -101,4 +101,25 @@ class SourcesSpec extends GraftSuite {
     assert(row.getLong(1) == direct.getLong(1))
     assert(row.getLong(2) == direct.getLong(2))
   }
+
+  test("storage-partitioned join: zero exchanges below the presentation sort") {
+    val df = sources.Sources.storagePartitionedJoin(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the reported KeyGroupedPartitioning must reach the plan
+    assert(plan.contains("keyGrouped=[grp]"), plan)
+    // join + both aggregations run on the scan partitioning: the ONLY
+    // Exchange is the final orderBy's rangepartitioning
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(finalPlan).size
+    assert(exchanges == 1, s"expected 1 exchange (presentation sort), got $exchanges:\n$finalPlan")
+    assert(finalPlan.contains("rangepartitioning"), finalPlan)
+    // and the answer matches a direct parquet-side computation
+    val direct = Tables(spark, sf0001, "orders")
+      .groupBy((col("o_custkey") % 8).as("grp"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("grp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == direct)
+  }
 }
