@@ -134,6 +134,40 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** NEAREST-match as-of: each purchase matched to the closest signup of
+    * the same user in EITHER time direction (sensor-alignment semantics,
+    * vs [[asof]]'s backward-only match). Same union-window shape — one
+    * shuffle on user_id, two frame passes over the identical sort (the
+    * backward candidate via last-ignoreNulls over the preceding frame,
+    * the forward via first-ignoreNulls over the following frame; Spark
+    * plans ONE Sort for both) — then a pure projection picks the smaller
+    * absolute distance, backward winning ties. No join node at all; at
+    * 100 TB this is one partitioned window scan, never an expanding
+    * theta join.
+    */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val back = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tsUs = unix_micros(col("ts"))
+    val backUs = unix_micros(col("back_ts"))
+    val fwdUs = unix_micros(col("fwd_ts"))
+    val backWins = col("back_ts").isNotNull &&
+      (col("fwd_ts").isNull || (tsUs - backUs) <= (fwdUs - tsUs))
+    e.withColumn("signup_ts", when(col("event_type") === "signup", col("ts")))
+      .withColumn("back_ts", last("signup_ts", ignoreNulls = true).over(back))
+      .withColumn("fwd_ts", first("signup_ts", ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+        when(backWins, backUs).otherwise(fwdUs).as("nearest_us"),
+        when(col("back_ts").isNull && col("fwd_ts").isNull, lit(null))
+          .when(backWins, lit("backward")).otherwise(lit("forward"))
+          .cast("string").as("direction"))
+      .orderBy("event_id")
+  }
+
   /** Interval join: events within ±30 min of each user's first signup. */
   def interval(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
@@ -451,6 +485,7 @@ object Joins {
     "join_theta_range" -> thetaRange,
     "join_cross" -> cross,
     "join_asof" -> asof,
+    "join_asof_nearest" -> asofNearest,
     "join_interval" -> interval,
     "join_multiway" -> multiway
   )
@@ -560,6 +595,23 @@ object Joins {
         "WHERE s.user_id = e.user_id AND s.event_type = 'signup' " +
         "AND (s.ts < e.ts OR (s.ts = e.ts AND s.event_id <= e.event_id))) AS signup_ts_us " +
         "FROM events e WHERE e.event_type = 'purchase' ORDER BY e.event_id"),
+    "join_asof_nearest" ->
+      ("WITH t AS (SELECT event_id, user_id, ts, event_type, " +
+        "CASE WHEN event_type = 'signup' THEN ts END AS sts FROM events), " +
+        "w AS (SELECT *, " +
+        "last_value(sts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts, " +
+        "first_value(sts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts FROM t) " +
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL " +
+        "OR epoch_us(ts) - epoch_us(back_ts) <= epoch_us(fwd_ts) - epoch_us(ts)) " +
+        "THEN epoch_us(back_ts) ELSE epoch_us(fwd_ts) END AS nearest_us, " +
+        "CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL " +
+        "WHEN fwd_ts IS NULL OR (back_ts IS NOT NULL " +
+        "AND epoch_us(ts) - epoch_us(back_ts) <= epoch_us(fwd_ts) - epoch_us(ts)) " +
+        "THEN 'backward' ELSE 'forward' END AS direction " +
+        "FROM w WHERE event_type = 'purchase' ORDER BY event_id"),
     "join_interval" ->
       ("WITH anchors AS (SELECT user_id, min(ts) AS anchor_ts FROM events " +
         "WHERE event_type = 'signup' GROUP BY 1) " +

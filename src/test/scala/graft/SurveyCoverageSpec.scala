@@ -109,7 +109,7 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-4 wave 16
     "plan_exchange_reuse", "stream_multi_batch_state",
     // round-4 wave 17
-    "join_storage_partitioned")
+    "join_storage_partitioned", "join_asof_nearest")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
