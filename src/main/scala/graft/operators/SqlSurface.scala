@@ -348,7 +348,103 @@ object SqlSurface {
         "GROUP BY c_nationkey % 5 ORDER BY code")
   }
 
+  /** TPC-H Q7 shape (volume shipping): bidirectional trade between two
+    * REGIONS (the fixture's two-nation form is empty at sf0.001 — the
+    * q22x non-vacuity lesson) by ship year. Five-way join where the
+    * nation dims broadcast twice under different aliases; revenue on the
+    * integer-cent grid.
+    */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier", "orders", "customer", "nation")
+      .foreach(view(spark, dir, _))
+    spark.sql(
+      "SELECT supp_region, cust_region, l_year, " +
+        "CAST(sum(vol_cents) AS DOUBLE) / 100 AS revenue FROM (" +
+        "SELECT n1.n_regionkey AS supp_region, n2.n_regionkey AS cust_region, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS vol_cents " +
+        "FROM lineitem_v JOIN supplier_v ON s_suppkey = l_suppkey " +
+        "JOIN orders_v ON o_orderkey = l_orderkey " +
+        "JOIN customer_v ON c_custkey = o_custkey " +
+        "JOIN nation_v n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation_v n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE ((n1.n_regionkey = 3 AND n2.n_regionkey = 2) " +
+        "OR (n1.n_regionkey = 2 AND n2.n_regionkey = 3)) " +
+        "AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' " +
+        "AND TIMESTAMP '1996-12-31 00:00:00') " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")
+  }
+
+  /** TPC-H Q8 shape (national market share): the fraction of EUROPE's
+    * STANDARD-part import volume supplied by NATION_3, by order year.
+    * Seven-way star join; the share is ONE double division of two
+    * exact cent sums, so the ratio is bit-identical on any engine.
+    */
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier", "orders", "customer", "nation",
+      "region").foreach(view(spark, dir, _))
+    spark.sql(
+      "SELECT o_year, round(CAST(sum(CASE WHEN nation = 'NATION_3' " +
+        "THEN vol_cents ELSE 0 END) AS DOUBLE) / sum(vol_cents), 6) AS mkt_share " +
+        "FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS vol_cents, " +
+        "n2.n_name AS nation " +
+        "FROM part_v JOIN lineitem_v ON p_partkey = l_partkey " +
+        "JOIN supplier_v ON s_suppkey = l_suppkey " +
+        "JOIN orders_v ON l_orderkey = o_orderkey " +
+        "JOIN customer_v ON o_custkey = c_custkey " +
+        "JOIN nation_v n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region_v ON n1.n_regionkey = r_regionkey " +
+        "JOIN nation_v n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' " +
+        "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' " +
+        "AND TIMESTAMP '1996-12-31 00:00:00') " +
+        "GROUP BY 1 ORDER BY 1")
+  }
+
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, return
+    * the supplier(s) at the max — the classic CTE-referenced-twice
+    * statement (the scalar max subquery re-reads the CTE; exchange
+    * reuse collapses the two aggregate subtrees — plan evidence is
+    * plan_exchange_reuse).
+    */
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier").foreach(view(spark, dir, _))
+    spark.sql(
+      "WITH rev AS (SELECT l_suppkey AS supplier_no, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) " +
+        "AS BIGINT)) AS DOUBLE) / 100 AS total_revenue " +
+        "FROM lineitem_v WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, total_revenue " +
+        "FROM supplier_v JOIN rev ON s_suppkey = supplier_no " +
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) " +
+        "ORDER BY s_suppkey")
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): total revenue of
+    * Brand#11 lines whose quantity is below 20% of that part's average
+    * — the correlated scalar-aggregate subquery Catalyst decorrelates
+    * into an aggregate + equi-join, never a per-row subquery execution.
+    * (Adapted: the fixture has no p_container, so the brand filter
+    * stands alone.)
+    */
+  def tpchQ17x(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(view(spark, dir, _))
+    spark.sql(
+      "SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) " +
+        "AS DOUBLE) / 100 / 7.0 AS avg_yearly " +
+        "FROM lineitem_v JOIN part_v ON p_partkey = l_partkey " +
+        "WHERE p_brand = 'Brand#11' " +
+        "AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem_v l2 " +
+        "WHERE l2.l_partkey = p_partkey)")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_tpch_q7" -> tpchQ7,
+    "sql_tpch_q8" -> tpchQ8,
+    "sql_tpch_q15" -> tpchQ15,
+    "sql_tpch_q17x" -> tpchQ17x,
     "sql_tpch_q4x" -> tpchQ4x,
     "sql_tpch_q22x" -> tpchQ22x,
     "sql_group_by_all" -> groupByAll,
@@ -367,6 +463,54 @@ object SqlSurface {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_tpch_q7" ->
+      ("SELECT supp_region, cust_region, l_year, " +
+        "CAST(sum(vol_cents) AS DOUBLE) / 100 AS revenue FROM (" +
+        "SELECT n1.n_regionkey AS supp_region, n2.n_regionkey AS cust_region, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_cents " +
+        "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE ((n1.n_regionkey = 3 AND n2.n_regionkey = 2) " +
+        "OR (n1.n_regionkey = 2 AND n2.n_regionkey = 3)) " +
+        "AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "sql_tpch_q8" ->
+      ("SELECT o_year, round(CAST(sum(CASE WHEN nation = 'NATION_3' " +
+        "THEN vol_cents ELSE 0 END) AS DOUBLE) / sum(vol_cents), 6) AS mkt_share " +
+        "FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_cents, " +
+        "n2.n_name AS nation " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' " +
+        "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') " +
+        "GROUP BY 1 ORDER BY 1"),
+    "sql_tpch_q15" ->
+      ("WITH rev AS (SELECT l_suppkey AS supplier_no, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) " +
+        "AS BIGINT)) AS DOUBLE) / 100 AS total_revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, total_revenue " +
+        "FROM supplier JOIN rev ON s_suppkey = supplier_no " +
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) " +
+        "ORDER BY s_suppkey"),
+    "sql_tpch_q17x" ->
+      ("SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) " +
+        "AS DOUBLE) / 100 / 7.0 AS avg_yearly " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_brand = 'Brand#11' " +
+        "AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2 " +
+        "WHERE l2.l_partkey = p_partkey)"),
     "sql_tpch_q4x" ->
       ("SELECT o_orderpriority, count(*) AS order_count " +
         "FROM orders " +
