@@ -430,6 +430,33 @@ object Aggregates {
       .orderBy("o_custkey")
   }
 
+  /** Count-min-sketch heavy hitters: ONE mergeable sketch over the word
+    * stream (map-side partial sketches merge associatively — the
+    * 100 TB frequency-estimation pattern where an exact count table
+    * would be vocabulary-sized), probed for the exact top-10 words so
+    * the CMS overestimate-only guarantee is checkable row by row
+    * (property-tested in Wave13Spec; no oracle — the sketch binary is
+    * Spark-specific). The probe is a scalar UDF by necessity: Spark
+    * ships no sketch-probe expression; it runs over exactly 10 rows
+    * with the one-row sketch frame broadcast.
+    */
+  def cmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val sketch = words.agg(expr(
+      "count_min_sketch(w, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
+      .as("sk"))
+    val probe = udf((sk: Array[Byte], w: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sk)).estimateCount(w))
+    words.groupBy("w").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("w")).limit(10)
+      .crossJoin(broadcast(sketch))
+      .select(col("w").as("word"), col("exact"),
+        probe(col("sk"), col("w")).as("cms_estimate"))
+      .orderBy(col("exact").desc, col("word"))
+  }
+
   /** Equi-width histogram via `width_bucket`: one pass, one shuffle on
     * the bucket id — the distribution profile an optimizer or data-quality
     * monitor wants. Bucket boundaries are CLOSED-FORM from the literal
@@ -493,6 +520,7 @@ object Aggregates {
     "agg_histogram" -> histogram,
     "plan_cache_reuse" -> cacheReuse,
     "plan_exchange_reuse" -> exchangeReuse,
+    "agg_cms_heavy" -> cmsHeavy,
     "agg_approx_percentile" -> approxPercentile,
     "agg_filtered" -> filteredAgg,
     "agg_grouping_id" -> groupingId,

@@ -111,7 +111,8 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-4 wave 17
     "join_storage_partitioned", "join_asof_nearest",
     // round-4 wave 18
-    "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q15", "sql_tpch_q17x")
+    "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q15", "sql_tpch_q17x",
+    "agg_cms_heavy")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -94,6 +94,20 @@ class Wave13Spec extends GraftSuite {
     assert(streamed == direct)
   }
 
+  test("cms heavy hitters: estimate never underestimates, bounded overestimate") {
+    val rows = operators.Aggregates.cmsHeavy(spark, sf001).collect()
+    assert(rows.length == 10)
+    val total = Tables(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS underestimated ${r.getString(0)}: $est < $exact")
+      // eps = 0.001 → overestimate bounded by eps * stream length
+      assert(est <= exact + (0.001 * total).ceil.toLong + 1,
+        s"CMS overestimate out of bound for ${r.getString(0)}: $est vs $exact")
+    }
+  }
+
   test("bpe_train: round-2 winner differs (round-1 pair was merged away)") {
     val rows = llm.TextOps.bpeTrain(spark, sf001).collect()
     assert(rows.length == 2)
