@@ -279,7 +279,41 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** The rate-micro-batch SOURCE (the deterministic load-generator
+    * sibling of `rate`): batch k carries values [k·rows, (k+1)·rows)
+    * all stamped startTimestamp + k·advance — closed-form, so the
+    * source itself is oracle-able against generate_series. The query
+    * drains ≥3 batches into a memory sink and bounds the result with
+    * `value < 300` (stopping is asynchronous, so a 4th batch may land;
+    * the filter makes the output schedule-independent). Windowed count
+    * per batch-timestamp verifies the value→timestamp contract.
+    */
+  def rateSource(spark: SparkSession, dir: String): DataFrame = {
+    val rows = 100
+    val name = "graft_rate_source"
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rows)
+      .option("numPartitions", 4)
+      .option("startTimestamp", 0)
+      .option("advanceMillisPerBatch", 1000)
+      .load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      while (q.lastProgress == null || q.lastProgress.batchId < 2)
+        Thread.sleep(50)
+    } finally q.stop()
+    q.awaitTermination()
+    spark.table(name)
+      .filter(col("value") < rows * 3)
+      .groupBy(unix_millis(col("timestamp")).as("batch_ms"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .orderBy("batch_ms")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_rate_source" -> rateSource,
     "stream_multi_batch_state" -> multiBatchState,
     "stream_stream_outer" -> streamStreamOuter,
     "stream_transform_state" -> transformWithStateBatch,
@@ -295,6 +329,11 @@ object EventOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_rate_source" ->
+      ("SELECT (v // 100) * 1000 AS batch_ms, count(*) AS n_rows, " +
+        "min(v) AS min_value, max(v) AS max_value " +
+        "FROM (SELECT unnest(range(0, 300)) AS v) " +
+        "GROUP BY 1 ORDER BY 1"),
     "stream_multi_batch_state" ->
       ("SELECT event_type, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 " +
