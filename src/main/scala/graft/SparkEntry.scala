@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.SortsSetOps.queries ++
       operators.SqlSurface.queries ++
+      operators.TypedOps.queries ++
       functions.ScalarFns.queries ++
       streaming.EventOps.queries ++
       llm.Dedup.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       operators.Windows.oracle ++
       operators.SortsSetOps.oracle ++
       operators.SqlSurface.oracle ++
+      operators.TypedOps.oracle ++
       functions.ScalarFns.oracle ++
       streaming.EventOps.oracle ++
       llm.Dedup.oracle ++
