@@ -131,6 +131,30 @@ class Wave13Spec extends GraftSuite {
     assert(math.abs(cov.last - 1.0) < 1e-9, cov.last)
   }
 
+  test("knn_join: IVF nprobe=2 recall vs brute-force top-3") {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, sf001, "embeddings")
+    val qv = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // exact top-3 per query: brute force over all 500 vectors
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(expr("cosine_sim(qvec, embedding)"), 4).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = llm.CorpusOps.knnJoin(spark, sf001)
+      .select("qid", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    // nprobe=2 of 10 cells: recall is approximate by design, but must be
+    // well above the 20% a random 2-cell probe would give
+    assert(recall >= 0.5, s"IVF recall $recall below floor (got ${approx.size} hits)")
+  }
+
   test("dedup_survivor: clusters agree with dedup_components, survivors are min-ids") {
     val surv = llm.DedupVariants.dedupSurvivor(spark, sf001).cache()
     try {
