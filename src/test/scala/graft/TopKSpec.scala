@@ -117,4 +117,44 @@ class TopKSpec extends GraftSuite {
     assert(top1.exceptAll(ref).count() == 0)
     assert(ref.exceptAll(top1).count() == 0)
   }
+
+  test("custom exec reports SQLMetrics: retained rows = output rows, groups counted") {
+    // perGroup WITHOUT the presentation orderBy: a range exchange above
+    // the exec would re-execute it for boundary sampling and double every
+    // metric (measured 898 = 2×449) — metrics tests need a single-pass plan
+    val df = plans.TopK.perGroup(
+      Tables(spark, sf0001, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    // collect() (not count()) so THIS QueryExecution runs — count() plans
+    // a separate aggregate execution whose metrics live elsewhere
+    val n = df.collect().length.toLong
+    // find the FINAL TopKPerGroupExec (partial=false); under AQE the real
+    // operators live inside QueryStageExec leaves, which TreeNode.collect
+    // does not descend into — walk stages manually
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findAll(p: SparkPlan): Seq[plans.TopKPerGroupExec] = {
+      val here = p match {
+        case e: plans.TopKPerGroupExec => Seq(e)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(findAll)
+    }
+    val execs = findAll(df.queryExecution.executedPlan)
+    assert(execs.nonEmpty, df.queryExecution.executedPlan.toString)
+    val fin = execs.find(!_.partial).get
+    assert(fin.metrics("numRetained").value == n,
+      s"${fin.metrics("numRetained").value} != $n")
+    // every customer with >=1 order forms a group at the final exec
+    val nGroups = Tables(spark, sf0001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(fin.metrics("numGroups").value == nGroups,
+      s"${fin.metrics("numGroups").value} != $nGroups")
+  }
 }
