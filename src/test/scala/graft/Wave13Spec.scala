@@ -108,6 +108,27 @@ class Wave13Spec extends GraftSuite {
     }
   }
 
+  test("bloom incremental: no false negatives, bounded false positives, exact tier correct") {
+    val df = operators.Etl.bloomIncremental(spark, sf001).cache()
+    try {
+      val n = df.count()
+      assert(n > 0)
+      // a bloom filter NEVER misses a present key: known ⇒ bloom_hit
+      assert(df.filter(col("known_customer") && !col("bloom_hit")).count() == 0)
+      // false positives (hit but not known) bounded well above the 3% fpp
+      val fp = df.filter(col("bloom_hit") && !col("known_customer")).count()
+      assert(fp <= math.max(10, (0.15 * n).toLong), s"$fp FPs of $n")
+      // the exact tier matches a direct semi-join computation
+      val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+      val orders = Tables(spark, sf001, "orders")
+      val direct = orders.filter(col("o_orderdate") >= cut)
+        .join(orders.filter(col("o_orderdate") < cut)
+          .select("o_custkey").distinct(), Seq("o_custkey"), "left_semi")
+        .count()
+      assert(df.filter(col("known_customer")).count() == direct)
+    } finally df.unpersist()
+  }
+
   test("bpe_train: round-2 winner differs (round-1 pair was merged away)") {
     val rows = llm.TextOps.bpeTrain(spark, sf001).collect()
     assert(rows.length == 2)
