@@ -300,8 +300,13 @@ object EventOps {
       .writeStream.format("memory").queryName(name).outputMode("append")
       .start()
     try {
-      while (q.lastProgress == null || q.lastProgress.batchId < 2)
+      // bounded wait: an unguarded poll would hang the whole verify gate
+      // if the stream ever failed to make progress
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while ((q.lastProgress == null || q.lastProgress.batchId < 2)
+          && System.nanoTime() < deadline && q.exception.isEmpty)
         Thread.sleep(50)
+      q.exception.foreach(throw _)
     } finally q.stop()
     q.awaitTermination()
     spark.table(name)
