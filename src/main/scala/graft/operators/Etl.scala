@@ -359,7 +359,59 @@ object Etl {
       .orderBy("o_orderkey")
   }
 
+  /** Day-of-year climate normals (the NOAA-normals product shape): per
+    * (doy, event_type) mean on the integer-cent grid, plus a ±7-day
+    * RANGE-frame smoothed normal. Both averages divide exact integer
+    * sums — the windowed sum is a sum of per-doy integer cent totals, so
+    * even the smoothed value is order-independent and bit-identical on
+    * any engine/partitioning. One aggregate + one partitioned window.
+    */
+  def climateNormals(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir, "events")
+      .groupBy(dayofyear(col("ts")).as("doy"), col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("doy")
+      .rangeBetween(-7, 7)
+    per
+      .select(col("doy"), col("event_type"), col("n_obs"),
+        (col("cents").cast("double") / (col("n_obs") * 100))
+          .as("normal_value"),
+        (sum("cents").over(w).cast("double")
+          / (sum("n_obs").over(w) * 100)).as("smoothed_value"))
+      .orderBy("event_type", "doy")
+  }
+
+  /** Station-style QC: flag observations beyond 2 sample standard
+    * deviations of the station's (user's) own history. The test is a
+    * PURE INTEGER inequality — (n−1)·(v·n−Σv)² > 4n·(n·Σv²−(Σv)²) on
+    * the cent grid — so the flag decision is bit-identical across
+    * engines with NO float boundary risk (an `abs(v-mean) > 2σ` of
+    * doubles ties at the ulp). Per-station stats ride a partitioned
+    * window; one aggregate emits per-station totals.
+    */
+  def stationQc(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id")
+    val v = round(col("value") * 100, 0).cast("long")
+    Tables(spark, dir, "events")
+      .select(col("user_id"), v.as("v"))
+      .withColumn("n", count(lit(1)).over(wU))
+      .withColumn("s", sum("v").over(wU))
+      .withColumn("sq", sum(col("v") * col("v")).over(wU))
+      .withColumn("flag",
+        col("n") > 1 &&
+          (col("n") - 1) * (col("v") * col("n") - col("s"))
+            * (col("v") * col("n") - col("s"))
+          > lit(4) * col("n") * (col("n") * col("sq") - col("s") * col("s")))
+      .groupBy("user_id")
+      .agg(max("n").as("n_obs"),
+        count(when(col("flag"), 1)).as("n_flagged"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_climate_normals" -> climateNormals,
+    "etl_station_qc" -> stationQc,
     "etl_bloom_incremental" -> bloomIncremental,
     "etl_surrogate_key" -> surrogateKey,
     "etl_snapshot_diff" -> snapshotDiff,
@@ -375,6 +427,31 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_climate_normals" ->
+      ("WITH n AS (SELECT dayofyear(ts) AS doy, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n_obs, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT doy, event_type, n_obs, " +
+        "CAST(cents AS DOUBLE) / (100 * n_obs) AS normal_value, " +
+        "CAST(sum(cents) OVER w AS DOUBLE) / (100 * sum(n_obs) OVER w) " +
+        "AS smoothed_value FROM n " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY doy " +
+        "RANGE BETWEEN 7 PRECEDING AND 7 FOLLOWING) " +
+        "ORDER BY event_type, doy"),
+    "etl_station_qc" ->
+      ("WITH g AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v " +
+        "FROM events), " +
+        "st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS sq " +
+        "FROM g GROUP BY 1) " +
+        "SELECT g.user_id, max(st.n) AS n_obs, " +
+        "CAST(count(CASE WHEN st.n > 1 AND " +
+        "(st.n - 1) * (g.v * st.n - st.s) * (g.v * st.n - st.s) " +
+        "> 4 * st.n * (st.n * st.sq - st.s * st.s) THEN 1 END) AS BIGINT) " +
+        "AS n_flagged " +
+        "FROM g JOIN st ON g.user_id = st.user_id " +
+        "GROUP BY 1 ORDER BY g.user_id"),
     "etl_surrogate_key" ->
       ("SELECT c_custkey, c_name, " +
         "row_number() OVER (ORDER BY c_custkey) AS sk " +
