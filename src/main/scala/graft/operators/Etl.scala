@@ -409,7 +409,83 @@ object Etl {
       .orderBy("user_id")
   }
 
+  /** Longest consecutive-day streak per user — the gaps-and-islands
+    * pattern on the calendar: distinct active days, island key =
+    * day − row_number (constant within a run of consecutive days), one
+    * aggregate per island, one per user. Two user-keyed shuffles total;
+    * the window is partitioned (never global).
+    */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(byUser)))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** Heating/cooling degree days per month (base 300.00 on the value
+    * scale): clamped differences summed on the integer-cent grid —
+    * pure map-side arithmetic ahead of one month-keyed aggregate.
+    */
+  def degreeDays(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    Tables(spark, dir, "events")
+      .groupBy(month(col("ts")).cast("long").as("mth"))
+      .agg(
+        (sum(greatest(lit(0L), lit(30000L) - cents)).cast("double") / 100)
+          .as("heating_dd"),
+        (sum(greatest(lit(0L), cents - lit(30000L))).cast("double") / 100)
+          .as("cooling_dd"))
+      .orderBy("mth")
+  }
+
+  /** Time-weighted LINEAR interpolation of missing observations (a
+    * deterministic synthetic gap: every 7th event): previous and next
+    * known (value, timestamp) via ignoreNulls window frames over ONE
+    * user-keyed sort, then the interpolation formula in a fixed
+    * operand order on exact integer inputs — bit-identical across
+    * engines. Boundary gaps fall back to the single known neighbor.
+    * The time-series upgrade of etl_gap_fill's constant fill.
+    */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val back = order.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    val tUs = unix_micros(col("ts"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_id") % 7 =!= 0,
+          round(col("value") * 100, 0).cast("long")).as("v"))
+      .withColumn("pv", last("v", ignoreNulls = true).over(back))
+      .withColumn("pt", last(when(col("v").isNotNull, tUs), ignoreNulls = true)
+        .over(back))
+      .withColumn("nv", first("v", ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(when(col("v").isNotNull, tUs), ignoreNulls = true)
+        .over(fwd))
+      .select(col("event_id"), col("user_id"),
+        round(
+          when(col("v").isNotNull, col("v").cast("double") / 100)
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              (col("pv").cast("double")
+                + (col("nv") - col("pv")).cast("double")
+                  * (tUs - col("pt")).cast("double")
+                  / (col("nt") - col("pt")).cast("double")) / 100)
+            .otherwise(coalesce(col("pv"), col("nv")).cast("double") / 100),
+          4).as("filled"),
+        col("v").isNull.as("was_missing"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_streaks" -> streaks,
+    "etl_degree_days" -> degreeDays,
+    "etl_interpolate" -> interpolate,
     "etl_climate_normals" -> climateNormals,
     "etl_station_qc" -> stationQc,
     "etl_bloom_incremental" -> bloomIncremental,
@@ -427,6 +503,45 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_streaks" ->
+      ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "i AS (SELECT user_id, day, CAST(day - CAST(row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY day) AS INTEGER) AS DATE) AS grp FROM d), " +
+        "s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len " +
+        "FROM i GROUP BY 1, 2) " +
+        "SELECT user_id, max(len) AS longest_streak, " +
+        "CAST(count(*) AS BIGINT) AS n_streaks " +
+        "FROM s GROUP BY 1 ORDER BY user_id"),
+    "etl_degree_days" ->
+      ("SELECT CAST(month(ts) AS BIGINT) AS mth, " +
+        "CAST(sum(greatest(0, 30000 - CAST(round(value * 100) AS BIGINT))) " +
+        "AS DOUBLE) / 100 AS heating_dd, " +
+        "CAST(sum(greatest(0, CAST(round(value * 100) AS BIGINT) - 30000)) " +
+        "AS DOUBLE) / 100 AS cooling_dd " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "etl_interpolate" ->
+      ("WITH base AS (SELECT user_id, event_id, ts, " +
+        "CASE WHEN event_id % 7 <> 0 THEN CAST(round(value * 100) AS BIGINT) END AS v " +
+        "FROM events), " +
+        "w AS (SELECT *, " +
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt, " +
+        "first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt FROM base) " +
+        "SELECT event_id, user_id, " +
+        "round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) / 100 " +
+        "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN " +
+        "(CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) " +
+        "* CAST(epoch_us(ts) - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) / 100 " +
+        "ELSE CAST(coalesce(pv, nv) AS DOUBLE) / 100 END, 4) AS filled, " +
+        "(v IS NULL) AS was_missing " +
+        "FROM w ORDER BY event_id"),
     "etl_climate_normals" ->
       ("WITH n AS (SELECT dayofyear(ts) AS doy, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_obs, " +
