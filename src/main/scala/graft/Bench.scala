@@ -48,7 +48,8 @@ object Bench {
       "agg_hash_group", "agg_distinct", "join_multiway", "join_broadcast",
       "win_rank_topn", "limit_topk", "scan_parquet", "stream_tumbling",
       "etl_noaa_daily", "llm_dedup_near", "llm_dedup_ngram_jaccard",
-      "llm_sim_cosine", "llm_text_tfidf", "sort_multi", "plan_topk_native")
+      "llm_sim_cosine", "llm_text_tfidf", "sort_multi", "plan_topk_native",
+      "join_storage_partitioned", "llm_knn_join", "llm_repetition_filter")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE etc.) would emit invalid JSON.
     def fmt(v: Double): String =
