@@ -26,7 +26,7 @@ object Etl {
     * substring/trim/cast parsing. Oracle: the original table.
     */
   def fixedWidth(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_fixed").toString
+    val tmp = graft.Staging.tempDir("graft_fixed")
     Tables(spark, dir, "nation")
       .select(format_string("%-4d%-20s%-4d",
         col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
@@ -72,7 +72,7 @@ object Etl {
     * (which is exactly what the oracle checks).
     */
   def upsertPartition(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_upsert").toString
+    val tmp = graft.Staging.tempDir("graft_upsert")
     val e = Tables(spark, dir, "events")
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -243,7 +243,7 @@ object Etl {
     */
   def malformedSplit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dlq").toString
+    val tmp = graft.Staging.tempDir("graft_dlq")
     Tables(spark, dir, "nation")
       .select(concat_ws(",",
         col("n_nationkey"), col("n_name"),

@@ -382,7 +382,7 @@ object Joins {
     */
   def dppJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val tmp = graft.Staging.tempDir("graft_dpp")
     // stage only the columns the query reads — the fixture write is per-run
     // cost, and a partitioned layout never needs the unused wide columns
     Tables(spark, dir, "events")

@@ -30,7 +30,7 @@ object Scans {
     * re-expressed; no oracle — filesystem side effect).
     */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_csv").toString
+    val tmp = graft.Staging.tempDir("graft_csv")
     val nation = Tables(spark, dir, "nation")
     nation.write.mode("overwrite").option("header", "true").csv(tmp)
     spark.read.schema(nation.schema).option("header", "true").csv(tmp)
@@ -39,7 +39,7 @@ object Scans {
 
   /** ORC write + read-back (second columnar format). */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_orc").toString
+    val tmp = graft.Staging.tempDir("graft_orc")
     Tables(spark, dir, "supplier").write.mode("overwrite").orc(tmp)
     spark.read.orc(tmp).orderBy("s_suppkey")
   }
@@ -51,7 +51,7 @@ object Scans {
     * columnar scans stay parquet/ORC.
     */
   def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_avro").toString
+    val tmp = graft.Staging.tempDir("graft_avro")
     // this build's spark-sql jar carries the Avro classes but not the
     // `avro` DataSourceRegister service entry — address the FileFormat
     // by class name (lookupDataSource accepts it)
@@ -67,7 +67,7 @@ object Scans {
     * option is the record framing — one element per row.
     */
   def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_xml").toString
+    val tmp = graft.Staging.tempDir("graft_xml")
     val nation = Tables(spark, dir, "nation")
     nation.write.mode("overwrite").option("rowTag", "nation")
       .format("xml").save(tmp)
@@ -79,7 +79,7 @@ object Scans {
     * shortest-roundtrip text encoding).
     */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_json").toString
+    val tmp = graft.Staging.tempDir("graft_json")
     val region = Tables(spark, dir, "supplier")
     region.write.mode("overwrite").json(tmp)
     spark.read.schema(region.schema).json(tmp).orderBy("s_suppkey")
@@ -95,7 +95,7 @@ object Scans {
 
   /** Partitioned parquet sink + read-back (no oracle — side effect). */
   def sinkParquet(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_sink").toString
+    val tmp = graft.Staging.tempDir("graft_sink")
     Tables(spark, dir, "orders")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
     spark.read.parquet(tmp)
@@ -108,7 +108,7 @@ object Scans {
     * deterministic side effect, oracle = source table).
     */
   def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_text").toString
+    val tmp = graft.Staging.tempDir("graft_text")
     Tables(spark, dir, "nation")
       .select(concat_ws("\u0001",
         col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
@@ -129,7 +129,7 @@ object Scans {
     * partition and reading the corpus (asserted in ScansSpec).
     */
   def partitionPruned(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_prune").toString
+    val tmp = graft.Staging.tempDir("graft_prune")
     Tables(spark, dir, "events")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .repartition(col("event_type"))
@@ -151,7 +151,7 @@ object Scans {
     * (not few giant blobs) is what keeps tasks even.
     */
   def binaryFiles(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_bin").toString
+    val tmp = graft.Staging.tempDir("graft_bin")
     Tables(spark, dir, "documents")
       .filter(col("source") === "src0")
       .select(col("doc_id"), col("text"))
@@ -199,7 +199,7 @@ object Scans {
     * disjoint and internally sorted.
     */
   def clusteredWrite(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_cluster").toString
+    val tmp = graft.Staging.tempDir("graft_cluster")
     Tables(spark, dir, "orders")
       .repartitionByRange(8, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
@@ -236,7 +236,7 @@ object Scans {
     * space.
     */
   def zorderWrite(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_zorder").toString
+    val tmp = graft.Staging.tempDir("graft_zorder")
     Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
@@ -258,7 +258,7 @@ object Scans {
     * via the merged footer union, which is the same contract.)
     */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_evo").toString
+    val tmp = graft.Staging.tempDir("graft_evo")
     val c = Tables(spark, dir, "customer")
     c.filter(col("c_custkey") % 2 === 0)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
@@ -282,7 +282,7 @@ object Scans {
     * the round-trip is lossless.
     */
   def parquetTuned(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_zstd").toString
+    val tmp = graft.Staging.tempDir("graft_zstd")
     Tables(spark, dir, "orders")
       .repartitionByRange(2, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")

@@ -255,7 +255,7 @@ object SqlSurface {
     // external table at a per-run temp location: a managed table's fixed
     // warehouse path survives the JVM and collides with the next run's
     // fresh (in-memory) catalog
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cbo").toString
+    val tmp = graft.Staging.tempDir("graft_cbo")
     spark.sql("DROP TABLE IF EXISTS graft_cbo_orders")
     Tables(spark, dir, "orders")
       .write.mode("overwrite").option("path", tmp)
@@ -289,7 +289,7 @@ object SqlSurface {
     * reads see plain data (no runtime cost at scan).
     */
   def ddlDefaults(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    val tmp = graft.Staging.tempDir("graft_ddl")
     spark.sql("DROP TABLE IF EXISTS graft_ddl_defaults")
     spark.sql(
       "CREATE TABLE graft_ddl_defaults (" +

@@ -17,7 +17,7 @@ object Sources {
     * never parsed.
     */
   def fixedWidthDsv2(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_fw2").toString
+    val tmp = graft.Staging.tempDir("graft_fw2")
     Tables(spark, dir, "nation")
       .select(format_string("%-4d%-20s%-4d",
         col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
@@ -40,7 +40,7 @@ object Sources {
     * Filter re-check for the pushed conjuncts (asserted in SourcesSpec).
     */
   def fixedWidthFiltered(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_fw3").toString
+    val tmp = graft.Staging.tempDir("graft_fw3")
     Tables(spark, dir, "nation")
       .select(format_string("%-4d%-20s%-4d",
         col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
@@ -64,7 +64,7 @@ object Sources {
     * (asserted in SourcesSpec).
     */
   def fixedWidthLimit(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_fw4").toString
+    val tmp = graft.Staging.tempDir("graft_fw4")
     Tables(spark, dir, "nation").orderBy("n_nationkey").coalesce(1)
       .select(format_string("%-4d%-20s%-4d",
         col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
@@ -90,7 +90,7 @@ object Sources {
     * SourcesSpec).
     */
   def fixedWidthAgg(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_fw5").toString
+    val tmp = graft.Staging.tempDir("graft_fw5")
     Tables(spark, dir, "orders")
       .select(format_string("%-12d%-12d%-14d",
         col("o_orderkey"), col("o_custkey"),
@@ -120,7 +120,7 @@ object Sources {
     */
   def storagePartitionedJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    val tmpO = Files.createTempDirectory("graft_spj_o").toString
+    val tmpO = graft.Staging.tempDir("graft_spj_o")
     Tables(spark, dir, "orders")
       .withColumn("grp", col("o_custkey") % 8)
       .select(format_string("%-12d%-14d",
@@ -128,7 +128,7 @@ object Sources {
         round(col("o_totalprice") * 100, 0).cast("long")).as("value"),
         col("grp"))
       .write.partitionBy("grp").mode("overwrite").text(tmpO)
-    val tmpC = Files.createTempDirectory("graft_spj_c").toString
+    val tmpC = graft.Staging.tempDir("graft_spj_c")
     Tables(spark, dir, "customer")
       .withColumn("grp", col("c_custkey") % 8)
       .select(format_string("%-12d", col("c_custkey")).as("value"),

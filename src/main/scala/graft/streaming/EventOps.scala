@@ -98,7 +98,7 @@ object EventOps {
     * then read back (no oracle — side effect + streaming runtime).
     */
   def foreachBatchSink(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val tmp = graft.Staging.tempDir("graft_stream_sink")
     val schema = Tables(spark, dir, "orders").schema
     val q = spark.readStream.schema(schema)
       .option("pathGlobFilter", "orders.parquet")
@@ -254,8 +254,7 @@ object EventOps {
     * multi-batch stateful variant.)
     */
   def multiBatchState(spark: SparkSession, dir: String): DataFrame = {
-    val tmpIn = java.nio.file.Files
-      .createTempDirectory("graft_stream_mb").toString
+    val tmpIn = graft.Staging.tempDir("graft_stream_mb")
     Tables(spark, dir, "events").repartition(4)
       .write.mode("overwrite").parquet(tmpIn)
     val schema = Tables(spark, dir, "events").schema
