@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // same consistent-config rationale as Verify (advisor round-4 note)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state warm-up (JVM/codegen/parquet-reader pools), matching
@@ -32,14 +34,26 @@ object Bench {
     // estimator of the plan's actual cost; plan pathologies (the thing the
     // bench exists to catch) survive both reps.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // Failure-honest timing (r4 verdict #3): a rep that throws records NO
+    // time — previously `catch { -1L }` let a broken query bench as a fast
+    // success. A key with zero successful reps lands in `errors`, is
+    // excluded from every total, and its name is emitted in the JSON line
+    // so the bench cannot silently lie about a crashing query.
+    val raw = SparkEntry.queries.map { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> times
     }
+    val errorKeys = raw.collect { case (n, ts) if ts.isEmpty => n }.toSeq.sorted
+    // min = contention-robust plan-cost estimate; max kept alongside so
+    // first-run costs (shuffle/file staging, codegen) stay visible and
+    // pre-reps single-shot totals remain comparable (advisor round-4 note).
+    val results = raw.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+    val resultsMax = raw.collect { case (n, ts) if ts.nonEmpty => n -> ts.max }
     // The emitted JSON must stay ONE SHORT line: the driver captures only
     // a bounded output tail, and a per-query dict over the full ~90-key
     // suite overflows it (round 1's bench recorded parsed:null). Headline
@@ -57,14 +71,17 @@ object Bench {
     val qs = headline.flatMap(k => results.get(k).map(v =>
       "\"" + k + "\":" + fmt(v))).mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalMax = if (resultsMax.nonEmpty) resultsMax.values.sum else 0.0
+    val errsJson = errorKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full per-query timings go to a FILE (dev profiling), never stdout —
     // stdout carries only the one bounded JSON line the driver parses.
     sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
       val full = results.toSeq.sortBy(-_._2).map { case (k, v) =>
-        "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+        "\"" + k + "\":[" + fmt(v) + "," + fmt(resultsMax(k)) + "]"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,11 @@ object Verify {
       // write timestamps as int64 micros (not INT96) so the dumped
       // results carry the same physical type DuckDB produces
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // one consistent planner config for ALL keys: join_storage_partitioned
+      // needs v2 bucketing, and setting it here (not mid-run on the shared
+      // session) means no key executes under a config it wasn't validated
+      // with (advisor round-4 note)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -98,9 +98,16 @@ object Dedup {
         array((0 until perms).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Exact dedup keeps the first doc_id per identical text. The window
+    * partitions on md5(text) ONLY — a 16-byte digest — so the multi-KB
+    * text never rides the exchange's partitioning/sort key (the
+    * llm_canonicalize lesson: never shuffle wide keys; its md5-key fix
+    * measured 6.9 s → 0.5 s). md5 collisions are 2^-64-improbable at any
+    * corpus size; equal digests are treated as equal texts, the same
+    * contract llm_canonicalize and content-addressed storage already use.
+    */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col("text")), col("text"))
-      .orderBy("doc_id")
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
     Tables(spark, dir, "documents")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

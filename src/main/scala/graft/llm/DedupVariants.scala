@@ -340,7 +340,55 @@ object DedupVariants {
       .orderBy("doc_id")
   }
 
+  /** Cross-document EXACT duplicated-span detection (the Lee et al. 2021
+    * "Deduplicating Training Data" duplicated-span shape): every length-8
+    * word window is an anchor; an anchor occurring in ≥2 DISTINCT
+    * documents marks a duplicated span of ≥8 words. Output is the per-doc
+    * span summary (total windows, duplicated windows, duplicated
+    * fraction) — the signal that cuts boilerplate/licenses/memorized
+    * passages which doc-LEVEL dedup (exact/near/semantic above) cannot
+    * see. Spark-first shape instead of the paper's monolithic suffix
+    * array: one corpus scan explodes the windows; the shuffle key is
+    * md5(window) — a 32-char digest, never the span text (the
+    * llm_canonicalize wide-key lesson); one digest-keyed aggregate marks
+    * duplicated anchors; the tag-back join shares that exchange
+    * (ReuseExchange — both sides hash-partition the same window stream
+    * on g); one doc-keyed aggregate emits the summary. No driver-side
+    * state, no all-pairs join anywhere: candidate volume is LINEAR in
+    * corpus tokens, so the plan survives 100 TB. Equal digests are
+    * treated as equal spans (2⁻⁶⁴ collision odds — the same contract as
+    * exact dedup's md5 keying). Matching spans longer than 8 words
+    * appear as runs of consecutive duplicated anchors, so dup_spans is
+    * monotone in true duplicated-span length (property-tested: planted
+    * cross-doc spans are found, disjoint corpora produce zero).
+    */
+  /** Core of [[substringDedup]] over any (doc_id, text) frame — split out
+    * so the planted-span property test can run it on synthetic corpora.
+    */
+  def substringSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val sh = docs
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    val anchors = sh.groupBy("g").agg(count_distinct(col("doc_id")).as("nd"))
+    sh.join(anchors, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("nd") >= 2, 1)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        (col("dup_spans").cast("double") / col("n_spans")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables(spark, dir, "documents"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_substring" -> substringDedup,
     "llm_dedup_edit_distance" -> editDistance,
     "llm_dedup_semantic" -> semanticDedup,
     "llm_dedup_simhash" -> simhashPairs,
@@ -359,6 +407,24 @@ object DedupVariants {
       "|| ' ' || string_split(text, ' ')[i+2])"
 
   def oracle: Map[String, String] = Map(
+    // the same window stream restated over DuckDB lists: w[i:i+7] is the
+    // 1-based inclusive 8-word slice; range(1, len-6) yields the same
+    // len-7 window starts as Spark's sequence(0, size-8) (empty when the
+    // doc has <8 words). Grouping on the raw window text here vs md5 in
+    // Spark is count-identical — the digest only narrows the shuffle key.
+    "llm_dedup_substring" ->
+      ("WITH words AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_transform(" +
+        "range(1, greatest(len(w) - 6, 1)), " +
+        "i -> array_to_string(w[i:i+7], ' '))) AS gram FROM words), " +
+        "an AS (SELECT gram, count(DISTINCT doc_id) AS nd " +
+        "FROM sh GROUP BY 1) " +
+        "SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(count(CASE WHEN nd >= 2 THEN 1 END) AS BIGINT) AS dup_spans, " +
+        "CAST(count(CASE WHEN nd >= 2 THEN 1 END) AS DOUBLE) / count(*) " +
+        "AS dup_ratio " +
+        "FROM sh JOIN an USING (gram) GROUP BY 1 ORDER BY 1"),
     // the UNBLOCKED theta-join statement of the same semantics — the
     // banded Spark plan must lose no pair
     "llm_dedup_edit_distance" ->

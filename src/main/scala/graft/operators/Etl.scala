@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -26,11 +26,12 @@ object Etl {
     * substring/trim/cast parsing. Oracle: the original table.
     */
   def fixedWidth(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_fixed")
-    Tables(spark, dir, "nation")
-      .select(format_string("%-4d%-20s%-4d",
-        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
-      .write.mode("overwrite").text(tmp)
+    val tmp = graft.Staging.memoDir("graft_fixed", dir) { tmp =>
+      Tables(spark, dir, "nation")
+        .select(format_string("%-4d%-20s%-4d",
+          col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(tmp)
+    }
     spark.read.text(tmp)
       .select(
         trim(substring(col("value"), 1, 4)).cast("int").as("n_nationkey"),
@@ -72,15 +73,18 @@ object Etl {
     * (which is exactly what the oracle checks).
     */
   def upsertPartition(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_upsert")
     val e = Tables(spark, dir, "events")
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // base layout staged once per (key, sf); the upsert below re-runs per
+    // call and is idempotent, so the re-used dir converges to the same state.
     // repartition on the partition column first: without it every task
     // writes a sliver of every day → tasks × days tiny files (the
     // small-files problem at any scale; measured 2.7 s → ~1 s here)
-    e.repartition(col("day"))
-      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val tmp = graft.Staging.memoDir("graft_upsert", dir) { tmp =>
+      e.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -243,13 +247,14 @@ object Etl {
     */
   def malformedSplit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = graft.Staging.tempDir("graft_dlq")
-    Tables(spark, dir, "nation")
-      .select(concat_ws(",",
-        col("n_nationkey"), col("n_name"),
-        when(col("n_nationkey") % 7 === 0, lit("bad"))
-          .otherwise(col("n_regionkey").cast("string"))).as("value"))
-      .write.mode("overwrite").text(tmp)
+    val tmp = graft.Staging.memoDir("graft_dlq", dir) { tmp =>
+      Tables(spark, dir, "nation")
+        .select(concat_ws(",",
+          col("n_nationkey"), col("n_name"),
+          when(col("n_nationkey") % 7 === 0, lit("bad"))
+            .otherwise(col("n_regionkey").cast("string"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+    }
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
@@ -387,22 +392,32 @@ object Etl {
     * PURE INTEGER inequality — (n−1)·(v·n−Σv)² > 4n·(n·Σv²−(Σv)²) on
     * the cent grid — so the flag decision is bit-identical across
     * engines with NO float boundary risk (an `abs(v-mean) > 2σ` of
-    * doubles ties at the ulp). Per-station stats ride a partitioned
+    * doubles ties at the ulp). The inequality terms are computed as
+    * DecimalType(38,0): in Long the products reach (n−1)·(v·n−Σv)² and
+    * n·Σv², which wrap silently past 2^63 (Spark non-ANSI) while DuckDB
+    * errors — decimal keeps the comparison exact to 10^38, far beyond
+    * any per-station history (n·Σv² < 10^38 holds to ~10^13 rows/station
+    * at 10^5-cent values), and overflows loudly instead of flipping
+    * flags (advisor round-4 note). Per-station stats ride a partitioned
     * window; one aggregate emits per-station totals.
     */
   def stationQc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
     val wU = Window.partitionBy("user_id")
     val v = round(col("value") * 100, 0).cast("long")
+    val qc = {
+      val dn = dec(col("n")); val ds = dec(col("s"))
+      val dsq = dec(col("sq")); val dv = dec(col("v"))
+      val diff = dv * dn - ds
+      (dn - lit(1)) * diff * diff > lit(4) * dn * (dn * dsq - ds * ds)
+    }
     Tables(spark, dir, "events")
       .select(col("user_id"), v.as("v"))
       .withColumn("n", count(lit(1)).over(wU))
       .withColumn("s", sum("v").over(wU))
-      .withColumn("sq", sum(col("v") * col("v")).over(wU))
-      .withColumn("flag",
-        col("n") > 1 &&
-          (col("n") - 1) * (col("v") * col("n") - col("s"))
-            * (col("v") * col("n") - col("s"))
-          > lit(4) * col("n") * (col("n") * col("sq") - col("s") * col("s")))
+      .withColumn("sq", sum(dec(col("v")) * dec(col("v"))).over(wU))
+      .withColumn("flag", col("n") > 1 && qc)
       .groupBy("user_id")
       .agg(max("n").as("n_obs"),
         count(when(col("flag"), 1)).as("n_flagged"))
@@ -450,7 +465,11 @@ object Etl {
     * known (value, timestamp) via ignoreNulls window frames over ONE
     * user-keyed sort, then the interpolation formula in a fixed
     * operand order on exact integer inputs — bit-identical across
-    * engines. Boundary gaps fall back to the single known neighbor.
+    * engines. Boundary gaps fall back to the single known neighbor, and
+    * so does a DEGENERATE bracket (nt = pt, possible under duplicate
+    * per-user timestamps): without that guard the linear branch divides
+    * by zero — Spark (non-ANSI) yields NaN/Infinity where DuckDB errors
+    * (advisor round-4 note; the guard is mirrored in the oracle SQL).
     * The time-series upgrade of etl_gap_fill's constant fill.
     */
   def interpolate(spark: SparkSession, dir: String): DataFrame = {
@@ -471,7 +490,8 @@ object Etl {
       .select(col("event_id"), col("user_id"),
         round(
           when(col("v").isNotNull, col("v").cast("double") / 100)
-            .when(col("pv").isNotNull && col("nv").isNotNull,
+            .when(col("pv").isNotNull && col("nv").isNotNull
+                && col("nt") =!= col("pt"),
               (col("pv").cast("double")
                 + (col("nv") - col("pv")).cast("double")
                   * (tUs - col("pt")).cast("double")
@@ -536,7 +556,7 @@ object Etl {
         "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt FROM base) " +
         "SELECT event_id, user_id, " +
         "round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) / 100 " +
-        "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN " +
+        "WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt THEN " +
         "(CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) " +
         "* CAST(epoch_us(ts) - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) / 100 " +
         "ELSE CAST(coalesce(pv, nv) AS DOUBLE) / 100 END, 4) AS filled, " +

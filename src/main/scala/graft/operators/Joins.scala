@@ -382,19 +382,20 @@ object Joins {
     */
   def dppJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = graft.Staging.tempDir("graft_dpp")
-    // stage only the columns the query reads — the fixture write is per-run
-    // cost, and a partitioned layout never needs the unused wide columns
-    Tables(spark, dir, "events")
-      .select("event_type", "value")
-      .repartition(col("event_type"))
-      .write.mode("overwrite").partitionBy("event_type")
-      .parquet(tmp + "/fact")
-    Seq(
-      ("signup", "acquisition"), ("purchase", "revenue"),
-      ("click", "engagement"), ("view", "engagement"),
-      ("error", "ops")).toDF("event_type", "category")
-      .write.mode("overwrite").parquet(tmp + "/dim")
+    // stage only the columns the query reads — a partitioned layout never
+    // needs the unused wide columns; staged once per (key, sf) via memoDir
+    val tmp = graft.Staging.memoDir("graft_dpp", dir) { tmp =>
+      Tables(spark, dir, "events")
+        .select("event_type", "value")
+        .repartition(col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(tmp + "/fact")
+      Seq(
+        ("signup", "acquisition"), ("purchase", "revenue"),
+        ("click", "engagement"), ("view", "engagement"),
+        ("error", "ops")).toDF("event_type", "category")
+        .write.mode("overwrite").parquet(tmp + "/dim")
+    }
     val dim = spark.read.parquet(tmp + "/dim")
     spark.read.parquet(tmp + "/fact")
       .join(broadcast(dim.filter(col("category") === "engagement")),

@@ -30,17 +30,19 @@ object Scans {
     * re-expressed; no oracle — filesystem side effect).
     */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_csv")
     val nation = Tables(spark, dir, "nation")
-    nation.write.mode("overwrite").option("header", "true").csv(tmp)
+    val tmp = graft.Staging.memoDir("graft_csv", dir) { tmp =>
+      nation.write.mode("overwrite").option("header", "true").csv(tmp)
+    }
     spark.read.schema(nation.schema).option("header", "true").csv(tmp)
       .orderBy("n_nationkey")
   }
 
   /** ORC write + read-back (second columnar format). */
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_orc")
-    Tables(spark, dir, "supplier").write.mode("overwrite").orc(tmp)
+    val tmp = graft.Staging.memoDir("graft_orc", dir) { tmp =>
+      Tables(spark, dir, "supplier").write.mode("overwrite").orc(tmp)
+    }
     spark.read.orc(tmp).orderBy("s_suppkey")
   }
 
@@ -51,13 +53,14 @@ object Scans {
     * columnar scans stay parquet/ORC.
     */
   def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_avro")
     // this build's spark-sql jar carries the Avro classes but not the
     // `avro` DataSourceRegister service entry — address the FileFormat
     // by class name (lookupDataSource accepts it)
     val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
-    Tables(spark, dir, "nation").write.mode("overwrite")
-      .format(fmt).save(tmp)
+    val tmp = graft.Staging.memoDir("graft_avro", dir) { tmp =>
+      Tables(spark, dir, "nation").write.mode("overwrite")
+        .format(fmt).save(tmp)
+    }
     spark.read.format(fmt).load(tmp).orderBy("n_nationkey")
   }
 
@@ -67,10 +70,11 @@ object Scans {
     * option is the record framing — one element per row.
     */
   def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_xml")
     val nation = Tables(spark, dir, "nation")
-    nation.write.mode("overwrite").option("rowTag", "nation")
-      .format("xml").save(tmp)
+    val tmp = graft.Staging.memoDir("graft_xml", dir) { tmp =>
+      nation.write.mode("overwrite").option("rowTag", "nation")
+        .format("xml").save(tmp)
+    }
     spark.read.option("rowTag", "nation").schema(nation.schema)
       .format("xml").load(tmp).orderBy("n_nationkey")
   }
@@ -79,9 +83,10 @@ object Scans {
     * shortest-roundtrip text encoding).
     */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_json")
     val region = Tables(spark, dir, "supplier")
-    region.write.mode("overwrite").json(tmp)
+    val tmp = graft.Staging.memoDir("graft_json", dir) { tmp =>
+      region.write.mode("overwrite").json(tmp)
+    }
     spark.read.schema(region.schema).json(tmp).orderBy("s_suppkey")
   }
 
@@ -95,9 +100,10 @@ object Scans {
 
   /** Partitioned parquet sink + read-back (no oracle — side effect). */
   def sinkParquet(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_sink")
-    Tables(spark, dir, "orders")
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    val tmp = graft.Staging.memoDir("graft_sink", dir) { tmp =>
+      Tables(spark, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    }
     spark.read.parquet(tmp)
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
@@ -108,11 +114,12 @@ object Scans {
     * deterministic side effect, oracle = source table).
     */
   def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_text")
-    Tables(spark, dir, "nation")
-      .select(concat_ws("\u0001",
-        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
-      .write.mode("overwrite").text(tmp)
+    val tmp = graft.Staging.memoDir("graft_text", dir) { tmp =>
+      Tables(spark, dir, "nation")
+        .select(concat_ws("\u0001",
+          col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(tmp)
+    }
     val parts = split(col("value"), "\u0001")
     spark.read.text(tmp)
       .select(
@@ -129,11 +136,12 @@ object Scans {
     * partition and reading the corpus (asserted in ScansSpec).
     */
   def partitionPruned(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_prune")
-    Tables(spark, dir, "events")
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      .repartition(col("event_type"))
-      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val tmp = graft.Staging.memoDir("graft_prune", dir) { tmp =>
+      Tables(spark, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartition(col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    }
     spark.read.parquet(tmp)
       .filter(col("event_type") === "purchase")
       .groupBy("day")
@@ -151,17 +159,18 @@ object Scans {
     * (not few giant blobs) is what keeps tasks even.
     */
   def binaryFiles(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_bin")
-    Tables(spark, dir, "documents")
-      .filter(col("source") === "src0")
-      .select(col("doc_id"), col("text"))
-      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-        it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(tmp, s"doc_${r.getLong(0)}.bin"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tmp = graft.Staging.memoDir("graft_bin", dir) { tmp =>
+      Tables(spark, dir, "documents")
+        .filter(col("source") === "src0")
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
         }
-      }
+    }
     spark.read.format("binaryFile").load(tmp)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
@@ -199,11 +208,12 @@ object Scans {
     * disjoint and internally sorted.
     */
   def clusteredWrite(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_cluster")
-    Tables(spark, dir, "orders")
-      .repartitionByRange(8, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey")
-      .write.mode("overwrite").parquet(tmp)
+    val tmp = graft.Staging.memoDir("graft_cluster", dir) { tmp =>
+      Tables(spark, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(tmp)
+    }
     spark.read.parquet(tmp).orderBy("o_orderkey")
   }
 
@@ -236,14 +246,15 @@ object Scans {
     * space.
     */
   def zorderWrite(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_zorder")
-    Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey"),
-        expr(mortonSpark("l_partkey", "l_suppkey")).as("z"))
-      .repartitionByRange(8, col("z"))
-      .sortWithinPartitions("z")
-      .write.mode("overwrite").parquet(tmp)
+    val tmp = graft.Staging.memoDir("graft_zorder", dir) { tmp =>
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          expr(mortonSpark("l_partkey", "l_suppkey")).as("z"))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(tmp)
+    }
     spark.read.parquet(tmp)
       .orderBy("z", "l_orderkey", "l_linenumber")
   }
@@ -258,15 +269,16 @@ object Scans {
     * via the merged footer union, which is the same contract.)
     */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_evo")
     val c = Tables(spark, dir, "customer")
-    c.filter(col("c_custkey") % 2 === 0)
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .write.mode("overwrite").parquet(tmp + "/batch=old")
-    c.filter(col("c_custkey") % 2 =!= 0)
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-        (col("c_custkey") % 7).as("n_events"))
-      .write.mode("overwrite").parquet(tmp + "/batch=new")
+    val tmp = graft.Staging.memoDir("graft_evo", dir) { tmp =>
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(tmp + "/batch=old")
+      c.filter(col("c_custkey") % 2 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          (col("c_custkey") % 7).as("n_events"))
+        .write.mode("overwrite").parquet(tmp + "/batch=new")
+    }
     spark.read.option("mergeSchema", "true").parquet(tmp)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("n_events"), col("batch"))
@@ -282,14 +294,15 @@ object Scans {
     * the round-trip is lossless.
     */
   def parquetTuned(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_zstd")
-    Tables(spark, dir, "orders")
-      .repartitionByRange(2, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey")
-      .write.mode("overwrite")
-      .option("compression", "zstd")
-      .option("parquet.block.size", 256 * 1024)
-      .parquet(tmp)
+    val tmp = graft.Staging.memoDir("graft_zstd", dir) { tmp =>
+      Tables(spark, dir, "orders")
+        .repartitionByRange(2, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.block.size", 256 * 1024)
+        .parquet(tmp)
+    }
     spark.read.parquet(tmp).orderBy("o_orderkey")
   }
 

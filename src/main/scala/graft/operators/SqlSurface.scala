@@ -370,8 +370,8 @@ object SqlSurface {
         "JOIN nation_v n2 ON c_nationkey = n2.n_nationkey " +
         "WHERE ((n1.n_regionkey = 3 AND n2.n_regionkey = 2) " +
         "OR (n1.n_regionkey = 2 AND n2.n_regionkey = 3)) " +
-        "AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' " +
-        "AND TIMESTAMP '1996-12-31 00:00:00') " +
+        "AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")
   }
 
@@ -397,8 +397,8 @@ object SqlSurface {
         "JOIN region_v ON n1.n_regionkey = r_regionkey " +
         "JOIN nation_v n2 ON s_nationkey = n2.n_nationkey " +
         "WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' " +
-        "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' " +
-        "AND TIMESTAMP '1996-12-31 00:00:00') " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00') " +
         "GROUP BY 1 ORDER BY 1")
   }
 
@@ -476,7 +476,7 @@ object SqlSurface {
         "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
         "WHERE ((n1.n_regionkey = 3 AND n2.n_regionkey = 2) " +
         "OR (n1.n_regionkey = 2 AND n2.n_regionkey = 3)) " +
-        "AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') " +
+        "AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01') " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "sql_tpch_q8" ->
       ("SELECT o_year, round(CAST(sum(CASE WHEN nation = 'NATION_3' " +
@@ -492,7 +492,7 @@ object SqlSurface {
         "JOIN region ON n1.n_regionkey = r_regionkey " +
         "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
         "WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' " +
-        "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01') " +
         "GROUP BY 1 ORDER BY 1"),
     "sql_tpch_q15" ->
       ("WITH rev AS (SELECT l_suppkey AS supplier_no, " +

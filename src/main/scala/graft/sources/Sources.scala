@@ -17,11 +17,12 @@ object Sources {
     * never parsed.
     */
   def fixedWidthDsv2(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_fw2")
-    Tables(spark, dir, "nation")
-      .select(format_string("%-4d%-20s%-4d",
-        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
-      .write.mode("overwrite").text(tmp)
+    val tmp = graft.Staging.memoDir("graft_fw2", dir) { tmp =>
+      Tables(spark, dir, "nation")
+        .select(format_string("%-4d%-20s%-4d",
+          col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(tmp)
+    }
     spark.read
       .format("graft.sources.FixedWidthDataSource")
       .option("fields",
@@ -40,11 +41,12 @@ object Sources {
     * Filter re-check for the pushed conjuncts (asserted in SourcesSpec).
     */
   def fixedWidthFiltered(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_fw3")
-    Tables(spark, dir, "nation")
-      .select(format_string("%-4d%-20s%-4d",
-        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
-      .write.mode("overwrite").text(tmp)
+    val tmp = graft.Staging.memoDir("graft_fw3", dir) { tmp =>
+      Tables(spark, dir, "nation")
+        .select(format_string("%-4d%-20s%-4d",
+          col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(tmp)
+    }
     spark.read
       .format("graft.sources.FixedWidthDataSource")
       .option("fields",
@@ -64,11 +66,12 @@ object Sources {
     * (asserted in SourcesSpec).
     */
   def fixedWidthLimit(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_fw4")
-    Tables(spark, dir, "nation").orderBy("n_nationkey").coalesce(1)
-      .select(format_string("%-4d%-20s%-4d",
-        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
-      .write.mode("overwrite").text(tmp)
+    val tmp = graft.Staging.memoDir("graft_fw4", dir) { tmp =>
+      Tables(spark, dir, "nation").orderBy("n_nationkey").coalesce(1)
+        .select(format_string("%-4d%-20s%-4d",
+          col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(tmp)
+    }
     spark.read
       .format("graft.sources.FixedWidthDataSource")
       .option("fields",
@@ -90,12 +93,13 @@ object Sources {
     * SourcesSpec).
     */
   def fixedWidthAgg(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.Staging.tempDir("graft_fw5")
-    Tables(spark, dir, "orders")
-      .select(format_string("%-12d%-12d%-14d",
-        col("o_orderkey"), col("o_custkey"),
-        round(col("o_totalprice") * 100, 0).cast("long")).as("value"))
-      .write.mode("overwrite").text(tmp)
+    val tmp = graft.Staging.memoDir("graft_fw5", dir) { tmp =>
+      Tables(spark, dir, "orders")
+        .select(format_string("%-12d%-12d%-14d",
+          col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long")).as("value"))
+        .write.mode("overwrite").text(tmp)
+    }
     spark.read
       .format("graft.sources.FixedWidthDataSource")
       .option("fields",
@@ -119,21 +123,27 @@ object Sources {
     * scale this is the write-once-shuffle-never-again bucketed layout.
     */
   def storagePartitionedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // needed at ACTION time (planning is lazy, so a try/finally restore
+    // here would undo it before the caller executes). Verify/Bench set it
+    // in the session builder; this set makes the key self-contained on a
+    // bare session and is a no-op there.
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    val tmpO = graft.Staging.tempDir("graft_spj_o")
-    Tables(spark, dir, "orders")
-      .withColumn("grp", col("o_custkey") % 8)
-      .select(format_string("%-12d%-14d",
-        col("o_orderkey"),
-        round(col("o_totalprice") * 100, 0).cast("long")).as("value"),
-        col("grp"))
-      .write.partitionBy("grp").mode("overwrite").text(tmpO)
-    val tmpC = graft.Staging.tempDir("graft_spj_c")
-    Tables(spark, dir, "customer")
-      .withColumn("grp", col("c_custkey") % 8)
-      .select(format_string("%-12d", col("c_custkey")).as("value"),
-        col("grp"))
-      .write.partitionBy("grp").mode("overwrite").text(tmpC)
+    val tmpO = graft.Staging.memoDir("graft_spj_o", dir) { tmpO =>
+      Tables(spark, dir, "orders")
+        .withColumn("grp", col("o_custkey") % 8)
+        .select(format_string("%-12d%-14d",
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long")).as("value"),
+          col("grp"))
+        .write.partitionBy("grp").mode("overwrite").text(tmpO)
+    }
+    val tmpC = graft.Staging.memoDir("graft_spj_c", dir) { tmpC =>
+      Tables(spark, dir, "customer")
+        .withColumn("grp", col("c_custkey") % 8)
+        .select(format_string("%-12d", col("c_custkey")).as("value"),
+          col("grp"))
+        .write.partitionBy("grp").mode("overwrite").text(tmpC)
+    }
     val o = spark.read.format("graft.sources.FixedWidthDataSource")
       .option("fields", "o_orderkey:1:12:long,o_cents:13:14:long")
       .option("partcol", "grp").load(tmpO)

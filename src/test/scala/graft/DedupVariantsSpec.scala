@@ -91,4 +91,35 @@ class DedupVariantsSpec extends GraftSuite {
       .filter(col("n") > 1 && col("k") =!= 1).count()
     assert(bad == 0)
   }
+
+  test("substring dedup: planted cross-doc span found, disjoint corpus clean") {
+    import spark.implicits._
+    // 12-word span planted in docs 1 and 2 at different offsets; docs 3/4
+    // share no 8-word window with anything (distinct word vocabularies)
+    val span = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon"),
+      (2L, s"$span zeta eta theta iota kappa lambda"),
+      (3L, (1 to 20).map(i => s"only3w$i").mkString(" ")),
+      (4L, (1 to 20).map(i => s"only4w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = llm.DedupVariants.substringSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a planted 12-word span yields 12-8+1 = 5 shared 8-word windows
+    assert(out(1L)._2 == 5, s"doc1 dup_spans = ${out(1L)._2}, want 5")
+    assert(out(2L)._2 == 5, s"doc2 dup_spans = ${out(2L)._2}, want 5")
+    assert(out(3L) == (13L, 0L) && out(4L) == (13L, 0L),
+      "disjoint docs must report zero duplicated windows")
+    // total windows: doc1 has 3+12+2=17 words -> 10 windows
+    assert(out(1L)._1 == 10)
+  }
+
+  test("substring dedup: identical corpora mark every window duplicated") {
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val bad = llm.DedupVariants.substringSpans(docs)
+      .filter(col("dup_ratio") =!= 1.0 || col("n_spans") =!= 23).count()
+    assert(bad == 0)
+  }
 }

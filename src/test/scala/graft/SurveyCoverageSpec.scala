@@ -114,7 +114,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q15", "sql_tpch_q17x",
     "agg_cms_heavy", "stream_rate_source", "typed_dataset_ops",
     "etl_bloom_incremental", "etl_climate_normals", "etl_station_qc",
-    "etl_streaks", "etl_degree_days", "etl_interpolate")
+    "etl_streaks", "etl_degree_days", "etl_interpolate",
+    // round-5 (§2.15)
+    "llm_dedup_substring")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
