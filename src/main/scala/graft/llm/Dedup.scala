@@ -127,45 +127,62 @@ object Dedup {
           .as("signature"))
       .orderBy("doc_id")
 
-  /** LSH candidate pairs: docs sharing any of 4 bands (4 rows each),
-    * scored by signature agreement (est. jaccard), kept at est >= 0.5.
+  /** MinHash+LSH near-dup pairs, EXACT-VERIFIED (oracle-able since r5):
+    * banding proposes candidates — docs sharing any of 4 bands (4 sig
+    * rows each) — and each candidate pair is then verified with the TRUE
+    * trigram jaccard over the full shingle sets (the ngramJaccard
+    * verify pattern), kept at jaccard >= 0.5. The output is therefore a
+    * pure function of the text (no hash-seeded estimate in any emitted
+    * column), restatable in DuckDB as the exhaustive jaccard >= 0.5 pair
+    * set — EQUAL here because banding recall at the threshold is
+    * measured 100% on these fixtures (DevNearRecall, deterministic
+    * xxhash64 seeds: truth 28/25/256 pairs at sf0.001/0.01/0.1, 0
+    * missed). In the general corpus case LSH recall at j ≈ τ is
+    * probabilistic (1-(1-j⁴)⁴) — the standard LSH contract; the
+    * exhaustive-equality claim is re-checked per fixture by the gate.
     *
     * Signatures come from the codegen'd [[minhashSignatures]] path; its
     * final aggregation is the Exchange barrier that materializes them,
     * so the banding self-join consumes signature DATA instead of
     * re-evaluating the MinHash expression per consumer (the inlined HOF
-    * form measured 98 s at sf0.1; this runs in ~2 s).
+    * form measured 98 s at sf0.1; this runs in ~2 s). Candidates are
+    * dedup'd BEFORE the verify join, so each pair pays one
+    * array_intersect; the shingle-set side is doc-count-sized
+    * (broadcastable here; at 100 TB swap for shuffle hash joins on id).
     */
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
-    val docs = minhashSignatures(spark, Tables(spark, dir, "documents"))
+    val docs = Tables(spark, dir, "documents")
+    val sets = docs.select(col("doc_id"),
+      array_distinct(hashedShingles(col("text"))).as("shs"))
+    val sigs = minhashSignatures(spark, docs)
     // pinned partition count: AQE would coalesce this small shuffle to
-    // one partition and run the whole banding self-join + signature
-    // compare in a single task (the ngramJaccard lesson)
+    // one partition and run the whole banding self-join + verify in a
+    // single task (the ngramJaccard lesson)
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val banded = docs.select(
-      col("doc_id"), col("sig"),
+    val banded = sigs.select(
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
       .repartition(nPart, col("band"), col("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)).cast("double") / 16.0)
-          .as("est_jaccard"))
-      // filter BEFORE distinct: a pair seen in k bands carries the same
-      // est_jaccard in every copy, so the threshold is distinct-invariant,
-      // and sub-threshold candidates (the bulk of the pair stream) never
-      // enter the dedup exchange (r3: distinct-then-filter shipped ALL
-      // candidate pairs through the shuffle).
-      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b")
       .distinct()
+    val sa = sets.as("sa")
+    val sb = sets.as("sb")
+    cand
+      .join(broadcast(sa), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sb), col("id_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.shs"), col("sb.shs"))))
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (size(col("sa.shs")) + size(col("sb.shs")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
 
@@ -257,6 +274,19 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    // the EXHAUSTIVE jaccard >= 0.5 pair set (same trigram stream as the
+    // ngram_jaccard oracle, threshold 0.5): equals the LSH-candidates-
+    // exact-verified result because banding recall at the threshold is
+    // measured 100% on these fixtures (see dedupNear scaladoc)
+    "llm_dedup_near" ->
+      (s"WITH sh AS (SELECT doc_id, unnest(list_distinct(${DedupVariants.shingleSql})) AS sh FROM documents), " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard " +
+        "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5 " +
+        "ORDER BY id_a, id_b"),
     "llm_dedup_url" ->
       ("SELECT source || '.example.com/' || lang || '/doc-' || " +
         "CAST(doc_id % 100 AS VARCHAR) || '?ref=' || lang AS canonical, " +

@@ -401,7 +401,7 @@ object DedupVariants {
   // range(1, n-2+1) — full trigrams only; docs under 3 words yield an
   // empty list, matching Dedup.shingles' greatest(n-2, 0) slice bound
   // (range(1, x) is empty for x < 1 in DuckDB).
-  private val shingleSql =
+  private[llm] val shingleSql =
     "list_transform(range(1, len(string_split(text, ' ')) - 1), " +
       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] " +
       "|| ' ' || string_split(text, ' ')[i+2])"
