@@ -140,9 +140,32 @@ object CorpusOps {
     * corpus size — the IVF contract.
     */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("nbr"))
+    knnCandidates(spark, dir, nCent = 10)
+      .select(col("qid"), col("vec_id").as("nbr"), col("cid"),
+        round(expr("cosine_sim(qvec, embedding)"), 4).as("sim"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select("qid", "nbr", "cid", "sim")
+      .orderBy(col("qid"), col("sim").desc, col("nbr"))
+  }
+
+  /** The IVF candidate stage of [[knnJoin]] — every (query, corpus
+    * vector) pair sharing a probed cell, BEFORE the exact rerank —
+    * extracted so the round-5 scaling experiment measures the operator's
+    * actual candidate volume, and parameterized on codebook size: the
+    * IVF contract bounds candidates per query by CELL size, so k must
+    * grow with the corpus (k ∝ √N is the standard rule) for candidate
+    * volume to stay linear. The declared key pins nCent=10 (the
+    * fixture's codebook); the experiment also measures the scaled-k
+    * regime.
+    */
+  private[graft] def knnCandidates(
+      spark: SparkSession, dir: String, nCent: Int): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val e = Tables(spark, dir, "embeddings")
-    val cent = e.filter(col("vec_id") < 10)
+    val cent = e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid"))
@@ -160,17 +183,9 @@ object CorpusOps {
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= 2)
       .select("qid", "qvec", "cid")
-    val wTop = Window.partitionBy("qid")
-      .orderBy(col("sim").desc, col("nbr"))
     assigned
       .join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nbr"), col("cid"),
-        round(expr("cosine_sim(qvec, embedding)"), 4).as("sim"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 3)
-      .select("qid", "nbr", "cid", "sim")
-      .orderBy(col("qid"), col("sim").desc, col("nbr"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

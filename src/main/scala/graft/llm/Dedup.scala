@@ -151,6 +151,28 @@ object Dedup {
     * (broadcastable here; at 100 TB swap for shuffle hash joins on id).
     */
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val (cand, sets) = nearCandidates(spark, dir)
+    val sa = sets.as("sa")
+    val sb = sets.as("sb")
+    cand
+      .join(broadcast(sa), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sb), col("id_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.shs"), col("sb.shs"))))
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (size(col("sa.shs")) + size(col("sb.shs")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The LSH banding candidate stage of [[dedupNear]] — (candidate
+    * pairs, full shingle sets) — extracted so the round-5 scaling
+    * experiment measures the operator's ACTUAL candidate volume (one
+    * definition, no dev-tool drift).
+    */
+  private[graft] def nearCandidates(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables(spark, dir, "documents")
     val sets = docs.select(col("doc_id"),
       array_distinct(hashedShingles(col("text"))).as("shs"))
@@ -172,18 +194,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val sa = sets.as("sa")
-    val sb = sets.as("sb")
-    cand
-      .join(broadcast(sa), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sb), col("id_b") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.shs"), col("sb.shs"))))
-      .withColumn("jaccard",
-        col("inter").cast("double")
-          / (size(col("sa.shs")) + size(col("sb.shs")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
-      .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
+    (cand, sets)
   }
 
   /** Canonicalization dedup — the normalization step that runs BEFORE

@@ -80,7 +80,40 @@ object DedupVariants {
     * result — and the DuckDB oracle — is unchanged from the naive join.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val tau = 0.6
+    val tau = NgramTau
+    val (cand, sets) = ngramCandidates(spark, dir)
+    // verify against the full shingle sets: `sets` is doc-count-sized with
+    // ~60-element long arrays — broadcastable here; at 100 TB swap these
+    // two broadcasts for shuffle hash joins on id (the candidate side is
+    // already small after prefix filtering). The column renames stay
+    // OUTSIDE broadcast(): with identical broadcast children the second
+    // BroadcastExchange canonicalizes equal to the first and is reused —
+    // one build instead of two.
+    val sa = sets.as("sa")
+    val sb = sets.as("sb")
+    cand
+      .join(broadcast(sa), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sb), col("id_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.shs"), col("sb.shs"))))
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (size(col("sa.shs")) + size(col("sb.shs")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  private val NgramTau = 0.6
+
+  /** The PPJoin candidate stage of [[ngramJaccard]] — (candidate pairs,
+    * full shingle sets) — extracted so the round-5 scaling experiment
+    * measures the ACTUAL candidate volume the operator generates (one
+    * definition, no dev-tool drift), not a re-derivation of it.
+    */
+  private[graft] def ngramCandidates(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tau = NgramTau
     // Shingles are hashed to 64 bits ONCE at the source; every downstream
     // exchange, join and intersection runs on fixed-width longs instead of
     // ~17-byte strings (4× smaller shuffle rows, and the verify step's
@@ -142,26 +175,7 @@ object DedupVariants {
         col("sz_b") * lit(1.0) >= col("sz_a") * lit(tau) &&
         col("sz_a") * lit(1.0) >= col("sz_b") * lit(tau))
       .select("id_a", "id_b")
-    // verify against the full shingle sets: `sets` is doc-count-sized with
-    // ~60-element long arrays — broadcastable here; at 100 TB swap these
-    // two broadcasts for shuffle hash joins on id (the candidate side is
-    // already small after prefix filtering). The column renames stay
-    // OUTSIDE broadcast(): with identical broadcast children the second
-    // BroadcastExchange canonicalizes equal to the first and is reused —
-    // one build instead of two.
-    val sa = sets.as("sa")
-    val sb = sets.as("sb")
-    cand
-      .join(broadcast(sa), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sb), col("id_b") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.shs"), col("sb.shs"))))
-      .withColumn("jaccard",
-        col("inter").cast("double")
-          / (size(col("sa.shs")) + size(col("sb.shs")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select("id_a", "id_b", "jaccard")
-      .distinct()
-      .orderBy("id_a", "id_b")
+    (cand, sets)
   }
 
   /** Near-dup CLUSTERS: connected components over the prefix-filtered
