@@ -5,19 +5,27 @@ import org.apache.spark.sql.functions._
 
 /** Dev probe (not part of the declared surface): measures LSH banding
   * recall for llm_dedup_near against the EXACT jaccard>=0.5 pair set, per
-  * scale factor. Deterministic (xxhash64 seeds fixed), so "0 missed" here
+  * corpus dir. Deterministic (xxhash64 seeds fixed), so "0 missed" here
   * is a stable property of the fixture, not a lucky draw — the evidence
   * needed before making llm_dedup_near oracle-able (r4 verdict item 7).
+  *
+  * The candidate side is the operator's OWN [[llm.Dedup.nearCandidates]]
+  * stage, so this measures the shipped banding, not a re-derivation.
+  * Args: corpus dirs (default: the three sf fixtures + the 10×/100×
+  * replicas if staged).
   */
 object DevNearRecall {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1", "/tmp/scale/x10", "/tmp/scale/x100")
+        .filter(d => new java.io.File(d).isDirectory)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val dir = s"/root/testdata/$sf"
+    for (dir <- dirs) {
       val sets = Tables(spark, dir, "documents")
         .select(col("doc_id"),
           array_distinct(llm.Dedup.hashedShingles(col("text"))).as("shs"))
@@ -33,20 +41,10 @@ object DevNearRecall {
         .filter(col("inter").cast("double")
           / (col("sz_a") + col("sz_b") - col("inter")) >= 0.5)
         .select("id_a", "id_b")
-      // LSH banding candidates (same banding as Dedup.dedupNear)
-      val sigs = llm.Dedup.minhashSignatures(spark, Tables(spark, dir, "documents"))
-      val banded = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-        .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
-          Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      val (cand, _) = llm.Dedup.nearCandidates(spark, dir)
       val nTruth = truth.count()
       val missed = truth.except(cand).count()
-      println(s"RECALL $sf: truth=$nTruth missed=$missed")
+      println(s"RECALL $dir: truth=$nTruth missed=$missed cand=${cand.count()}")
     }
     spark.stop()
   }

@@ -15,13 +15,17 @@ import org.apache.spark.sql.SparkSession
   * stages (ngramCandidates / nearCandidates / knnCandidates), so the
   * measurement cannot drift from the shipped plans.
   *
-  * knn is measured in both codebook regimes: nCent=10 (the declared
+  * knn is measured in three codebook regimes: nCent=10 (the declared
   * key's fixture codebook — cell size grows linearly with the corpus,
-  * the known fixed-k IVF failure mode) and nCent=10·√scale (the k ∝ √N
-  * rule that keeps candidate volume per query bounded).
+  * the known fixed-k IVF failure mode); nCent=10·√scale (the per-query
+  * latency rule, total candidates ∝ N^1.5 when the query set scales
+  * with the corpus); and nCent=10·scale (constant cell size — the
+  * regime that keeps TOTAL candidate volume linear for a full knn
+  * JOIN, which is what a 100 TB self-join needs).
   *
   * Output: one "SPARK <dir> <key> time=<s> rows=<n>" line per key and
   * one "CAND <dir> <stage> pairs=<n>" line per candidate stage.
+  * Pass -Dgraft.scale.candOnly=true to skip the SPARK timing section.
   */
 object DevScaleLlm {
   def main(args: Array[String]): Unit = {
@@ -38,8 +42,9 @@ object DevScaleLlm {
     // replica dirs encode their scale in the name; sf0.1 is 1×
     def scaleOf(d: String): Int =
       if (d.endsWith("x100")) 100 else if (d.endsWith("x10")) 10 else 1
+    val candOnly = sys.props.get("graft.scale.candOnly").contains("true")
     for (d <- dirs) {
-      for (k <- keys) {
+      for (k <- keys if !candOnly) {
         val fn = SparkEntry.queries(k)
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -58,6 +63,9 @@ object DevScaleLlm {
       val scaledCent = 10 * math.sqrt(scaleOf(d).toDouble).round.toInt
       val scaled = llm.CorpusOps.knnCandidates(spark, d, scaledCent)
       println(s"CAND $d knn_scaled_k$scaledCent pairs=${scaled.count()}")
+      val linCent = 10 * scaleOf(d)
+      val linear = llm.CorpusOps.knnCandidates(spark, d, linCent)
+      println(s"CAND $d knn_linear_k$linCent pairs=${linear.count()}")
     }
     spark.stop()
   }

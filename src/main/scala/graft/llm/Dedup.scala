@@ -128,18 +128,26 @@ object Dedup {
       .orderBy("doc_id")
 
   /** MinHash+LSH near-dup pairs, EXACT-VERIFIED (oracle-able since r5):
-    * banding proposes candidates — docs sharing any of 4 bands (4 sig
-    * rows each) — and each candidate pair is then verified with the TRUE
-    * trigram jaccard over the full shingle sets (the ngramJaccard
-    * verify pattern), kept at jaccard >= 0.5. The output is therefore a
-    * pure function of the text (no hash-seeded estimate in any emitted
-    * column), restatable in DuckDB as the exhaustive jaccard >= 0.5 pair
-    * set — EQUAL here because banding recall at the threshold is
-    * measured 100% on these fixtures (DevNearRecall, deterministic
-    * xxhash64 seeds: truth 28/25/256 pairs at sf0.001/0.01/0.1, 0
-    * missed). In the general corpus case LSH recall at j ≈ τ is
-    * probabilistic (1-(1-j⁴)⁴) — the standard LSH contract; the
-    * exhaustive-equality claim is re-checked per fixture by the gate.
+    * banding proposes candidates — docs sharing any of 16 bands (4 sig
+    * rows each, over a 64-permutation signature) — and each candidate
+    * pair is then verified with the TRUE trigram jaccard over the full
+    * shingle sets (the ngramJaccard verify pattern), kept at jaccard
+    * >= 0.5. The output is therefore a pure function of the text (no
+    * hash-seeded estimate in any emitted column), restatable in DuckDB
+    * as the exhaustive jaccard >= 0.5 pair set.
+    *
+    * Band geometry is a measured round-5 decision: with the original
+    * b=4, r=4 the per-pair catch probability 1-(1-j⁴)⁴ is only 0.878 at
+    * j=0.8 (this corpus's minimum true-pair jaccard), and the 10×/100×
+    * shingle-disjoint replicas exposed exactly that — 2/2560 and
+    * 30/25,600 true pairs missed (fixture-seed luck had hidden it at
+    * 1×). b=16, r=4 lifts the catch to 1-(1-j⁴)¹⁶ = 0.9998 at j=0.8
+    * while keeping noise-pair collisions negligible (∝16·j⁴ ≈ 2e-7 at
+    * the unrelated-doc j≈0.01), and measured recall is 100% at 1×, 10×
+    * AND 100× with candidate volume still linear. In the general-corpus
+    * limit LSH recall at j ≈ τ remains probabilistic — the standard LSH
+    * contract; the exhaustive-equality claim is re-checked per fixture
+    * by the gate, and the exact-recall variant is ngramJaccard's PPJoin.
     *
     * Signatures come from the codegen'd [[minhashSignatures]] path; its
     * final aggregation is the Exchange barrier that materializes them,
@@ -176,14 +184,14 @@ object Dedup {
     val docs = Tables(spark, dir, "documents")
     val sets = docs.select(col("doc_id"),
       array_distinct(hashedShingles(col("text"))).as("shs"))
-    val sigs = minhashSignatures(spark, docs)
+    val sigs = minhashSignatures(spark, docs, perms = 64)
     // pinned partition count: AQE would coalesce this small shuffle to
     // one partition and run the whole banding self-join + verify in a
     // single task (the ngramJaccard lesson)
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(3)),
+      posexplode(transform(sequence(lit(0), lit(15)),
         b => xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
