@@ -93,9 +93,88 @@ object GraphOps {
     ranks.orderBy("node")
   }
 
+  /** Co-occurrence projection of the order→part bipartite graph: parts
+    * are linked when they appear in the same order, weight = number of
+    * shared orders, kept at weight >= 2 (the noise floor that makes the
+    * projected graph sparse: 115k raw pair-types → 3.4k edges at
+    * sf0.01). The market-basket / item-item graph every recommender and
+    * graph-analytics pipeline builds first.
+    *
+    * Scale shape: per-order pair generation is the classic basket
+    * blow-up — Σ per-basket C(k,2) — bounded here by TPC-H's ≤7 lines
+    * per order; at 100 TB the same bound comes from capping or sampling
+    * oversized baskets BEFORE the self-join (a skew guard, not a
+    * semantic change for bounded-basket data). The projection itself is
+    * one order-keyed self-join plus one pair-keyed aggregate — two
+    * shuffles, both on narrow long keys, no driver state.
+    */
+  def coorder(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    lp.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(lp.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .orderBy("p1", "p2")
+  }
+
+  /** Per-node triangle counts over the [[coorder]] graph — the
+    * degree-ordered node-iterator (Schank–Wagner): every undirected
+    * edge is oriented from its lower-(degree, id) endpoint to the
+    * higher, wedges are generated only at each edge pair's common LOWER
+    * endpoint, and a wedge closes iff its two outer endpoints are an
+    * edge. Orientation bounds wedge volume by Σ min-endpoint-degree² ≈
+    * O(m^1.5) — the literature bound that keeps triangle counting
+    * feasible when a hub node would otherwise generate degree² wedges
+    * (a 10^6-degree hub yields 10^12 unordered wedges; oriented, a hub
+    * is almost always the wedge DESTINATION, never the center).
+    *
+    * The oracle restates the id-ordered formulation (p1<p2 twice-joined)
+    * — the triangle SET is orientation-independent; only the candidate
+    * volume differs, which is exactly the point: same answer, survivable
+    * plan. Each triangle is found once, then exploded to its three
+    * corners for the per-node aggregate. All joins are narrow-key
+    * shuffles; the orientation degree join is a broadcast (node-count
+    * sized).
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = coorder(spark, dir).select("p1", "p2").localCheckpoint()
+    val deg = e.select(col("p1").as("node"))
+      .union(e.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge low(deg,id) → high(deg,id)
+    val oriented = e
+      .join(broadcast(deg).withColumnRenamed("node", "p1")
+        .withColumnRenamed("deg", "d1"), "p1")
+      .join(broadcast(deg).withColumnRenamed("node", "p2")
+        .withColumnRenamed("deg", "d2"), "p2")
+      .select(
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("p1")).otherwise(col("p2")).as("src"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("p2")).otherwise(col("p1")).as("dst"))
+    // wedges at the common low-order endpoint; closure via the canonical
+    // (id-ordered) edge set so each triangle appears exactly once
+    val w1 = oriented.select(col("src"), col("dst").as("a"))
+    val w2 = oriented.select(col("src"), col("dst").as("b"))
+    val tri = w1.join(w2, Seq("src"))
+      .filter(col("a") < col("b"))
+      .join(e, col("a") === col("p1") && col("b") === col("p2"))
+      .select(col("src"), col("a"), col("b"))
+    tri.select(explode(array(col("src"), col("a"), col("b"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_iter3" -> pagerankIter3,
-    "graph_pagerank_step" -> pagerankStep
+    "graph_pagerank_step" -> pagerankStep,
+    "graph_coorder" -> coorder,
+    "graph_triangles" -> triangles
   )
 
   def oracle: Map[String, String] = {
@@ -133,7 +212,26 @@ object GraphOps {
         "AS in_units, " +
         "CAST((1000000 * 15) // (100 * n_items) + (in_units * 85) // 100 " +
         "AS BIGINT) AS rank_units " +
-        "FROM agg CROSS JOIN n ORDER BY event_type")
+        "FROM agg CROSS JOIN n ORDER BY event_type"),
+    "graph_coorder" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w " +
+        "FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT p1, p2, w FROM e ORDER BY p1, p2"),
+    // id-ordered triangle enumeration — orientation-independent result,
+    // so it matches the Spark side's degree-ordered plan exactly
+    "graph_triangles" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 " +
+        "FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "tri AS (SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z " +
+        "FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 " +
+        "JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) " +
+        "SELECT node, count(*) AS n_triangles " +
+        "FROM (SELECT unnest([x, y, z]) AS node FROM tri) " +
+        "GROUP BY node ORDER BY n_triangles DESC, node")
     )
   }
 }
