@@ -2,25 +2,32 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: time a subset of queries (args) at SPARK_GRAFT_SF_DIR.
-  * Usage: sbt "runMain graft.DevTime llm_dedup_ngram_jaccard ..."
+/** Dev probe (not part of the declared surface): times one or more
+  * declared keys on a corpus dir with the bench protocol (min of 2 warm
+  * reps, local[32], 32 shuffle partitions) — the single-key loop for
+  * plan iteration without a full Bench run.
+  *
+  * Usage: runMain graft.DevTime <dir> <key> [key...]
   */
 object DevTime {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val dir = args.head
+    val keys = args.tail.toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.entry(spark).count() // warm-up
-    val names = if (args.nonEmpty) args.toSeq else Seq("llm_dedup_ngram_jaccard")
-    for (rep <- 1 to 2; n <- names) {
-      val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"[devtime] rep$rep $n rows=$c ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    spark.sparkContext.setLogLevel("ERROR")
+    for (k <- keys) {
+      val fn = SparkEntry.queries(k)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val best = times.minBy(_._1)
+      println(f"TIME $dir $k min=${best._1}%.3f max=${times.map(_._1).max}%.3f rows=${best._2}")
     }
     spark.stop()
   }
