@@ -87,7 +87,13 @@ object Dedup {
     */
   def minhashSignatures(spark: SparkSession, docs: DataFrame,
       perms: Int = 16): DataFrame = {
+    // width before the explode: a compressed corpus file under Spark's
+    // scan-split floor arrives as ONE partition, which would serialize
+    // the shingle explode + perms×xxhash64 work into a single task (the
+    // small-input/big-intermediate trap — see substringSpans)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val exploded = docs
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), explode(hashedShingles(col("text"))).as("sh"))
     val mins = (0 until perms).map(i =>
       min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
@@ -182,8 +188,12 @@ object Dedup {
   private[graft] def nearCandidates(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables(spark, dir, "documents")
-    val sets = docs.select(col("doc_id"),
-      array_distinct(hashedShingles(col("text"))).as("shs"))
+    // same width-before-shingle-work exchange as the signature path
+    val sets = docs
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(hashedShingles(col("text"))).as("shs"))
     val sigs = minhashSignatures(spark, docs, perms = 64)
     // pinned partition count: AQE would coalesce this small shuffle to
     // one partition and run the whole banding self-join + verify in a

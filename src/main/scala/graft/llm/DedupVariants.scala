@@ -121,7 +121,14 @@ object DedupVariants {
     // collision would need ~2^32 distinct shingles to become likely and
     // would only ever inflate one intersection count by 1 — the standard
     // MinHash-family tradeoff.
+    // width BEFORE the shingle work: the compressed corpus file is far
+    // smaller than Spark's scan-split floor (594 KB at sf0.1 → ONE scan
+    // partition, single row group), so without this exchange the whole
+    // hash+sort+explode chain runs in one task regardless of cores —
+    // the small-input/big-intermediate trap (see substringSpans)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sets = Tables(spark, dir, "documents")
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"),
         array_distinct(Dedup.hashedShingles(col("text"))).as("shs"))
     // Prefix selection is PURE MAP-SIDE: the global token order is the
@@ -145,7 +152,6 @@ object DedupVariants {
     // into a single task (measured 3.6 s in 1 task at sf0.1). User-
     // specified partitioning is exempt from AQE coalescing, keeping the
     // compute-heavy pipeline parallel.
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // carry |X| with each posting: the PPJoin LENGTH filter
     // (τ·|A| ≤ |B| ≤ |A|/τ is necessary for J ≥ τ) prunes
     // size-incompatible candidates before the verify join ever sees them.
@@ -393,7 +399,17 @@ object DedupVariants {
         transform(sequence(lit(0), size(w) - n),
           i => slice(w, i + lit(1), lit(n))))
       .otherwise(array().cast("array<array<string>>"))
+    // explode amplifies each doc into ~|words| rows, so SCAN granularity
+    // is the wrong parallelism for this stage: Spark splits files at
+    // max(4 MB, size/parallelism), which gave a 6 MB corpus ~1 scan
+    // partition and serialized the whole window/hash stage (measured
+    // 37 s at the 10× replica; 4.7 s after this repartition). One
+    // doc_id-keyed exchange of the NARROW input buys full width for the
+    // 100×-bigger exploded stream — the small-input/big-intermediate
+    // pattern (decompression-amplification at 100 TB behaves the same).
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sh = docs
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), explode(grams).as("gram"))
       .select(col("doc_id"),
         struct(xxhash64(col("gram"), lit(1)), xxhash64(col("gram"), lit(2)))
