@@ -33,4 +33,21 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
   }
+
+  /** The table scan repartitioned to full shuffle width on `key` — for
+    * explode-heavy consumers. A compressed file under Spark's scan-split
+    * floor arrives as ONE partition (and a parquet row group can never
+    * be split), so a downstream explode/hash chain would run in a single
+    * task no matter the core count: the small-input/big-intermediate
+    * trap (measured 37 s → 4.7 s on llm_dedup_substring at the 10×
+    * replica). One narrow-input exchange buys full width for the
+    * orders-of-magnitude-larger derived stream. At 100 TB file sizes
+    * exceed the split floor and scans arrive wide — this exchange then
+    * costs one pass over the narrow input, still cheap relative to the
+    * derived work it parallelizes.
+    */
+  def wide(spark: SparkSession, sfDir: String, name: String,
+      key: String = "doc_id"): DataFrame =
+    apply(spark, sfDir, name).repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, col(key))
 }

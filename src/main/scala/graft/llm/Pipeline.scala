@@ -59,7 +59,7 @@ object Pipeline {
     // 8-gram strings otherwise dominate shuffle width; distinct-counts
     // are preserved modulo 64-bit collisions).
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sh = Tables(spark, dir, "documents")
+    val sh = Tables.wide(spark, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(transform(ngrams(col("w"), 8), xxhash64(_))))

@@ -41,7 +41,7 @@ object TextOps {
     // is recomputed per branch (no common-subplan sharing), which doubled
     // the explode cost (measured 2.5 s → 0.6 s at sf0.1). The global doc
     // count never needs the exploded words at all.
-    val base = Tables(spark, dir, "documents")
+    val base = Tables.wide(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       .groupBy("lang", "word")
@@ -157,7 +157,7 @@ object TextOps {
     * pairs, as in [[bpeMergeStep]].
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = Tables(spark, dir, "documents").select("doc_id", "text")
+    val d0 = Tables.wide(spark, dir, "documents").select("doc_id", "text")
     val p1 = pairCounts(d0)
       .orderBy(col("ct").desc, col("pair")).limit(1).localCheckpoint()
     val d1 = d0

@@ -143,7 +143,7 @@ object TextQuality {
     val bigrams = slice(
       zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat_ws(" ", a, b)),
       lit(1), greatest(size(w) - 1, lit(0)))
-    val grams = Tables(spark, dir, "documents")
+    val grams = Tables.wide(spark, dir, "documents")
       .select(col("doc_id"), explode(concat(
         transform(w, g => struct(lit(1).as("n"), g.as("gram"))),
         transform(bigrams, g => struct(lit(2).as("n"), g.as("gram"))),
