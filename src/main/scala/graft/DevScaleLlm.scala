@@ -66,6 +66,10 @@ object DevScaleLlm {
       val linCent = 10 * scaleOf(d)
       val linear = llm.CorpusOps.knnCandidates(spark, d, linCent)
       println(s"CAND $d knn_linear_k$linCent pairs=${linear.count()}")
+      // the SHIPPED data-derived codebook (llm_knn_join_scaled:
+      // k = max(10, N/600), constant cell size)
+      val shipped = llm.CorpusOps.scaledKnnCandidates(spark, d)
+      println(s"CAND $d knn_shipped_scaled pairs=${shipped.count()}")
     }
     spark.stop()
   }

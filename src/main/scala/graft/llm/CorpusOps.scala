@@ -139,10 +139,24 @@ object CorpusOps {
     * global). Candidate volume per query is bounded by cell size, not
     * corpus size — the IVF contract.
     */
-  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+  def knnJoin(spark: SparkSession, dir: String): DataFrame =
+    knnTopK(knnCandidates(spark, dir, nCent = 10))
+
+  /** [[knnJoin]] on the data-derived codebook ([[scaledKnnCandidates]]:
+    * k = max(10, N/600), constant cell size): the 100 TB regime of the
+    * same operator, shipped rather than left as an experiment note —
+    * fixture output identical to [[knnJoin]] (the k formula floors at
+    * the fixture codebook), replica candidate volume measured LINEAR
+    * where the pinned codebook is quadratic (BASELINE.md round-5
+    * experiment, knn rows).
+    */
+  def knnJoinScaled(spark: SparkSession, dir: String): DataFrame =
+    knnTopK(scaledKnnCandidates(spark, dir))
+
+  private def knnTopK(cand: DataFrame): DataFrame = {
     val wTop = Window.partitionBy("qid")
       .orderBy(col("sim").desc, col("nbr"))
-    knnCandidates(spark, dir, nCent = 10)
+    cand
       .select(col("qid"), col("vec_id").as("nbr"), col("cid"),
         round(expr("cosine_sim(qvec, embedding)"), 4).as("sim"))
       .withColumn("rk", row_number().over(wTop))
@@ -167,6 +181,32 @@ object CorpusOps {
     val e = Tables(spark, dir, "embeddings")
     val cent = e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    knnCandidatesFrom(e, cent)
+  }
+
+  /** [[knnCandidates]] with the codebook size derived FROM THE DATA:
+    * k = max(10, N/600), i.e. constant expected cell size (~600) — the
+    * regime the round-5 scaling experiment measured as the one that
+    * keeps TOTAL candidate volume linear for a full knn join (fixed k
+    * is quadratic, k ∝ √N is N^1.5). The count rides a broadcast
+    * one-row frame into the centroid filter — fully declarative, no
+    * driver-side action. Floors at 10, so fixture-scale output is
+    * identical to [[knnCandidates]](nCent=10) BY DESIGN; the operators
+    * diverge exactly where the fixed codebook stops scaling.
+    */
+  private[graft] def scaledKnnCandidates(
+      spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+    val kf = e.agg(
+      greatest(lit(10L), (count(lit(1)) / lit(600)).cast("long")).as("ncent"))
+    val cent = e.crossJoin(broadcast(kf))
+      .filter(col("vec_id") < col("ncent"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    knnCandidatesFrom(e, cent)
+  }
+
+  private def knnCandidatesFrom(e: DataFrame, cent: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(cent))
@@ -193,6 +233,7 @@ object CorpusOps {
     "llm_pack_sequences" -> packSequences,
     "llm_embed_centroid" -> embedCentroid,
     "llm_knn_join" -> knnJoin,
+    "llm_knn_join_scaled" -> knnJoinScaled,
     "llm_ann_ivf" -> annIvf
   )
 
@@ -230,6 +271,30 @@ object CorpusOps {
       ("WITH e AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
         "cent AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < 10), " +
+        "assigned AS (SELECT vec_id, emb, cid FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6) DESC, c.cid) AS rk " +
+        "FROM e CROSS JOIN cent c) WHERE rk = 1), " +
+        "qv AS (SELECT vec_id AS qid, emb AS qvec FROM e WHERE vec_id % 25 = 0), " +
+        "probed AS (SELECT qid, cid FROM (" +
+        "SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid " +
+        "ORDER BY round(list_cosine_similarity(q.qvec, c.cvec), 6) DESC, c.cid) AS rk " +
+        "FROM qv q CROSS JOIN cent c) WHERE rk <= 2), " +
+        "cand AS (SELECT p.qid, a.vec_id AS nbr, a.cid, " +
+        "round(list_cosine_similarity(q.qvec, a.emb), 4) AS sim " +
+        "FROM probed p JOIN assigned a ON a.cid = p.cid " +
+        "JOIN qv q ON q.qid = p.qid WHERE a.vec_id <> p.qid) " +
+        "SELECT qid, nbr, cid, sim FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY sim DESC, nbr) AS rk FROM cand) " +
+        "WHERE rk <= 3 ORDER BY qid, sim DESC, nbr"),
+    // same statement with the codebook bound computed from the data
+    // (k = greatest(10, N // 600) — constant expected cell size)
+    "llm_knn_join_scaled" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "cent AS (SELECT vec_id AS cid, emb AS cvec FROM e " +
+        "WHERE vec_id < (SELECT greatest(10, count(*) // 600) FROM e)), " +
         "assigned AS (SELECT vec_id, emb, cid FROM (" +
         "SELECT e.vec_id, e.emb, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
         "ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6) DESC, c.cid) AS rk " +

@@ -42,6 +42,18 @@ class CorpusOpsSpec extends GraftSuite {
     assert(math.abs(c0 - direct) < 1e-9, s"snap-sum centroid $c0 vs $direct")
   }
 
+  test("scaled knn join: fixture output identical to the pinned codebook") {
+    // k = max(10, N/600) floors at the fixture codebook by design, so
+    // the scale-aware operator must be bit-identical here; it diverges
+    // only where the data outgrows the fixed codebook (measured linear
+    // vs quadratic candidate growth in the round-5 scaling experiment)
+    val pinned = llm.CorpusOps.knnJoin(spark, sf001)
+    val scaled = llm.CorpusOps.knnJoinScaled(spark, sf001)
+    assert(scaled.exceptAll(pinned).count() === 0)
+    assert(pinned.exceptAll(scaled).count() === 0)
+    assert(scaled.count() > 0)
+  }
+
   test("IVF rerank returns the probe first and overlaps brute force") {
     val ivf = llm.CorpusOps.annIvf(spark, sf001).collect()
     assert(ivf.head.getAs[Long]("vec_id") == 0L && ivf.head.getAs[Double]("sim") == 1.0)

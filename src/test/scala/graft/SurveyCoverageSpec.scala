@@ -116,7 +116,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "etl_bloom_incremental", "etl_climate_normals", "etl_station_qc",
     "etl_streaks", "etl_degree_days", "etl_interpolate",
     // round-5 (§2.15)
-    "llm_dedup_substring", "graph_coorder", "graph_triangles")
+    "llm_dedup_substring", "graph_coorder", "graph_triangles",
+    "llm_knn_join_scaled")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
