@@ -158,7 +158,39 @@ object Sources {
       .orderBy("grp")
   }
 
+  /** WRITE through the connector's V2 BatchWrite path
+    * ([[FixedWidthWriteBuilder]] — task-staged files, driver-side
+    * rename commit, truncate-on-overwrite), then read the layout back
+    * through the SAME connector and aggregate. Exercises the full
+    * two-phase commit protocol end-to-end; the aggregate restates over
+    * the source table, so a dropped / duplicated / half-renamed task
+    * file fails the oracle hash, not just a row count. Monetary values
+    * ride the integer-cent grid through the text roundtrip.
+    */
+  def fixedWidthSink(spark: SparkSession, dir: String): DataFrame = {
+    val spec = "s_suppkey:1:8:long,s_nationkey:9:4:long,s_cents:13:14:long"
+    val tmp = Files.createTempDirectory("graft_fwsink").toString
+    Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"),
+        col("s_nationkey").cast("long").as("s_nationkey"),
+        round(col("s_acctbal") * 100, 0).cast("long").as("s_cents"))
+      .write.format("graft.sources.FixedWidthDataSource")
+      .option("fields", spec)
+      .mode("overwrite")
+      .save(tmp)
+    spark.read.format("graft.sources.FixedWidthDataSource")
+      .option("fields", spec)
+      .load(tmp)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        min("s_suppkey").as("min_suppkey"),
+        max("s_suppkey").as("max_suppkey"),
+        sum("s_cents").as("sum_cents"))
+      .orderBy("s_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_fixed_width" -> fixedWidthSink,
     "scan_fixed_width_limit" -> fixedWidthLimit,
     "scan_fixed_width_filtered" -> fixedWidthFiltered,
     "scan_fixed_width_agg" -> fixedWidthAgg,
@@ -167,6 +199,12 @@ object Sources {
   )
 
   def oracle: Map[String, String] = Map(
+    "sink_fixed_width" ->
+      ("SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, " +
+        "count(*) AS n_suppliers, " +
+        "min(s_suppkey) AS min_suppkey, max(s_suppkey) AS max_suppkey, " +
+        "CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM supplier GROUP BY 1 ORDER BY 1"),
     "scan_fixed_width_limit" ->
       ("SELECT n_nationkey, n_name FROM nation " +
         "ORDER BY n_nationkey LIMIT 10"),

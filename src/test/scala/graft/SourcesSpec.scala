@@ -122,4 +122,30 @@ class SourcesSpec extends GraftSuite {
     val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == direct)
   }
+
+  test("V2 write path: staged-rename commit, clean layout, overwrite truncates") {
+    val spec = "k:1:8:long,v:9:12:string"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fwwrite").toString
+    def writeRange(n: Int): Unit =
+      spark.range(n).select(col("id").as("k"),
+          concat(lit("val"), col("id")).as("v"))
+        .write.format("graft.sources.FixedWidthDataSource")
+        .option("fields", spec).mode("overwrite").save(tmp)
+    writeRange(100)
+    val dir = new java.io.File(tmp)
+    val names = dir.listFiles().map(_.getName)
+    // commit renamed every staged file into place and swept the staging dir
+    assert(names.forall(n => n.startsWith("part-") && n.endsWith(".txt")), names.toSeq)
+    assert(!names.exists(_.startsWith("_staging")), names.toSeq)
+    val back = spark.read.format("graft.sources.FixedWidthDataSource")
+      .option("fields", spec).load(tmp)
+    assert(back.count() === 100)
+    assert(back.agg(sum("k")).head.getLong(0) === (0L until 100).sum)
+    // overwrite must TRUNCATE: the second, smaller write fully replaces
+    writeRange(7)
+    val again = spark.read.format("graft.sources.FixedWidthDataSource")
+      .option("fields", spec).load(tmp)
+    assert(again.count() === 7)
+    assert(again.select("v").collect().map(_.getString(0)).sorted.head === "val0")
+  }
 }
