@@ -278,6 +278,54 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** CUSTOM V2 streaming source
+    * ([[graft.sources.FixedWidthReplaySource]] — MicroBatchStream with
+    * file-index offsets + advance-by-one AvailableNow pacing): the
+    * events table is staged as 4 fixed-width batch files, replayed one
+    * file per micro-batch through the custom source into a complete-mode
+    * stateful aggregate. The oracle restates the batch aggregate over
+    * the source table, so the key asserts the custom source's
+    * offset/partition-planning contract end-to-end: a skipped,
+    * re-served, or half-read file fails the hash. Completes the V2
+    * surface matrix: batch read + write (FixedWidthDataSource) and now
+    * streaming read. Cents stay integral through the text roundtrip.
+    */
+  def customSource(spark: SparkSession, dir: String): DataFrame = {
+    val spec = "event_id:1:12:long,user_id:13:8:long,cents:21:14:long"
+    val staged = graft.Staging.memoDir("graft_replay_src", dir) { tmp =>
+      for (b <- 0 until 4) {
+        val part = s"$tmp/stage_$b"
+        Tables(spark, dir, "events")
+          .filter(col("event_id") % 4 === b)
+          .select(format_string("%-12d%-8d%-14d",
+            col("event_id"), col("user_id"),
+            round(col("value") * 100, 0).cast("long")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(part)
+        val src = new java.io.File(part).listFiles()
+          .find(f => f.getName.startsWith("part-")).get.toPath
+        java.nio.file.Files.move(src,
+          java.nio.file.Paths.get(tmp, f"batch-$b%02d.txt"))
+      }
+    }
+    val name = "graft_replay_result"
+    val q = spark.readStream
+      .format("graft.sources.FixedWidthReplaySource")
+      .option("fields", spec)
+      .load(staged)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select("user_id", "n_events", "sum_cents")
+      .orderBy("user_id")
+  }
+
   /** The rate-micro-batch SOURCE (the deterministic load-generator
     * sibling of `rate`): batch k carries values [k·rows, (k+1)·rows)
     * all stamped startTimestamp + k·advance — closed-form, so the
@@ -317,6 +365,7 @@ object EventOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_custom_source" -> customSource,
     "stream_rate_source" -> rateSource,
     "stream_multi_batch_state" -> multiBatchState,
     "stream_stream_outer" -> streamStreamOuter,
@@ -333,6 +382,10 @@ object EventOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_custom_source" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
+        "AS sum_cents FROM events GROUP BY user_id ORDER BY user_id"),
     "stream_rate_source" ->
       ("SELECT (v // 100) * 1000 AS batch_ms, count(*) AS n_rows, " +
         "min(v) AS min_value, max(v) AS max_value " +

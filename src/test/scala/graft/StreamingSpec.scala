@@ -200,4 +200,29 @@ class StreamingSpec extends GraftSuite {
     assert(rows.count() == 3, "second run must append ONLY the new file")
     assert(rows.agg(sum("v")).head.getLong(0) == 6)
   }
+
+  test("custom V2 replay source paces one file per micro-batch") {
+    import java.nio.file.{Files, Paths}
+    val dir = Staging.tempDir("graft_replay_spec")
+    for (b <- 0 until 3) {
+      val lines = (0 until 5).map(i => f"${b * 5 + i}%-8d").mkString("\n")
+      Files.write(Paths.get(dir, f"batch-$b%02d.txt"), (lines + "\n").getBytes)
+    }
+    val name = "graft_replay_spec_sink"
+    val q = spark.readStream
+      .format("graft.sources.FixedWidthReplaySource")
+      .option("fields", "v:1:8:long")
+      .load(dir)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // ReadLimit.maxFiles(1): the 3-file manifest must drain in exactly
+    // 3 non-empty micro-batches, in file order
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length === 3, batches.map(_.numInputRows).toSeq)
+    assert(batches.forall(_.numInputRows === 5))
+    val got = spark.table(name).orderBy("v").collect().map(_.getLong(0))
+    assert(got.toSeq === (0L until 15L))
+  }
 }
