@@ -114,7 +114,24 @@ object Extensions {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** V2 FunctionCatalog surface ([[GraftFunctionCatalog]]): hamming64
+    * resolves through a configured catalog from plain SQL — no session
+    * function registry — and executes via the codegen magic method. The
+    * histogram of hamming(event_id, user_id) is deterministic and the
+    * oracle restates the function as DuckDB's bit_count(xor(a, b)), so
+    * the whole resolution + execution path is hash-gated.
+    */
+  def catalogV2Fn(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftfns",
+      "graft.functions.GraftFunctionCatalog")
+    Tables(spark, dir, "events").createOrReplaceTempView("events_fncat")
+    spark.sql(
+      "SELECT graftfns.default.hamming64(event_id, user_id) AS hd, " +
+        "count(*) AS n FROM events_fncat GROUP BY hd ORDER BY hd")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_catalog_v2" -> catalogV2Fn,
     "udf_sql" -> udfSql,
     "udf_scalar" -> udfScalar,
     "udaf_geomean" -> udafGeomean,
@@ -123,6 +140,9 @@ object Extensions {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_catalog_v2" ->
+      ("SELECT CAST(bit_count(xor(event_id, user_id)) AS BIGINT) AS hd, " +
+        "count(*) AS n FROM events GROUP BY hd ORDER BY hd"),
     "udf_sql" ->
       ("SELECT l_orderkey, l_linenumber, " +
         "l_extendedprice * (1.0 - l_discount) AS disc_price, " +

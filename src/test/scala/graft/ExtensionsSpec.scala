@@ -37,6 +37,25 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("V2 catalog function resolves through SQL and matches the builtin form") {
+    val spark = SparkTestBase.spark
+    val sf0001 = SparkTestBase.sf0001
+    spark.conf.set("spark.sql.catalog.graftfns",
+      "graft.functions.GraftFunctionCatalog")
+    Tables(spark, sf0001, "events").createOrReplaceTempView("ev_fncat_spec")
+    val viaCatalog = spark.sql(
+      "SELECT event_id, graftfns.default.hamming64(event_id, user_id) AS hd " +
+        "FROM ev_fncat_spec")
+    val viaBuiltins = Tables(spark, sf0001, "events")
+      .selectExpr("event_id", "CAST(bit_count(event_id ^ user_id) AS BIGINT) AS hd")
+    assert(viaCatalog.exceptAll(viaBuiltins).count() === 0)
+    assert(viaBuiltins.exceptAll(viaCatalog).count() === 0)
+    // the magic method binds as an Invoke (codegen path), not the
+    // row-boxing produceResult fallback
+    val plan = viaCatalog.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("invoke"), plan)
+  }
+
   test("self-cosine folds to a literal in the optimized plan") {
     withExtendedSession { s =>
       val df = Tables(s, SparkTestBase.sf0001, "embeddings")

@@ -117,7 +117,8 @@ class SurveyCoverageSpec extends GraftSuite {
     "etl_streaks", "etl_degree_days", "etl_interpolate",
     // round-5 (§2.15)
     "llm_dedup_substring", "graph_coorder", "graph_triangles",
-    "llm_knn_join_scaled", "sink_fixed_width", "stream_custom_source")
+    "llm_knn_join_scaled", "sink_fixed_width", "stream_custom_source",
+    "fn_catalog_v2")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
