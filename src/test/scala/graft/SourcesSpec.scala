@@ -147,5 +147,11 @@ class SourcesSpec extends GraftSuite {
       .option("fields", spec).load(tmp)
     assert(again.count() === 7)
     assert(again.select("v").collect().map(_.getString(0)).sorted.head === "val0")
+    // an EMPTY overwrite is a valid truncate: zero rows, clean layout
+    writeRange(0)
+    val empty = spark.read.format("graft.sources.FixedWidthDataSource")
+      .option("fields", spec).load(tmp)
+    assert(empty.count() === 0)
+    assert(!new java.io.File(tmp).listFiles().exists(_.getName.startsWith("_staging")))
   }
 }

@@ -225,4 +225,19 @@ class StreamingSpec extends GraftSuite {
     val got = spark.table(name).orderBy("v").collect().map(_.getLong(0))
     assert(got.toSeq === (0L until 15L))
   }
+
+  test("custom V2 replay source: empty manifest terminates cleanly") {
+    val dir = Staging.tempDir("graft_replay_empty")
+    val name = "graft_replay_empty_sink"
+    val q = spark.readStream
+      .format("graft.sources.FixedWidthReplaySource")
+      .option("fields", "v:1:8:long")
+      .load(dir)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty)
+    assert(spark.table(name).count() === 0)
+  }
 }
