@@ -73,15 +73,24 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalMax = if (resultsMax.nonEmpty) resultsMax.values.sum else 0.0
     val errsJson = errorKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Full per-query timings go to a FILE (dev profiling), never stdout —
-    // stdout carries only the one bounded JSON line the driver parses.
-    sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
-      val full = results.toSeq.sortBy(-_._2).map { case (k, v) =>
-        "\"" + k + "\":[" + fmt(v) + "," + fmt(resultsMax(k)) + "]"
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
-    }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query timings ALWAYS go to a FILE, never stdout — stdout
+    // carries only the one bounded JSON line the driver parses (a
+    // 237-key dict overflows the driver's captured tail; round 1
+    // recorded parsed:null that way). The r5 verdict's auditability gap
+    // (only 18/237 per-key times visible round-over-round) is closed by
+    // writing the full [min,max] profile unconditionally to a stable
+    // repo path and naming that path in the JSON line; round-close
+    // commits a BENCH_FULL_r{N}.json snapshot so every key is diffable
+    // across rounds without env vars.
+    val fullPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL_latest.json")
+    val full = results.toSeq.sortBy(-_._2).map { case (k, v) =>
+      "\"" + k + "\":[" + fmt(v) + "," + fmt(resultsMax(k)) + "]"
+    }.mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fullPath), full)
+    catch { case _: Throwable => () } // profile is best-effort; the line must still print
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"full_profile":"$fullPath","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
