@@ -12,12 +12,23 @@ import org.apache.spark.sql.functions._
   * through here, so swapping `read.parquet(file)` for a partitioned table
   * scan is a one-line change.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.x rejects by
-  * default (PARQUET_TYPE_ILLEGAL). We read it via the documented
-  * `spark.sql.legacy.parquet.nanosAsLong` escape hatch and truncate
-  * ns→µs into a proper TimestampType — the same truncation DuckDB applies
-  * when it surfaces TIMESTAMP_NS as TIMESTAMP, so oracle comparisons on
-  * `unix_micros(ts)` are exact (verified against sf0.01).
+  * `events.ts` has changed physical type across fixture regenerations
+  * (round 1: parquet TIMESTAMP(NANOS); round 6 driver regen: TIMESTAMP
+  * (MICROS), isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ). Rather
+  * than hard-wiring one layout, we read with the `nanosAsLong` escape
+  * hatch enabled (harmless for non-nanos files) and branch on the type
+  * Spark actually inferred from the footer:
+  *   - LongType          → file was NANOS; truncate ns→µs (the same
+  *                         truncation DuckDB applies surfacing
+  *                         TIMESTAMP_NS as TIMESTAMP)
+  *   - TimestampNTZType  → file was MICROS without UTC adjustment; the
+  *                         session is pinned UTC, so casting to
+  *                         TimestampType preserves the instant and the
+  *                         oracle's unix_micros values exactly
+  *   - TimestampType     → already the canonical type; pass through
+  * This makes the reader robust to driver-side fixture regeneration —
+  * the round-6 regen silently broke all 52 events-dependent keys for a
+  * full round because the old code assumed NANOS forever.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -27,8 +38,18 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => raw
+        case other => throw new IllegalStateException(
+          s"events.ts read as unsupported type $other — fixture layout " +
+            "changed again; extend Tables.apply for the new physical type")
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
