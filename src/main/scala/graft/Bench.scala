@@ -82,15 +82,32 @@ object Bench {
     // repo path and naming that path in the JSON line; round-close
     // commits a BENCH_FULL_r{N}.json snapshot so every key is diffable
     // across rounds without env vars.
-    val fullPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL_latest.json")
+    // cwd-relative default (advisor r6): an absolute /root/repo path broke
+    // any other checkout location, and with the old silent catch the
+    // profile would just never be written there.
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL").getOrElse(
+      new java.io.File("BENCH_FULL_latest.json").getAbsolutePath)
     val full = results.toSeq.sortBy(-_._2).map { case (k, v) =>
       "\"" + k + "\":[" + fmt(v) + "," + fmt(resultsMax(k)) + "]"
     }.mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(fullPath), full)
-    catch { case _: Throwable => () } // profile is best-effort; the line must still print
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"full_profile":"$fullPath","queries":$qs,"sf":"$sfDir"}""")
+    // On write failure, advertise full_profile:null instead of naming a
+    // path that now holds stale previous-round data (advisor r6 — a
+    // silent failure there would make cross-round diffs compare wrong
+    // numbers while claiming auditability).
+    val fullWritten =
+      try { java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(fullPath), full); true }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] full-profile write failed: $e"); false }
+    // JSON-escape env-controlled strings (advisor r6): a quote or
+    // backslash in the path/sfDir would otherwise emit invalid JSON and
+    // the driver would record parsed:null.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val fullField = if (fullWritten) jstr(fullPath) else "null"
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"full_profile":$fullField,"queries":$qs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -33,10 +33,17 @@ object Verify {
       case Some(keys) => SparkEntry.queries.view.filterKeys(keys).toMap
       case None => SparkEntry.queries
     }
+    // Failure honesty (round-6 lesson): a thrown key used to leave no
+    // trace in outDir, so the driver's correctness JSON silently omitted
+    // it and a 52-key regression looked like a smaller green run. Record
+    // every failure and always write _failed.json — an empty {} is the
+    // positive signal that zero keys threw.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        failed(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -56,6 +63,17 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size}/${selected.size} keys FAILED: " +
+          failed.keys.mkString(", "))
+    }
     spark.stop()
+    // Nonzero exit makes the breakage impossible to miss in any caller
+    // that checks status (round_close.py does).
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

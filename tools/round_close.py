@@ -17,6 +17,7 @@ import glob
 import json
 import os
 import statistics
+import subprocess
 import sys
 import xml.etree.ElementTree as ET
 
@@ -28,16 +29,42 @@ key_dirs = sorted(
     d for d in os.listdir(verify_dir)
     if os.path.isdir(os.path.join(verify_dir, d)))
 
-# Test count methodology (r5 verdict item 3): count <testcase> ELEMENTS,
-# not the suite-level `tests` attributes. ScalaTest's XML reporter pads
-# the attribute with suite-scoped entries in some suites (r5: attribute
-# sum 165 vs "Total number of tests run: 157" from the identical green
-# run), while the <testcase> elements are exactly the executed tests the
-# run summary counts. One number, one source.
+# Failure honesty (r6 lesson: 52 thrown keys silently vanished from the
+# correctness artifact). graft.Verify now always writes _failed.json;
+# its absence means an old/partial Verify run, and any entry in it means
+# a declared key produced no output. Both abort the round close.
+failed_path = os.path.join(verify_dir, "_failed.json")
+if not os.path.exists(failed_path):
+    sys.exit("round_close: %s/_failed.json missing — re-run graft.Verify "
+             "(pre-r7 output dirs lack the failure manifest)" % verify_dir)
+failed = json.load(open(failed_path))
+if failed:
+    for k, err in sorted(failed.items()):
+        print("FAILED %s: %s" % (k, err), file=sys.stderr)
+    sys.exit("round_close: %d key(s) threw in graft.Verify — a round "
+             "must not close on a partial correctness surface" % len(failed))
+
+# Fixture drift gate (r6 lesson #2: the driver regenerated the fixtures
+# mid-round and nothing noticed until the judge did).
+drift = subprocess.run(
+    [sys.executable, os.path.join(os.path.dirname(__file__),
+                                  "fixture_lock.py"), "check"])
+if drift.returncode != 0:
+    sys.exit("round_close: fixture drift detected — re-verify everything, "
+             "then accept with `tools/fixture_lock.py write`")
+
+# Test count methodology: count EXECUTED <testcase> elements — elements
+# with a <skipped>/<ignored> child are reported but not run, so the raw
+# element count is not guaranteed to equal sbt's "Total number of tests
+# run" either (r6 advisor note; the 165-vs-157 gap in the r5 comment did
+# not reproduce in the committed reports). One number, one source, and
+# the source is executed testcases.
 tests = 0
 for xf in glob.glob("target/test-reports/*.xml"):
     root = ET.parse(xf).getroot()
-    tests += len(root.findall(".//testcase"))
+    for tc in root.findall(".//testcase"):
+        if tc.find("skipped") is None and tc.find("ignored") is None:
+            tests += 1
 
 out = {
     "declared_keys": len(key_dirs),
@@ -50,7 +77,10 @@ if bench_path:
     out["bench_total_sec"] = b.get("value")
     out["bench_n_queries"] = b.get("n_queries")
     out["bench_errors"] = b.get("errors")
-    full = os.environ.get("SPARK_GRAFT_BENCH_FULL")
+    # Bench.scala always writes the full profile and names it in the
+    # JSON line; the env var is only an override (r6 advisor medium —
+    # the env-var-free flow used to silently omit the median).
+    full = os.environ.get("SPARK_GRAFT_BENCH_FULL") or b.get("full_profile")
     if full and os.path.exists(full):
         times = json.load(open(full))
         vals = [v[0] if isinstance(v, list) else v for v in times.values()]
