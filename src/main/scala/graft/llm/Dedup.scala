@@ -133,27 +133,49 @@ object Dedup {
           .as("signature"))
       .orderBy("doc_id")
 
-  /** MinHash+LSH near-dup pairs, EXACT-VERIFIED (oracle-able since r5):
-    * banding proposes candidates — docs sharing any of 16 bands (4 sig
-    * rows each, over a 64-permutation signature) — and each candidate
-    * pair is then verified with the TRUE trigram jaccard over the full
-    * shingle sets (the ngramJaccard verify pattern), kept at jaccard
-    * >= 0.5. The output is therefore a pure function of the text (no
-    * hash-seeded estimate in any emitted column), restatable in DuckDB
-    * as the exhaustive jaccard >= 0.5 pair set.
+  /** Near-dup pairs at jaccard >= 0.5 with EXACT recall: candidates come
+    * from [[DedupVariants.ngramCandidates]]'s PPJoin prefix filter at
+    * τ=0.5 — a guaranteed superset of the true pair set BY CONSTRUCTION
+    * (any pair with J >= τ must share a prefix token under the global
+    * hash order) — then each candidate is verified with the true trigram
+    * jaccard over the full shingle sets. Oracle equality with the
+    * exhaustive jaccard >= 0.5 pair set therefore holds on ANY corpus.
     *
-    * Band geometry is a measured round-5 decision: with the original
-    * b=4, r=4 the per-pair catch probability 1-(1-j⁴)⁴ is only 0.878 at
-    * j=0.8 (this corpus's minimum true-pair jaccard), and the 10×/100×
-    * shingle-disjoint replicas exposed exactly that — 2/2560 and
-    * 30/25,600 true pairs missed (fixture-seed luck had hidden it at
-    * 1×). b=16, r=4 lifts the catch to 1-(1-j⁴)¹⁶ = 0.9998 at j=0.8
-    * while keeping noise-pair collisions negligible (∝16·j⁴ ≈ 2e-7 at
-    * the unrelated-doc j≈0.01), and measured recall is 100% at 1×, 10×
-    * AND 100× with candidate volume still linear. In the general-corpus
-    * limit LSH recall at j ≈ τ remains probabilistic — the standard LSH
-    * contract; the exhaustive-equality claim is re-checked per fixture
-    * by the gate, and the exact-recall variant is ngramJaccard's PPJoin.
+    * History: r1–r6 this key proposed candidates via MinHash+LSH banding
+    * (now [[dedupNearLsh]]). Banding recall at j ≈ τ is probabilistic —
+    * b=16/r=4 catches only ~64% at j=0.5 — and the key stayed green only
+    * because the fixtures happened to have no true pairs in the 0.5–0.8
+    * band. The r6 fixture regeneration (min true-pair jaccard measured
+    * 0.8 at sf0.1, 0.9 at sf0.01) proved the corpus can change under us,
+    * so the oracle-keyed operator now uses the exact-recall candidate
+    * stage (r6 verdict item 4); the LSH path remains first-class as
+    * [[dedupNearLsh]] for the at-scale regime where PPJoin's prefix
+    * postings outgrow banding's fixed b·r signature work.
+    */
+  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val (cand, sets) = DedupVariants.ngramCandidates(spark, dir, tau = 0.5)
+    verifyJaccard(cand, sets, 0.5)
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified: banding proposes
+    * candidates — docs sharing any of 16 bands (4 sig rows each, over a
+    * 64-permutation signature) — and each candidate pair is verified
+    * with the TRUE trigram jaccard over the full shingle sets, kept at
+    * jaccard >= 0.5. Emitted values are a pure function of the text, but
+    * RECALL is the standard probabilistic LSH contract: catch
+    * probability 1-(1-j⁴)¹⁶ (0.9998 at j=0.8, ~0.64 at j=0.5), so this
+    * key is declared WITHOUT an oracle (rows-only check) and its recall
+    * is measured per fixture by DevNearRecall and the LlmSpec recall
+    * tests. At 100 TB this is the cheaper candidate generator: signature
+    * work is fixed b·r hashes per doc regardless of document length,
+    * while PPJoin prefix postings grow with shingle-set size.
+    *
+    * Band geometry is a measured round-5 decision: b=4/r=4 caught only
+    * 0.878 at j=0.8 and the 10×/100× shingle-disjoint replicas exposed
+    * exactly that (2/2560 and 30/25,600 true pairs missed); b=16/r=4
+    * lifts the catch to 0.9998 at j=0.8 with noise-pair collisions
+    * negligible (∝16·j⁴ ≈ 2e-7 at the unrelated-doc j≈0.01), and
+    * measured recall is 100% at 1×, 10× and 100×.
     *
     * Signatures come from the codegen'd [[minhashSignatures]] path; its
     * final aggregation is the Exchange barrier that materializes them,
@@ -161,11 +183,24 @@ object Dedup {
     * re-evaluating the MinHash expression per consumer (the inlined HOF
     * form measured 98 s at sf0.1; this runs in ~2 s). Candidates are
     * dedup'd BEFORE the verify join, so each pair pays one
-    * array_intersect; the shingle-set side is doc-count-sized
-    * (broadcastable here; at 100 TB swap for shuffle hash joins on id).
+    * array_intersect.
     */
-  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNearLsh(spark: SparkSession, dir: String): DataFrame = {
     val (cand, sets) = nearCandidates(spark, dir)
+    verifyJaccard(cand, sets, 0.5)
+  }
+
+  /** Shared exact-verify stage: true trigram jaccard over the full
+    * shingle sets for each candidate pair, thresholded at τ. The
+    * shingle-set side is doc-count-sized (broadcastable here; at 100 TB
+    * swap the two broadcasts for shuffle hash joins on id). distinct()
+    * before the sort: PPJoin candidates may propose a pair once per
+    * shared prefix token (measured dup factor 1.04), LSH once per
+    * colliding band — either way survivors dedup where only ~|result|
+    * rows remain.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      tau: Double): DataFrame = {
     val sa = sets.as("sa")
     val sb = sets.as("sb")
     cand
@@ -175,8 +210,9 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double")
           / (size(col("sa.shs")) + size(col("sb.shs")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -299,14 +335,17 @@ object Dedup {
     "llm_canonicalize" -> canonicalize,
     "llm_minhash_signature" -> minhashQuery,
     "llm_minhash_agg" -> minhashAggQuery,
-    "llm_dedup_near" -> dedupNear
+    "llm_dedup_near" -> dedupNear,
+    // no oracle: recall is the probabilistic LSH contract (see scaladoc);
+    // driver records a rows-only check, recall is unit/dev-probe-tested
+    "llm_dedup_lsh" -> dedupNearLsh
   )
 
   def oracle: Map[String, String] = Map(
     // the EXHAUSTIVE jaccard >= 0.5 pair set (same trigram stream as the
-    // ngram_jaccard oracle, threshold 0.5): equals the LSH-candidates-
-    // exact-verified result because banding recall at the threshold is
-    // measured 100% on these fixtures (see dedupNear scaladoc)
+    // ngram_jaccard oracle, threshold 0.5): equals dedupNear's output BY
+    // CONSTRUCTION since r7 — PPJoin prefix filtering at τ=0.5 has exact
+    // recall on any corpus (see dedupNear scaladoc)
     "llm_dedup_near" ->
       (s"WITH sh AS (SELECT doc_id, unnest(list_distinct(${DedupVariants.shingleSql})) AS sh FROM documents), " +
         "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +

@@ -43,7 +43,7 @@ class LlmSpec extends GraftSuite {
       "explode+agg minhash diverges from HOF definition")
   }
 
-  test("LSH near-dup candidates include every exact-duplicate pair") {
+  test("near-dup pairs include every exact-duplicate pair") {
     val docs = Tables(spark, sf01, "documents").select("doc_id", "text")
     val a = docs.select(col("doc_id").as("id_a"), col("text"))
     val b = docs.select(col("doc_id").as("id_b"), col("text"))
@@ -51,12 +51,27 @@ class LlmSpec extends GraftSuite {
       .select("id_a", "id_b")
     val candidates = llm.Dedup.dedupNear(spark, sf01).select("id_a", "id_b")
     val missed = dupPairs.exceptAll(candidates).count()
-    assert(missed == 0, s"$missed exact-dup pairs missed by LSH")
+    assert(missed == 0, s"$missed exact-dup pairs missed")
     assert(dupPairs.count() > 0)
   }
 
   test("near-dup candidates exist even at sf0.01 (no exact dups there)") {
     assert(llm.Dedup.dedupNear(spark, sf001).count() > 0)
+  }
+
+  test("LSH near-dup output is a subset of the exact-recall output, " +
+      "with 100% recall on this fixture") {
+    // subset: both paths verify with the same true jaccard, so LSH can
+    // only MISS pairs, never add them; equality holds here because this
+    // fixture's true pairs all sit at j >= 0.8 where banding catch
+    // probability is 0.9998 (measured 100% by DevNearRecall)
+    val exact = llm.Dedup.dedupNear(spark, sf01)
+    val lsh = llm.Dedup.dedupNearLsh(spark, sf01)
+    assert(lsh.exceptAll(exact).count() == 0,
+      "LSH emitted a pair the exact-recall path did not")
+    assert(exact.exceptAll(lsh).count() == 0,
+      "LSH missed a true pair on a fixture where recall is measured 100%")
+    assert(exact.count() > 0)
   }
 
   test("cosine is bounded and self-similarity is 1") {

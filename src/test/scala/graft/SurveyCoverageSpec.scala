@@ -118,7 +118,10 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-5 (§2.15)
     "llm_dedup_substring", "graph_coorder", "graph_triangles",
     "llm_knn_join_scaled", "sink_fixed_width", "stream_custom_source",
-    "fn_catalog_v2")
+    "fn_catalog_v2",
+    // round-7 (§2.18): LSH banding split out of llm_dedup_near (which now
+    // routes through the exact-recall PPJoin candidate stage at τ=0.5)
+    "llm_dedup_lsh")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
