@@ -107,7 +107,14 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val fullField = if (fullWritten) jstr(fullPath) else "null"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"full_profile":$fullField,"queries":$qs,"sf":${jstr(sfDir)}}""")
+    // 1-minute system load average at measurement end: BENCH_r06's 2-5×
+    // "regression" was pure machine contention (judge re-measured idle),
+    // so the artifact now carries its own confound marker — a loadavg
+    // far above the core count means the totals are noise, not plans.
+    // -1.0 where the platform doesn't support it.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"loadavg":${fmt(loadAvg)},"full_profile":$fullField,"queries":$qs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

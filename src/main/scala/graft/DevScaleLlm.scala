@@ -56,6 +56,12 @@ object DevScaleLlm {
       }
       val (ngramCand, _) = llm.DedupVariants.ngramCandidates(spark, d)
       println(s"CAND $d ngram_prefix_pairs pairs=${ngramCand.count()}")
+      // since r7 llm_dedup_near routes through the PPJoin stage at
+      // τ=0.5 (exact recall) — measure THAT stage's volume too; the
+      // lower τ means longer prefixes, so linearity must be re-shown,
+      // not inherited from the τ=0.6 row
+      val (nearExact, _) = llm.DedupVariants.ngramCandidates(spark, d, 0.5)
+      println(s"CAND $d near_prefix_pairs_tau05 pairs=${nearExact.count()}")
       val (nearCand, _) = llm.Dedup.nearCandidates(spark, d)
       println(s"CAND $d lsh_band_pairs pairs=${nearCand.count()}")
       val fixedK = llm.CorpusOps.knnCandidates(spark, d, nCent = 10)
