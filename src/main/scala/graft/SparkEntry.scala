@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.SortsSetOps.queries ++
       operators.SqlSurface.queries ++
+      operators.TpchComplete.queries ++
       operators.TypedOps.queries ++
       functions.ScalarFns.queries ++
       streaming.EventOps.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       operators.Windows.oracle ++
       operators.SortsSetOps.oracle ++
       operators.SqlSurface.oracle ++
+      operators.TpchComplete.oracle ++
       operators.TypedOps.oracle ++
       functions.ScalarFns.oracle ++
       streaming.EventOps.oracle ++

@@ -121,7 +121,13 @@ class SurveyCoverageSpec extends GraftSuite {
     "fn_catalog_v2",
     // round-7 (§2.18): LSH banding split out of llm_dedup_near (which now
     // routes through the exact-recall PPJoin candidate stage at τ=0.5)
-    "llm_dedup_lsh")
+    "llm_dedup_lsh",
+    // round-7: the nine shapes completing the 22-query TPC-H suite
+    // (q2/q9/q11/q12/q16/q20/q21 adapted to the fixture's no-partsupp
+    // column subset — same precedent as q4x/q17x/q22x)
+    "sql_tpch_q1", "sql_tpch_q2x", "sql_tpch_q9x", "sql_tpch_q11x",
+    "sql_tpch_q12x", "sql_tpch_q16x", "sql_tpch_q19x", "sql_tpch_q20x",
+    "sql_tpch_q21x")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
