@@ -18,6 +18,21 @@ class EntrySpec extends GraftSuite {
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
   }
 
+  test("oracle SQL stays single-line ASCII (SURVEY §7.4 driver-JSON rule)") {
+    // Verify's JSON writer escapes control chars defensively, but the
+    // standing rule is that oracle SQL never NEEDS escaping: one line,
+    // printable ASCII only — so the driver-side json.load can never
+    // trip on an exotic statement
+    val offenders = SparkEntry.oracleSql.collect {
+      case (k, sql) if sql.exists(c => c < ' ' || c > '~') =>
+        val bad = sql.filter(c => c < ' ' || c > '~').take(5)
+          .map(c => f"\\u${c.toInt}%04x").mkString(",")
+        s"$k [$bad]"
+    }
+    assert(offenders.isEmpty,
+      s"oracle SQL with control/non-ASCII chars: ${offenders.mkString("; ")}")
+  }
+
   test("flagship q1 has the 6 flag/status groups") {
     val rows = operators.Aggregates.pricingSummary(spark, sf0001).collect()
     assert(rows.length == 6)
