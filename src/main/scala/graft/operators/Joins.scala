@@ -227,12 +227,22 @@ object Joins {
         .format("parquet").bucketBy(8, key).sortBy(key)
         .saveAsTable(name)
     }
-    freshBucketTable("orders_bkt", "orders", "o_custkey",
+    // per-JVM-unique staging names: the warehouse dir is shared
+    // (java.io.tmpdir), and two concurrent graft JVMs (e.g. a test run
+    // beside a Verify run) racing on ONE fixed table path produce
+    // FAILED_READ_FILE when the reader's cached file listing outlives
+    // the writer's overwrite — caught live by Verify's _failed.json at
+    // r7. The oracle restates the join over the raw parquet, so the
+    // staged name is free to vary per process.
+    val pid = ProcessHandle.current().pid()
+    val ordersBkt = s"orders_bkt_$pid"
+    val customerBkt = s"customer_bkt_$pid"
+    freshBucketTable(ordersBkt, "orders", "o_custkey",
       Seq("o_custkey", "o_totalprice"))
-    freshBucketTable("customer_bkt", "customer", "c_custkey",
+    freshBucketTable(customerBkt, "customer", "c_custkey",
       Seq("c_custkey", "c_mktsegment"))
-    spark.table("orders_bkt").hint("merge")
-      .join(spark.table("customer_bkt").hint("merge"),
+    spark.table(ordersBkt).hint("merge")
+      .join(spark.table(customerBkt).hint("merge"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
