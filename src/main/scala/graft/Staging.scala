@@ -29,6 +29,14 @@ object Staging {
     p.toString
   }
 
+  /** Register an externally-created path (e.g. a warehouse table dir
+    * staged under a per-JVM name) for the same exit-time deletion —
+    * without this, pid-suffixed bucket tables would accumulate in the
+    * shared warehouse one pair per JVM.
+    */
+  def registerForCleanup(path: String): Unit =
+    created.add(java.nio.file.Paths.get(path))
+
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Stage a fixture layout ONCE per (prefix, sfDir) per JVM: `build`

@@ -226,6 +226,11 @@ object Joins {
         .write.mode("overwrite")
         .format("parquet").bucketBy(8, key).sortBy(key)
         .saveAsTable(name)
+      // per-JVM names never get overwritten by a later run — delete the
+      // staged files at exit so the shared warehouse doesn't accumulate
+      // one table pair per process
+      graft.Staging.registerForCleanup(new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name).toUri.getPath)
     }
     // per-JVM-unique staging names: the warehouse dir is shared
     // (java.io.tmpdir), and two concurrent graft JVMs (e.g. a test run
