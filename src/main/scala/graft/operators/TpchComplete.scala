@@ -199,6 +199,67 @@ object TpchComplete {
     }
   }
 
+  /** The classic q21 REWRITE, verified against the ORIGINAL
+    * EXISTS/NOT EXISTS statement's oracle — the driver's hash equality
+    * IS the equivalence proof (the plan_topk_native/rewrite pattern).
+    *
+    * Instead of three lineitem branches (base + EXISTS semi + NOT
+    * EXISTS anti, each its own fact scan and l_orderkey shuffle at
+    * scale), aggregate ONCE per (order, supplier): late_lines per pair,
+    * then per order the supplier count and late-supplier count. A
+    * (supplier, order) pair "waits" exactly when it has a late line,
+    * the order has >= 2 suppliers, and it is the ONLY late supplier;
+    * numwait sums late_lines so multi-late-line pairs count per LINE
+    * like the original's count(*) over l1.
+    *
+    * No tag-back join at all: when n_late_supp = 1, the per-order
+    * rollup can CARRY the lone late supplier's identity and its line
+    * count (`max(when(late_lines > 0, ...))` — the max over a single
+    * non-null value IS that value), so the whole query is one
+    * aggregation chain: fact⋈orders (broadcast) → pair agg → order agg
+    * (reuses the pair partitioning — l_orderkey is a prefix, no new
+    * exchange) → broadcast supplier/nation tag → name agg. The fact
+    * table is scanned ONCE by construction (asserted in
+    * TpchCompleteSpec) vs the EXISTS form's three scans + per-branch
+    * shuffles; a SQL CTE form was tried first and got INLINED into two
+    * full fact subplans (plan-verified), hence the DataFrame form.
+    * Measured at fact ×100 (60 M lineitem rows, contended box): 6.4 s
+    * vs the EXISTS form's 10.4–15.3 s — ~2× even though page cache
+    * makes the EXISTS form's repeat scans nearly free locally; where
+    * the fact table does NOT fit cache the one-scan structure is the
+    * difference in kind.
+    */
+  def tpchQ21r(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val pairs = li.join(ord, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1).otherwise(0))
+        .as("late_lines"))
+    val perOrder = pairs.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("late_lines") > 0, 1).otherwise(0)).as("n_late_supp"),
+        max(when(col("late_lines") > 0, col("l_suppkey"))).as("late_supp"),
+        max(when(col("late_lines") > 0, col("late_lines"))).as("late_cnt"))
+    val sup = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val nat = Tables(spark, dir, "nation")
+      .filter(col("n_regionkey") === 0).select(col("n_nationkey"))
+    perOrder
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(sup), col("s_suppkey") === col("late_supp"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name")
+      .agg(sum("late_cnt").cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   private val tablesFor = Map(
     "q1" -> Seq("lineitem"),
     "q2x" -> Seq("part", "lineitem", "supplier", "nation", "region"),
@@ -222,7 +283,8 @@ object TpchComplete {
     "sql_tpch_q16x" -> run("q16x"),
     "sql_tpch_q19x" -> run("q19x"),
     "sql_tpch_q20x" -> run("q20x"),
-    "sql_tpch_q21x" -> run("q21x"))
+    "sql_tpch_q21x" -> run("q21x"),
+    "sql_tpch_q21r" -> tpchQ21r)
 
   def oracle: Map[String, String] = Map(
     "sql_tpch_q1" -> stmt(sparkSide = false, "q1"),
@@ -233,5 +295,8 @@ object TpchComplete {
     "sql_tpch_q16x" -> stmt(sparkSide = false, "q16x"),
     "sql_tpch_q19x" -> stmt(sparkSide = false, "q19x"),
     "sql_tpch_q20x" -> stmt(sparkSide = false, "q20x"),
-    "sql_tpch_q21x" -> stmt(sparkSide = false, "q21x"))
+    "sql_tpch_q21x" -> stmt(sparkSide = false, "q21x"),
+    // the REWRITE key verifies against the ORIGINAL EXISTS/NOT EXISTS
+    // statement — hash equality is the rewrite's equivalence proof
+    "sql_tpch_q21r" -> stmt(sparkSide = false, "q21x"))
 }

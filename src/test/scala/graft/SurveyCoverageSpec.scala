@@ -127,7 +127,10 @@ class SurveyCoverageSpec extends GraftSuite {
     // column subset — same precedent as q4x/q17x/q22x)
     "sql_tpch_q1", "sql_tpch_q2x", "sql_tpch_q9x", "sql_tpch_q11x",
     "sql_tpch_q12x", "sql_tpch_q16x", "sql_tpch_q19x", "sql_tpch_q20x",
-    "sql_tpch_q21x")
+    "sql_tpch_q21x",
+    // q21 aggregate rewrite — verifies against the ORIGINAL EXISTS
+    // oracle, 4.8x faster at fact x100 (see BASELINE round-7 relational)
+    "sql_tpch_q21r")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

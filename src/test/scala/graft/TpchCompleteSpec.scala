@@ -57,6 +57,17 @@ class TpchCompleteSpec extends GraftSuite {
     assert(p.contains("HashAggregate"), "expected the decorrelated max agg")
   }
 
+  test("q21r equals q21x and scans the fact table exactly once") {
+    val rewrite = SparkEntry.queries("sql_tpch_q21r")(spark, sf001)
+    val original = SparkEntry.queries("sql_tpch_q21x")(spark, sf001)
+    assert(rewrite.exceptAll(original).count() == 0 &&
+      original.exceptAll(rewrite).count() == 0,
+      "rewrite diverges from the EXISTS form")
+    val p = rewrite.queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"rewrite must scan lineitem exactly once (q21x scans it 3x):\n$p")
+  }
+
   test("q11x and q16x stay non-vacuous at fixture scale") {
     // the q22x lesson: a threshold query that returns 0 rows passes its
     // oracle vacuously; q11x's mean cut was chosen over a fixed
