@@ -128,4 +128,35 @@ object PropertiesSpec extends Properties("graft") {
         v >= 0 && v < 2147483648L && h(id) == v
     }
   }
+
+  /** The PPJoin prefix-filter recall LEMMA (Bayardo/Xiao), which is what
+    * makes llm_dedup_near's oracle equality corpus-independent since r7:
+    * under ANY total order, two sets with J(A,B) >= τ must share an
+    * element within each side's first |X| - ceil(τ·|X|) + 1 elements.
+    * The Spark plumbing is oracle-verified on the fixtures; this pins
+    * the math on arbitrary random set pairs (shared pool forces real
+    * overlap so the J >= τ branch is exercised, not vacuous) at the
+    * shipped thresholds. A pure-Scala mirror of
+    * DedupVariants.ngramCandidates' slice(array_sort(shs), 1, L).
+    */
+  property("PPJoin prefix lemma: J >= tau implies prefix intersection") = {
+    val poolGen = for {
+      poolSize <- Gen.choose(10, 40)
+      pool <- Gen.containerOfN[Set, Long](poolSize, Gen.choose(Long.MinValue, Long.MaxValue))
+      aN <- Gen.choose(3, pool.size)
+      bN <- Gen.choose(3, pool.size)
+      a <- Gen.pick(aN, pool)
+      b <- Gen.pick(bN, pool)
+    } yield (a.toSet, b.toSet)
+    val tauGen = Gen.oneOf(0.5, 0.6, 0.8)
+    Prop.forAll(poolGen, tauGen) { case ((a, b), tau) =>
+      val inter = (a & b).size.toDouble
+      val j = inter / (a.size + b.size - inter)
+      def prefix(x: Set[Long]): Set[Long] = {
+        val l = x.size - math.ceil(tau * x.size).toInt + 1
+        x.toSeq.sorted.take(l).toSet
+      }
+      j < tau || (prefix(a) & prefix(b)).nonEmpty
+    }
+  }
 }
