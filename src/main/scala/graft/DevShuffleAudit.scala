@@ -1,0 +1,63 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: per-key SHUFFLE-BYTE accounting via a SparkListener — the
+  * "minimize shuffles" design rule, measured instead of asserted. For
+  * each named key, runs `fn(spark, dir).count()` twice (staging memos
+  * and codegen warm on rep 1; rep 2 is the steady-state plan) and
+  * reports the second rep's shuffle write/read bytes and records.
+  *
+  * Reading the numbers: shuffle write ≈ the data volume that would
+  * cross the network on a real cluster. A key whose shuffle bytes are a
+  * small fraction of its input scan is exchange-efficient (map-side
+  * combine, broadcast dims, digest keys); one that shuffles more than
+  * it scans is re-materializing its input and needs a look.
+  *
+  * Usage: runMain graft.DevShuffleAudit <sfDir> <key...>
+  */
+object DevShuffleAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val keys = args.tail.toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val write = new AtomicLong(0L)
+    val read = new AtomicLong(0L)
+    val records = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+    })
+    for (k <- keys) {
+      val fn = SparkEntry.queries(k)
+      fn(spark, dir).count() // warm: staging memos, codegen, page cache
+      // listener events are posted asynchronously — drain before snapshot
+      Thread.sleep(800) // listener events post asynchronously (the public
+                        // API has no drain hook); stages are long past
+                        // done by then — dev probe, coarse is fine
+      val w0 = write.get(); val r0 = read.get(); val n0 = records.get()
+      val rows = fn(spark, dir).count()
+      Thread.sleep(800) // listener events post asynchronously (the public
+                        // API has no drain hook); stages are long past
+                        // done by then — dev probe, coarse is fine
+      println(s"SHUFFLE $dir $k write_bytes=${write.get() - w0} " +
+        s"read_bytes=${read.get() - r0} records=${records.get() - n0} " +
+        s"rows=$rows")
+    }
+    spark.stop()
+  }
+}
