@@ -32,6 +32,8 @@ object DevShuffleAudit {
     val write = new AtomicLong(0L)
     val read = new AtomicLong(0L)
     val records = new AtomicLong(0L)
+    val spillMem = new AtomicLong(0L)
+    val spillDisk = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val m = s.stageInfo.taskMetrics
@@ -39,6 +41,8 @@ object DevShuffleAudit {
           write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
         }
       }
     })
@@ -50,13 +54,15 @@ object DevShuffleAudit {
                         // API has no drain hook); stages are long past
                         // done by then — dev probe, coarse is fine
       val w0 = write.get(); val r0 = read.get(); val n0 = records.get()
+      val sm0 = spillMem.get(); val sd0 = spillDisk.get()
       val rows = fn(spark, dir).count()
       Thread.sleep(800) // listener events post asynchronously (the public
                         // API has no drain hook); stages are long past
                         // done by then — dev probe, coarse is fine
       println(s"SHUFFLE $dir $k write_bytes=${write.get() - w0} " +
         s"read_bytes=${read.get() - r0} records=${records.get() - n0} " +
-        s"rows=$rows")
+        s"spill_mem=${spillMem.get() - sm0} " +
+        s"spill_disk=${spillDisk.get() - sd0} rows=$rows")
     }
     spark.stop()
   }
