@@ -72,8 +72,12 @@ object Verify {
           failed.keys.mkString(", "))
     }
     spark.stop()
-    // Nonzero exit makes the breakage impossible to miss in any caller
-    // that checks status (round_close.py does).
-    if (failed.nonEmpty) sys.exit(1)
+    // Deliberately exit 0 even when keys failed: the driver must still
+    // ingest the N-good-keys' outputs and oracle-compare them — a
+    // nonzero exit risks the whole run being discarded, turning a
+    // 1-key regression into a full-artifact loss (the inverse of the
+    // failure-honesty goal). Loudness lives in _failed.json + the
+    // stderr summary + tools/round_close.py, which DOES abort on a
+    // non-empty manifest.
   }
 }
