@@ -17,6 +17,7 @@ the distribution.
 Usage: python3 tools/stage_scale_replicas.py <outBase>
 Writes <outBase>/x10/{documents,embeddings}.parquet and x100/...
 """
+import os
 import sys
 
 import duckdb
@@ -27,6 +28,7 @@ src = "/root/testdata/sf0.1"
 con = duckdb.connect()
 for scale in (10, 100):
     d = f"{out}/x{scale}"
+    os.makedirs(d, exist_ok=True)
     con.execute(f"""
       COPY (
         SELECT doc_id + r * 10000000 AS doc_id,

@@ -15,6 +15,7 @@ Usage: python3 tools/stage_scale_tpch.py <outBase>
 Writes <outBase>/x{10,100}/{lineitem,orders}.parquet and symlink-copies
 the dimension tables so a replica dir is a complete fixture layout.
 """
+import os
 import shutil
 import sys
 
@@ -28,6 +29,7 @@ DIMS = ["region", "nation", "customer", "supplier", "part",
 con = duckdb.connect()
 for scale in (10, 100):
     d = f"{out}/x{scale}"
+    os.makedirs(d, exist_ok=True)
     con.execute(f"""
         COPY (
           SELECT l_orderkey + r * 100000000 AS l_orderkey, l_partkey,
