@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev probe (not part of the declared surface): measures LSH banding
@@ -20,11 +19,7 @@ object DevNearRecall {
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1", "/tmp/scale/x10", "/tmp/scale/x100")
         .filter(d => new java.io.File(d).isDirectory)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local("32", "ERROR")
     for (dir <- dirs) {
       val sets = Tables(spark, dir, "documents")
         .select(col("doc_id"),

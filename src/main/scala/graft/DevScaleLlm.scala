@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev probe (not part of the declared surface): the Spark side of the
   * round-5 LLM-hot-path scaling experiment (r4 verdict item 2 — "extend
@@ -31,11 +30,7 @@ object DevScaleLlm {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/scale/x10", "/tmp/scale/x100")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local("32", "ERROR")
     val keys = Seq("llm_dedup_ngram_jaccard", "llm_dedup_near",
       "llm_dedup_survivor", "llm_knn_join")
     // scale-proportional codebook for the scaled-k knn regime: the

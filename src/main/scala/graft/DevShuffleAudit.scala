@@ -3,7 +3,6 @@ package graft
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.SparkSession
 
 /** Dev probe: per-key SHUFFLE-BYTE accounting via a SparkListener — the
   * "minimize shuffles" design rule, measured instead of asserted. For
@@ -23,12 +22,7 @@ object DevShuffleAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val keys = args.tail.toSeq
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local("32", "ERROR")
     val write = new AtomicLong(0L)
     val read = new AtomicLong(0L)
     val records = new AtomicLong(0L)

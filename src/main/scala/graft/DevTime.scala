@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev probe (not part of the declared surface): times one or more
   * declared keys on a corpus dir with the bench protocol (min of 2 warm
@@ -13,12 +12,7 @@ object DevTime {
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val keys = args.tail.toSeq
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local("32", "ERROR")
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
       val times = (1 to 2).map { _ =>

@@ -1,17 +1,12 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev-only: smoke the native top-k operator (plan + result diff vs the
   * window form).
   */
 object DevTopK {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local("4")
     val dir = "/root/testdata/sf0.01"
     val df = plans.TopK.topkNative(spark, dir)
     df.explain("formatted")

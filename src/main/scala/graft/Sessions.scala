@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE place graft sessions are configured. Verify, Bench, the test
+  * base, and every dev probe build through here, so no entry point can
+  * drift on a conf the operators depend on (the r7 advisor found Bench
+  * missing the UTC pin that the events TIMESTAMP_NTZ cast needs — a
+  * class of bug this object removes).
+  *
+  * Confs carried by every session:
+  *  - `session.timeZone=UTC`: the events reader casts NTZ→Timestamp
+  *    (session-tz-sensitive) and all date arithmetic must match the
+  *    DuckDB oracle's naive-UTC semantics.
+  *  - `legacy.parquet.nanosAsLong=true`: the events fixture has been
+  *    TIMESTAMP(NANOS) in past driver regens; the flag is harmless for
+  *    non-NANOS files. It lives HERE, not in the reader — a table
+  *    reader silently flipping session-wide legacy conf was the r7
+  *    verdict's footgun; [[Tables.apply]] now asserts instead of sets.
+  *  - `shuffle.partitions` = local core count (not 200) — fixture-sized;
+  *    production sizing lives in [[graft.plans.Tuning]].
+  *  - v2 bucketing on: join_storage_partitioned needs it, and setting it
+  *    per-key would mean keys execute under configs they weren't
+  *    validated with (advisor round-4 consistent-config note).
+  */
+object Sessions {
+
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+
+  /** Build + log level + graft optimizer rules installed ONCE at
+    * construction, so no query key mutates the shared session mid-run
+    * and every key is validated under the same planner config.
+    */
+  def local(cpus: String, logLevel: String = "WARN"): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel(logLevel)
+    install(s)
+    s
+  }
+
+  /** Install the graft extraOptimizations + strategies (idempotent).
+    * These must ride `experimental.extraOptimizations` (the
+    * "User Provided Optimizers" batch at the END of the optimizer):
+    * `injectOptimizerRule`'s slot runs inside the operator-optimization
+    * batch, BEFORE RewritePredicateSubquery has turned EXISTS/NOT EXISTS
+    * into the LeftSemi/LeftAnti joins that [[plans.RewriteExistsOther]]
+    * matches.
+    */
+  def install(spark: SparkSession): Unit =
+    plans.TopK.installRewrite(spark)
+}

@@ -29,6 +29,24 @@ object Staging {
     p.toString
   }
 
+  /** A fresh SMALL-and-HOT staging dir, preferring tmpfs (`/dev/shm`)
+    * over the disk temp dir. For streaming checkpoint/state dirs only:
+    * the two multi-batch streaming keys spent ~6 s/round on checkpoint
+    * fsync I/O (r7 verdict #6), which tmpfs makes ~free while keeping
+    * fresh-per-run semantics (a NEW dir every call — never a resumed
+    * checkpoint). Not for data staging: replica fixtures can reach GBs
+    * and tmpfs is capped at half RAM; checkpoints here are KBs.
+    */
+  def fastTempDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, prefix)
+      else Files.createTempDirectory(prefix)
+    created.add(p)
+    p.toString
+  }
+
   /** Register an externally-created path (e.g. a warehouse table dir
     * staged under a per-JVM name) for the same exit-time deletion —
     * without this, pid-suffixed bucket tables would accumulate in the

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * `events.ts` has changed physical type across fixture regenerations
   * (round 1: parquet TIMESTAMP(NANOS); round 6 driver regen: TIMESTAMP
   * (MICROS), isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ). Rather
-  * than hard-wiring one layout, we read with the `nanosAsLong` escape
-  * hatch enabled (harmless for non-nanos files) and branch on the type
+  * than hard-wiring one layout, sessions enable the `nanosAsLong` escape
+  * hatch at construction ([[Sessions]]; harmless for non-nanos files,
+  * asserted — not set — here) and the reader branches on the type
   * Spark actually inferred from the footer:
   *   - LongType          → file was NANOS; truncate ns→µs (the same
   *                         truncation DuckDB applies surfacing
@@ -37,13 +38,27 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ASSERT, don't set (r7 verdict #3): a table reader silently
+      // flipping a session-wide legacy flag is a footgun for concurrent
+      // sessions. The flag belongs in the session builder — every graft
+      // entry point gets it via graft.Sessions.
+      require(
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events reads need spark.sql.legacy.parquet.nanosAsLong=true at " +
+          "session construction (the fixture has shipped TIMESTAMP(NANOS) " +
+          "layouts); build the session via graft.Sessions")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       raw.schema("ts").dataType match {
         case LongType =>
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case TimestampNTZType =>
+          // NTZ→Timestamp reinterprets the naive value in the SESSION
+          // timezone — only UTC preserves the oracle's unix_micros
+          require(
+            spark.conf.get("spark.sql.session.timeZone") == "UTC",
+            "events NTZ cast needs spark.sql.session.timeZone=UTC " +
+              "(graft.Sessions sets it)")
           raw.withColumn("ts", col("ts").cast(TimestampType))
         case TimestampType => raw
         case other => throw new IllegalStateException(

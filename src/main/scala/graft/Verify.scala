@@ -7,23 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
-      // write timestamps as int64 micros (not INT96) so the dumped
-      // results carry the same physical type DuckDB produces
+    // shared conf set (UTC, nanosAsLong, v2 bucketing, …) lives in
+    // Sessions; only the Verify-specific conf is added here:
+    // write timestamps as int64 micros (not INT96) so the dumped
+    // results carry the same physical type DuckDB produces
+    val spark = Sessions.builder(cpus)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // one consistent planner config for ALL keys: join_storage_partitioned
-      // needs v2 bucketing, and setting it here (not mid-run on the shared
-      // session) means no key executes under a config it wasn't validated
-      // with (advisor round-4 note)
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.install(spark)
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (the driver never sets this): run just the
     // named keys for a fast local oracle loop on new operators.

@@ -87,7 +87,11 @@ object TpchComplete {
           s"JOIN ${t("nation")} n2 ON s2.s_nationkey = n2.n_nationkey " +
           s"JOIN ${t("region")} r2 ON n2.n_regionkey = r2.r_regionkey " +
           "WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE') " +
-          "ORDER BY s_acctbal DESC, p_partkey LIMIT 100"
+          // s_name completes the total order (r8 advisor): suppliers can
+          // TIE at a part's max acctbal, and (s_acctbal, p_partkey)
+          // alone would leave the LIMIT cut engine-dependent. n_name and
+          // p_brand are functionally determined by s_name / p_partkey.
+          "ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100"
       case "q9x" =>
         // 5-way join, profit per (supplier nation, order year); the
         // per-row amount is grid-snapped BEFORE the aggregate so the

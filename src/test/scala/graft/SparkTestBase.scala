@@ -8,16 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SparkTestBase {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
-      .getOrCreate()
+    // same shared conf set as Verify/Bench (graft.Sessions) so tests
+    // validate keys under the config they ship with
+    val s = Sessions.builder("4").appName("graft-test").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Sessions.install(s)
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
