@@ -55,6 +55,8 @@ object Sessions {
     * into the LeftSemi/LeftAnti joins that [[plans.RewriteExistsOther]]
     * matches.
     */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     plans.TopK.installRewrite(spark)
+    plans.RewriteExistsOther.install(spark)
+  }
 }

@@ -41,10 +41,20 @@ class TpchCompleteSpec extends GraftSuite {
       s"part brand residual not pushed:\n$p")
   }
 
-  test("q21x: EXISTS/NOT EXISTS plan as one semi and one anti join") {
+  test("q21x: RewriteExistsOther collapses both EXISTS branches into " +
+      "aggregations — no semi/anti join, no third fact shuffle") {
+    // r7 graded the EXISTS form weak (2.3x DuckDB + 12 GB spill at fact
+    // x100: each branch re-shuffled the fact). With the rule installed
+    // (graft.Sessions + the TpchComplete runner itself), the EXISTS
+    // becomes min/max-per-key and the NOT EXISTS becomes the Top2Keyed
+    // leader/best-other aggregate.
     val p = plan("sql_tpch_q21x")
-    assert(p.contains("LeftSemi"), s"EXISTS must plan as LeftSemi:\n$p")
-    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as LeftAnti:\n$p")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"EXISTS pair must plan through RewriteExistsOther:\n$p")
+    assert(p.contains("top2_keyed_max"),
+      s"NOT EXISTS branch must use the Top2Keyed aggregate:\n$p")
+    assert(p.contains("minOther") && p.contains("maxOther"),
+      s"EXISTS branch must use the min/max-other aggregate:\n$p")
   }
 
   test("q2x: correlated scalar subquery decorrelates to an aggregate join") {
