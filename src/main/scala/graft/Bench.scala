@@ -5,7 +5,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // shared conf set via Sessions — the r7 advisor caught this builder
     // missing the UTC pin the events TIMESTAMP_NTZ cast depends on
-    val spark = Sessions.local(cpus)
+    val spark = Sessions.localFor(cpus, sfDir)
     // Steady-state warm-up (JVM/codegen/parquet-reader pools), matching
     // the warm-cache conditions of the BASELINE.md oracle measurements;
     // not counted in any query's time.

@@ -30,7 +30,9 @@ object DevScaleLlm {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/scale/x10", "/tmp/scale/x100")
-    val spark = Sessions.local("32", "ERROR")
+    // width sized to the LARGEST dir probed (the x100 replica)
+    val spark = Sessions.localFor("32",
+      dirs.maxBy(d => graft.plans.Tuning.widthFor(d, 1)), "ERROR")
     val keys = Seq("llm_dedup_ngram_jaccard", "llm_dedup_near",
       "llm_dedup_survivor", "llm_knn_join")
     // scale-proportional codebook for the scaled-k knn regime: the

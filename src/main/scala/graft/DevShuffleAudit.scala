@@ -22,7 +22,7 @@ object DevShuffleAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val keys = args.tail.toSeq
-    val spark = Sessions.local("32", "ERROR")
+    val spark = Sessions.localFor("32", dir, "ERROR")
     val write = new AtomicLong(0L)
     val read = new AtomicLong(0L)
     val records = new AtomicLong(0L)
@@ -57,6 +57,19 @@ object DevShuffleAudit {
         s"read_bytes=${read.get() - r0} records=${records.get() - n0} " +
         s"spill_mem=${spillMem.get() - sm0} " +
         s"spill_disk=${spillDisk.get() - sd0} rows=$rows")
+    }
+    // When a PPJoin key is being audited, also emit the candidate-stage
+    // volume under BOTH prefix orderings (r7 verdict #4: the df-ordered
+    // path is config-gated; its candidate reduction should be a number in
+    // every audit, not a one-off prose claim).
+    if (keys.exists(k => k == "llm_dedup_ngram_jaccard" || k == "llm_dedup_near")) {
+      for (flag <- Seq(false, true)) {
+        spark.conf.set("spark.graft.ppjoin.dfOrdered", flag.toString)
+        try {
+          val n = llm.DedupVariants.ngramCandidates(spark, dir)._1.count()
+          println(s"CAND $dir ppjoin dfOrdered=$flag pairs=$n")
+        } finally spark.conf.unset("spark.graft.ppjoin.dfOrdered")
+      }
     }
     spark.stop()
   }

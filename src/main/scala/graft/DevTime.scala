@@ -12,7 +12,7 @@ object DevTime {
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val keys = args.tail.toSeq
-    val spark = Sessions.local("32", "ERROR")
+    val spark = Sessions.localFor("32", dir, "ERROR")
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
       val times = (1 to 2).map { _ =>

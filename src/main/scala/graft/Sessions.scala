@@ -47,6 +47,37 @@ object Sessions {
     s
   }
 
+  /** [[builder]] plus data-derived AQE initial shuffle width for a known
+    * fixture dir ([[plans.Tuning.widthFor]]): identical to `builder` at
+    * fixture SFs (the floor = core count wins), replica-sized on the
+    * ×10/×100 dirs so big runs stop spilling without anyone touching a
+    * knob.
+    */
+  def builderFor(cpus: String, sfDir: String): SparkSession.Builder = {
+    val width = plans.Tuning.widthFor(sfDir, cpus.toInt)
+    // initialPartitionNum alone is NOT enough: AQE's parallelism-first
+    // coalescing targets total/minPartitionNum bytes per task
+    // (minPartitionNum defaults to the core count), which merged the
+    // ×100 replica's 1.2 GB shuffles right back to 32 ~37 MB tasks and
+    // kept the spill (measured, r8). Raising minPartitionNum to the same
+    // derived width makes the coalesce target total/width — tiny stages
+    // still collapse (the 1 MB minPartitionSize floor wins there), big
+    // ones keep their width.
+    builder(cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        width.toString)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        width.toString)
+  }
+
+  def localFor(cpus: String, sfDir: String,
+      logLevel: String = "WARN"): SparkSession = {
+    val s = builderFor(cpus, sfDir).getOrCreate()
+    s.sparkContext.setLogLevel(logLevel)
+    install(s)
+    s
+  }
+
   /** Install the graft extraOptimizations + strategies (idempotent).
     * These must ride `experimental.extraOptimizations` (the
     * "User Provided Optimizers" batch at the END of the optimizer):

@@ -11,7 +11,7 @@ object Verify {
     // Sessions; only the Verify-specific conf is added here:
     // write timestamps as int64 micros (not INT96) so the dumped
     // results carry the same physical type DuckDB produces
-    val spark = Sessions.builder(cpus)
+    val spark = Sessions.builderFor(cpus, sfDir)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

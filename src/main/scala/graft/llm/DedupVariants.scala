@@ -168,13 +168,41 @@ object DedupVariants {
     // Measured neutral at sf0.1 (verify is already cheap there); the win
     // is asymptotic — at corpus scale posting lists are long and the
     // filter bounds candidate volume independent of the verify path
-    val prefix = sets
-      .select(col("doc_id"), size(col("shs")).as("sz"),
+    //
+    // PREFIX ORDERING is config-gated (r7 verdict #4). Default: the hash
+    // value itself — pure map-side, measured linear through ×100.
+    // `spark.graft.ppjoin.dfOrdered=true` switches to ascending
+    // (document-frequency, hash) order, which pushes hot shingles out of
+    // every prefix (−28% candidates measured at sf0.1, BASELINE.md r7
+    // addendum) at the cost of a df aggregate + join + per-doc window —
+    // NOT worth it at fixture scale (+0.3–0.5 s vs ~0.1 s saved), the
+    // one-flip answer when extreme vocabulary skew arrives at corpus
+    // scale. Recall stays EXACT under either flag: the prefix-filter
+    // guarantee needs only SOME global total order on shingles, and both
+    // (hash) and (df, hash) are global total orders — property-tested
+    // against brute-force truth in NgramPrefixOrderSpec.
+    val dfOrdered =
+      spark.conf.get("spark.graft.ppjoin.dfOrdered", "false").toBoolean
+    val prefixLen: Column => Column = sz =>
+      (sz - ceil(sz * lit(tau)) + lit(1)).cast("int")
+    val prefix = (if (!dfOrdered) {
+      sets.select(col("doc_id"), size(col("shs")).as("sz"),
         explode(slice(array_sort(col("shs")), lit(1),
-          (size(col("shs"))
-            - ceil(size(col("shs")) * lit(tau)) + lit(1)).cast("int")))
-          .as("sh"))
-      .repartition(nPart, col("sh"))
+          prefixLen(size(col("shs"))))).as("sh"))
+    } else {
+      val postings = sets.select(col("doc_id"),
+        size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
+      // df is a function of the shingle, so (df, sh) is a global total
+      // order; at corpus scale this join shuffles on the shingle (the
+      // dimension outgrows broadcast) and the window adds one doc_id
+      // exchange of the full posting list — the documented cost
+      val dfDim = postings.groupBy("sh").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+      postings.join(dfDim, Seq("sh"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= prefixLen(col("sz")))
+        .select(col("doc_id"), col("sz"), col("sh"))
+    }).repartition(nPart, col("sh"))
     // No distinct here: hash-order prefixes rarely share >1 shingle per
     // pair (measured dup factor 1.04 at sf0.1), so verifying duplicates
     // is cheaper than a full pre-verify shuffle; survivors are deduped at

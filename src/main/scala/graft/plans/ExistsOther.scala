@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Coalesce, CreateNamedStruct, EqualTo, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, Greatest, If, IsNotNull, IsNull, Least, LessThan, LessThanOrEqual, Literal, Not, Or, PredicateHelper, RowOrdering}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate, Max, Min}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, RepartitionByExpression}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -256,10 +256,26 @@ object RewriteExistsOther extends Rule[LogicalPlan] with PredicateHelper {
           GetStructField(a, 2, Some("h2")), GetStructField(a, 0, Some("h1")))
         (Seq(t2), cmp(bestOther, e))
     }
-    val agg = Aggregate(keyAttrs, keyAttrs ++ aggExprs, tFilt)
+    // Repartition on the key BEFORE aggregating: at scale the rows of
+    // one key spread across ~every scan partition, so a map-side partial
+    // pass reduces nothing while building a distinct-keys-sized hash map
+    // per task (measured at fact ×100: 11 GB of hash-agg spill from
+    // ~2 M-entry partial maps over 34 MB scan splits). Shuffling the raw
+    // narrow rows first costs the same exchange bytes the partial
+    // output would (no reduction to lose) and bounds every agg map at
+    // |keys|/width. No explicit partition count — AQE sizes it
+    // (initialPartitionNum/minPartitionNum from graft.Sessions), and the
+    // final aggregate reuses the same partitioning, so the rewrite adds
+    // exactly ONE exchange per collapsed subquery branch.
+    val agg = Aggregate(keyAttrs, keyAttrs ++ aggExprs,
+      RepartitionByExpression(keyAttrs, tFilt, None))
     val joinCond = s.keys.map { case (tk, lk) =>
       EqualTo(lk, tk): Expression
     }.reduce(And)
+    // no join-strategy hint: a SHUFFLE_HASH build on the aggregate side
+    // was tried and measured indistinguishable at fact ×100 (the sorts
+    // are not the bottleneck once width is data-sized), so strategy
+    // choice stays with the planner/AQE
     val joined = Join(left, agg,
       if (semi) Inner else LeftOuter, Some(joinCond), JoinHint.NONE)
     val witness = And(IsNotNull(s.ls),

@@ -50,4 +50,28 @@ object Tuning {
   def forLocal(b: SparkSession.Builder, threads: Int): SparkSession.Builder =
     forScale(b, threads).config("spark.sql.shuffle.partitions",
       threads.toString)
+
+  /** Data-derived INITIAL shuffle width (r7 verdict #2): one partition
+    * per 8 MiB of compressed input under the fixture dir, floored at the
+    * core count, capped at 4096. Fed to AQE's
+    * `coalescePartitions.initialPartitionNum` by [[graft.Sessions]]:
+    * with parallelism-first coalescing (the default) over-provisioning
+    * costs only per-bucket overhead — AQE merges small shuffle outputs
+    * back down — while UNDER-provisioning costs spill (measured: the ×100
+    * replica at width pinned to 32 spilled 12 GB on q21x, ~2 M rows per
+    * partition; the audit itself diagnosed the partition count). 8 MiB of
+    * compressed scan input expands ~4-8× as in-flight rows, landing each
+    * task comfortably inside its share of execution memory.
+    *
+    * At fixture SFs the floor wins (sf0.1 is ~18 MB → width = cores, the
+    * exact config every oracle hash was validated under); the replicas
+    * and any real deployment get width ∝ data automatically.
+    */
+  def widthFor(sfDir: String, cores: Int): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+    val total = bytes(new java.io.File(sfDir))
+    math.max(cores, math.min(4096, (total / (8L << 20)).toInt))
+  }
 }

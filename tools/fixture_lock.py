@@ -5,7 +5,10 @@ Round-6 lesson: the driver regenerated /root/testdata under the builder's
 feet and events.ts silently changed physical type from TIMESTAMP(NANOS)
 to TIMESTAMP(MICROS), breaking 52 keys for a full round with no signal.
 This records, per table and SF, the parquet footer facts that matter —
-column names, arrow types (physical+logical), and row count — into
+column names, arrow types (physical+logical), and row count — plus an
+md5 of the file BYTES (r7 verdict #5: a regen preserving schema and row
+counts but changing values would still silently shift the no-oracle
+golden expectations — minhash signatures, LSH pair sets) into
 FIXTURES.lock.json so drift is detected in minutes, not lost in a round.
 
 Usage:
@@ -17,11 +20,20 @@ to run at session start too. On drift the fix is NOT to regenerate the
 lock blindly: re-verify every key against the new fixtures first (sbt
 test + Verify + check_oracle), then `write` to accept.
 """
+import hashlib
 import json
 import os
 import sys
 
 import pyarrow.parquet as pq
+
+
+def md5_file(path):
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 TESTDATA = "/root/testdata"
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
@@ -43,6 +55,7 @@ def fingerprint():
             out[f"{sf}/{t}"] = {
                 "columns": {f.name: str(f.type) for f in schema},
                 "num_rows": md.metadata.num_rows,
+                "md5": md5_file(path),
             }
     return out
 
