@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Gvt
+
+/** Dev probe: GVT scale behavior, measured (same protocol discipline as
+  * DevShuffleAudit/DevScaleLlm — numbers land in BASELINE.md §round-8).
+  *
+  * Three claims under test:
+  *  1. MERGE cost is governed by how the source's keys cluster against
+  *     the table's file layout: a range-clustered source rewrites only
+  *     the overlapping files; a uniformly-spread source touches every
+  *     file (the documented worst case — the 100 TB remedy is keeping
+  *     the table clustered on the merge key so upserts arrive
+  *     range-local).
+  *  2. Snapshot resolution is O(log tail) thanks to checkpoint
+  *     anchoring: resolving version 120 must read ≤ CheckpointEvery
+  *     commit docs + 1 checkpoint, not 121 docs.
+  *  3. Manifest pruning removes files BEFORE Spark plans the scan: a
+  *     narrow key-range query over a range-tiled table should keep ~1
+  *     of N files and run commensurately faster than the full scan.
+  *
+  * Usage: runMain graft.DevGvtScale <sfDir> [tiles]
+  */
+object DevGvtScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val tiles = if (args.length > 1) args(1).toInt else 20
+    val spark = Sessions.localFor("32", dir, "ERROR")
+
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[gvt-scale] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val docs = Tables(spark, dir, "documents").cache()
+    val n = docs.count()
+    val mm = docs.agg(min("doc_id"), max("doc_id")).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    println(s"[gvt-scale] corpus: $n docs, doc_id [$lo, $hi], $tiles tiles")
+
+    // ---- build: range-tiled commits (clustered layout) ----
+    val table = Staging.tempDir("gvt_scale")
+    timed(s"build $tiles tiled commits") {
+      (0 until tiles).foreach { i =>
+        val from = lo + (hi - lo + 1) * i / tiles
+        val until = lo + (hi - lo + 1) * (i + 1) / tiles
+        Gvt.append(spark, table,
+          docs.filter(col("doc_id") >= from && col("doc_id") < until),
+          Seq("doc_id"))
+      }
+    }
+    val filesTotal = Gvt.snapshot(table).size
+    println(s"[gvt-scale] files after build: $filesTotal")
+
+    // ---- claim 1a: range-clustered merge (source inside one tile) ----
+    val tileSpan = (hi - lo + 1) / tiles
+    val clustered = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < lo + tileSpan / 10)
+      .withColumn("source", lit("merged"))
+    val nClustered = clustered.count()
+    val before1 = Gvt.snapshot(table).map(_.path).toSet
+    timed(s"merge clustered ($nClustered rows, one tile's range)") {
+      Gvt.merge(spark, table, clustered, "doc_id", Seq("doc_id"))
+    }
+    val after1 = Gvt.snapshot(table).map(_.path).toSet
+    val rewritten1 = (before1 -- after1).size
+    println(s"[gvt-scale] clustered merge rewrote $rewritten1/$filesTotal files")
+
+    // ---- claim 1b: uniformly-spread merge (every 100th key) ----
+    val uniform = docs.filter(col("doc_id") % 100 === 0)
+      .withColumn("source", lit("merged2"))
+    val nUniform = uniform.count()
+    val before2 = Gvt.snapshot(table).map(_.path).toSet
+    timed(s"merge uniform ($nUniform rows, every 100th key)") {
+      Gvt.merge(spark, table, uniform, "doc_id", Seq("doc_id"))
+    }
+    val after2 = Gvt.snapshot(table).map(_.path).toSet
+    val rewritten2 = (before2 -- after2).size
+    println(s"[gvt-scale] uniform merge rewrote $rewritten2/${before2.size} files")
+
+    // ---- claim 2: snapshot resolution vs commit count ----
+    val many = Staging.tempDir("gvt_many")
+    val one = docs.limit(100).cache()
+    one.count()
+    timed("build 120 tiny commits (checkpoints every 10)") {
+      (0 until 120).foreach(_ => Gvt.append(spark, many, one, Seq("doc_id")))
+    }
+    // resolution cost: time 200 snapshot() calls at the head version
+    timed("200x snapshot resolution at v119 (checkpoint-anchored)") {
+      (0 until 200).foreach(_ => Gvt.snapshot(many))
+    }
+
+    // ---- claim 3: manifest pruning vs full scan ----
+    val qlo = (lo + (hi - lo + 1) / 2).toDouble
+    val qhi = qlo + tileSpan / 2.0
+    val (pruned, kept, total) = Gvt.readPruned(spark, table, "doc_id", qlo, qhi)
+    println(s"[gvt-scale] prune kept $kept/$total files for half-tile range")
+    timed("pruned read (agg over kept files)") {
+      pruned.agg(count(lit(1)), sum(length(col("text")))).head
+    }
+    timed("full-scan read (same filter, no manifest prune)") {
+      Gvt.read(spark, table)
+        .filter(col("doc_id") >= qlo && col("doc_id") <= qhi)
+        .agg(count(lit(1)), sum(length(col("text")))).head
+    }
+    spark.stop()
+  }
+}

@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sources.Sources.queries ++
+      sources.GvtOps.queries ++
       operators.Scans.queries ++
       operators.Etl.queries ++
       operators.Filters.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     sources.Sources.oracle ++
+      sources.GvtOps.oracle ++
       operators.Scans.oracle ++
       operators.Etl.oracle ++
       operators.Filters.oracle ++

@@ -1,0 +1,372 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+import java.util.UUID
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graft Versioned Table (GVT) — a minimal lakehouse table format:
+  * immutable parquet data files plus an append-only JSON commit log,
+  * giving training-data pipelines the three properties raw parquet
+  * directories cannot: **atomic multi-file commits**, **snapshot
+  * isolation with time travel** (dataset versioning — "train on exactly
+  * the corpus snapshot the model card cites"), and **file-granular
+  * copy-on-write** MERGE/DELETE/compaction.
+  *
+  * Layout (all paths relative to the table root):
+  * {{{
+  *   data/c<version>-<uuid>/part-*.parquet   immutable data files
+  *   _gvt_log/00000042.json                  one JSON doc per commit
+  *   _gvt_log/00000040.ckpt.json             full-state checkpoint
+  * }}}
+  *
+  * A commit records `adds` (new files with row counts + per-column
+  * min/max stats) and `removes` (paths logically deleted). Snapshot at
+  * version v = replay adds∖removes through v, starting from the newest
+  * checkpoint ≤ v, so resolution cost is O(commits since checkpoint),
+  * not O(table age). Readers never list the data directory — the log IS
+  * the listing, which at 100 TB (millions of files on object storage)
+  * is the difference between a planning step and a coffee break.
+  *
+  * Commit protocol: write `.tmp-*` then ATOMIC_MOVE to the next
+  * `%08d.json`. The rename fails if the version was taken — optimistic
+  * concurrency. Appends retry (adds stay valid under any interleaving);
+  * read-modify-write ops (merge/delete/compact) abort on conflict
+  * because their read set may be stale. This is Delta-style SET
+  * semantics built on nothing but a filesystem with atomic rename; on
+  * S3 the move would go through a log-store / conditional-put instead.
+  *
+  * Reads go through the NATIVE parquet scan (`spark.read.parquet` on
+  * the snapshot's file list): vectorized reader, predicate pushdown,
+  * column pruning and whole-stage codegen all apply — a custom DSv2
+  * `PartitionReader` would forfeit vectorization for no semantic gain.
+  * [[readPruned]] additionally prunes FILES from the manifest stats
+  * before Spark ever sees them (zone-map skipping at planning time).
+  *
+  * Scale design notes:
+  *  - [[merge]] bounds rewrite I/O to files that actually contain a
+  *    matched key: manifest-range prune, then an exact column-pruned
+  *    probe (scan ONLY the key column of surviving files, semi-join
+  *    against the source) — untouched files carry over by reference.
+  *  - Per-file stats are computed by ONE distributed aggregation over
+  *    the files just written (group by filename), not a per-file
+  *    driver loop.
+  *  - [[compact]] bin-packs small files and removes them in one atomic
+  *    commit — the small-file death spiral (100 TB ⇒ billions of 1 MB
+  *    files without it) has a first-class answer, and readers never see
+  *    a half-compacted state.
+  */
+object Gvt {
+
+  /** One immutable data file. `min`/`max` are stringified per-column
+    * stats (numerics parse back for pruning; strings compare as-is). */
+  final case class GvtFile(path: String, rows: Long,
+      min: Map[String, String], max: Map[String, String])
+
+  final case class GvtCommit(version: Int, op: String,
+      adds: Seq[GvtFile], removes: Seq[String])
+
+  final case class GvtCheckpoint(version: Int, files: Seq[GvtFile])
+
+  val LogDir = "_gvt_log"
+  /** Checkpoint cadence: snapshot resolution reads ≤ this many commit
+    * docs plus one checkpoint, regardless of table age. */
+  val CheckpointEvery = 10
+
+  private lazy val mapper: ObjectMapper =
+    new ObjectMapper().registerModule(DefaultScalaModule)
+
+  private def logDirOf(dir: String) = Paths.get(dir, LogDir)
+  private def commitPath(dir: String, v: Int) =
+    logDirOf(dir).resolve(f"$v%08d.json")
+  private def ckptPath(dir: String, v: Int) =
+    logDirOf(dir).resolve(f"$v%08d.ckpt.json")
+
+  /** Highest committed version, or -1 for an empty/absent table. */
+  def latestVersion(dir: String): Int = {
+    val ld = logDirOf(dir)
+    if (!Files.isDirectory(ld)) return -1
+    val it = Files.list(ld)
+    try it.iterator().asScala()
+      .map(_.getFileName.toString)
+      .collect { case CommitName(v) => v }
+      .foldLeft(-1)(math.max)
+    finally it.close()
+  }
+
+  private object CommitName {
+    private val Re = raw"(\d{8})\.json".r
+    def unapply(name: String): Option[Int] =
+      name match { case Re(d) => Some(d.toInt); case _ => None }
+  }
+  private object CkptName {
+    private val Re = raw"(\d{8})\.ckpt\.json".r
+    def unapply(name: String): Option[Int] =
+      name match { case Re(d) => Some(d.toInt); case _ => None }
+  }
+
+  // tiny shim: Files.list gives a Java stream; keep usage in one place
+  implicit private class JIter[A](private val it: java.util.Iterator[A]) {
+    def asScala(): Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+
+  /** Active files at `asOf` (default: latest). Replays from the newest
+    * checkpoint ≤ asOf; preserves add order for stable file lists. */
+  def snapshot(dir: String, asOf: Option[Int] = None): Seq[GvtFile] = {
+    val last = asOf.getOrElse(latestVersion(dir))
+    require(last >= 0, s"GVT at $dir has no commits (asOf=$asOf)")
+    require(Files.exists(commitPath(dir, last)),
+      s"GVT at $dir has no version $last")
+    val ld = logDirOf(dir)
+    val ckptVersion: Int = {
+      val it = Files.list(ld)
+      try it.iterator().asScala().map(_.getFileName.toString)
+        .collect { case CkptName(v) if v <= last => v }
+        .foldLeft(-1)(math.max)
+      finally it.close()
+    }
+    val active = mutable.LinkedHashMap.empty[String, GvtFile]
+    if (ckptVersion >= 0) {
+      val ck = mapper.readValue(
+        Files.readAllBytes(ckptPath(dir, ckptVersion)), classOf[GvtCheckpoint])
+      ck.files.foreach(f => active.put(f.path, f))
+    }
+    ((ckptVersion + 1) to last).foreach { v =>
+      val c = mapper.readValue(
+        Files.readAllBytes(commitPath(dir, v)), classOf[GvtCommit])
+      c.removes.foreach(active.remove)
+      c.adds.foreach(f => active.put(f.path, f))
+    }
+    active.values.toSeq
+  }
+
+  /** Snapshot read — time travel via `asOf`. Native vectorized parquet
+    * scan over the manifest's file list; no directory listing. */
+  def read(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val files = snapshot(dir, asOf)
+    require(files.nonEmpty, s"GVT at $dir is empty at version $asOf")
+    spark.read.parquet(files.map(f => s"$dir/${f.path}"): _*)
+  }
+
+  /** Manifest-stats file pruning for a numeric range predicate: a file
+    * survives iff its [min,max] on `column` can intersect [lo,hi]
+    * (missing stats ⇒ keep — pruning must never be load-bearing for
+    * correctness). Returns (df, filesScanned, filesTotal); the df also
+    * carries the row-level filter, so the answer is right even if the
+    * stats were garbage. */
+  def readPruned(spark: SparkSession, dir: String, column: String,
+      lo: Double, hi: Double, asOf: Option[Int] = None)
+      : (DataFrame, Int, Int) = {
+    val files = snapshot(dir, asOf)
+    val kept = files.filter { f =>
+      (f.min.get(column), f.max.get(column)) match {
+        case (Some(mn), Some(mx)) =>
+          try !(mx.toDouble < lo || mn.toDouble > hi)
+          catch { case _: NumberFormatException => true }
+        case _ => true
+      }
+    }
+    val df =
+      if (kept.isEmpty)
+        // all files pruned: preserve schema from any file, return empty
+        spark.read.parquet(s"$dir/${files.head.path}").limit(0)
+      else spark.read.parquet(kept.map(f => s"$dir/${f.path}"): _*)
+    (df.filter(col(column) >= lit(lo) && col(column) <= lit(hi)),
+      kept.size, files.size)
+  }
+
+  /** Write `df` as a new commit directory and return its [[GvtFile]]
+    * entries (stats for `statsCols` via one distributed per-file agg). */
+  private def writeData(spark: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String], version: Int): Seq[GvtFile] = {
+    val sub = f"data/c$version%d-${UUID.randomUUID().toString.take(8)}"
+    val cdir = s"$dir/$sub"
+    df.write.parquet(cdir)
+    val written = spark.read.parquet(cdir)
+    val fname = element_at(split(input_file_name(), "/"), -1).as("_gvt_fname")
+    val aggs = count(lit(1)).as("_gvt_rows") +:
+      statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"_gvt_min_$c"),
+        max(col(c)).cast("string").as(s"_gvt_max_$c")))
+    written.groupBy(fname).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .toSeq
+      .map { r =>
+        GvtFile(s"$sub/${r.getString(0)}", r.getLong(1),
+          statsCols.zipWithIndex.flatMap { case (c, i) =>
+            Option(r.getString(2 + 2 * i)).map(c -> _) }.toMap,
+          statsCols.zipWithIndex.flatMap { case (c, i) =>
+            Option(r.getString(3 + 2 * i)).map(c -> _) }.toMap)
+      }
+      .sortBy(_.path)
+  }
+
+  /** Atomically publish `commit` at its version; returns false if the
+    * version was already taken (optimistic-concurrency loser).
+    *
+    * The create-if-absent primitive is `Files.createLink`, NOT a rename:
+    * POSIX `rename(2)` silently REPLACES an existing target (and
+    * `Files.move(ATOMIC_MOVE)` inherits that), so a rename-based publish
+    * would let the loser of a race overwrite the winner. Hard-link
+    * creation is atomic and fails with [[FileAlreadyExistsException]]
+    * when the target exists; readers see either no file or the complete
+    * doc, never a partial write (GvtSpec proves the abort fires with a
+    * commit injected mid-operation). */
+  private[graft] def tryPublish(dir: String, commit: GvtCommit): Boolean = {
+    val ld = logDirOf(dir)
+    Files.createDirectories(ld)
+    val tmp = Files.createTempFile(ld, ".tmp-", ".json")
+    Files.write(tmp, mapper.writeValueAsBytes(commit))
+    val won =
+      try { Files.createLink(commitPath(dir, commit.version), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    Files.delete(tmp)
+    if (won && commit.version > 0 && commit.version % CheckpointEvery == 0) {
+      // checkpoint AFTER the commit is visible; a lost race or failure
+      // here only costs replay length, never correctness
+      val files = snapshot(dir, Some(commit.version))
+      val ctmp = Files.createTempFile(ld, ".tmp-", ".ckpt")
+      Files.write(ctmp,
+        mapper.writeValueAsBytes(GvtCheckpoint(commit.version, files)))
+      try Files.createLink(ckptPath(dir, commit.version), ctmp)
+      catch { case _: FileAlreadyExistsException => () }
+      Files.delete(ctmp)
+    }
+    won
+  }
+
+  /** Append `df` as a new version. Safe to retry on conflict: an
+    * append's adds are valid under any interleaving. Returns the
+    * committed version. */
+  def append(spark: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String]): Int = {
+    var v = latestVersion(dir) + 1
+    val adds = writeData(spark, dir, df, statsCols, v)
+    while (!tryPublish(dir, GvtCommit(v, "append", adds, Nil))) {
+      v = latestVersion(dir) + 1
+    }
+    v
+  }
+
+  /** MERGE (upsert): rows of `source` whose `key` matches an existing
+    * row REPLACE it; the rest are inserts. Copy-on-write at file
+    * granularity — only files that actually contain a matched key are
+    * rewritten:
+    *   1. manifest prune: drop files whose [min,max] on `key` misses
+    *      the source's key range entirely (metadata-only);
+    *   2. exact probe: scan ONLY the key column of surviving files,
+    *      semi-join with source keys, collect the distinct file names
+    *      that hit (column-pruned — at 100 TB this reads one column of
+    *      a pruned subset, not the table);
+    *   3. rewrite: touched rows anti-joined on key (drop the matched
+    *      old versions) unioned with ALL source rows, written as new
+    *      files; untouched files carry over by reference.
+    * Aborts (throws) on concurrent commit — the read set is stale. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      key: String, statsCols: Seq[String]): Int = {
+    val base = latestVersion(dir)
+    val files = snapshot(dir, Some(base))
+    val srcKeys = source.select(col(key)).distinct()
+    val bounds = srcKeys.agg(min(col(key)).cast("string"),
+      max(col(key)).cast("string")).head
+    val (srcLo, srcHi) = (bounds.getString(0), bounds.getString(1))
+    val candidates = files.filter { f =>
+      (f.min.get(key), f.max.get(key)) match {
+        case (Some(mn), Some(mx)) if srcLo != null =>
+          try !(mx.toDouble < srcLo.toDouble || mn.toDouble > srcHi.toDouble)
+          catch { case _: NumberFormatException => true }
+        case _ => true
+      }
+    }
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else {
+        val probe = spark.read
+          .parquet(candidates.map(f => s"$dir/${f.path}"): _*)
+          .select(col(key), input_file_name().as("_gvt_file"))
+        probe.join(srcKeys, Seq(key), "left_semi")
+          .select("_gvt_file").distinct().collect()
+          .map(r => relPathOf(r.getString(0))).toSet
+      }
+    val touchedFiles = files.filter(f => touched.contains(f.path))
+    val rewritten =
+      if (touchedFiles.isEmpty) source
+      else spark.read.parquet(touchedFiles.map(f => s"$dir/${f.path}"): _*)
+        .join(srcKeys, Seq(key), "left_anti")
+        .unionByName(source)
+    val v = base + 1
+    val adds = writeData(spark, dir, rewritten, statsCols, v)
+    if (!tryPublish(dir,
+        GvtCommit(v, "merge", adds, touchedFiles.map(_.path))))
+      throw new java.util.ConcurrentModificationException(
+        s"GVT $dir: version $v committed concurrently; merge read set stale")
+    v
+  }
+
+  /** DELETE rows matching `predicate`; rewrites only files that contain
+    * at least one matching row (found by a column-pruned probe over the
+    * predicate's columns). Aborts on concurrent commit. */
+  def delete(spark: SparkSession, dir: String, predicate: Column,
+      statsCols: Seq[String]): Int = {
+    val base = latestVersion(dir)
+    val files = snapshot(dir, Some(base))
+    val all = spark.read.parquet(files.map(f => s"$dir/${f.path}"): _*)
+    val touched: Set[String] = all
+      .filter(predicate)
+      .select(input_file_name().as("_gvt_file")).distinct()
+      .collect().map(r => relPathOf(r.getString(0))).toSet
+    if (touched.isEmpty) return base // no-op: nothing matched
+    val touchedFiles = files.filter(f => touched.contains(f.path))
+    val kept = spark.read
+      .parquet(touchedFiles.map(f => s"$dir/${f.path}"): _*)
+      .filter(!predicate)
+    val v = base + 1
+    val adds =
+      if (kept.isEmpty) Nil
+      else writeData(spark, dir, kept, statsCols, v)
+    if (!tryPublish(dir,
+        GvtCommit(v, "delete", adds, touchedFiles.map(_.path))))
+      throw new java.util.ConcurrentModificationException(
+        s"GVT $dir: version $v committed concurrently; delete read set stale")
+    v
+  }
+
+  /** Bin-pack all files with < `smallRows` rows into `targetFiles`
+    * output files, removed + added in one atomic commit. Readers never
+    * observe a half-compacted table. */
+  def compact(spark: SparkSession, dir: String, smallRows: Long,
+      targetFiles: Int, statsCols: Seq[String]): Int = {
+    val base = latestVersion(dir)
+    val files = snapshot(dir, Some(base))
+    val small = files.filter(_.rows < smallRows)
+    if (small.size <= targetFiles) return base // nothing to gain
+    val packed = spark.read
+      .parquet(small.map(f => s"$dir/${f.path}"): _*)
+      .repartition(targetFiles)
+    val v = base + 1
+    val adds = writeData(spark, dir, packed, statsCols, v)
+    if (!tryPublish(dir, GvtCommit(v, "compact", adds, small.map(_.path))))
+      throw new java.util.ConcurrentModificationException(
+        s"GVT $dir: version $v committed concurrently; compact read set stale")
+    v
+  }
+
+  /** data/cN-uuid/part-*.parquet — the last three URI components ARE the
+    * table-relative path (fixed layout depth; the uuid dir makes the
+    * pair unique across commits). */
+  private def relPathOf(fileUri: String): String = {
+    val parts = fileUri.split("/")
+    require(parts.length >= 3 && parts(parts.length - 3) == "data",
+      s"not a GVT data file: $fileUri")
+    parts.takeRight(3).mkString("/")
+  }
+}

@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry keys for the [[Gvt]] versioned-table format — dataset
+  * versioning as a first-class pipeline operation (SURVEY §2.19).
+  *
+  * Every key stages its GVT once per JVM ([[graft.Staging.memoDir]]) by
+  * replaying a deterministic commit history over a fixture table, then
+  * reads it back; the oracle restates the SAME final state in plain SQL
+  * over the original table. Hash equality therefore proves the whole
+  * chain: atomic commits, log replay, checkpointing, time travel,
+  * copy-on-write delete/merge/compaction.
+  */
+object GvtOps {
+
+  /** orders replayed as: v0 append (keys ≡1 mod 3), v1 append (≡2),
+    * v2 append (≡0), v3 DELETE (status F ∧ key ≡0 mod 7). The delete
+    * rewrites only the files that contain matching rows. */
+  private def ordersGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_orders", dir) { tmp =>
+      val orders = graft.Tables(spark, dir, "orders")
+      val stats = Seq("o_orderkey")
+      Gvt.append(spark, tmp, orders.filter(col("o_orderkey") % 3 === 1), stats)
+      Gvt.append(spark, tmp, orders.filter(col("o_orderkey") % 3 === 2), stats)
+      Gvt.append(spark, tmp, orders.filter(col("o_orderkey") % 3 === 0), stats)
+      Gvt.delete(spark, tmp,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0, stats)
+    }
+
+  /** Latest-snapshot read over the 4-commit history. */
+  def versionedLog(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, ordersGvt(spark, dir))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+
+  /** Time travel: the SAME table read `asOf = 1` must surface the state
+    * before the third append and the delete ever happened. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, ordersGvt(spark, dir), asOf = Some(1))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+
+  /** customer upserted with updates (≡0 mod 10: acctbal+1000, segment
+    * overwritten) and inserts (≡0 mod 100, shifted key space). Only
+    * files containing a matched key get rewritten; the oracle restates
+    * MERGE as src ∪ (target ∖ matched). */
+  private def mergeGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_merge", dir) { tmp =>
+      val c = graft.Tables(spark, dir, "customer")
+      val stats = Seq("c_custkey")
+      Gvt.append(spark, tmp, c, stats)
+      val updates = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"),
+          lit("UPDATED").as("c_mktsegment"))
+      val inserts = c.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("new#"), (col("c_custkey") + 1000000L).cast("string"))
+            .as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      Gvt.merge(spark, tmp, updates.unionByName(inserts), "c_custkey", stats)
+    }
+
+  def mergeInto(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, mergeGvt(spark, dir))
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** lineitem committed as 8 contiguous l_orderkey range tiles (one
+    * file each, near-disjoint manifest stats); the read prunes to the
+    * tile(s) overlapping the queried range from the MANIFEST before
+    * Spark sees a file. GvtSpec asserts filesScanned << filesTotal;
+    * correctness never depends on the pruning (row filter reapplied). */
+  private def tilesGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_tiles", dir) { tmp =>
+      val li = graft.Tables(spark, dir, "lineitem")
+      val mm = li.agg(min("l_orderkey"), max("l_orderkey")).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      (0 until 8).foreach { i =>
+        val from = lo + (hi - lo + 1) * i / 8
+        val until = lo + (hi - lo + 1) * (i + 1) / 8
+        Gvt.append(spark, tmp,
+          li.filter(col("l_orderkey") >= from && col("l_orderkey") < until)
+            .repartition(1),
+          Seq("l_orderkey"))
+      }
+    }
+
+  /** (qlo, qhi) = tile 4 of the l_orderkey key space — same integer
+    * arithmetic the oracle SQL performs with `//`. */
+  private def tileBounds(spark: SparkSession, dir: String): (Long, Long) = {
+    val mm = graft.Tables(spark, dir, "lineitem")
+      .agg(min("l_orderkey"), max("l_orderkey")).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    (lo + (hi - lo + 1) * 4 / 8, lo + (hi - lo + 1) * 5 / 8 - 1)
+  }
+
+  def manifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (qlo, qhi) = tileBounds(spark, dir)
+    val (df, _, _) = Gvt.readPruned(spark, tilesGvt(spark, dir),
+      "l_orderkey", qlo.toDouble, qhi.toDouble)
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pruning stats for GvtSpec (scanned vs total file counts). */
+  def manifestPruneStats(spark: SparkSession, dir: String): (Int, Int) = {
+    val (qlo, qhi) = tileBounds(spark, dir)
+    val (_, scanned, total) = Gvt.readPruned(spark, tilesGvt(spark, dir),
+      "l_orderkey", qlo.toDouble, qhi.toDouble)
+    (scanned, total)
+  }
+
+  /** 12 tiny single-file commits bin-packed to 2 files in one atomic
+    * commit; the read-back proves content survives compaction bit-exact. */
+  private def compactGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_compact", dir) { tmp =>
+      val orders = graft.Tables(spark, dir, "orders")
+      val stats = Seq("o_orderkey")
+      (0 until 12).foreach { i =>
+        Gvt.append(spark, tmp,
+          orders.filter(col("o_orderkey") % 12 === i).repartition(1), stats)
+      }
+      Gvt.compact(spark, tmp, smallRows = Long.MaxValue, targetFiles = 2,
+        statsCols = stats)
+    }
+
+  def compaction(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, compactGvt(spark, dir))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_versioned_log" -> versionedLog,
+    "scan_time_travel" -> timeTravel,
+    "etl_merge_into" -> mergeInto,
+    "scan_manifest_prune" -> manifestPrune,
+    "sink_compaction" -> compaction
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sink_versioned_log" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "scan_time_travel" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE o_orderkey % 3 <> 0 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "etl_merge_into" ->
+      ("WITH src AS (" +
+        "SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, " +
+        "'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0 " +
+        "UNION ALL " +
+        "SELECT c_custkey + 1000000, " +
+        "'new#' || CAST(c_custkey + 1000000 AS VARCHAR), " +
+        "c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 100 = 0) " +
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM (" +
+        "SELECT * FROM src " +
+        "UNION ALL " +
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)" +
+        ") ORDER BY c_custkey"),
+    "scan_manifest_prune" ->
+      ("WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi " +
+        "FROM lineitem), " +
+        "r AS (SELECT lo + (hi-lo+1)*4//8 AS qlo, " +
+        "lo + (hi-lo+1)*5//8 - 1 AS qhi FROM b) " +
+        "SELECT l_returnflag, count(*) AS n_rows, " +
+        "round(sum(l_quantity),2) AS sum_qty FROM lineitem, r " +
+        "WHERE l_orderkey >= qlo AND l_orderkey <= qhi " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "sink_compaction" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+  )
+}

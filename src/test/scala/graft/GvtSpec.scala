@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Gvt, GvtOps}
+
+/** Format-level tests for the [[graft.sources.Gvt]] versioned table:
+  * log replay, time travel, checkpoint-anchored resolution, optimistic
+  * concurrency, copy-on-write file granularity (untouched files carry
+  * over BY REFERENCE through delete/merge), manifest pruning, and
+  * atomic compaction. The registry keys' end-state correctness is the
+  * driver oracle's job; these tests cover the mechanisms the oracle
+  * can't see (which files were rewritten, what a loser commit does).
+  */
+class GvtSpec extends GraftSuite {
+
+  private def freshDir(): String = Staging.tempDir("gvt_spec")
+
+  /** k in [lo, until), v = k * 10 — disjoint ranges make file-level
+    * assertions deterministic. */
+  private def slab(lo: Long, until: Long): DataFrame =
+    spark.range(lo, until).toDF("k").withColumn("v", col("k") * 10)
+
+  private def sortedRows(df: DataFrame): Seq[(Long, Long)] =
+    df.select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+
+  test("append + log replay: latest snapshot is the union of commits") {
+    val dir = freshDir()
+    assert(Gvt.latestVersion(dir) == -1)
+    assert(Gvt.append(spark, dir, slab(0, 10), Seq("k")) == 0)
+    assert(Gvt.append(spark, dir, slab(10, 25), Seq("k")) == 1)
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 25L).map(k => (k, k * 10)))
+  }
+
+  test("time travel: asOf v reads the state as of commit v") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 5), Seq("k"))
+    Gvt.append(spark, dir, slab(5, 9), Seq("k"))
+    Gvt.delete(spark, dir, col("k") < 2, Seq("k"))
+    assert(sortedRows(Gvt.read(spark, dir, asOf = Some(0))) ==
+      (0L until 5L).map(k => (k, k * 10)))
+    assert(sortedRows(Gvt.read(spark, dir, asOf = Some(1))) ==
+      (0L until 9L).map(k => (k, k * 10)))
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (2L until 9L).map(k => (k, k * 10)))
+    intercept[IllegalArgumentException](Gvt.read(spark, dir, Some(99)))
+  }
+
+  test("delete rewrites ONLY files containing matching rows") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10).repartition(1), Seq("k"))
+    Gvt.append(spark, dir, slab(100, 110).repartition(1), Seq("k"))
+    val before = Gvt.snapshot(dir).map(_.path)
+    Gvt.delete(spark, dir, col("k") === 105L, Seq("k"))
+    val after = Gvt.snapshot(dir).map(_.path)
+    // the first slab's file must survive by reference (same path)
+    assert(after.contains(before.head), s"untouched file was rewritten")
+    assert(!after.contains(before(1)), s"touched file not replaced")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      ((0L until 10L) ++ (100L until 110L)).filter(_ != 105L)
+        .map(k => (k, k * 10)))
+    // predicate matching nothing is a no-op commit-wise
+    val v = Gvt.latestVersion(dir)
+    assert(Gvt.delete(spark, dir, col("k") === -1L, Seq("k")) == v)
+  }
+
+  test("merge: upsert semantics, untouched files carried by reference") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10).repartition(1), Seq("k"))
+    Gvt.append(spark, dir, slab(100, 110).repartition(1), Seq("k"))
+    val before = Gvt.snapshot(dir).map(_.path)
+    // updates hit only the second slab; plus a pure insert
+    val src = spark.range(105, 108).toDF("k")
+      .withColumn("v", lit(-1L))
+      .unionByName(spark.range(500, 502).toDF("k")
+        .withColumn("v", col("k") * 10))
+    Gvt.merge(spark, dir, src, "k", Seq("k"))
+    val after = Gvt.snapshot(dir).map(_.path)
+    assert(after.contains(before.head), "file outside source key range rewritten")
+    assert(!after.contains(before(1)), "matched file not replaced")
+    val expected =
+      ((0L until 10L) ++ (100L until 110L)).map(k =>
+        (k, if (k >= 105 && k < 108) -1L else k * 10)) ++
+        (500L until 502L).map(k => (k, k * 10))
+    assert(sortedRows(Gvt.read(spark, dir)) == expected.sorted)
+  }
+
+  test("checkpoint: resolution works with pre-checkpoint commits gone") {
+    val dir = freshDir()
+    (0 until 12).foreach(i => Gvt.append(spark, dir, slab(i, i + 1), Seq("k")))
+    val ld = Paths.get(dir, Gvt.LogDir)
+    assert(Files.exists(ld.resolve(f"${10}%08d.ckpt.json")),
+      "no checkpoint written at version 10")
+    // replay must anchor on the checkpoint, not version 0: deleting the
+    // pre-checkpoint commit docs must not change the answer
+    (0 until 10).foreach(v => Files.delete(ld.resolve(f"$v%08d.json")))
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 12L).map(k => (k, k * 10)))
+  }
+
+  test("optimistic concurrency: append retries past a taken version; " +
+      "read-modify-write aborts") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 5), Seq("k"))
+    // squat on the next version like a concurrent committer would
+    val squat = Paths.get(dir, Gvt.LogDir).resolve(f"${1}%08d.json")
+    Files.write(squat,
+      """{"version":1,"op":"append","adds":[],"removes":[]}"""
+        .getBytes("UTF-8"))
+    assert(Gvt.append(spark, dir, slab(5, 8), Seq("k")) == 2,
+      "append must land after the concurrent commit")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 8L).map(k => (k, k * 10)))
+    // append RETRY loop: competing commit lands while append is writing
+    // its data files (between its version read and its publish)
+    GvtSpec.squatDir = dir
+    GvtSpec.squatVersion = 3
+    GvtSpec.squatted.set(false)
+    val tap = udf { k: Long => GvtSpec.squatNow(); k }
+    assert(Gvt.append(spark, dir,
+        slab(8, 10).withColumn("k", tap(col("k"))), Seq("k")) == 4,
+      "append must retry past the mid-flight commit and land at 4")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 10L).map(k => (k, k * 10)))
+    // read-modify-write abort: the competing commit must land BETWEEN
+    // the op's snapshot read and its publish. Inject it from inside
+    // predicate evaluation — the probe job runs after the snapshot and
+    // before the publish, and local mode keeps executors in this JVM.
+    GvtSpec.squatDir = dir
+    GvtSpec.squatVersion = Gvt.latestVersion(dir) + 1
+    GvtSpec.squatted.set(false)
+    val racing = udf { k: Long => GvtSpec.squatNow(); k == 0L }
+    intercept[java.util.ConcurrentModificationException](
+      Gvt.delete(spark, dir, racing(col("k")), Seq("k")))
+  }
+
+  test("manifest pruning skips files and never affects the answer") {
+    val dir = freshDir()
+    (0 until 4).foreach(i =>
+      Gvt.append(spark, dir,
+        slab(i * 100L, i * 100L + 10L).repartition(1), Seq("k")))
+    val (df, scanned, total) = Gvt.readPruned(spark, dir, "k", 100.0, 109.0)
+    assert(total == 4 && scanned == 1,
+      s"expected 1/4 files after pruning, got $scanned/$total")
+    assert(sortedRows(df) == (100L until 110L).map(k => (k, k * 10)))
+    // fully-pruned range: empty result, schema intact
+    val (none, s2, _) = Gvt.readPruned(spark, dir, "k", 5000.0, 6000.0)
+    assert(s2 == 0 && none.count() == 0)
+    assert(none.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("compaction: files shrink, content bit-identical, one atomic commit") {
+    val dir = freshDir()
+    (0 until 6).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 10L, i * 10L + 10L).repartition(1),
+        Seq("k")))
+    val vBefore = Gvt.latestVersion(dir)
+    Gvt.compact(spark, dir, smallRows = Long.MaxValue, targetFiles = 2,
+      statsCols = Seq("k"))
+    assert(Gvt.latestVersion(dir) == vBefore + 1, "compaction is one commit")
+    assert(Gvt.snapshot(dir).size == 2)
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 60L).map(k => (k, k * 10)))
+    // idempotent when there is nothing to gain
+    assert(Gvt.compact(spark, dir, Long.MaxValue, 2, Seq("k")) == vBefore + 1)
+  }
+
+  test("registry keys: manifest pruning measurably skips fixture tiles") {
+    val (scanned, total) = GvtOps.manifestPruneStats(spark, sf0001)
+    assert(total == 8, s"tile staging should produce 8 files, got $total")
+    assert(scanned <= 2, s"pruning should keep <=2 of 8 tiles, kept $scanned")
+  }
+
+  test("registry keys return rows at sf0.001") {
+    GvtOps.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")
+    }
+  }
+}
+
+object GvtSpec {
+  @volatile var squatDir: String = _
+  @volatile var squatVersion: Int = _
+  val squatted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Called from executor threads (same JVM in local mode): publishes a
+    * competing commit exactly once, mid-operation. */
+  def squatNow(): Unit =
+    if (squatted.compareAndSet(false, true)) {
+      Files.write(
+        Paths.get(squatDir, Gvt.LogDir).resolve(f"$squatVersion%08d.json"),
+        """{"version":0,"op":"append","adds":[],"removes":[]}"""
+          .getBytes("UTF-8"))
+    }
+}

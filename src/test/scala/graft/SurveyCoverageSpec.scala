@@ -130,7 +130,15 @@ class SurveyCoverageSpec extends GraftSuite {
     "sql_tpch_q21x",
     // q21 aggregate rewrite — verifies against the ORIGINAL EXISTS
     // oracle, 4.8x faster at fact x100 (see BASELINE round-7 relational)
-    "sql_tpch_q21r")
+    "sql_tpch_q21r",
+    // round-8 (§2.19): GVT versioned-table format — atomic commit log,
+    // time travel, file-granular copy-on-write merge/delete, manifest
+    // zone-map pruning, small-file compaction
+    "sink_versioned_log", "scan_time_travel", "etl_merge_into",
+    "scan_manifest_prune", "sink_compaction",
+    // round-8: incremental view maintenance by algebraic partial-state
+    // merge (oracle = the full recompute; merge ≡ recompute by hash)
+    "etl_incremental_agg")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
