@@ -185,12 +185,28 @@ object Gvt {
   }
 
   /** Write `df` as a new commit directory and return its [[GvtFile]]
-    * entries (stats for `statsCols` via one distributed per-file agg). */
+    * entries (stats for `statsCols` via one distributed per-file agg).
+    *
+    * Data files are RANGE-CLUSTERED on `statsCols` by construction
+    * (repartitionByRange + sortWithinPartitions, AQE-coalesced to size):
+    * without this, any copy-on-write rewrite hash-scatters the touched
+    * rows and every new file spans the whole key range — measured at
+    * docs ×100 (DevGvtScale): after one uniformly-keyed merge, zone-map
+    * pruning degraded from 2-of-N files kept to 25-of-35. Clustering on
+    * the write path keeps the manifest's min/max tight through appends,
+    * merges, and deletes alike; the extra exchange is bounded by the
+    * commit's own data, never the table. */
   private def writeData(spark: SparkSession, dir: String, df: DataFrame,
-      statsCols: Seq[String], version: Int): Seq[GvtFile] = {
+      statsCols: Seq[String], version: Int,
+      cluster: Boolean = true): Seq[GvtFile] = {
     val sub = f"data/c$version%d-${UUID.randomUUID().toString.take(8)}"
     val cdir = s"$dir/$sub"
-    df.write.parquet(cdir)
+    val shaped =
+      if (cluster && statsCols.nonEmpty)
+        df.repartitionByRange(statsCols.map(col): _*)
+          .sortWithinPartitions(statsCols.map(col): _*)
+      else df
+    shaped.write.parquet(cdir)
     val written = spark.read.parquet(cdir)
     val fname = element_at(split(input_file_name(), "/"), -1).as("_gvt_fname")
     val aggs = count(lit(1)).as("_gvt_rows") +:
@@ -275,6 +291,7 @@ object Gvt {
       key: String, statsCols: Seq[String]): Int = {
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
+    if (source.isEmpty) return base // no-op: nothing to upsert
     val srcKeys = source.select(col(key)).distinct()
     val bounds = srcKeys.agg(min(col(key)).cast("string"),
       max(col(key)).cast("string")).head
@@ -349,11 +366,16 @@ object Gvt {
     val files = snapshot(dir, Some(base))
     val small = files.filter(_.rows < smallRows)
     if (small.size <= targetFiles) return base // nothing to gain
-    val packed = spark.read
-      .parquet(small.map(f => s"$dir/${f.path}"): _*)
-      .repartition(targetFiles)
+    val smallDf = spark.read.parquet(small.map(f => s"$dir/${f.path}"): _*)
+    // explicit file-count control, range-clustered when stats exist so
+    // compaction REPAIRS zone-map locality rather than destroying it
+    val packed =
+      if (statsCols.nonEmpty)
+        smallDf.repartitionByRange(targetFiles, statsCols.map(col): _*)
+          .sortWithinPartitions(statsCols.map(col): _*)
+      else smallDf.repartition(targetFiles)
     val v = base + 1
-    val adds = writeData(spark, dir, packed, statsCols, v)
+    val adds = writeData(spark, dir, packed, statsCols, v, cluster = false)
     if (!tryPublish(dir, GvtCommit(v, "compact", adds, small.map(_.path))))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; compact read set stale")
