@@ -41,7 +41,15 @@ object Bench {
     // success. A key with zero successful reps lands in `errors`, is
     // excluded from every total, and its name is emitted in the JSON line
     // so the bench cannot silently lie about a crashing query.
-    val raw = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only subset filter, mirroring Verify's: the driver never sets
+    // this; locally it turns plan iteration on one key into seconds.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.view.filterKeys(keys).toMap
+      case None => SparkEntry.queries
+    }
+    val raw = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -87,8 +95,13 @@ object Bench {
     // cwd-relative default (advisor r6): an absolute /root/repo path broke
     // any other checkout location, and with the old silent catch the
     // profile would just never be written there.
+    // A SPARK_GRAFT_ONLY subset must never clobber the committed full
+    // profile with a partial one — park it in the temp dir instead.
     val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL").getOrElse(
-      new java.io.File("BENCH_FULL_latest.json").getAbsolutePath)
+      if (only.isDefined)
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "BENCH_SUBSET_latest.json").getAbsolutePath
+      else new java.io.File("BENCH_FULL_latest.json").getAbsolutePath)
     val full = results.toSeq.sortBy(-_._2).map { case (k, v) =>
       "\"" + k + "\":[" + fmt(v) + "," + fmt(resultsMax(k)) + "]"
     }.mkString("{", ",", "}")
