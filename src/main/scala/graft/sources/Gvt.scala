@@ -382,6 +382,37 @@ object Gvt {
     v
   }
 
+  /** Row-level change feed between two versions (CDC), computed from
+    * CHURNED FILES ONLY: the file-set diff of the two snapshots gives
+    * the files removed and added in (fromV, toV]; net inserts are
+    * addedRows ∖ removedRows (bag semantics) and net deletes the
+    * reverse. Rows that merely MOVED files unchanged — compaction,
+    * clustering repair — cancel in the bag difference, so layout
+    * maintenance produces an EMPTY feed, updates surface as a
+    * delete+insert pair, and cost is proportional to churn, never table
+    * size (an append-only day on a 100 TB table diffs one day's files).
+    * Output carries a `change_type` column ('insert' | 'delete'). */
+  def diff(spark: SparkSession, dir: String, fromV: Int, toV: Int)
+      : DataFrame = {
+    require(fromV <= toV, s"diff range reversed: $fromV > $toV")
+    val a = snapshot(dir, Some(fromV))
+    val b = snapshot(dir, Some(toV))
+    val aPaths = a.map(_.path).toSet
+    val bPaths = b.map(_.path).toSet
+    val removed = a.filterNot(f => bPaths.contains(f.path))
+    val added = b.filterNot(f => aPaths.contains(f.path))
+    val schemaDonor = (b ++ a).head // require above + snapshot() ⇒ nonEmpty
+    def readOrEmpty(files: Seq[GvtFile]): DataFrame =
+      if (files.isEmpty)
+        spark.read.parquet(s"$dir/${schemaDonor.path}").limit(0)
+      else spark.read.parquet(files.map(f => s"$dir/${f.path}"): _*)
+    val oldRows = readOrEmpty(removed)
+    val newRows = readOrEmpty(added)
+    newRows.exceptAll(oldRows).withColumn("change_type", lit("insert"))
+      .unionByName(
+        oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))
+  }
+
   /** data/cN-uuid/part-*.parquet — the last three URI components ARE the
     * table-relative path (fixed layout depth; the uuid dir makes the
     * pair unique across commits). */

@@ -139,7 +139,19 @@ object GvtOps {
         round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy("o_orderpriority")
 
+  /** Change feed over the orders history, v1 → v3: the third append's
+    * rows surface as inserts (minus those the v3 delete also removed),
+    * the delete's casualties among v1's rows as deletes. The oracle
+    * restates both sides as EXCEPT ALL over the reconstructed states —
+    * hash equality proves the file-diff CDC ≡ the semantic state diff. */
+  def gvtDiff(spark: SparkSession, dir: String): DataFrame =
+    Gvt.diff(spark, ordersGvt(spark, dir), 1, 3)
+      .select(col("change_type"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy("change_type", "o_orderkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_gvt_diff" -> gvtDiff,
     "sink_versioned_log" -> versionedLog,
     "scan_time_travel" -> timeTravel,
     "etl_merge_into" -> mergeInto,
@@ -148,6 +160,18 @@ object GvtOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_gvt_diff" ->
+      ("WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0), " +
+        "v3 AS (SELECT * FROM orders " +
+        "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)), " +
+        "ins AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1), " +
+        "del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3) " +
+        "SELECT 'insert' AS change_type, o_orderkey, o_orderstatus, " +
+        "o_totalprice FROM ins " +
+        "UNION ALL " +
+        "SELECT 'delete' AS change_type, o_orderkey, o_orderstatus, " +
+        "o_totalprice FROM del " +
+        "ORDER BY change_type, o_orderkey"),
     "sink_versioned_log" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +

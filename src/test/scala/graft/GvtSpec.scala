@@ -170,6 +170,32 @@ class GvtSpec extends GraftSuite {
     assert(Gvt.compact(spark, dir, Long.MaxValue, 2, Seq("k")) == vBefore + 1)
   }
 
+  test("diff: compaction yields an EMPTY feed; updates are delete+insert") {
+    val dir = freshDir()
+    (0 until 6).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 10L, i * 10L + 10L).repartition(1),
+        Seq("k")))
+    val vPre = Gvt.latestVersion(dir)
+    // layout maintenance moves every row to a new file — no semantic
+    // change, so the bag-difference feed must cancel to nothing
+    Gvt.compact(spark, dir, Long.MaxValue, 2, Seq("k"))
+    assert(Gvt.diff(spark, dir, vPre, vPre + 1).count() == 0,
+      "compaction must not surface in the change feed")
+    // an upsert shows as one delete (old row) + one insert (new row)
+    Gvt.merge(spark, dir,
+      spark.range(5, 6).toDF("k").withColumn("v", lit(-1L)), "k", Seq("k"))
+    val feed = Gvt.diff(spark, dir, vPre + 1, vPre + 2)
+      .select("change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(feed == Set(("delete", 5L, 50L), ("insert", 5L, -1L)),
+      s"unexpected feed: $feed")
+    // cumulative diff from v0 state to head = net inserts only
+    val cumulative = Gvt.diff(spark, dir, 0, vPre + 2)
+    assert(cumulative.filter(col("change_type") === "delete").count() == 1,
+      "only the updated row's old version is a net delete vs v0")
+    assert(Gvt.diff(spark, dir, vPre, vPre).count() == 0, "self-diff empty")
+  }
+
   test("registry keys: manifest pruning measurably skips fixture tiles") {
     val (scanned, total) = GvtOps.manifestPruneStats(spark, sf0001)
     assert(total == 8, s"tile staging should produce 8 files, got $total")

@@ -138,7 +138,11 @@ class SurveyCoverageSpec extends GraftSuite {
     "scan_manifest_prune", "sink_compaction",
     // round-8: incremental view maintenance by algebraic partial-state
     // merge (oracle = the full recompute; merge ≡ recompute by hash)
-    "etl_incremental_agg")
+    "etl_incremental_agg",
+    // round-8: GVT change-data-feed — row-level diff between versions
+    // from churned files only (bag difference cancels moved-not-changed
+    // rows, so compaction yields an empty feed)
+    "etl_gvt_diff")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
