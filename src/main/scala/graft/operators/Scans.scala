@@ -306,7 +306,45 @@ object Scans {
     spark.read.parquet(tmp).orderBy("o_orderkey")
   }
 
+  /** Parquet BLOOM-FILTER point-lookup skipping: the file is sorted by
+    * o_orderkey, so o_custkey values scatter across every row group and
+    * min/max zone maps are useless for a custkey probe — exactly the
+    * shape where a bloom filter is the ONLY skip mechanism (dictionary
+    * filtering is disabled on the staged file to keep the experiment
+    * honest; bloom membership is what rules row groups out). Small
+    * row groups (64 KiB) give the probe many skip opportunities; the
+    * 100 TB version is the same two options on the daily sink, buying
+    * O(row groups hit) point lookups on high-cardinality columns
+    * without re-sorting the table. ScanMetricsSpec asserts the scan
+    * reads strictly fewer rows than the bloom-less twin on the same
+    * probe; this key's oracle covers the answer itself.
+    */
+  def parquetBloom(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = bloomStage(spark, dir, bloom = true)
+    spark.read.parquet(tmp)
+      .filter(col("o_custkey") === 42L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Staged twice — with and without the bloom filter — so the spec can
+    * compare rows actually scanned on identical data and probe. */
+  private[graft] def bloomStage(spark: SparkSession, dir: String,
+      bloom: Boolean): String =
+    graft.Staging.memoDir(s"graft_bloom_$bloom", dir) { tmp =>
+      Tables(spark, dir, "orders")
+        .repartition(1) // one file, many small row groups
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 16 * 1024)
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.bloom.filter.enabled#o_custkey", bloom.toString)
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        .parquet(tmp)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet_bloom" -> parquetBloom,
     "sink_parquet_tuned" -> parquetTuned,
     "scan_avro_roundtrip" -> avroRoundtrip,
     "scan_xml_roundtrip" -> xmlRoundtrip,
@@ -327,6 +365,9 @@ object Scans {
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_parquet_bloom" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey"),
     "sink_parquet_tuned" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "scan_avro_roundtrip" ->

@@ -142,7 +142,11 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-8: GVT change-data-feed — row-level diff between versions
     // from churned files only (bag difference cancels moved-not-changed
     // rows, so compaction yields an empty feed)
-    "etl_gvt_diff")
+    "etl_gvt_diff",
+    // round-8: parquet bloom-filter point-lookup skipping (the skip
+    // mechanism when the probe column has no sort locality; row-group
+    // skip evidence in ScanBloomSpec)
+    "scan_parquet_bloom")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
