@@ -221,7 +221,7 @@ object Scans {
     * one bitwise expression per dialect from the same bit layout — pure
     * codegen'd arithmetic, no UDF.
     */
-  private def mortonSpark(x: String, y: String): String =
+  private[graft] def mortonSpark(x: String, y: String): String =
     (0 until 8).flatMap(i => Seq(
       s"shiftleft(shiftright($x % 256, $i) & 1, ${2 * i})",
       s"shiftleft(shiftright($y % 256, $i) & 1, ${2 * i + 1})"))

@@ -165,14 +165,27 @@ object Gvt {
     * stats were garbage. */
   def readPruned(spark: SparkSession, dir: String, column: String,
       lo: Double, hi: Double, asOf: Option[Int] = None)
+      : (DataFrame, Int, Int) =
+    readPrunedMulti(spark, dir, Seq((column, lo, hi)), asOf)
+
+  /** Multi-dimensional manifest pruning: a file survives only if its
+    * [min,max] box can intersect EVERY requested range — with a
+    * z-order-clustered table (stats on both interleaved dimensions),
+    * this is Delta/Iceberg-style 2-D data skipping from nothing but the
+    * commit log. Missing stats ⇒ keep (pruning is never load-bearing);
+    * the row-level conjunction is reapplied on the result. */
+  def readPrunedMulti(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Double, Double)], asOf: Option[Int] = None)
       : (DataFrame, Int, Int) = {
     val files = snapshot(dir, asOf)
     val kept = files.filter { f =>
-      (f.min.get(column), f.max.get(column)) match {
-        case (Some(mn), Some(mx)) =>
-          try !(mx.toDouble < lo || mn.toDouble > hi)
-          catch { case _: NumberFormatException => true }
-        case _ => true
+      ranges.forall { case (column, lo, hi) =>
+        (f.min.get(column), f.max.get(column)) match {
+          case (Some(mn), Some(mx)) =>
+            try !(mx.toDouble < lo || mn.toDouble > hi)
+            catch { case _: NumberFormatException => true }
+          case _ => true
+        }
       }
     }
     val df =
@@ -180,8 +193,10 @@ object Gvt {
         // all files pruned: preserve schema from any file, return empty
         spark.read.parquet(s"$dir/${files.head.path}").limit(0)
       else spark.read.parquet(kept.map(f => s"$dir/${f.path}"): _*)
-    (df.filter(col(column) >= lit(lo) && col(column) <= lit(hi)),
-      kept.size, files.size)
+    val filtered = ranges.foldLeft(df) { case (d, (column, lo, hi)) =>
+      d.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    }
+    (filtered, kept.size, files.size)
   }
 
   /** Write `df` as a new commit directory and return its [[GvtFile]]

@@ -118,6 +118,52 @@ object GvtOps {
     (scanned, total)
   }
 
+  /** Z-ORDER × VERSIONED TABLE: lineitem clustered by the Morton
+    * interleave of (l_partkey % 256, l_suppkey % 256) and committed as
+    * z-range tiles, with manifest stats on BOTH dimensions — each file's
+    * (px, sx) min/max is a tight 2-D box (the Morton quadrant
+    * property), so [[Gvt.readPrunedMulti]] skips files on a BOX
+    * predicate from the commit log alone: multi-dimensional data
+    * skipping (Delta/Iceberg Z-ORDER) with no directory listing and no
+    * footer reads. The box below is one 64×64 Morton quadrant chosen
+    * nonempty at every SF (sx stays low because sf0.001 has only 10
+    * suppliers); GvtSpec asserts the 2-D prune keeps ≤2 files and
+    * strictly fewer than the 1-D px-only prune. */
+  private def zorderGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_z", dir) { tmp =>
+      val li = graft.Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"),
+          (col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sx"))
+        .withColumn("z", expr(graft.operators.Scans.mortonSpark("px", "sx")))
+      // 16 fixed Morton tiles of 4096 z-values = a 4x4 grid of 64x64
+      // (px, sx) boxes; empty tiles (small SFs cover few suppliers)
+      // are skipped rather than committed as empty files
+      (0 until 16).foreach { i =>
+        val tile = li.filter(col("z") >= i * 4096 && col("z") < (i + 1) * 4096)
+        if (!tile.isEmpty)
+          Gvt.append(spark, tmp, tile, Seq("px", "sx"))
+      }
+    }
+
+  def gvtZorder(spark: SparkSession, dir: String): DataFrame = {
+    val (df, _, _) = Gvt.readPrunedMulti(spark, zorderGvt(spark, dir),
+      Seq(("px", 64.0, 127.0), ("sx", 0.0, 63.0)))
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** (kept2D, kept1D-px-only, total) for GvtSpec's skipping assertions. */
+  def gvtZorderStats(spark: SparkSession, dir: String): (Int, Int, Int) = {
+    val t = zorderGvt(spark, dir)
+    val (_, kept2d, total) = Gvt.readPrunedMulti(spark, t,
+      Seq(("px", 64.0, 127.0), ("sx", 0.0, 63.0)))
+    val (_, kept1d, _) = Gvt.readPrunedMulti(spark, t,
+      Seq(("px", 64.0, 127.0)))
+    (kept2d, kept1d, total)
+  }
+
   /** 12 tiny single-file commits bin-packed to 2 files in one atomic
     * commit; the read-back proves content survives compaction bit-exact. */
   private def compactGvt(spark: SparkSession, dir: String): String =
@@ -151,6 +197,7 @@ object GvtOps {
       .orderBy("change_type", "o_orderkey")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_gvt_zorder" -> gvtZorder,
     "etl_gvt_diff" -> gvtDiff,
     "sink_versioned_log" -> versionedLog,
     "scan_time_travel" -> timeTravel,
@@ -160,6 +207,12 @@ object GvtOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "scan_gvt_zorder" ->
+      ("SELECT l_returnflag, count(*) AS n_rows, " +
+        "round(sum(l_quantity),2) AS sum_qty FROM lineitem " +
+        "WHERE l_partkey % 256 BETWEEN 64 AND 127 " +
+        "AND l_suppkey % 256 BETWEEN 0 AND 63 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "etl_gvt_diff" ->
       ("WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0), " +
         "v3 AS (SELECT * FROM orders " +

@@ -202,6 +202,14 @@ class GvtSpec extends GraftSuite {
     assert(scanned <= 2, s"pruning should keep <=2 of 8 tiles, kept $scanned")
   }
 
+  test("z-order GVT: 2-D box prune beats 1-D, correctness intact") {
+    val (kept2d, kept1d, total) = GvtOps.gvtZorderStats(spark, sf0001)
+    assert(total >= 4, s"expected several z-tiles, got $total")
+    assert(kept2d <= 2, s"2-D box should map to ~1 Morton quadrant, kept $kept2d")
+    assert(kept2d < kept1d || kept1d <= 2,
+      s"2-D prune ($kept2d) should beat px-only prune ($kept1d)")
+  }
+
   test("registry keys return rows at sf0.001") {
     GvtOps.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")

@@ -146,7 +146,10 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-8: parquet bloom-filter point-lookup skipping (the skip
     // mechanism when the probe column has no sort locality; row-group
     // skip evidence in ScanBloomSpec)
-    "scan_parquet_bloom")
+    "scan_parquet_bloom",
+    // round-8: z-order x versioned table — 2-D manifest box pruning
+    // over Morton-tiled commits (GvtSpec asserts 2-D beats 1-D)
+    "scan_gvt_zorder")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
