@@ -63,11 +63,21 @@ object Sessions {
     // derived width makes the coalesce target total/width — tiny stages
     // still collapse (the 1 MB minPartitionSize floor wins there), big
     // ones keep their width.
-    builder(cpus)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        width.toString)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
-        width.toString)
+    //
+    // FIXTURE SCALE GETS NO OVERRIDE AT ALL: when the derived width is
+    // just the core-count floor, pinning minPartitionNum to it forbids
+    // AQE from coalescing tiny stages below `cores` partitions — pure
+    // per-task overhead on multi-stage keys at sf0.1 (measured:
+    // llm_dedup_near 1.04 → ~1.7 s in the r8 bench profile, recovered
+    // by this guard). The overrides exist for replica/production dirs
+    // where width > cores, which is exactly when they engage.
+    val b = builder(cpus)
+    if (width > cpus.toInt)
+      b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          width.toString)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+          width.toString)
+    else b
   }
 
   def localFor(cpus: String, sfDir: String,
