@@ -196,7 +196,35 @@ object GvtOps {
         col("o_totalprice"))
       .orderBy("change_type", "o_orderkey")
 
+  /** CHANGELOG CONSUMPTION: a downstream aggregate maintained purely by
+    * folding the per-version change feeds onto the v0 state — inserts
+    * weigh +1/+cents, deletes −1/−cents, and the integer-cents states
+    * make the fold exact and order-independent (§5.3 grid discipline).
+    * The oracle is the DIRECT aggregate of the final table state, so
+    * driver hash equality proves feed-fold ≡ state-read across the full
+    * history (3 appends + a file-granular delete) — the correctness
+    * contract every incremental CDC consumer at 100 TB depends on. */
+  def gvtFeedApply(spark: SparkSession, dir: String): DataFrame = {
+    val t = ordersGvt(spark, dir)
+    val head = Gvt.latestVersion(t)
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    val base = Gvt.read(spark, t, Some(0))
+      .select(col("o_orderstatus"), lit(1L).as("w"), cents.as("cents"))
+    val deltas = (0 until head).map { v =>
+      Gvt.diff(spark, t, v, v + 1)
+        .select(col("o_orderstatus"), sign.as("w"),
+          (sign * cents).as("cents"))
+    }
+    deltas.foldLeft(base)(_ unionByName _)
+      .groupBy("o_orderstatus")
+      .agg(sum("w").as("n_orders"),
+        (sum("cents").cast("double") / 100).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_gvt_feed_apply" -> gvtFeedApply,
     "scan_gvt_zorder" -> gvtZorder,
     "etl_gvt_diff" -> gvtDiff,
     "sink_versioned_log" -> versionedLog,
@@ -207,6 +235,12 @@ object GvtOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_gvt_feed_apply" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders " +
+        "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "scan_gvt_zorder" ->
       ("SELECT l_returnflag, count(*) AS n_rows, " +
         "round(sum(l_quantity),2) AS sum_qty FROM lineitem " +

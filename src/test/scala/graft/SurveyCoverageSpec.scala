@@ -149,7 +149,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "scan_parquet_bloom",
     // round-8: z-order x versioned table — 2-D manifest box pruning
     // over Morton-tiled commits (GvtSpec asserts 2-D beats 1-D)
-    "scan_gvt_zorder")
+    "scan_gvt_zorder",
+    // round-8: changelog consumption — feed-fold ≡ state-read proven by
+    // sharing the direct-aggregate oracle
+    "etl_gvt_feed_apply")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
