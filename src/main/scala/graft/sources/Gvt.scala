@@ -110,6 +110,23 @@ object Gvt {
     def unapply(name: String): Option[Int] =
       name match { case Re(d) => Some(d.toInt); case _ => None }
   }
+  private object VacuumName {
+    private val Re = raw"(\d{8})\.vacuum\.json".r
+    def unapply(name: String): Option[Int] =
+      name match { case Re(d) => Some(d.toInt); case _ => None }
+  }
+
+  /** Oldest version still readable (0 if never vacuumed): the max floor
+    * recorded by [[vacuum]] markers. */
+  def vacuumFloor(dir: String): Int = {
+    val ld = logDirOf(dir)
+    if (!Files.isDirectory(ld)) return 0
+    val it = Files.list(ld)
+    try it.iterator().asScala().map(_.getFileName.toString)
+      .collect { case VacuumName(v) => v }
+      .foldLeft(0)(math.max)
+    finally it.close()
+  }
 
   // tiny shim: Files.list gives a Java stream; keep usage in one place
   implicit private class JIter[A](private val it: java.util.Iterator[A]) {
@@ -123,6 +140,10 @@ object Gvt {
   def snapshot(dir: String, asOf: Option[Int] = None): Seq[GvtFile] = {
     val last = asOf.getOrElse(latestVersion(dir))
     require(last >= 0, s"GVT at $dir has no commits (asOf=$asOf)")
+    val floor = vacuumFloor(dir)
+    require(last >= floor,
+      s"GVT at $dir: version $last was vacuumed (floor $floor) — " +
+        "time travel below the retention floor is gone by design")
     require(Files.exists(commitPath(dir, last)),
       s"GVT at $dir has no version $last")
     val ld = logDirOf(dir)
@@ -149,12 +170,18 @@ object Gvt {
   }
 
   /** Snapshot read — time travel via `asOf`. Native vectorized parquet
-    * scan over the manifest's file list; no directory listing. */
-  def read(spark: SparkSession, dir: String,
-      asOf: Option[Int] = None): DataFrame = {
+    * scan over the manifest's file list; no directory listing.
+    * `mergeSchema = true` unifies schemas across commits (schema
+    * evolution: an added column back-fills null in pre-evolution files
+    * — merge-on-read, no rewrite of history; at real scale pin the
+    * unified schema in table metadata instead of re-merging footers). */
+  def read(spark: SparkSession, dir: String, asOf: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = snapshot(dir, asOf)
     require(files.nonEmpty, s"GVT at $dir is empty at version $asOf")
-    spark.read.parquet(files.map(f => s"$dir/${f.path}"): _*)
+    val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
+            else spark.read
+    r.parquet(files.map(f => s"$dir/${f.path}"): _*)
   }
 
   /** Manifest-stats file pruning for a numeric range predicate: a file
@@ -395,6 +422,79 @@ object Gvt {
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; compact read set stale")
     v
+  }
+
+  /** VACUUM: physically delete data files referenced by NO snapshot at
+    * or after `retainFrom`, drop the commit/checkpoint docs below it,
+    * and record the new retention floor. Order is crash-safe: (1) a
+    * checkpoint at `retainFrom` is ensured first so replay never needs
+    * the doomed docs; (2) the floor marker lands (atomic create) BEFORE
+    * any deletion, so a crash mid-vacuum leaves extra files but never a
+    * readable-looking version with missing data — time travel below the
+    * floor fails loudly at [[snapshot]] instead of at the parquet
+    * reader. Returns (dataFilesDeleted, logDocsDeleted).
+    *
+    * The referenced set here is computed by replaying each retained
+    * version (O(tail²) doc reads — fine at demo scale); the production
+    * form is one forward replay from the `retainFrom` checkpoint
+    * collecting every add, which is O(tail). */
+  def vacuum(spark: SparkSession, dir: String, retainFrom: Int)
+      : (Int, Int) = {
+    val head = latestVersion(dir)
+    require(retainFrom >= 0 && retainFrom <= head,
+      s"vacuum retainFrom $retainFrom outside [0, $head]")
+    if (retainFrom <= vacuumFloor(dir)) return (0, 0) // already at floor
+    val ld = logDirOf(dir)
+    // (1) anchor: a checkpoint AT retainFrom (idempotent)
+    if (!Files.exists(ckptPath(dir, retainFrom))) {
+      val files = snapshot(dir, Some(retainFrom))
+      val ctmp = Files.createTempFile(ld, ".tmp-", ".ckpt")
+      Files.write(ctmp,
+        mapper.writeValueAsBytes(GvtCheckpoint(retainFrom, files)))
+      try Files.createLink(ckptPath(dir, retainFrom), ctmp)
+      catch { case _: FileAlreadyExistsException => () }
+      Files.delete(ctmp)
+    }
+    val referenced = (retainFrom to head)
+      .flatMap(v => snapshot(dir, Some(v)).map(_.path)).toSet
+    // (2) floor marker BEFORE deleting anything
+    val mtmp = Files.createTempFile(ld, ".tmp-", ".vac")
+    Files.write(mtmp, s"""{"floor":$retainFrom}""".getBytes("UTF-8"))
+    try Files.createLink(ld.resolve(f"$retainFrom%08d.vacuum.json"), mtmp)
+    catch { case _: FileAlreadyExistsException => () }
+    Files.delete(mtmp)
+    // (3) physical deletes: unreferenced data files, then empty commit
+    // dirs, then pre-floor log docs (keep the retainFrom checkpoint)
+    var dataDeleted = 0
+    val dataDir = Paths.get(dir, "data")
+    if (Files.isDirectory(dataDir)) {
+      val subs = Files.list(dataDir)
+      try subs.iterator().asScala().filter(Files.isDirectory(_)).foreach { sub =>
+        val fs = Files.list(sub)
+        try fs.iterator().asScala().foreach { f =>
+          val rel = s"data/${sub.getFileName}/${f.getFileName}"
+          val isData = f.getFileName.toString.endsWith(".parquet")
+          if (isData && !referenced.contains(rel)) {
+            Files.delete(f); dataDeleted += 1
+          } else if (!isData) Files.delete(f) // _SUCCESS etc.
+        } finally fs.close()
+        val left = Files.list(sub)
+        val empty = try !left.iterator().hasNext finally left.close()
+        if (empty) Files.delete(sub)
+      } finally subs.close()
+    }
+    var docsDeleted = 0
+    val docs = Files.list(ld)
+    try docs.iterator().asScala().foreach { p =>
+      p.getFileName.toString match {
+        case CommitName(v) if v < retainFrom =>
+          Files.delete(p); docsDeleted += 1
+        case CkptName(v) if v < retainFrom =>
+          Files.delete(p); docsDeleted += 1
+        case _ => ()
+      }
+    } finally docs.close()
+    (dataDeleted, docsDeleted)
   }
 
   /** Row-level change feed between two versions (CDC), computed from

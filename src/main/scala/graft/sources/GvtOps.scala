@@ -178,6 +178,56 @@ object GvtOps {
         statsCols = stats)
     }
 
+  /** Lifecycle end: 12 tiny commits, compacted, then VACUUMED at the
+    * compaction version — old data files physically deleted, pre-floor
+    * log docs dropped, retention floor recorded. The latest state must
+    * read back identical to the plain table (oracle = sink_compaction's)
+    * even though most of the history's bytes are gone; GvtSpec asserts
+    * the physical file counts and that pre-floor time travel now fails
+    * loudly at snapshot resolution, not at the parquet reader. */
+  private def vacuumGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_vac", dir) { tmp =>
+      val orders = graft.Tables(spark, dir, "orders")
+      val stats = Seq("o_orderkey")
+      (0 until 12).foreach { i =>
+        Gvt.append(spark, tmp,
+          orders.filter(col("o_orderkey") % 12 === i).repartition(1), stats)
+      }
+      val v = Gvt.compact(spark, tmp, smallRows = Long.MaxValue,
+        targetFiles = 2, statsCols = stats)
+      Gvt.vacuum(spark, tmp, retainFrom = v)
+    }
+
+  def gvtVacuum(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, vacuumGvt(spark, dir))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+
+  /** Schema evolution across commits: v0 lacks `c_tier`; v1 adds it.
+    * The merge-on-read snapshot back-fills null for pre-evolution rows
+    * — history is never rewritten. Oracle restates the CASE split. */
+  private def evoGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_evo", dir) { tmp =>
+      val c = graft.Tables(spark, dir, "customer")
+      val stats = Seq("c_custkey")
+      Gvt.append(spark, tmp,
+        c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        stats)
+      Gvt.append(spark, tmp,
+        c.filter(col("c_custkey") % 2 =!= 0)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            (col("c_custkey") % 3).as("c_tier")),
+        stats)
+    }
+
+  def gvtSchemaEvo(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, evoGvt(spark, dir), mergeSchema = true)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_tier")
+      .orderBy("c_custkey")
+
   def compaction(spark: SparkSession, dir: String): DataFrame =
     Gvt.read(spark, compactGvt(spark, dir))
       .groupBy("o_orderpriority")
@@ -224,6 +274,8 @@ object GvtOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_gvt_vacuum" -> gvtVacuum,
+    "scan_gvt_schema_evo" -> gvtSchemaEvo,
     "etl_gvt_feed_apply" -> gvtFeedApply,
     "scan_gvt_zorder" -> gvtZorder,
     "etl_gvt_diff" -> gvtDiff,
@@ -235,6 +287,14 @@ object GvtOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "sink_gvt_vacuum" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "scan_gvt_schema_evo" ->
+      ("SELECT c_custkey, c_name, c_mktsegment, " +
+        "CASE WHEN c_custkey % 2 <> 0 THEN c_custkey % 3 END AS c_tier " +
+        "FROM customer ORDER BY c_custkey"),
     "etl_gvt_feed_apply" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -200,6 +202,37 @@ class GvtSpec extends GraftSuite {
     val (scanned, total) = GvtOps.manifestPruneStats(spark, sf0001)
     assert(total == 8, s"tile staging should produce 8 files, got $total")
     assert(scanned <= 2, s"pruning should keep <=2 of 8 tiles, kept $scanned")
+  }
+
+  test("vacuum: dead files physically gone, floor enforced, state intact") {
+    val dir = freshDir()
+    (0 until 6).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 10L, i * 10L + 10L).repartition(1),
+        Seq("k")))
+    Gvt.compact(spark, dir, Long.MaxValue, 2, Seq("k"))
+    val head = Gvt.latestVersion(dir)
+    val (dataDeleted, docsDeleted) = Gvt.vacuum(spark, dir, head)
+    assert(dataDeleted >= 6, s"expected the 6 pre-compaction files gone, " +
+      s"deleted $dataDeleted")
+    assert(docsDeleted >= 6, s"expected pre-floor log docs gone, " +
+      s"deleted $docsDeleted")
+    // the latest state survives byte-for-byte
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 60L).map(k => (k, k * 10)))
+    // disk now holds exactly the live snapshot's files
+    val live = Gvt.snapshot(dir).size
+    val onDisk = {
+      val s = Files.walk(Paths.get(dir, "data"))
+      try s.iterator().asScala
+        .count(p => p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(onDisk == live, s"$onDisk parquet files on disk, $live live")
+    // pre-floor time travel fails at snapshot resolution, not mid-read
+    val e = intercept[IllegalArgumentException](Gvt.read(spark, dir, Some(2)))
+    assert(e.getMessage.contains("vacuumed"))
+    // idempotent at the same floor
+    assert(Gvt.vacuum(spark, dir, head) == ((0, 0)))
   }
 
   test("z-order GVT: 2-D box prune beats 1-D, correctness intact") {

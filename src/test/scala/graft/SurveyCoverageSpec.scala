@@ -152,7 +152,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "scan_gvt_zorder",
     // round-8: changelog consumption — feed-fold ≡ state-read proven by
     // sharing the direct-aggregate oracle
-    "etl_gvt_feed_apply")
+    "etl_gvt_feed_apply",
+    // round-8 lifecycle completion: VACUUM (physical cleanup + loud
+    // retention floor) and merge-on-read schema evolution
+    "sink_gvt_vacuum", "scan_gvt_schema_evo")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
