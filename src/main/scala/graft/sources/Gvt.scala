@@ -69,8 +69,11 @@ object Gvt {
   final case class GvtFile(path: String, rows: Long,
       min: Map[String, String], max: Map[String, String])
 
+  /** `txn` is an optional idempotence token ([[appendTxn]]): null on
+    * plain commits and on every pre-existing log doc (Jackson leaves
+    * the missing field null on read). */
   final case class GvtCommit(version: Int, op: String,
-      adds: Seq[GvtFile], removes: Seq[String])
+      adds: Seq[GvtFile], removes: Seq[String], txn: String = null)
 
   final case class GvtCheckpoint(version: Int, files: Seq[GvtFile])
 
@@ -313,6 +316,47 @@ object Gvt {
       v = latestVersion(dir) + 1
     }
     v
+  }
+
+  /** All commit docs currently in the log (post-vacuum tail), ascending. */
+  private def listCommits(dir: String): Seq[GvtCommit] = {
+    val ld = logDirOf(dir)
+    if (!Files.isDirectory(ld)) return Nil
+    val it = Files.list(ld)
+    val versions =
+      try it.iterator().asScala().map(_.getFileName.toString)
+        .collect { case CommitName(v) => v }.toSeq.sorted
+      finally it.close()
+    versions.map(v => mapper.readValue(
+      Files.readAllBytes(commitPath(dir, v)), classOf[GvtCommit]))
+  }
+
+  /** IDEMPOTENT append — the exactly-once streaming-sink primitive: the
+    * commit doc carries `txnId`, and a batch whose txnId already appears
+    * in the log is skipped (returns None). A foreachBatch sink writing
+    * `appendTxn(..., s"$queryName-$batchId")` therefore lands each
+    * micro-batch EXACTLY ONCE no matter how many times the engine
+    * re-delivers it after a failure — the checkpoint replays the batch,
+    * the log proves it already committed, nothing duplicates. The race
+    * window (two attempts of the SAME txn) is closed by re-checking the
+    * log after every lost publish: the twin's commit is then visible and
+    * this attempt abandons its files (orphans; [[vacuum]] reaps them).
+    * Forgetting horizon: vacuum drops pre-floor docs, so txn ids older
+    * than the retention floor are forgotten with their data — retention
+    * must exceed the source's redelivery horizon, same contract as any
+    * log-truncating transactional sink. */
+  def appendTxn(spark: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String], txnId: String): Option[Int] = {
+    require(txnId != null && txnId.nonEmpty, "appendTxn needs a txn id")
+    def alreadyCommitted: Boolean = listCommits(dir).exists(_.txn == txnId)
+    if (alreadyCommitted) return None
+    var v = latestVersion(dir) + 1
+    val adds = writeData(spark, dir, df, statsCols, v)
+    while (!tryPublish(dir, GvtCommit(v, "append", adds, Nil, txnId))) {
+      if (alreadyCommitted) return None // our twin won; files are orphans
+      v = latestVersion(dir) + 1
+    }
+    Some(v)
   }
 
   /** MERGE (upsert): rows of `source` whose `key` matches an existing

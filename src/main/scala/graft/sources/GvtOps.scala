@@ -228,6 +228,47 @@ object GvtOps {
       .select("c_custkey", "c_name", "c_mktsegment", "c_tier")
       .orderBy("c_custkey")
 
+  /** EXACTLY-ONCE STREAMING SINK: a real micro-batch stream (parquet
+    * file source, Trigger.AvailableNow) lands in a GVT via
+    * [[Gvt.appendTxn]] with `"orders-$batchId"` as the idempotence
+    * token. The staging then SIMULATES the failure mode transactional
+    * sinks exist for — it re-delivers batch 0's data under the same
+    * txn id — and the duplicate is refused by the log, so the table
+    * holds each batch exactly once. The oracle is the plain orders
+    * aggregate: hash equality proves no row was lost OR duplicated
+    * across delivery + redelivery. */
+  private def streamSinkGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_stream", dir) { tmp =>
+      val schema = graft.Tables(spark, dir, "orders").schema
+      val stats = Seq("o_orderkey")
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(dir)
+        .writeStream
+        .option("checkpointLocation",
+          graft.Staging.fastTempDir("gvt_sink_ckpt"))
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            Gvt.appendTxn(spark, tmp, batch.toDF(), stats, s"orders-$batchId")
+            () // Unit: the (DataFrame, Long) => Unit overload
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // redelivery: same txn id, same payload — MUST be a no-op
+      val dup = Gvt.appendTxn(spark, tmp,
+        graft.Tables(spark, dir, "orders"), stats, "orders-0")
+      require(dup.isEmpty, s"redelivered batch committed twice: $dup")
+    }
+
+  def gvtStreamSink(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, streamSinkGvt(spark, dir))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+
   def compaction(spark: SparkSession, dir: String): DataFrame =
     Gvt.read(spark, compactGvt(spark, dir))
       .groupBy("o_orderpriority")
@@ -274,6 +315,7 @@ object GvtOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_gvt_sink" -> gvtStreamSink,
     "sink_gvt_vacuum" -> gvtVacuum,
     "scan_gvt_schema_evo" -> gvtSchemaEvo,
     "etl_gvt_feed_apply" -> gvtFeedApply,
@@ -287,6 +329,10 @@ object GvtOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_gvt_sink" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "sink_gvt_vacuum" ->
       ("SELECT o_orderpriority, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +

@@ -204,6 +204,19 @@ class GvtSpec extends GraftSuite {
     assert(scanned <= 2, s"pruning should keep <=2 of 8 tiles, kept $scanned")
   }
 
+  test("appendTxn: same txn commits once; distinct txns land normally") {
+    val dir = freshDir()
+    assert(Gvt.appendTxn(spark, dir, slab(0, 5), Seq("k"), "b-0") == Some(0))
+    // redelivery of the same batch (even with different data) is refused
+    assert(Gvt.appendTxn(spark, dir, slab(100, 110), Seq("k"), "b-0").isEmpty)
+    assert(Gvt.appendTxn(spark, dir, slab(5, 9), Seq("k"), "b-1") == Some(1))
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 9L).map(k => (k, k * 10)))
+    // plain (txn-less) commits never collide with txn checks
+    Gvt.append(spark, dir, slab(9, 10), Seq("k"))
+    assert(Gvt.appendTxn(spark, dir, slab(10, 11), Seq("k"), "b-2") == Some(3))
+  }
+
   test("vacuum: dead files physically gone, floor enforced, state intact") {
     val dir = freshDir()
     (0 until 6).foreach(i =>

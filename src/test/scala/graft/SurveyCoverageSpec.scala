@@ -155,7 +155,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "etl_gvt_feed_apply",
     // round-8 lifecycle completion: VACUUM (physical cleanup + loud
     // retention floor) and merge-on-read schema evolution
-    "sink_gvt_vacuum", "scan_gvt_schema_evo")
+    "sink_gvt_vacuum", "scan_gvt_schema_evo",
+    // round-8: exactly-once streaming sink via txn-id idempotent commits
+    "stream_gvt_sink")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
