@@ -373,12 +373,13 @@ object Gvt {
     *      old versions) unioned with ALL source rows, written as new
     *      files; untouched files carry over by reference.
     * Aborts (throws) on concurrent commit — the read set is stale. */
-  def merge(spark: SparkSession, dir: String, source: DataFrame,
-      key: String, statsCols: Seq[String]): Int = {
-    val base = latestVersion(dir)
-    val files = snapshot(dir, Some(base))
-    if (source.isEmpty) return base // no-op: nothing to upsert
-    val srcKeys = source.select(col(key)).distinct()
+  /** Files of `files` that contain at least one key from `srcKeys`:
+    * manifest-range prune (metadata-only), then an exact column-pruned
+    * probe — scan ONLY the key column of surviving candidates,
+    * semi-join with the source keys, collect the distinct FILE NAMES
+    * that hit (a file-count-bounded metadata collect, never data). */
+  private def filesContaining(spark: SparkSession, dir: String,
+      files: Seq[GvtFile], srcKeys: DataFrame, key: String): Seq[GvtFile] = {
     val bounds = srcKeys.agg(min(col(key)).cast("string"),
       max(col(key)).cast("string")).head
     val (srcLo, srcHi) = (bounds.getString(0), bounds.getString(1))
@@ -400,18 +401,63 @@ object Gvt {
           .select("_gvt_file").distinct().collect()
           .map(r => relPathOf(r.getString(0))).toSet
       }
-    val touchedFiles = files.filter(f => touched.contains(f.path))
+    files.filter(f => touched.contains(f.path))
+  }
+
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      key: String, statsCols: Seq[String]): Int = {
+    val base = latestVersion(dir)
+    val files = snapshot(dir, Some(base))
+    if (source.isEmpty) return base // no-op: nothing to upsert
+    val srcKeys = source.select(col(key)).distinct()
+    val touchedFiles = filesContaining(spark, dir, files, srcKeys, key)
     val rewritten =
       if (touchedFiles.isEmpty) source
-      else spark.read.parquet(touchedFiles.map(f => s"$dir/${f.path}"): _*)
-        .join(srcKeys, Seq(key), "left_anti")
-        .unionByName(source)
+      else {
+        val touchedDf = spark.read
+          .parquet(touchedFiles.map(f => s"$dir/${f.path}"): _*)
+        // restore the file schema order (using-join puts the key first)
+        touchedDf.join(srcKeys, Seq(key), "left_anti")
+          .select(touchedDf.columns.map(col): _*)
+          .unionByName(source)
+      }
     val v = base + 1
     val adds = writeData(spark, dir, rewritten, statsCols, v)
     if (!tryPublish(dir,
         GvtCommit(v, "merge", adds, touchedFiles.map(_.path))))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; merge read set stale")
+    v
+  }
+
+  /** DELETE BY JOIN: remove every row whose `key` appears in `keys`
+    * (a DataFrame — no driver-side key materialization), rewriting only
+    * the files that actually contain a matched key via the same
+    * prune-then-probe path as [[merge]]. The delete-set can be computed
+    * by any Spark job (dedup losers, policy violations, GDPR erasure
+    * lists) and stays distributed end to end. */
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
+      key: String, statsCols: Seq[String]): Int = {
+    val base = latestVersion(dir)
+    val files = snapshot(dir, Some(base))
+    if (keys.isEmpty) return base
+    val srcKeys = keys.select(col(key)).distinct()
+    val touchedFiles = filesContaining(spark, dir, files, srcKeys, key)
+    if (touchedFiles.isEmpty) return base
+    val touchedDf = spark.read
+      .parquet(touchedFiles.map(f => s"$dir/${f.path}"): _*)
+    // using-join reorders the key column first; restore the file schema
+    // order so rewritten files stay column-order-stable
+    val kept = touchedDf.join(srcKeys, Seq(key), "left_anti")
+      .select(touchedDf.columns.map(col): _*)
+    val v = base + 1
+    val adds =
+      if (kept.isEmpty) Nil
+      else writeData(spark, dir, kept, statsCols, v)
+    if (!tryPublish(dir,
+        GvtCommit(v, "delete", adds, touchedFiles.map(_.path))))
+      throw new java.util.ConcurrentModificationException(
+        s"GVT $dir: version $v committed concurrently; delete read set stale")
     v
   }
 
@@ -566,7 +612,10 @@ object Gvt {
         spark.read.parquet(s"$dir/${schemaDonor.path}").limit(0)
       else spark.read.parquet(files.map(f => s"$dir/${f.path}"): _*)
     val oldRows = readOrEmpty(removed)
-    val newRows = readOrEmpty(added)
+    // align column order by name: rewrites (merge/deleteKeys joins) can
+    // produce files whose physical column order differs from older ones,
+    // and exceptAll is positional
+    val newRows = readOrEmpty(added).select(oldRows.columns.map(col): _*)
     newRows.exceptAll(oldRows).withColumn("change_type", lit("insert"))
       .unionByName(
         oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))

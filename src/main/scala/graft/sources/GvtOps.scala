@@ -262,6 +262,42 @@ object GvtOps {
       require(dup.isEmpty, s"redelivered batch committed twice: $dup")
     }
 
+  /** VERSIONED CORPUS CURATION — the training-data loop GVT exists for:
+    * v0 commits the raw documents table; v1 DELETEs quality failures
+    * (too short / oversized); v2 DELETEs exact-duplicate losers (every
+    * doc whose text also appears under a smaller doc_id). Each curation
+    * pass is an auditable commit: time travel reproduces the exact
+    * corpus any past training run saw, and the change feed lists
+    * precisely which documents each pass removed. The final state is
+    * restated by the oracle as one SQL predicate over `documents`, so
+    * hash equality proves the two copy-on-write deletes compose to the
+    * intended curation semantics. */
+  private def corpusGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_corpus", dir) { tmp =>
+      val docs = graft.Tables(spark, dir, "documents")
+      val stats = Seq("doc_id")
+      Gvt.append(spark, tmp, docs, stats)
+      Gvt.delete(spark, tmp,
+        col("n_chars") < 64 || col("n_chars") > 8192, stats)
+      // exact-dup losers: same text, larger doc_id (min-id survives) —
+      // the loser set is a Spark job over the CURRENT snapshot and goes
+      // straight into the distributed delete-by-join; no driver-side
+      // key materialization anywhere
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("text").orderBy("doc_id")
+      val losers = Gvt.read(spark, tmp)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select("doc_id")
+      Gvt.deleteKeys(spark, tmp, losers, "doc_id", stats)
+    }
+
+  def gvtCorpus(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, corpusGvt(spark, dir))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+
   def gvtStreamSink(spark: SparkSession, dir: String): DataFrame =
     Gvt.read(spark, streamSinkGvt(spark, dir))
       .groupBy("o_orderstatus")
@@ -315,6 +351,7 @@ object GvtOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_gvt_corpus" -> gvtCorpus,
     "stream_gvt_sink" -> gvtStreamSink,
     "sink_gvt_vacuum" -> gvtVacuum,
     "scan_gvt_schema_evo" -> gvtSchemaEvo,
@@ -329,6 +366,14 @@ object GvtOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_gvt_corpus" ->
+      ("WITH kept AS (SELECT *, row_number() OVER (" +
+        "PARTITION BY text ORDER BY doc_id) AS rn FROM documents " +
+        "WHERE n_chars >= 64 AND n_chars <= 8192) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM kept WHERE rn = 1 GROUP BY lang ORDER BY lang"),
     "stream_gvt_sink" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +

@@ -204,6 +204,30 @@ class GvtSpec extends GraftSuite {
     assert(scanned <= 2, s"pruning should keep <=2 of 8 tiles, kept $scanned")
   }
 
+  test("deleteKeys: distributed delete-by-join, untouched files intact") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10).repartition(1), Seq("k"))
+    Gvt.append(spark, dir, slab(100, 110).repartition(1), Seq("k"))
+    val before = Gvt.snapshot(dir).map(_.path)
+    // delete-set computed by a Spark job (kills 104, 106, 108)
+    val doomed = spark.range(52, 55).toDF("h")
+      .select((col("h") * 2).as("k"))
+    Gvt.deleteKeys(spark, dir, doomed, "k", Seq("k"))
+    val after = Gvt.snapshot(dir).map(_.path)
+    assert(after.contains(before.head), "file outside delete-set rewritten")
+    assert(!after.contains(before(1)), "touched file not replaced")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      ((0L until 10L) ++ (100L until 110L))
+        .filterNot(k => k == 104L || k == 106L || k == 108L)
+        .map(k => (k, k * 10)))
+    // empty delete-set and miss-everything delete-set are no-ops
+    val v = Gvt.latestVersion(dir)
+    assert(Gvt.deleteKeys(spark, dir,
+      spark.range(0, 0).toDF("k"), "k", Seq("k")) == v)
+    assert(Gvt.deleteKeys(spark, dir,
+      spark.range(5000, 5003).toDF("k"), "k", Seq("k")) == v)
+  }
+
   test("appendTxn: same txn commits once; distinct txns land normally") {
     val dir = freshDir()
     assert(Gvt.appendTxn(spark, dir, slab(0, 5), Seq("k"), "b-0") == Some(0))

@@ -157,7 +157,10 @@ class SurveyCoverageSpec extends GraftSuite {
     // retention floor) and merge-on-read schema evolution
     "sink_gvt_vacuum", "scan_gvt_schema_evo",
     // round-8: exactly-once streaming sink via txn-id idempotent commits
-    "stream_gvt_sink")
+    "stream_gvt_sink",
+    // round-8: versioned corpus curation — quality delete + distributed
+    // dedup delete-by-join as auditable commits
+    "etl_gvt_corpus")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
