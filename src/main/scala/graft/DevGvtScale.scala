@@ -107,6 +107,27 @@ object DevGvtScale {
         .filter(col("doc_id") >= qlo && col("doc_id") <= qhi)
         .agg(count(lit(1)), sum(length(col("text")))).head
     }
+
+    // ---- claim 4: CDC cost ∝ churn ----
+    val vHead = Gvt.latestVersion(table)
+    val clustered2 = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < lo + tileSpan / 20)
+      .withColumn("source", lit("merged3"))
+    Gvt.merge(spark, table, clustered2, "doc_id", Seq("doc_id"))
+    val feedRows = timed("diff across the clustered merge (churn = ~1 tile)") {
+      Gvt.diff(spark, table, vHead, vHead + 1).count()
+    }
+    println(s"[gvt-scale] clustered-merge feed: $feedRows change rows")
+    val before3 = Gvt.snapshot(table).map(_.path).toSet
+    timed(s"deleteKeys: every 1000th doc via delete-by-join") {
+      Gvt.deleteKeys(spark, table,
+        docs.filter(col("doc_id") % 1000 === 0).select("doc_id"),
+        "doc_id", Seq("doc_id"))
+    }
+    val after3 = Gvt.snapshot(table).map(_.path).toSet
+    println(s"[gvt-scale] deleteKeys rewrote " +
+      s"${(before3 -- after3).size}/${before3.size} files " +
+      "(uniform key spread = worst case, same as uniform merge)")
     spark.stop()
   }
 }

@@ -141,6 +141,32 @@ class GvtSpec extends GraftSuite {
       Gvt.delete(spark, dir, racing(col("k")), Seq("k")))
   }
 
+  test("stress: 8 concurrent appenders, every commit serialized, no loss") {
+    val dir = freshDir()
+    // real thread-level contention on the publish protocol: 8 writers x
+    // 4 appends each race for version numbers; hard-link publishing must
+    // serialize all 32 commits with no overwrites and no lost rows
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val failures = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    (0 until 8).foreach { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try (0 until 4).foreach { i =>
+            val lo = (t * 4 + i) * 100L
+            Gvt.append(spark, dir, slab(lo, lo + 100L), Seq("k"))
+          } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"appenders threw: $failures")
+    assert(Gvt.latestVersion(dir) == 31, "32 commits must serialize to v0..v31")
+    assert(Gvt.read(spark, dir).count() == 3200L)
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 3200L).map(k => (k, k * 10)))
+  }
+
   test("manifest pruning skips files and never affects the answer") {
     val dir = freshDir()
     (0 until 4).foreach(i =>
