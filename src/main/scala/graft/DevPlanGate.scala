@@ -1,0 +1,25 @@
+package graft
+
+/** Dev probe: does [[plans.RewriteExistsOther]]'s stats gate plant the
+  * pre-aggregation exchange for a given data dir? The gate calibration
+  * (128 MiB of ESTIMATED branch bytes — note Catalyst's size-only
+  * estimator scales relation bytes by the projected column-width ratio)
+  * is plan-checked here rather than assumed: round-8 found the original
+  * 1 GiB default silently declining on the fact-×100 replica because
+  * the 2-of-11-column subquery projection shrank the estimate to
+  * ~300 MB.
+  *
+  * Usage: runMain graft.DevPlanGate <dir> [key]
+  */
+object DevPlanGate {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val key = args.lift(1).getOrElse("sql_tpch_q21x")
+    val spark = Sessions.localFor("32", dir, "ERROR")
+    val df = SparkEntry.queries(key)(spark, dir)
+    val planted = df.queryExecution.optimizedPlan.toString
+      .contains("RepartitionByExpression")
+    println(s"[plan-gate] dir=$dir key=$key repartitionPlanted=$planted")
+    spark.stop()
+  }
+}

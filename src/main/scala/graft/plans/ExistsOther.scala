@@ -268,15 +268,19 @@ object RewriteExistsOther extends Rule[LogicalPlan] with PredicateHelper {
     // final aggregate reuses the same partitioning, so the rewrite adds
     // exactly ONE exchange per collapsed subquery branch.
     //
-    // Stats-gated: below `repartitionMinBytes` (default 1 GiB) the
-    // partial maps fit comfortably and the pre-exchange only adds fixed
-    // cost — measured +1.0 s on sql_tpch_q21x at sf0.1 (~45 MB input)
-    // for a spill that never happens there. The ×100 replica (~6 GB
-    // estimated input) stays above the gate, so the spill fix is
-    // untouched exactly where it was measured to matter.
+    // Stats-gated: below `repartitionMinBytes` (default 128 MiB of
+    // ESTIMATED branch bytes) the partial maps fit comfortably and the
+    // pre-exchange only adds fixed cost — measured +1.0 s on
+    // sql_tpch_q21x at sf0.1 for a spill that never happens there.
+    // Calibration note: without CBO, Catalyst's size-only estimator
+    // scales the relation bytes by the PROJECTED column-width ratio, so
+    // the branch estimate is ~¼ of the fact's file size (the subquery
+    // reads 2-3 of 11 columns) — the fact-×100 replica estimates
+    // ~300 MB, sf0.1 ~3 MB. 128 MiB splits those by two orders of
+    // magnitude on each side; plan-checked on both dirs (PlanQ21).
     val reshuffleMin = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.existsOther.repartitionMinBytes",
-        (1L << 30).toString).toLong
+        (128L << 20).toString).toLong
     val aggChild =
       if (tFilt.stats.sizeInBytes >= reshuffleMin)
         RepartitionByExpression(keyAttrs, tFilt, None)
