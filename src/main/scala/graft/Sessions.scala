@@ -99,5 +99,6 @@ object Sessions {
   def install(spark: SparkSession): Unit = {
     plans.TopK.installRewrite(spark)
     plans.RewriteExistsOther.install(spark)
+    plans.MaterializedViews.install(spark)
   }
 }

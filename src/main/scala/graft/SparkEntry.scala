@@ -44,6 +44,7 @@ object SparkEntry {
       llm.Ranking.queries ++
       llm.Chunking.queries ++
       plans.TopK.queries ++
+      plans.MaterializedViews.queries ++
       functions.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,5 +77,6 @@ object SparkEntry {
       llm.Ranking.oracle ++
       llm.Chunking.oracle ++
       plans.TopK.oracle ++
+      plans.MaterializedViews.oracle ++
       functions.Extensions.oracle
 }

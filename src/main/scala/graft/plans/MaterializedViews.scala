@@ -1,0 +1,220 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** MATERIALIZED-VIEW AUTO-REWRITE — the classic OLAP answer to "this
+  * nightly dashboard re-scans 100 TB for the same aggregate": register
+  * a pre-aggregated summary table for a fact, and a `Rule[LogicalPlan]`
+  * transparently reroutes matching aggregate queries to it, including
+  * ROLLUPS to any subset of the view's grouping columns via the
+  * partial-aggregate algebra (sum-of-sums, sum-of-counts, min-of-mins,
+  * max-of-maxes — the same re-aggregatable-state property
+  * `etl_incremental_agg` proves). Queries keep their shape; users never
+  * mention the view; un-matchable queries are untouched.
+  *
+  * Matching is deliberately conservative (decline = correct):
+  *  - the child must be a bare scan (optionally column-pruned) of the
+  *    registered fact path — any filter/join in between declines, since
+  *    a predicate not absorbed into the view's grouping cannot be
+  *    answered from it;
+  *  - grouping must be a subset of the view's grouping COLUMNS;
+  *  - every aggregate must be Sum/Min/Max over a registered measure
+  *    column or Count(*) / Count(non-null measure col), DISTINCT and
+  *    FILTER decline.
+  * The rewrite preserves the original output `exprId`s, so parent
+  * operators resolve against the new child unchanged.
+  *
+  * Scale story: the summary table is smaller than the fact by the
+  * group-cardinality ratio (typically 10³–10⁶×); every routed query
+  * scans that instead. The view itself is maintained incrementally by
+  * the partial-state merge pattern, and on a GVT fact the change feed
+  * supplies the increments — the three round-8 pieces compose.
+  */
+object MaterializedViews {
+
+  /** One measure of a registered view: `fn` ∈ sum|min|max|cnt applied
+    * to fact column `col`, stored in the view as `mvCol`. */
+  final case class Measure(fn: String, col: String, mvCol: String)
+
+  final case class MvDef(factPathSuffix: String, groupCols: Seq[String],
+      measures: Seq[Measure], view: LogicalPlan)
+
+  private val registry = new ConcurrentHashMap[String, MvDef]()
+
+  /** Register `view` (its ANALYZED plan is captured) as the summary of
+    * the fact whose scan path ends with `factPathSuffix`. */
+  def register(spark: SparkSession, factPathSuffix: String,
+      groupCols: Seq[String], measures: Seq[Measure],
+      view: DataFrame): Unit =
+    registry.put(factPathSuffix,
+      MvDef(factPathSuffix, groupCols, measures, view.queryExecution.analyzed))
+
+  def clear(): Unit = registry.clear()
+
+  /** Idempotently append [[Rewrite]] to the session's
+    * extraOptimizations (same slot as RewriteExistsOther — the END of
+    * the optimizer, where aggregates are in final logical form). */
+  def install(spark: SparkSession): Unit = {
+    val ex = spark.experimental
+    if (!ex.extraOptimizations.contains(Rewrite))
+      ex.extraOptimizations = ex.extraOptimizations :+ Rewrite
+  }
+
+  private def factSuffixOf(plan: LogicalPlan): Option[String] = plan match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation =>
+        val roots = h.location.rootPaths.map(_.toString)
+        registry.keySet().iterator().asScala
+          .find(sfx => roots.exists(_.endsWith(sfx)))
+      case _ => None
+    }
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      factSuffixOf(child) // column pruning only; anything computed declines
+    case _ => None
+  }
+
+  implicit private class JIt[A](private val it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+
+  object Rewrite extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registry.isEmpty) plan
+      else plan.transform {
+        case agg @ Aggregate(_, _, child, _) =>
+          factSuffixOf(child)
+            .flatMap(sfx => Option(registry.get(sfx)))
+            .flatMap(mv => tryRewrite(agg, mv))
+            .getOrElse(agg)
+      }
+
+    private def tryRewrite(agg: Aggregate, mv: MvDef): Option[Aggregate] = {
+      val mvOut: Map[String, Attribute] =
+        mv.view.output.map(a => a.name -> a).toMap
+      // grouping: plain columns, each a subset of the view's grouping
+      val groupNames = agg.groupingExpressions.map {
+        case a: AttributeReference if mv.groupCols.contains(a.name) =>
+          a.name
+        case _ => return None
+      }
+      def measureFor(fn: String, colName: String): Option[Attribute] =
+        mv.measures.find(m => m.fn == fn && m.col == colName)
+          .flatMap(m => mvOut.get(m.mvCol))
+      // rewrite each output expression against the view, keeping the
+      // original name + exprId so the parent plan resolves unchanged
+      val rewritten: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case a: AttributeReference if groupNames.contains(a.name) =>
+          Alias(mvOut(a.name), a.name)(a.exprId)
+        case al: Alias =>
+          // the alias may wrap a COMPOUND expression over agg functions
+          // (round(sum(x), 2), sum(x)/count(*)): transform every inner
+          // AggregateExpression against the view, declining the whole
+          // rewrite if any is unmappable
+          var ok = true
+          val swapped = al.child.transform {
+            case AggregateExpression(f, Complete, false, None, _) =>
+              val inner: Option[Expression] = f match {
+                case Sum(c: AttributeReference, _) =>
+                  measureFor("sum", c.name)
+                    .map(m => Sum(m).toAggregateExpression())
+                case Min(c: AttributeReference) =>
+                  measureFor("min", c.name)
+                    .map(m => Min(m).toAggregateExpression())
+                case Max(c: AttributeReference) =>
+                  measureFor("max", c.name)
+                    .map(m => Max(m).toAggregateExpression())
+                case Count(Seq(Literal(_, _))) =>
+                  measureFor("cnt", "*")
+                    .map(m => Sum(m).toAggregateExpression())
+                case Count(Seq(c: AttributeReference)) =>
+                  measureFor("cnt", c.name)
+                    .map(m => Sum(m).toAggregateExpression())
+                case _ => None
+              }
+              inner.getOrElse { ok = false; Literal(null) }
+            case ae: AggregateExpression => ok = false; ae // distinct/filter
+          }
+          // type guard: decimal sum-of-sums would widen precision twice
+          // and silently change the output schema — decline instead
+          if (!ok || swapped.dataType != al.child.dataType) return None
+          Alias(swapped, al.name)(al.exprId)
+        case _ => return None
+      }
+      val newGrouping: Seq[Expression] = groupNames.map(mvOut(_))
+      Some(Aggregate(newGrouping, rewritten, mv.view, None))
+    }
+  }
+
+  // ---- registry key -------------------------------------------------
+  import org.apache.spark.sql.functions._
+
+  /** Stage an ISOLATED fact copy + its summary view once per JVM. The
+    * MV is registered against the staged copy's path (never the shared
+    * fixture file), so the JVM-global registry cannot reroute any other
+    * key's plan — MV routing is an opt-in property of this fact. */
+  private def mvStage(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_mv", dir) { tmp =>
+      graft.Tables(spark, dir, "orders")
+        .write.parquet(s"$tmp/fact")
+      spark.read.parquet(s"$tmp/fact")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("mv_cnt"),
+          sum("o_totalprice").as("mv_sum_price"),
+          min("o_totalprice").as("mv_min_price"),
+          max("o_totalprice").as("mv_max_price"))
+        .write.parquet(s"$tmp/view")
+    }
+
+  private[graft] def ensureRegistered(spark: SparkSession,
+      dir: String): String = {
+    val tmp = mvStage(spark, dir)
+    register(spark, s"$tmp/fact",
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      measures = Seq(
+        Measure("cnt", "*", "mv_cnt"),
+        Measure("sum", "o_totalprice", "mv_sum_price"),
+        Measure("min", "o_totalprice", "mv_min_price"),
+        Measure("max", "o_totalprice", "mv_max_price")),
+      view = spark.read.parquet(s"$tmp/view"))
+    tmp
+  }
+
+  /** The user-shaped query: a NATURAL aggregate over the fact, grouped
+    * COARSER than the view (status only — exercises the rollup path:
+    * count as sum-of-counts, sum as sum-of-sums on the cent grid per
+    * §5.3, min/max as extreme-of-extremes). MvRewriteSpec asserts the
+    * executed plan scans the view's files and never touches the fact;
+    * the oracle proves the rerouted answer equals the direct one. */
+  def mvRewriteQuery(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tmp = ensureRegistered(spark, dir)
+    spark.read.parquet(s"$tmp/fact")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  def queries: Map[String, (SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "plan_mv_rewrite" -> mvRewriteQuery)
+
+  def oracle: Map[String, String] = Map(
+    "plan_mv_rewrite" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price, " +
+        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+}

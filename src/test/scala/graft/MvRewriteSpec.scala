@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.plans.MaterializedViews
+
+/** Evidence tests for the materialized-view auto-rewrite: matching
+  * queries must SCAN THE VIEW (asserted on the executed plan's file
+  * paths), rolled-up answers must equal the direct computation, and
+  * every decline guard must leave the plan on the fact.
+  */
+class MvRewriteSpec extends GraftSuite {
+
+  private def scanPaths(df: DataFrame): Seq[String] = {
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan) // stages hide their subtree
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    nodes(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+  }
+
+  private lazy val stage = MaterializedViews.ensureRegistered(spark, sf0001)
+  private def fact = spark.read.parquet(s"$stage/fact")
+
+  test("a matching rollup query scans the VIEW, not the fact") {
+    val q = MaterializedViews.mvRewriteQuery(spark, sf0001)
+    val paths = scanPaths(q)
+    assert(paths.exists(_.endsWith("/view")), s"expected view scan: $paths")
+    assert(!paths.exists(_.endsWith("/fact")), s"fact still scanned: $paths")
+  }
+
+  test("rerouted answer equals the direct computation (rule removed)") {
+    val q = MaterializedViews.mvRewriteQuery(spark, sf0001).collect().toSeq
+    val ex = spark.experimental
+    val prev = ex.extraOptimizations
+    ex.extraOptimizations =
+      prev.filterNot(_ == MaterializedViews.Rewrite)
+    try {
+      val direct = MaterializedViews.mvRewriteQuery(spark, sf0001)
+      assert(scanPaths(direct).exists(_.endsWith("/fact")),
+        "control run must scan the fact")
+      assert(direct.collect().toSeq == q)
+    } finally ex.extraOptimizations = prev
+  }
+
+  test("exact-granularity match (both grouping columns) also routes") {
+    val q = fact.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+    assert(scanPaths(q).exists(_.endsWith("/view")))
+    assert(q.collect().map(_.getLong(2)).sum ==
+      fact.count())
+  }
+
+  test("decline guards: filter, distinct, non-measure, other grouping") {
+    def scansFact(df: DataFrame): Boolean =
+      scanPaths(df).exists(_.endsWith("/fact"))
+    // a WHERE not absorbed by the view must keep the fact scan
+    assert(scansFact(fact.filter(col("o_orderkey") > 100)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))))
+    // DISTINCT aggregates cannot come from sums
+    assert(scansFact(fact.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n"))))
+    // measure not registered (sum of a different column)
+    assert(scansFact(fact.groupBy("o_orderstatus")
+      .agg(sum("o_custkey").as("s"))))
+    // grouping outside the view's grouping set
+    assert(scansFact(fact.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))))
+  }
+
+  test("exprIds survive: downstream operators resolve over the rewrite") {
+    val q = fact.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), max("o_totalprice").as("mx"))
+      .filter(col("n") > 0)
+      .orderBy(col("mx").desc, col("o_orderstatus"))
+    assert(scanPaths(q).exists(_.endsWith("/view")))
+    assert(q.count() > 0)
+  }
+}

@@ -160,7 +160,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "stream_gvt_sink",
     // round-8: versioned corpus curation — quality delete + distributed
     // dedup delete-by-join as auditable commits
-    "etl_gvt_corpus")
+    "etl_gvt_corpus",
+    // round-8: materialized-view auto-rewrite — aggregate queries
+    // transparently rerouted to a summary table, incl. rollups
+    "plan_mv_rewrite")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
