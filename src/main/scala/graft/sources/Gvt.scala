@@ -65,9 +65,20 @@ import org.apache.spark.sql.functions._
 object Gvt {
 
   /** One immutable data file. `min`/`max` are stringified per-column
-    * stats (numerics parse back for pruning; strings compare as-is). */
+    * stats (numerics parse back for pruning; strings compare as-is).
+    * `dv` lists the DELETION-VECTOR sidecar dirs that apply to this file
+    * (merge-on-read row-level deletes, [[deleteWhereDV]]); null on every
+    * pre-DV log doc (Jackson leaves the missing field null — the same
+    * contract as [[GvtCommit.txn]]). `dvRows` counts the rows those
+    * vectors delete, so maintenance ([[absorbDeletes]]) can rewrite
+    * exactly the files whose live fraction dropped, from the manifest
+    * alone. */
   final case class GvtFile(path: String, rows: Long,
-      min: Map[String, String], max: Map[String, String])
+      min: Map[String, String], max: Map[String, String],
+      dv: Seq[String] = null, dvRows: Long = 0L)
+
+  /** Normalized DV list (old log docs deserialize `dv` as null). */
+  private def dvOf(f: GvtFile): Seq[String] = Option(f.dv).getOrElse(Nil)
 
   /** `txn` is an optional idempotence token ([[appendTxn]]): null on
     * plain commits and on every pre-existing log doc (Jackson leaves
@@ -182,10 +193,50 @@ object Gvt {
       mergeSchema: Boolean = false): DataFrame = {
     val files = snapshot(dir, asOf)
     require(files.nonEmpty, s"GVT at $dir is empty at version $asOf")
+    readFiles(spark, dir, files, mergeSchema)
+  }
+
+  /** `data/cN-uuid/part-x.parquet` from `_metadata.file_path` — the same
+    * last-three-components rule as [[relPathOf]], as a Column. */
+  private def relFileCol: Column =
+    concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3))
+
+  /** Read `files` with their deletion vectors applied, keeping the row
+    * identity columns (`_gvt_file`, `_gvt_pos`) for callers that need
+    * them (probe/delete paths). Row identity is (relative file path,
+    * parquet row index via `_metadata.row_index` — stable because data
+    * files are immutable); deleted identities are anti-joined away. The
+    * DV set is bounded by deletes since the last rewrite, so AQE
+    * broadcasts it in the common case; either way the join is keyed and
+    * distributed — no driver materialization. */
+  private def readFilesWithId(spark: SparkSession, dir: String,
+      files: Seq[GvtFile], mergeSchema: Boolean = false): DataFrame = {
     val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
             else spark.read
-    r.parquet(files.map(f => s"$dir/${f.path}"): _*)
+    val base = r.parquet(files.map(f => s"$dir/${f.path}"): _*)
+      .select(col("*"), relFileCol.as("_gvt_file"),
+        col("_metadata.row_index").as("_gvt_pos"))
+    val dvDirs = files.flatMap(dvOf).distinct
+    if (dvDirs.isEmpty) base
+    else {
+      val dv = spark.read.parquet(dvDirs.map(d => s"$dir/$d"): _*)
+      base.join(dv, Seq("_gvt_file", "_gvt_pos"), "left_anti")
+    }
   }
+
+  /** DV-aware snapshot-subset read (every internal rewrite MUST come
+    * through here — reading a file without its vectors would resurrect
+    * deleted rows into the rewrite). */
+  private def readFiles(spark: SparkSession, dir: String,
+      files: Seq[GvtFile], mergeSchema: Boolean = false): DataFrame =
+    if (files.forall(f => dvOf(f).isEmpty)) {
+      // fast path: no vectors anywhere — plain vectorized scan, no
+      // metadata columns, no join in the plan
+      val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
+              else spark.read
+      r.parquet(files.map(f => s"$dir/${f.path}"): _*)
+    } else readFilesWithId(spark, dir, files, mergeSchema)
+      .drop("_gvt_file", "_gvt_pos")
 
   /** Manifest-stats file pruning for a numeric range predicate: a file
     * survives iff its [min,max] on `column` can intersect [lo,hi]
@@ -222,7 +273,7 @@ object Gvt {
       if (kept.isEmpty)
         // all files pruned: preserve schema from any file, return empty
         spark.read.parquet(s"$dir/${files.head.path}").limit(0)
-      else spark.read.parquet(kept.map(f => s"$dir/${f.path}"): _*)
+      else readFiles(spark, dir, kept)
     val filtered = ranges.foldLeft(df) { case (d, (column, lo, hi)) =>
       d.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
     }
@@ -394,12 +445,14 @@ object Gvt {
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else {
-        val probe = spark.read
-          .parquet(candidates.map(f => s"$dir/${f.path}"): _*)
-          .select(col(key), input_file_name().as("_gvt_file"))
+        // DV-aware probe: a key whose only occurrences are DV-deleted
+        // must not drag its file into the rewrite. Still column-pruned —
+        // the scan reads the key column plus constant-cost metadata.
+        val probe = readFilesWithId(spark, dir, candidates)
+          .select(col(key), col("_gvt_file"))
         probe.join(srcKeys, Seq(key), "left_semi")
           .select("_gvt_file").distinct().collect()
-          .map(r => relPathOf(r.getString(0))).toSet
+          .map(r => r.getString(0)).toSet
       }
     files.filter(f => touched.contains(f.path))
   }
@@ -414,8 +467,7 @@ object Gvt {
     val rewritten =
       if (touchedFiles.isEmpty) source
       else {
-        val touchedDf = spark.read
-          .parquet(touchedFiles.map(f => s"$dir/${f.path}"): _*)
+        val touchedDf = readFiles(spark, dir, touchedFiles)
         // restore the file schema order (using-join puts the key first)
         touchedDf.join(srcKeys, Seq(key), "left_anti")
           .select(touchedDf.columns.map(col): _*)
@@ -444,8 +496,7 @@ object Gvt {
     val srcKeys = keys.select(col(key)).distinct()
     val touchedFiles = filesContaining(spark, dir, files, srcKeys, key)
     if (touchedFiles.isEmpty) return base
-    val touchedDf = spark.read
-      .parquet(touchedFiles.map(f => s"$dir/${f.path}"): _*)
+    val touchedDf = readFiles(spark, dir, touchedFiles)
     // using-join reorders the key column first; restore the file schema
     // order so rewritten files stay column-order-stable
     val kept = touchedDf.join(srcKeys, Seq(key), "left_anti")
@@ -468,15 +519,13 @@ object Gvt {
       statsCols: Seq[String]): Int = {
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
-    val all = spark.read.parquet(files.map(f => s"$dir/${f.path}"): _*)
-    val touched: Set[String] = all
+    val touched: Set[String] = readFilesWithId(spark, dir, files)
       .filter(predicate)
-      .select(input_file_name().as("_gvt_file")).distinct()
-      .collect().map(r => relPathOf(r.getString(0))).toSet
+      .select("_gvt_file").distinct()
+      .collect().map(r => r.getString(0)).toSet
     if (touched.isEmpty) return base // no-op: nothing matched
     val touchedFiles = files.filter(f => touched.contains(f.path))
-    val kept = spark.read
-      .parquet(touchedFiles.map(f => s"$dir/${f.path}"): _*)
+    val kept = readFiles(spark, dir, touchedFiles)
       .filter(!predicate)
     val v = base + 1
     val adds =
@@ -489,16 +538,85 @@ object Gvt {
     v
   }
 
+  /** MERGE-ON-READ DELETE (deletion vectors): mark rows matching
+    * `predicate` deleted WITHOUT rewriting any data file. The matched
+    * row identities ((file, row_index) pairs) are written as a parquet
+    * sidecar under `data/dv<version>-<uuid>/`; the commit re-adds each
+    * touched file's manifest entry with the sidecar appended to its `dv`
+    * list, and every read applies the vectors by anti-join.
+    *
+    * This is the other half of the CoW/MoR pair: [[delete]] rewrites
+    * every touched file (cost ∝ rows LIVING in touched files), this
+    * writes O(rows DELETED) bytes — at 100 TB, erasing 0.1% of rows
+    * costs ~0.1% of the table in I/O instead of every touched file's
+    * full width. The debt is a per-read anti-join, bounded because
+    * every rewrite (merge / CoW delete / [[compact]] /
+    * [[absorbDeletes]]) absorbs the vectors of the files it replaces.
+    * Existing vectors are applied BEFORE matching, so a vector never
+    * double-counts a row and `dvRows` stays exact. Aborts on concurrent
+    * commit (read-modify-write, same as merge/delete). */
+  def deleteWhereDV(spark: SparkSession, dir: String, predicate: Column)
+      : Int = {
+    val base = latestVersion(dir)
+    val files = snapshot(dir, Some(base))
+    val v = base + 1
+    val matches = readFilesWithId(spark, dir, files)
+      .filter(predicate)
+      .select(col("_gvt_file"), col("_gvt_pos"))
+    val sub = f"data/dv$v%d-${UUID.randomUUID().toString.take(8)}"
+    matches.write.parquet(s"$dir/$sub")
+    val written = spark.read.parquet(s"$dir/$sub")
+    val perFile = written.groupBy("_gvt_file")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty) return base // no-op: nothing matched
+    val touched = files.filter(f => perFile.contains(f.path))
+    val adds = touched.map(f =>
+      f.copy(dv = dvOf(f) :+ sub, dvRows = f.dvRows + perFile(f.path)))
+    if (!tryPublish(dir,
+        GvtCommit(v, "dv_delete", adds, touched.map(_.path))))
+      throw new java.util.ConcurrentModificationException(
+        s"GVT $dir: version $v committed concurrently; DV read set stale")
+    v
+  }
+
+  /** MoR maintenance: rewrite every file whose deleted fraction is at
+    * least `minDeletedFraction`, dropping its vectors (the rewrite reads
+    * through [[readFiles]], so only live rows survive). Selection is
+    * manifest-only (`dvRows / rows`) — no data read decides the plan.
+    * Bounds the read-time anti-join debt the way compaction bounds the
+    * small-file count. No-op (returns the current version) when nothing
+    * qualifies. */
+  def absorbDeletes(spark: SparkSession, dir: String,
+      minDeletedFraction: Double, statsCols: Seq[String]): Int = {
+    val base = latestVersion(dir)
+    val files = snapshot(dir, Some(base))
+    val doomed = files.filter(f =>
+      dvOf(f).nonEmpty && f.dvRows >= f.rows * minDeletedFraction)
+    if (doomed.isEmpty) return base
+    val live = readFiles(spark, dir, doomed)
+    val v = base + 1
+    val adds =
+      if (live.isEmpty) Nil else writeData(spark, dir, live, statsCols, v)
+    if (!tryPublish(dir,
+        GvtCommit(v, "absorb", adds, doomed.map(_.path))))
+      throw new java.util.ConcurrentModificationException(
+        s"GVT $dir: version $v committed concurrently; absorb read set stale")
+    v
+  }
+
   /** Bin-pack all files with < `smallRows` rows into `targetFiles`
     * output files, removed + added in one atomic commit. Readers never
-    * observe a half-compacted table. */
+    * observe a half-compacted state. */
   def compact(spark: SparkSession, dir: String, smallRows: Long,
       targetFiles: Int, statsCols: Seq[String]): Int = {
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     val small = files.filter(_.rows < smallRows)
     if (small.size <= targetFiles) return base // nothing to gain
-    val smallDf = spark.read.parquet(small.map(f => s"$dir/${f.path}"): _*)
+    // DV-aware: compaction ABSORBS deletion vectors — the rewritten
+    // files carry no dv entries, so the vectors die with the removes
+    val smallDf = readFiles(spark, dir, small)
     // explicit file-count control, range-clustered when stats exist so
     // compaction REPAIRS zone-map locality rather than destroying it
     val packed =
@@ -545,8 +663,12 @@ object Gvt {
       catch { case _: FileAlreadyExistsException => () }
       Files.delete(ctmp)
     }
-    val referenced = (retainFrom to head)
-      .flatMap(v => snapshot(dir, Some(v)).map(_.path)).toSet
+    val retainedSnapshots = (retainFrom to head).map(v => snapshot(dir, Some(v)))
+    val referenced = retainedSnapshots.flatten.map(_.path).toSet
+    // DV sidecar dirs referenced by any retained snapshot: their parquet
+    // files must survive the walk below (deleting a live vector would
+    // RESURRECT rows — worse than leaking bytes)
+    val referencedDvDirs = retainedSnapshots.flatten.flatMap(dvOf).toSet
     // (2) floor marker BEFORE deleting anything
     val mtmp = Files.createTempFile(ld, ".tmp-", ".vac")
     Files.write(mtmp, s"""{"floor":$retainFrom}""".getBytes("UTF-8"))
@@ -560,11 +682,13 @@ object Gvt {
     if (Files.isDirectory(dataDir)) {
       val subs = Files.list(dataDir)
       try subs.iterator().asScala().filter(Files.isDirectory(_)).foreach { sub =>
+        val subRel = s"data/${sub.getFileName}"
+        val liveDvDir = referencedDvDirs.contains(subRel)
         val fs = Files.list(sub)
         try fs.iterator().asScala().foreach { f =>
-          val rel = s"data/${sub.getFileName}/${f.getFileName}"
+          val rel = s"$subRel/${f.getFileName}"
           val isData = f.getFileName.toString.endsWith(".parquet")
-          if (isData && !referenced.contains(rel)) {
+          if (isData && !liveDvDir && !referenced.contains(rel)) {
             Files.delete(f); dataDeleted += 1
           } else if (!isData) Files.delete(f) // _SUCCESS etc.
         } finally fs.close()
@@ -602,15 +726,20 @@ object Gvt {
     require(fromV <= toV, s"diff range reversed: $fromV > $toV")
     val a = snapshot(dir, Some(fromV))
     val b = snapshot(dir, Some(toV))
-    val aPaths = a.map(_.path).toSet
-    val bPaths = b.map(_.path).toSet
-    val removed = a.filterNot(f => bPaths.contains(f.path))
-    val added = b.filterNot(f => aPaths.contains(f.path))
+    // file identity includes its deletion vectors: a DV delete leaves
+    // the data file path unchanged but shrinks its LIVE rows, so the
+    // entry must count as churned (old-DV read minus new-DV read = the
+    // newly deleted rows — merge-on-read deletes flow through CDC)
+    def ident(f: GvtFile) = (f.path, dvOf(f))
+    val aIds = a.map(ident).toSet
+    val bIds = b.map(ident).toSet
+    val removed = a.filterNot(f => bIds.contains(ident(f)))
+    val added = b.filterNot(f => aIds.contains(ident(f)))
     val schemaDonor = (b ++ a).head // require above + snapshot() ⇒ nonEmpty
     def readOrEmpty(files: Seq[GvtFile]): DataFrame =
       if (files.isEmpty)
         spark.read.parquet(s"$dir/${schemaDonor.path}").limit(0)
-      else spark.read.parquet(files.map(f => s"$dir/${f.path}"): _*)
+      else readFiles(spark, dir, files)
     val oldRows = readOrEmpty(removed)
     // align column order by name: rewrites (merge/deleteKeys joins) can
     // produce files whose physical column order differs from older ones,

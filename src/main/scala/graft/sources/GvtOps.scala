@@ -291,6 +291,50 @@ object GvtOps {
       Gvt.deleteKeys(spark, tmp, losers, "doc_id", stats)
     }
 
+  /** MERGE-ON-READ DELETES: customer committed once, then two
+    * deletion-vector passes (negative balances, then the BUILDING
+    * segment among the survivors) — NO data file is rewritten; the
+    * vectors are parquet sidecars and every read applies them by
+    * anti-join on (file, row_index). GvtSpec asserts the data files are
+    * byte-identical across both deletes (the MoR contract: delete cost
+    * ∝ rows deleted, not rows living) and that CDC sees DV deletes. The
+    * oracle restates the final state as one predicate — hash equality
+    * proves vector semantics ≡ row deletion. */
+  private def dvGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_dv", dir) { tmp =>
+      val c = graft.Tables(spark, dir, "customer")
+      Gvt.append(spark, tmp, c, Seq("c_custkey"))
+      Gvt.deleteWhereDV(spark, tmp, col("c_acctbal") < 0)
+      Gvt.deleteWhereDV(spark, tmp, col("c_mktsegment") === "BUILDING")
+    }
+
+  def gvtDvDelete(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, dvGvt(spark, dir))
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** DV ABSORPTION: the same two-vector history, then
+    * [[Gvt.absorbDeletes]] rewrites every file carrying vectors (live
+    * rows only) and drops the vectors — the maintenance op that bounds
+    * the MoR read-time anti-join debt. Same oracle as the DV key: hash
+    * equality proves absorb preserves state exactly while GvtSpec
+    * asserts the vectors are gone from the manifest and the read plan
+    * is join-free again. */
+  private def absorbGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_absorb", dir) { tmp =>
+      val c = graft.Tables(spark, dir, "customer")
+      Gvt.append(spark, tmp, c, Seq("c_custkey"))
+      Gvt.deleteWhereDV(spark, tmp, col("c_acctbal") < 0)
+      Gvt.deleteWhereDV(spark, tmp, col("c_mktsegment") === "BUILDING")
+      Gvt.absorbDeletes(spark, tmp, minDeletedFraction = 0.0,
+        statsCols = Seq("c_custkey"))
+    }
+
+  def gvtAbsorb(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, absorbGvt(spark, dir))
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+
   def gvtCorpus(spark: SparkSession, dir: String): DataFrame =
     Gvt.read(spark, corpusGvt(spark, dir))
       .groupBy("lang")
@@ -351,6 +395,8 @@ object GvtOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_gvt_dv_delete" -> gvtDvDelete,
+    "sink_gvt_absorb" -> gvtAbsorb,
     "etl_gvt_corpus" -> gvtCorpus,
     "stream_gvt_sink" -> gvtStreamSink,
     "sink_gvt_vacuum" -> gvtVacuum,
@@ -366,6 +412,15 @@ object GvtOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_gvt_dv_delete" ->
+      ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
+        "WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING') " +
+        "ORDER BY c_custkey"),
+    // same final state as the DV key: absorb must be a pure rewrite
+    "sink_gvt_absorb" ->
+      ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
+        "WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING') " +
+        "ORDER BY c_custkey"),
     "etl_gvt_corpus" ->
       ("WITH kept AS (SELECT *, row_number() OVER (" +
         "PARTITION BY text ORDER BY doc_id) AS rn FROM documents " +

@@ -306,6 +306,107 @@ class GvtSpec extends GraftSuite {
       s"2-D prune ($kept2d) should beat px-only prune ($kept1d)")
   }
 
+  test("DV delete: no data file rewritten, reads apply vectors, " +
+      "dvRows exact across stacked vectors") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10).repartition(1), Seq("k"))
+    Gvt.append(spark, dir, slab(100, 110).repartition(1), Seq("k"))
+    val before = Gvt.snapshot(dir)
+    Gvt.deleteWhereDV(spark, dir, col("k") % 2 === 0)
+    val mid = Gvt.snapshot(dir)
+    // the MoR contract: every data file path survives BY REFERENCE
+    assert(mid.map(_.path).toSet == before.map(_.path).toSet,
+      "DV delete rewrote a data file")
+    assert(mid.forall(f => f.dvRows == 5 && Option(f.dv).exists(_.size == 1)),
+      s"expected 1 vector x 5 rows per file, got $mid")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      ((0L until 10L) ++ (100L until 110L)).filter(_ % 2 == 1)
+        .map(k => (k, k * 10)))
+    // second vector stacks; already-deleted rows are NOT re-marked
+    // (k%2==0 rows also satisfy k<4 but are dead already: only 1,3 match)
+    Gvt.deleteWhereDV(spark, dir, col("k") < 4)
+    val after = Gvt.snapshot(dir)
+    assert(after.map(_.path).toSet == before.map(_.path).toSet)
+    val first = after.find(_.dvRows == 7).getOrElse(
+      fail(s"expected the low slab at dvRows 5+2, got $after"))
+    assert(Option(first.dv).exists(_.size == 2), "second vector not stacked")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      ((0L until 10L) ++ (100L until 110L))
+        .filter(k => k % 2 == 1 && k >= 4).map(k => (k, k * 10)))
+    // time travel applies the vectors OF THAT VERSION only
+    assert(sortedRows(Gvt.read(spark, dir, asOf = Some(1))) ==
+      ((0L until 10L) ++ (100L until 110L)).map(k => (k, k * 10)))
+    // matching nothing is a no-op commit-wise
+    val v = Gvt.latestVersion(dir)
+    assert(Gvt.deleteWhereDV(spark, dir, col("k") === -1L) == v)
+  }
+
+  test("DV x CoW: rewrites absorb vectors and never resurrect rows") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10).repartition(1), Seq("k"))
+    Gvt.deleteWhereDV(spark, dir, col("k") === 3L)
+    // merge updates k=5; the rewrite must apply the vector (3 stays dead)
+    val src = spark.range(5, 6).toDF("k").withColumn("v", lit(-1L))
+    Gvt.merge(spark, dir, src, "k", Seq("k"))
+    assert(Gvt.snapshot(dir).forall(f => Option(f.dv).forall(_.isEmpty)),
+      "merge rewrite did not absorb the vector")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 10L).filter(_ != 3L).map(k => (k, if (k == 5) -1L else k * 10)))
+    // probe precision: deleting the only live copy of a key, then
+    // deleteKeys on that key, must be a manifest-level no-op
+    Gvt.deleteWhereDV(spark, dir, col("k") === 7L)
+    val v = Gvt.latestVersion(dir)
+    val probeKeys = spark.range(7, 8).toDF("k")
+    assert(Gvt.deleteKeys(spark, dir, probeKeys, "k", Seq("k")) == v,
+      "DV-dead key dragged its file into a CoW rewrite")
+    // compaction also absorbs
+    Gvt.append(spark, dir, slab(100, 101).repartition(1), Seq("k"))
+    Gvt.compact(spark, dir, Long.MaxValue, 1, Seq("k"))
+    assert(Gvt.snapshot(dir).forall(f => Option(f.dv).forall(_.isEmpty)))
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      ((0L until 10L) ++ Seq(100L)).filter(k => k != 3L && k != 7L)
+        .map(k => (k, if (k == 5) -1L else k * 10)))
+  }
+
+  test("absorbDeletes: manifest-driven rewrite drops vectors, " +
+      "threshold spares lightly-deleted files") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 100).repartition(1), Seq("k"))
+    Gvt.append(spark, dir, slab(100, 200).repartition(1), Seq("k"))
+    // 50% dead in slab 1, 1% dead in slab 2
+    Gvt.deleteWhereDV(spark, dir, col("k") < 50 || col("k") === 199L)
+    val v = Gvt.latestVersion(dir)
+    assert(Gvt.absorbDeletes(spark, dir, 0.9, Seq("k")) == v,
+      "absorb at 0.9 should be a no-op (max deleted fraction is 0.5)")
+    val v2 = Gvt.absorbDeletes(spark, dir, 0.25, Seq("k"))
+    assert(v2 == v + 1)
+    val snap = Gvt.snapshot(dir)
+    // the heavy file was rewritten vector-free; the light one kept its DV
+    assert(snap.exists(f => Option(f.dv).exists(_.nonEmpty) && f.dvRows == 1),
+      s"lightly-deleted file should keep its vector: $snap")
+    assert(snap.exists(f => Option(f.dv).forall(_.isEmpty)),
+      s"heavily-deleted file should be vector-free: $snap")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (50L until 199L).map(k => (k, k * 10)))
+  }
+
+  test("DV x CDC: diff surfaces vector deletes; vacuum keeps live vectors") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.deleteWhereDV(spark, dir, col("k") < 3)
+    // CDC: the DV commit churns the file entry — 3 deletes, 0 inserts
+    val feed = Gvt.diff(spark, dir, 0, 1)
+      .select("change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(feed.toSeq ==
+      Seq(("delete", 0L), ("delete", 1L), ("delete", 2L)), feed.toSeq)
+    // vacuum at the DV version must keep BOTH the data files and the
+    // vector sidecar — deleting a live vector would resurrect rows
+    Gvt.vacuum(spark, dir, Gvt.latestVersion(dir))
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (3L until 10L).map(k => (k, k * 10)))
+  }
+
   test("registry keys return rows at sf0.001") {
     GvtOps.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")

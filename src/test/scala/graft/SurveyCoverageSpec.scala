@@ -163,7 +163,11 @@ class SurveyCoverageSpec extends GraftSuite {
     "etl_gvt_corpus",
     // round-8: materialized-view auto-rewrite — aggregate queries
     // transparently rerouted to a summary table, incl. rollups
-    "plan_mv_rewrite")
+    "plan_mv_rewrite",
+    // round-8: merge-on-read deletion vectors — row deletes without
+    // file rewrites (sidecar + anti-join), and the absorb maintenance
+    // op that rewrites heavily-deleted files and drops their vectors
+    "etl_gvt_dv_delete", "sink_gvt_absorb")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
