@@ -128,6 +128,56 @@ object DevGvtScale {
     println(s"[gvt-scale] deleteKeys rewrote " +
       s"${(before3 -- after3).size}/${before3.size} files " +
       "(uniform key spread = worst case, same as uniform merge)")
+
+    // ---- claim 5: CoW vs MoR (deletion vectors) on the same delete ----
+    // Two byte-identical replicas of the current table; delete every
+    // 500th doc (uniform spread = every file touched — CoW's worst
+    // case) once as a copy-on-write rewrite, once as a deletion vector.
+    // Compare wall time, bytes written by the commit, and the read tax.
+    def copyTable(src: String): String = {
+      val dst = Staging.tempDir("gvt_dv_cmp")
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(src))
+      try s.iterator().forEachRemaining { p =>
+        val rel = java.nio.file.Paths.get(src).relativize(p)
+        val t = java.nio.file.Paths.get(dst).resolve(rel)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      } finally s.close()
+      dst
+    }
+    def dataBytes(t: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(t, "data"))
+      try {
+        var b = 0L
+        s.iterator().forEachRemaining(p =>
+          if (java.nio.file.Files.isRegularFile(p))
+            b += java.nio.file.Files.size(p))
+        b
+      } finally s.close()
+    }
+    val cowT = copyTable(table)
+    val dvT = copyTable(table)
+    val pred = col("doc_id") % 500 === 1
+    val cowBefore = dataBytes(cowT)
+    timed("CoW delete (every 500th doc, uniform)") {
+      Gvt.delete(spark, cowT, pred, Seq("doc_id"))
+    }
+    println(f"[gvt-scale] CoW delete wrote ${(dataBytes(cowT) - cowBefore) / 1e6}%.1f MB")
+    val dvBefore = dataBytes(dvT)
+    timed("DV delete (same predicate, merge-on-read)") {
+      Gvt.deleteWhereDV(spark, dvT, pred)
+    }
+    println(f"[gvt-scale] DV delete wrote ${(dataBytes(dvT) - dvBefore) / 1e3}%.1f KB sidecar")
+    timed("read tax: full agg over the CoW table") {
+      Gvt.read(spark, cowT).agg(count(lit(1)), sum(length(col("text")))).head
+    }
+    timed("read tax: full agg over the DV table (anti-join applied)") {
+      Gvt.read(spark, dvT).agg(count(lit(1)), sum(length(col("text")))).head
+    }
+    timed("absorbDeletes on the DV table (threshold 0 = rewrite all)") {
+      Gvt.absorbDeletes(spark, dvT, 0.0, Seq("doc_id"))
+    }
     spark.stop()
   }
 }
