@@ -632,6 +632,31 @@ object Gvt {
     v
   }
 
+  /** RESTORE: roll the table back to the state of `toVersion` as a NEW
+    * commit — pure metadata (one log doc re-adding the old snapshot's
+    * file entries and removing the current ones), so rollback is O(file
+    * count) and instant at any table size; no data file is read,
+    * written, or deleted. History is preserved: the bad commits stay
+    * time-travelable above the restore point (audit trail), and the
+    * change feed across the restore shows exactly the rows it undid.
+    * Requires `toVersion` at or above the vacuum floor — a vacuumed
+    * state is gone by design and the snapshot resolution fails loudly.
+    * Aborts on concurrent commit. Returns the restore commit's version
+    * (current head if already at that state — no-op). */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val head = latestVersion(dir)
+    require(toVersion <= head, s"restore target $toVersion beyond head $head")
+    val target = snapshot(dir, Some(toVersion))
+    val current = snapshot(dir, Some(head))
+    if (target == current) return head // already there
+    val v = head + 1
+    if (!tryPublish(dir,
+        GvtCommit(v, "restore", target, current.map(_.path))))
+      throw new java.util.ConcurrentModificationException(
+        s"GVT $dir: version $v committed concurrently; restore read set stale")
+    v
+  }
+
   /** VACUUM: physically delete data files referenced by NO snapshot at
     * or after `retainFrom`, drop the commit/checkpoint docs below it,
     * and record the new retention floor. Order is crash-safe: (1) a

@@ -291,6 +291,32 @@ object GvtOps {
       Gvt.deleteKeys(spark, tmp, losers, "doc_id", stats)
     }
 
+  /** RESTORE (instant rollback): the orders history (3 appends + a
+    * delete) rolled back to version 1 by ONE metadata commit — no data
+    * I/O at any table size, history preserved above the restore point
+    * (GvtSpec asserts zero new data files, post-restore time travel to
+    * the undone head, and that the change feed across the restore lists
+    * exactly the undone rows). Shares scan_time_travel's oracle: the
+    * restored state must hash-equal the v1 snapshot. */
+  private def restoreGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_restore", dir) { tmp =>
+      val orders = graft.Tables(spark, dir, "orders")
+      val stats = Seq("o_orderkey")
+      Gvt.append(spark, tmp, orders.filter(col("o_orderkey") % 3 === 1), stats)
+      Gvt.append(spark, tmp, orders.filter(col("o_orderkey") % 3 === 2), stats)
+      Gvt.append(spark, tmp, orders.filter(col("o_orderkey") % 3 === 0), stats)
+      Gvt.delete(spark, tmp,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0, stats)
+      Gvt.restore(spark, tmp, toVersion = 1)
+    }
+
+  def gvtRestore(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, restoreGvt(spark, dir))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+
   /** MERGE-ON-READ DELETES: customer committed once, then two
     * deletion-vector passes (negative balances, then the BUILDING
     * segment among the survivors) — NO data file is rewritten; the
@@ -397,6 +423,7 @@ object GvtOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_gvt_dv_delete" -> gvtDvDelete,
     "sink_gvt_absorb" -> gvtAbsorb,
+    "etl_gvt_restore" -> gvtRestore,
     "etl_gvt_corpus" -> gvtCorpus,
     "stream_gvt_sink" -> gvtStreamSink,
     "sink_gvt_vacuum" -> gvtVacuum,
@@ -416,6 +443,12 @@ object GvtOps {
       ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
         "WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING') " +
         "ORDER BY c_custkey"),
+    // restore-to-v1 ≡ time travel to v1: the same state via a commit
+    "etl_gvt_restore" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE o_orderkey % 3 <> 0 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // same final state as the DV key: absorb must be a pure rewrite
     "sink_gvt_absorb" ->
       ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +

@@ -373,7 +373,28 @@ object EventOps {
       .orderBy("batch_ms")
   }
 
+  /** STREAM-STATIC enrichment join, batch-emulated: events joined to
+    * the static customer dimension on user_id, rolled up by (segment,
+    * event_type). The true streaming form is
+    * [[StreamingDemos.enrichBySegment]] — a per-micro-batch broadcast
+    * hash probe with NO state and NO watermark on either side
+    * (StreamingSpec runs it over MemoryStream and matches this batch
+    * result). Scale shape: the dimension broadcasts, the event
+    * firehose never shuffles for the join — only the tiny rollup
+    * exchanges. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val dim = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    StreamingDemos.enrichBySegment(e, dim)
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+      .orderBy("segment", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_static_join" -> streamStaticJoin,
     "stream_custom_source" -> customSource,
     "stream_rate_source" -> rateSource,
     "stream_multi_batch_state" -> multiBatchState,
@@ -391,6 +412,13 @@ object EventOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_static_join" ->
+      ("SELECT c_mktsegment AS segment, event_type, " +
+        "count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +
+        "AS sum_cents " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "stream_custom_source" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) " +

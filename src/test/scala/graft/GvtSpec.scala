@@ -407,6 +407,39 @@ class GvtSpec extends GraftSuite {
       (3L until 10L).map(k => (k, k * 10)))
   }
 
+  test("restore: metadata-only rollback, history preserved, CDC sees it") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.append(spark, dir, slab(10, 20), Seq("k"))
+    Gvt.delete(spark, dir, col("k") < 5, Seq("k")) // the "bad" commit
+    def parquetCount(): Long = {
+      val s = Files.walk(Paths.get(dir, "data"))
+      try s.iterator().asScala
+        .count(p => p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val filesBefore = parquetCount()
+    val v = Gvt.restore(spark, dir, toVersion = 1)
+    assert(v == 3)
+    // pure metadata: not one data file written
+    assert(parquetCount() == filesBefore, "restore wrote data files")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 20L).map(k => (k, k * 10)))
+    // the undone head stays time-travelable (audit trail)
+    assert(sortedRows(Gvt.read(spark, dir, asOf = Some(2))) ==
+      (5L until 20L).map(k => (k, k * 10)))
+    // CDC across the restore = exactly the rows it brought back
+    val feed = Gvt.diff(spark, dir, 2, 3)
+      .select("change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(feed.toSeq == (0L until 5L).map(("insert", _)), feed.toSeq)
+    // restoring to the current state is a no-op commit-wise
+    assert(Gvt.restore(spark, dir, toVersion = 3) == 3)
+    // history continues past a restore
+    Gvt.append(spark, dir, slab(100, 101), Seq("k"))
+    assert(Gvt.read(spark, dir).count() == 21)
+  }
+
   test("registry keys return rows at sf0.001") {
     GvtOps.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")

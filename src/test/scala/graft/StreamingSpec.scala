@@ -161,6 +161,43 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch against the dim, " +
+      "stateless, and matches the batch-emulated key") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val q = StreamingDemos.enrichBySegment(in.toDF, dim)
+      .writeStream.format("memory").queryName("ss_static")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1),
+        ev(2, "2024-01-01 10:01:00", user = 2),
+        ev(3, "2024-01-01 10:02:00", user = 99)) // no dim row -> dropped
+      q.processAllAvailable()
+      // a SECOND batch joins statelessly — same keys enrich again (no
+      // dedup state, no watermark: pure per-batch probe)
+      in.addData(ev(4, "2024-01-01 11:00:00", user = 1))
+      q.processAllAvailable()
+      val got = spark.table("ss_static").collect()
+        .map(r => (r.getLong(0), r.getString(3))).toSet
+      assert(got == Set((1L, "BUILDING"), (2L, "MACHINERY"),
+        (4L, "BUILDING")), s"got ${got.mkString(",")}")
+    } finally q.stop()
+    // fixture parity: the registry key's rollup equals a plain SQL join
+    val key = streaming.EventOps.streamStaticJoin(spark, sf0001)
+    val direct = spark.sql(
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |count(*) AS n_events,
+        |sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS sum_cents
+        |FROM parquet.`""".stripMargin.replaceAll("\n", " ") + sf0001 +
+        """/events.parquet` e JOIN parquet.`""" + sf0001 +
+        """/customer.parquet` c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "))
+    assert(key.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("batch session_window agrees with gaps-and-islands sessionization") {
     val a = streaming.EventOps.session(spark, sf0001)
     val b = streaming.EventOps.sessionizeSql(spark, sf0001)

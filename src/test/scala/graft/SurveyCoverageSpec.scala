@@ -167,7 +167,13 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-8: merge-on-read deletion vectors — row deletes without
     // file rewrites (sidecar + anti-join), and the absorb maintenance
     // op that rewrites heavily-deleted files and drops their vectors
-    "etl_gvt_dv_delete", "sink_gvt_absorb")
+    "etl_gvt_dv_delete", "sink_gvt_absorb",
+    // round-8: RESTORE — instant metadata-only rollback to a version,
+    // history preserved above the restore point
+    "etl_gvt_restore",
+    // round-8: stream-static enrichment join — per-micro-batch
+    // broadcast probe of a dimension, stateless on both sides
+    "stream_static_join")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
