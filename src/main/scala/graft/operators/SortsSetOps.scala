@@ -63,6 +63,26 @@ object SortsSetOps {
     y96.except(y97).orderBy("o_custkey")
   }
 
+  /** BAG-semantics set ops: `intersectAll`/`exceptAll` preserve
+    * duplicate multiplicity (a customer with 3 orders in '96 and 2 in
+    * '97 intersects twice) — Spark plans both as a count-compare
+    * aggregate + generate, one shuffle on the full row, no join. The
+    * multiplicity IS the signal for workloads like "per-key overlap
+    * volume", which the DISTINCT forms destroy. */
+  def intersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+    y96.intersectAll(y97).orderBy("o_custkey")
+  }
+
+  def exceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+    y96.exceptAll(y97).orderBy("o_custkey")
+  }
+
   def distinctRows(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .select("l_returnflag", "l_linestatus")
@@ -93,6 +113,8 @@ object SortsSetOps {
     "setop_union" -> union,
     "setop_intersect" -> intersect,
     "setop_except" -> except,
+    "setop_intersect_all" -> intersectAll,
+    "setop_except_all" -> exceptAll,
     "distinct_rows" -> distinctRows
   )
 
@@ -120,6 +142,16 @@ object SortsSetOps {
     "setop_intersect" ->
       ("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 " +
         "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997 " +
+        "ORDER BY o_custkey"),
+    "setop_intersect_all" ->
+      ("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 " +
+        "INTERSECT ALL " +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997 " +
+        "ORDER BY o_custkey"),
+    "setop_except_all" ->
+      ("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 " +
+        "EXCEPT ALL " +
         "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997 " +
         "ORDER BY o_custkey"),
     "setop_except" ->

@@ -173,7 +173,9 @@ class SurveyCoverageSpec extends GraftSuite {
     "etl_gvt_restore",
     // round-8: stream-static enrichment join — per-micro-batch
     // broadcast probe of a dimension, stateless on both sides
-    "stream_static_join")
+    "stream_static_join",
+    // round-8: bag-semantics set ops (multiplicity-preserving)
+    "setop_intersect_all", "setop_except_all")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
