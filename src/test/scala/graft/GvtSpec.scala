@@ -139,6 +139,14 @@ class GvtSpec extends GraftSuite {
     val racing = udf { k: Long => GvtSpec.squatNow(); k == 0L }
     intercept[java.util.ConcurrentModificationException](
       Gvt.delete(spark, dir, racing(col("k")), Seq("k")))
+    // DV delete is read-modify-write too (its manifest rewrite carries
+    // the dv list of a snapshot that just went stale) — same abort
+    GvtSpec.squatDir = dir
+    GvtSpec.squatVersion = Gvt.latestVersion(dir) + 1
+    GvtSpec.squatted.set(false)
+    val racing2 = udf { k: Long => GvtSpec.squatNow(); k == 1L }
+    intercept[java.util.ConcurrentModificationException](
+      Gvt.deleteWhereDV(spark, dir, racing2(col("k"))))
   }
 
   test("stress: 8 concurrent appenders, every commit serialized, no loss") {
