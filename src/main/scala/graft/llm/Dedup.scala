@@ -201,12 +201,20 @@ object Dedup {
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
       tau: Double): DataFrame = {
-    val sa = sets.as("sa")
-    val sb = sets.as("sb")
+    graft.functions.SortedIntersectCount.register(cand.sparkSession)
+    // sort ONCE per document (doc-count-sized, map-side); every
+    // candidate pair then verifies with the codegen'd two-pointer
+    // kernel — no per-pair hash set, no materialized intersection
+    // array. Counts (and therefore jaccard and the oracle) are
+    // unchanged: the inputs are distinct, so shared-distinct-count ≡
+    // size(array_intersect).
+    val sorted = sets.select(col("doc_id"), array_sort(col("shs")).as("shs"))
+    val sa = sorted.as("sa")
+    val sb = sorted.as("sb")
     cand
       .join(broadcast(sa), col("id_a") === col("sa.doc_id"))
       .join(broadcast(sb), col("id_b") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.shs"), col("sb.shs"))))
+      .withColumn("inter", expr("sorted_intersect_count(sa.shs, sb.shs)"))
       .withColumn("jaccard",
         col("inter").cast("double")
           / (size(col("sa.shs")) + size(col("sb.shs")) - col("inter")).cast("double"))

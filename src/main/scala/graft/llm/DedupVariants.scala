@@ -89,12 +89,17 @@ object DedupVariants {
     // OUTSIDE broadcast(): with identical broadcast children the second
     // BroadcastExchange canonicalizes equal to the first and is reused —
     // one build instead of two.
-    val sa = sets.as("sa")
-    val sb = sets.as("sb")
+    graft.functions.SortedIntersectCount.register(spark)
+    // sorted once per document, verified per candidate with the
+    // codegen'd two-pointer kernel (see Dedup.verifyJaccard — same
+    // count, same jaccard, same oracle; no per-pair hash set)
+    val sorted = sets.select(col("doc_id"), array_sort(col("shs")).as("shs"))
+    val sa = sorted.as("sa")
+    val sb = sorted.as("sb")
     cand
       .join(broadcast(sa), col("id_a") === col("sa.doc_id"))
       .join(broadcast(sb), col("id_b") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.shs"), col("sb.shs"))))
+      .withColumn("inter", expr("sorted_intersect_count(sa.shs, sb.shs)"))
       .withColumn("jaccard",
         col("inter").cast("double")
           / (size(col("sa.shs")) + size(col("sb.shs")) - col("inter")).cast("double"))

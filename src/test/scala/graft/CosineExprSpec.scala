@@ -41,4 +41,28 @@ class CosineExprSpec extends GraftSuite {
       .filter(abs(col("s") - 1.0) > 1e-12).count()
     assert(bad == 0)
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on random " +
+      "sorted-distinct arrays incl. empty/disjoint/equal edges") {
+    import spark.implicits._
+    graft.functions.SortedIntersectCount.register(spark)
+    val rnd = new scala.util.Random(42)
+    def arr(): Seq[Long] =
+      Seq.fill(rnd.nextInt(80))(rnd.nextInt(120).toLong).distinct.sorted
+    val rows = Seq.fill(500)((arr(), arr())) ++ Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)))
+    // repartition blocks ConvertToLocalRelation from folding the whole
+    // projection at plan time — the expression must EXECUTE, in codegen
+    val df = rows.toDF("a", "b").repartition(2)
+      .select(expr("sorted_intersect_count(a, b)").as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+    assert(df.queryExecution.executedPlan.toString
+      .toLowerCase.contains("sortedintersectcount"))
+  }
+
 }
