@@ -415,6 +415,18 @@ class GvtSpec extends GraftSuite {
       (3L until 10L).map(k => (k, k * 10)))
   }
 
+  test("DV x pruning: manifest-pruned reads still apply the vectors") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10).repartition(1), Seq("k"))
+    Gvt.append(spark, dir, slab(100, 110).repartition(1), Seq("k"))
+    Gvt.deleteWhereDV(spark, dir, col("k") === 102L)
+    val (df, kept, total) = Gvt.readPruned(spark, dir, "k", 100.0, 110.0)
+    assert(kept == 1 && total == 2, s"prune kept $kept/$total")
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (100L until 110L).filterNot(_ == 102L),
+      "pruned read resurrected a vector-deleted row")
+  }
+
   test("restore: metadata-only rollback, history preserved, CDC sees it") {
     val dir = freshDir()
     Gvt.append(spark, dir, slab(0, 10), Seq("k"))
