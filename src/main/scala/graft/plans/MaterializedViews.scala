@@ -3,9 +3,9 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -20,10 +20,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * mention the view; un-matchable queries are untouched.
   *
   * Matching is deliberately conservative (decline = correct):
-  *  - the child must be a bare scan (optionally column-pruned) of the
-  *    registered fact path — any filter/join in between declines, since
-  *    a predicate not absorbed into the view's grouping cannot be
-  *    answered from it;
+  *  - the child must be a scan (optionally column-pruned) of the
+  *    registered fact path, optionally under ONE deterministic filter
+  *    whose every column is a view GROUPING column — such a predicate
+  *    commutes with the rollup (it decides per group, so filtering fact
+  *    rows ≡ filtering view rows) and is re-applied onto the view scan,
+  *    where it prunes the summary exactly as it would the fact. A
+  *    predicate touching a measure column, a subquery, or anything
+  *    non-deterministic declines — it cannot be answered from group
+  *    granularity;
   *  - grouping must be a subset of the view's grouping COLUMNS;
   *  - every aggregate must be Sum/Min/Max over a registered measure
   *    column or Count(*) / Count(non-null measure col), DISTINCT and
@@ -81,6 +86,21 @@ object MaterializedViews {
     case _ => None
   }
 
+  /** The aggregate child as (fact suffix, group-column-only filter):
+    * accepts a scan, or ONE Filter over/under the pruning Project whose
+    * validity (columns ⊆ view grouping) tryRewrite checks against the
+    * matched view. Two stacked Filters decline (optimizer normally
+    * collapses conjuncts into one). */
+  private def factWithFilter(plan: LogicalPlan)
+      : Option[(String, Option[Expression])] = plan match {
+    case Filter(cond, inner) =>
+      factSuffixOf(inner).map(sfx => (sfx, Some(cond)))
+    case Project(projectList, Filter(cond, inner))
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      factSuffixOf(inner).map(sfx => (sfx, Some(cond)))
+    case other => factSuffixOf(other).map(sfx => (sfx, None))
+  }
+
   implicit private class JIt[A](private val it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()
@@ -92,13 +112,16 @@ object MaterializedViews {
       if (registry.isEmpty) plan
       else plan.transform {
         case agg @ Aggregate(_, _, child, _) =>
-          factSuffixOf(child)
-            .flatMap(sfx => Option(registry.get(sfx)))
-            .flatMap(mv => tryRewrite(agg, mv))
+          factWithFilter(child)
+            .flatMap { case (sfx, cond) =>
+              Option(registry.get(sfx)).flatMap(mv =>
+                tryRewrite(agg, mv, cond))
+            }
             .getOrElse(agg)
       }
 
-    private def tryRewrite(agg: Aggregate, mv: MvDef): Option[Aggregate] = {
+    private def tryRewrite(agg: Aggregate, mv: MvDef,
+        filterCond: Option[Expression]): Option[LogicalPlan] = {
       val mvOut: Map[String, Attribute] =
         mv.view.output.map(a => a.name -> a).toMap
       // grouping: plain columns, each a subset of the view's grouping
@@ -150,8 +173,27 @@ object MaterializedViews {
           Alias(swapped, al.name)(al.exprId)
         case _ => return None
       }
+      // the filter (if any): deterministic, subquery-free, every column
+      // a view GROUPING column — then it commutes with the rollup and
+      // re-applies onto the view scan with attributes remapped by name
+      val viewChild: LogicalPlan = filterCond match {
+        case None => mv.view
+        case Some(cond) =>
+          if (!cond.deterministic) return None
+          if (cond.exists(_.isInstanceOf[SubqueryExpression])) return None
+          var mappable = true
+          val remapped = cond.transform {
+            case a: AttributeReference =>
+              mv.groupCols.find(_ == a.name).flatMap(mvOut.get) match {
+                case Some(viewAttr) => viewAttr
+                case None => mappable = false; a
+              }
+          }
+          if (!mappable) return None
+          Filter(remapped, mv.view)
+      }
       val newGrouping: Seq[Expression] = groupNames.map(mvOut(_))
-      Some(Aggregate(newGrouping, rewritten, mv.view, None))
+      Some(Aggregate(newGrouping, rewritten, viewChild, None))
     }
   }
 
@@ -207,14 +249,37 @@ object MaterializedViews {
       .orderBy("o_orderstatus")
   }
 
+  /** The FILTERED dashboard shape: WHERE on a grouping column, GROUP BY
+    * a coarser subset. The predicate commutes with the rollup, so the
+    * rule reroutes this too — re-applying the filter onto the (much
+    * smaller) view scan. MvRewriteSpec asserts the routed plan and the
+    * measure-column decline guard. */
+  def mvRewriteFiltered(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tmp = ensureRegistered(spark, dir)
+    spark.read.parquet(s"$tmp/fact")
+      .filter(col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   def queries: Map[String, (SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
-    "plan_mv_rewrite" -> mvRewriteQuery)
+    "plan_mv_rewrite" -> mvRewriteQuery,
+    "plan_mv_rewrite_filtered" -> mvRewriteFiltered)
 
   def oracle: Map[String, String] = Map(
     "plan_mv_rewrite" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price, " +
         "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price " +
-        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "plan_mv_rewrite_filtered" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"))
 }

@@ -78,6 +78,30 @@ class MvRewriteSpec extends GraftSuite {
       .agg(count(lit(1)).as("n"))))
   }
 
+  test("a grouping-column filter routes: predicate re-applied on the view") {
+    val q = MaterializedViews.mvRewriteFiltered(spark, sf0001)
+    val paths = scanPaths(q)
+    assert(paths.exists(_.endsWith("/view")), s"expected view scan: $paths")
+    assert(!paths.exists(_.endsWith("/fact")), s"fact still scanned: $paths")
+    // answer equality vs the rule-free control
+    val routed = q.collect().toSeq
+    val ex = spark.experimental
+    val prev = ex.extraOptimizations
+    ex.extraOptimizations = prev.filterNot(_ == MaterializedViews.Rewrite)
+    try {
+      val direct = MaterializedViews.mvRewriteFiltered(spark, sf0001)
+      assert(scanPaths(direct).exists(_.endsWith("/fact")))
+      assert(direct.collect().toSeq == routed)
+    } finally ex.extraOptimizations = prev
+  }
+
+  test("a measure-column filter declines: group granularity can't answer it") {
+    val q = fact.filter(col("o_totalprice") > 1000.0)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(scanPaths(q).exists(_.endsWith("/fact")),
+      "a row-level measure predicate must keep the fact scan")
+  }
+
   test("exprIds survive: downstream operators resolve over the rewrite") {
     val q = fact.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), max("o_totalprice").as("mx"))

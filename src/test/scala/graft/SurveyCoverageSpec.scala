@@ -175,7 +175,10 @@ class SurveyCoverageSpec extends GraftSuite {
     // broadcast probe of a dimension, stateless on both sides
     "stream_static_join",
     // round-8: bag-semantics set ops (multiplicity-preserving)
-    "setop_intersect_all", "setop_except_all")
+    "setop_intersect_all", "setop_except_all",
+    // round-8: MV rewrite with a grouping-column filter re-applied on
+    // the view scan (the filtered-dashboard shape)
+    "plan_mv_rewrite_filtered")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
