@@ -291,6 +291,72 @@ object GvtOps {
       Gvt.deleteKeys(spark, tmp, losers, "doc_id", stats)
     }
 
+  /** GVT-BACKED INCREMENTAL MATERIALIZED VIEW — the full lakehouse IVM
+    * loop, every step distributed: the summary lives in its OWN GVT
+    * table (versioned like any dataset); each fact commit's change feed
+    * ([[Gvt.diff]]) is aggregated to a per-group delta (integer-cents
+    * states ⇒ the fold is exact and order-independent, §5.3); touched
+    * groups are upserted via [[Gvt.merge]] and groups whose count hits
+    * zero are REMOVED via [[Gvt.deleteKeys]] (the correctness corner
+    * plain upserts miss — a retracted group must disappear, not linger
+    * at zero). Cost per refresh ∝ churn, never fact size, and the view's
+    * own history is time-travelable — "what did the dashboard say before
+    * yesterday's load" is a read, not an investigation. The oracle is
+    * the DIRECT aggregate of the fact's final state: hash equality
+    * proves feed-fold-into-versioned-summary ≡ recompute. */
+  /** Fold the fact's commits (0..head] into the summary GVT at
+    * `viewDir`, seeding the view with the fact's v0 state. Extracted so
+    * GvtSpec drives it on a synthetic history whose delete WIPES OUT an
+    * entire group — the dead-group removal path the fixture never hits. */
+  private[graft] def refreshSummary(spark: SparkSession, factDir: String,
+      viewDir: String): Unit = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    def stateOf(df: DataFrame): DataFrame = df
+      .select(col("o_orderstatus"), lit(1L).as("w"), cents.as("c"))
+      .groupBy("o_orderstatus")
+      .agg(sum("w").as("n_orders"), sum("c").as("sum_cents"))
+    Gvt.append(spark, viewDir, stateOf(Gvt.read(spark, factDir, Some(0))),
+      Seq("o_orderstatus"))
+    val head = Gvt.latestVersion(factDir)
+    (0 until head).foreach { v =>
+      val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+      val delta = Gvt.diff(spark, factDir, v, v + 1)
+        .select(col("o_orderstatus"), sign.as("w"), (sign * cents).as("c"))
+        .groupBy("o_orderstatus")
+        .agg(sum("w").as("dw"), sum("c").as("dc"))
+      val current = Gvt.read(spark, viewDir)
+      val folded = current.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n_orders"), lit(0L))
+            + coalesce(col("dw"), lit(0L))).as("n_orders"),
+          (coalesce(col("sum_cents"), lit(0L))
+            + coalesce(col("dc"), lit(0L))).as("sum_cents"))
+      // only groups the delta touches change; dead groups are deleted,
+      // live ones upserted — both by the group key, both distributed
+      val touched = folded
+        .join(delta.select("o_orderstatus"), Seq("o_orderstatus"), "left_semi")
+      val dead = touched.filter(col("n_orders") <= 0)
+        .select("o_orderstatus")
+      if (!dead.isEmpty)
+        Gvt.deleteKeys(spark, viewDir, dead, "o_orderstatus",
+          Seq("o_orderstatus"))
+      val live = touched.filter(col("n_orders") > 0)
+      Gvt.merge(spark, viewDir, live, "o_orderstatus", Seq("o_orderstatus"))
+    }
+  }
+
+  private def mvRefreshGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_mvr", dir) { tmp =>
+      // staged once per JVM; read-only use of the shared fact history
+      refreshSummary(spark, ordersGvt(spark, dir), tmp)
+    }
+
+  def gvtMvRefresh(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, mvRefreshGvt(spark, dir))
+      .select(col("o_orderstatus"), col("n_orders"),
+        (col("sum_cents").cast("double") / 100).as("total_price"))
+      .orderBy("o_orderstatus")
+
   /** RESTORE (instant rollback): the orders history (3 appends + a
     * delete) rolled back to version 1 by ONE metadata commit — no data
     * I/O at any table size, history preserved above the restore point
@@ -424,6 +490,7 @@ object GvtOps {
     "etl_gvt_dv_delete" -> gvtDvDelete,
     "sink_gvt_absorb" -> gvtAbsorb,
     "etl_gvt_restore" -> gvtRestore,
+    "etl_gvt_mv_refresh" -> gvtMvRefresh,
     "etl_gvt_corpus" -> gvtCorpus,
     "stream_gvt_sink" -> gvtStreamSink,
     "sink_gvt_vacuum" -> gvtVacuum,
@@ -443,6 +510,14 @@ object GvtOps {
       ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
         "WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING') " +
         "ORDER BY c_custkey"),
+    // the incremental summary must equal the DIRECT aggregate of the
+    // fact's final state (same restatement as etl_gvt_feed_apply)
+    "etl_gvt_mv_refresh" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders " +
+        "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // restore-to-v1 ≡ time travel to v1: the same state via a commit
     "etl_gvt_restore" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +

@@ -460,6 +460,31 @@ class GvtSpec extends GraftSuite {
     assert(Gvt.read(spark, dir).count() == 21)
   }
 
+  test("incremental summary: feed-fold ≡ recompute, incl. a group dying") {
+    val fact = freshDir(); val view = freshDir()
+    def rows(status: String, keys: Range, price: Double): DataFrame = {
+      import spark.implicits._
+      keys.map(k => (k.toLong, status, price)).toDF(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    }
+    Gvt.append(spark, fact, rows("A", 0 until 5, 10.0), Seq("o_orderkey"))
+    Gvt.append(spark, fact, rows("B", 100 until 103, 7.5), Seq("o_orderkey"))
+    // v2 wipes out group B ENTIRELY — the summary row must DISAPPEAR,
+    // not linger at zero
+    Gvt.delete(spark, fact, col("o_orderstatus") === "B", Seq("o_orderkey"))
+    Gvt.append(spark, fact, rows("A", 5 until 7, 2.25), Seq("o_orderkey"))
+    GvtOps.refreshSummary(spark, fact, view)
+    val got = Gvt.read(spark, view)
+      .select("o_orderstatus", "n_orders", "sum_cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq(("A", 7L, 5450L)), got)
+    // the view is itself versioned: its state after fold 1 (before the
+    // group-B wipe) is time-travelable and still shows B
+    val v1 = Gvt.read(spark, view, asOf = Some(1))
+      .select("o_orderstatus").collect().map(_.getString(0)).sorted.toSeq
+    assert(v1.contains("B"), s"pre-wipe view state lost B: $v1")
+  }
+
   test("registry keys return rows at sf0.001") {
     GvtOps.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")

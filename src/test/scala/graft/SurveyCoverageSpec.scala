@@ -178,7 +178,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "setop_intersect_all", "setop_except_all",
     // round-8: MV rewrite with a grouping-column filter re-applied on
     // the view scan (the filtered-dashboard shape)
-    "plan_mv_rewrite_filtered")
+    "plan_mv_rewrite_filtered",
+    // round-8: GVT-backed incremental materialized view — CDC deltas
+    // folded into a versioned summary via merge + dead-group deletes
+    "etl_gvt_mv_refresh")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
