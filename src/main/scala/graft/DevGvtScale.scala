@@ -178,6 +178,34 @@ object DevGvtScale {
     timed("absorbDeletes on the DV table (threshold 0 = rewrite all)") {
       Gvt.absorbDeletes(spark, dvT, 0.0, Seq("doc_id"))
     }
+
+    // ---- claim 6: incremental MV refresh cost ∝ churn ----
+    // orders-shaped fact synthesized from docs (status = lang); seed the
+    // summary from v0, then commit 0.1% more rows and refresh — the fold
+    // must cost like the delta, not like the fact.
+    val factT = Staging.tempDir("gvt_mv_fact")
+    val viewT = Staging.tempDir("gvt_mv_view")
+    val asOrders = docs.select(col("doc_id").as("o_orderkey"),
+      col("lang").as("o_orderstatus"),
+      (col("n_chars") / 100.0).as("o_totalprice"))
+    Gvt.append(spark, factT, asOrders, Seq("o_orderkey"))
+    timed(s"seed summary from fact v0 ($n rows, full aggregate)") {
+      graft.sources.GvtOps.refreshSummary(spark, factT, viewT)
+    }
+    val churn = asOrders.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    val nChurn = churn.count()
+    val prevHead = Gvt.latestVersion(factT)
+    Gvt.append(spark, factT, churn, Seq("o_orderkey"))
+    timed(s"incremental refresh after $nChurn-row churn (0.1%)") {
+      graft.sources.GvtOps.refreshSummary(spark, factT, viewT,
+        fromVersion = prevHead)
+    }
+    timed("full recompute of the same summary (the cost IVM avoids)") {
+      Gvt.read(spark, factT)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s")).collect()
+    }
     spark.stop()
   }
 }

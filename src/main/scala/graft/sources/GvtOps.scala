@@ -309,16 +309,20 @@ object GvtOps {
     * GvtSpec drives it on a synthetic history whose delete WIPES OUT an
     * entire group — the dead-group removal path the fixture never hits. */
   private[graft] def refreshSummary(spark: SparkSession, factDir: String,
-      viewDir: String): Unit = {
+      viewDir: String, fromVersion: Int = 0): Unit = {
     val cents = round(col("o_totalprice") * 100, 0).cast("long")
     def stateOf(df: DataFrame): DataFrame = df
       .select(col("o_orderstatus"), lit(1L).as("w"), cents.as("c"))
       .groupBy("o_orderstatus")
       .agg(sum("w").as("n_orders"), sum("c").as("sum_cents"))
-    Gvt.append(spark, viewDir, stateOf(Gvt.read(spark, factDir, Some(0))),
-      Seq("o_orderstatus"))
+    // fromVersion > 0 resumes an existing summary: fold only the fact
+    // commits in (fromVersion, head] — the caller tracks its own
+    // watermark (in production it would ride the view's commit txn)
+    if (fromVersion == 0)
+      Gvt.append(spark, viewDir, stateOf(Gvt.read(spark, factDir, Some(0))),
+        Seq("o_orderstatus"))
     val head = Gvt.latestVersion(factDir)
-    (0 until head).foreach { v =>
+    (fromVersion until head).foreach { v =>
       val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
       val delta = Gvt.diff(spark, factDir, v, v + 1)
         .select(col("o_orderstatus"), sign.as("w"), (sign * cents).as("c"))
