@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -144,7 +144,19 @@ object MaterializedViews {
           // AggregateExpression against the view, declining the whole
           // rewrite if any is unmappable
           var ok = true
-          val swapped = al.child.transform {
+          // a GLOBAL aggregate (empty GROUP BY) returns one row even on
+          // an empty/filtered-to-nothing scan, where COUNT must be 0 —
+          // but the re-aggregated Sum(mv_cnt) over zero view rows is
+          // NULL. Coalesce it back to 0 in that case; grouped rewrites
+          // keep the bare Sum (a group implies ≥1 row).
+          def asCount(m: Attribute): Expression = {
+            val s = Sum(m).toAggregateExpression()
+            if (groupNames.isEmpty) Coalesce(Seq(s, Literal(0L))) else s
+          }
+          // transformUp: the REPLACEMENT subtree must not be re-visited
+          // (asCount wraps a fresh Sum in Coalesce; transformDown would
+          // descend into it and decline on the view's own column)
+          val swapped = al.child.transformUp {
             case AggregateExpression(f, Complete, false, None, _) =>
               val inner: Option[Expression] = f match {
                 case Sum(c: AttributeReference, _) =>
@@ -156,12 +168,12 @@ object MaterializedViews {
                 case Max(c: AttributeReference) =>
                   measureFor("max", c.name)
                     .map(m => Max(m).toAggregateExpression())
-                case Count(Seq(Literal(_, _))) =>
-                  measureFor("cnt", "*")
-                    .map(m => Sum(m).toAggregateExpression())
+                // count(NULL) is constant 0, NOT the row count — the
+                // literal must be non-null for the mv_cnt rewrite
+                case Count(Seq(Literal(v, _))) if v != null =>
+                  measureFor("cnt", "*").map(asCount)
                 case Count(Seq(c: AttributeReference)) =>
-                  measureFor("cnt", c.name)
-                    .map(m => Sum(m).toAggregateExpression())
+                  measureFor("cnt", c.name).map(asCount)
                 case _ => None
               }
               inner.getOrElse { ok = false; Literal(null) }

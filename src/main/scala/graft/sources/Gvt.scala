@@ -196,8 +196,9 @@ object Gvt {
     readFiles(spark, dir, files, mergeSchema)
   }
 
-  /** `data/cN-uuid/part-x.parquet` from `_metadata.file_path` — the same
-    * last-three-components rule as [[relPathOf]], as a Column. */
+  /** `data/cN-uuid/part-x.parquet` from `_metadata.file_path`: the last
+    * three URI components ARE the table-relative path (fixed layout
+    * depth; the uuid dir makes the pair unique across commits). */
   private def relFileCol: Column =
     concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3))
 
@@ -390,8 +391,12 @@ object Gvt {
     * re-delivers it after a failure — the checkpoint replays the batch,
     * the log proves it already committed, nothing duplicates. The race
     * window (two attempts of the SAME txn) is closed by re-checking the
-    * log after every lost publish: the twin's commit is then visible and
-    * this attempt abandons its files (orphans; [[vacuum]] reaps them).
+    * log after EVERY `latestVersion` read, immediately before each
+    * publish attempt: a twin that committed before our version read is
+    * visible at the recheck, and one that commits after it takes the
+    * same slot we computed (versions are allocated as latest+1), so our
+    * publish loses and we loop back into the recheck. Either way this
+    * attempt abandons its files (orphans; [[vacuum]] reaps them).
     * Forgetting horizon: vacuum drops pre-floor docs, so txn ids older
     * than the retention floor are forgotten with their data — retention
     * must exceed the source's redelivery horizon, same contract as any
@@ -403,11 +408,16 @@ object Gvt {
     if (alreadyCommitted) return None
     var v = latestVersion(dir) + 1
     val adds = writeData(spark, dir, df, statsCols, v)
-    while (!tryPublish(dir, GvtCommit(v, "append", adds, Nil, txnId))) {
+    while (true) {
+      // the recheck must follow the version read that produced `v`: a
+      // twin committing between a pre-read check and our publish would
+      // hand us a fresh slot ABOVE its commit and we'd land twice
       if (alreadyCommitted) return None // our twin won; files are orphans
+      if (tryPublish(dir, GvtCommit(v, "append", adds, Nil, txnId)))
+        return Some(v)
       v = latestVersion(dir) + 1
     }
-    Some(v)
+    None // unreachable
   }
 
   /** MERGE (upsert): rows of `source` whose `key` matches an existing
@@ -525,8 +535,12 @@ object Gvt {
       .collect().map(r => r.getString(0)).toSet
     if (touched.isEmpty) return base // no-op: nothing matched
     val touchedFiles = files.filter(f => touched.contains(f.path))
+    // SQL DELETE semantics: remove rows where the predicate is TRUE;
+    // KEEP rows where it is false OR NULL. A bare !predicate would turn
+    // null into null and silently drop non-matching rows of any
+    // nullable column — coalesce to false before negating.
     val kept = readFiles(spark, dir, touchedFiles)
-      .filter(!predicate)
+      .filter(!coalesce(predicate, lit(false)))
     val v = base + 1
     val adds =
       if (kept.isEmpty) Nil
@@ -667,16 +681,27 @@ object Gvt {
     * floor fails loudly at [[snapshot]] instead of at the parquet
     * reader. Returns (dataFilesDeleted, logDocsDeleted).
     *
+    * Concurrency: an in-flight commit has written its data files but
+    * not yet published its log doc, so those files look unreferenced to
+    * the walk — `graceMs` protects them: files younger than the grace
+    * window are never deleted (same contract as Delta's default
+    * retention check). Pass 0 only when no writer can be active. The
+    * floor marker / commit-doc race is benign either way: a commit that
+    * publishes after the walk reads only retained snapshots.
+    *
     * The referenced set here is computed by replaying each retained
     * version (O(tail²) doc reads — fine at demo scale); the production
     * form is one forward replay from the `retainFrom` checkpoint
     * collecting every add, which is O(tail). */
-  def vacuum(spark: SparkSession, dir: String, retainFrom: Int)
-      : (Int, Int) = {
+  def vacuum(dir: String, retainFrom: Int,
+      graceMs: Long = 600000L): (Int, Int) = {
     val head = latestVersion(dir)
     require(retainFrom >= 0 && retainFrom <= head,
       s"vacuum retainFrom $retainFrom outside [0, $head]")
-    if (retainFrom <= vacuumFloor(dir)) return (0, 0) // already at floor
+    // strictly below the floor is a no-op; AT the floor the walk
+    // re-runs (idempotent) so files a graced vacuum skipped are
+    // reaped once they age out
+    if (retainFrom < vacuumFloor(dir)) return (0, 0)
     val ld = logDirOf(dir)
     // (1) anchor: a checkpoint AT retainFrom (idempotent)
     if (!Files.exists(ckptPath(dir, retainFrom))) {
@@ -704,6 +729,9 @@ object Gvt {
     // dirs, then pre-floor log docs (keep the retainFrom checkpoint)
     var dataDeleted = 0
     val dataDir = Paths.get(dir, "data")
+    val graceFloor = System.currentTimeMillis() - graceMs
+    def aged(p: java.nio.file.Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < graceFloor
     if (Files.isDirectory(dataDir)) {
       val subs = Files.list(dataDir)
       try subs.iterator().asScala().filter(Files.isDirectory(_)).foreach { sub =>
@@ -713,9 +741,9 @@ object Gvt {
         try fs.iterator().asScala().foreach { f =>
           val rel = s"$subRel/${f.getFileName}"
           val isData = f.getFileName.toString.endsWith(".parquet")
-          if (isData && !liveDvDir && !referenced.contains(rel)) {
+          if (isData && !liveDvDir && !referenced.contains(rel) && aged(f)) {
             Files.delete(f); dataDeleted += 1
-          } else if (!isData) Files.delete(f) // _SUCCESS etc.
+          } else if (!isData && aged(f)) Files.delete(f) // _SUCCESS etc.
         } finally fs.close()
         val left = Files.list(sub)
         val empty = try !left.iterator().hasNext finally left.close()
@@ -775,13 +803,4 @@ object Gvt {
         oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))
   }
 
-  /** data/cN-uuid/part-*.parquet — the last three URI components ARE the
-    * table-relative path (fixed layout depth; the uuid dir makes the
-    * pair unique across commits). */
-  private def relPathOf(fileUri: String): String = {
-    val parts = fileUri.split("/")
-    require(parts.length >= 3 && parts(parts.length - 3) == "data",
-      s"not a GVT data file: $fileUri")
-    parts.takeRight(3).mkString("/")
-  }
 }

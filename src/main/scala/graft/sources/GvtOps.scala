@@ -93,11 +93,17 @@ object GvtOps {
     }
 
   /** (qlo, qhi) = tile 4 of the l_orderkey key space — same integer
-    * arithmetic the oracle SQL performs with `//`. */
+    * arithmetic the oracle SQL performs with `//`. The table's [lo, hi]
+    * comes from the staged GVT's OWN manifest stats (min of file mins /
+    * max of file maxes — the 8 tiles partition the full key range), a
+    * metadata-only read: re-aggregating lineitem here would repeat the
+    * very scan the key exists to avoid. */
   private def tileBounds(spark: SparkSession, dir: String): (Long, Long) = {
-    val mm = graft.Tables(spark, dir, "lineitem")
-      .agg(min("l_orderkey"), max("l_orderkey")).head
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val files = Gvt.snapshot(tilesGvt(spark, dir))
+    val lo = files.flatMap(_.min.get("l_orderkey"))
+      .map(_.toDouble.toLong).min
+    val hi = files.flatMap(_.max.get("l_orderkey"))
+      .map(_.toDouble.toLong).max
     (lo + (hi - lo + 1) * 4 / 8, lo + (hi - lo + 1) * 5 / 8 - 1)
   }
 
@@ -195,7 +201,8 @@ object GvtOps {
       }
       val v = Gvt.compact(spark, tmp, smallRows = Long.MaxValue,
         targetFiles = 2, statsCols = stats)
-      Gvt.vacuum(spark, tmp, retainFrom = v)
+      // graceMs = 0: single-writer staging, no commit can be in flight
+      Gvt.vacuum(tmp, retainFrom = v, graceMs = 0L)
     }
 
   def gvtVacuum(spark: SparkSession, dir: String): DataFrame =

@@ -282,7 +282,7 @@ class GvtSpec extends GraftSuite {
         Seq("k")))
     Gvt.compact(spark, dir, Long.MaxValue, 2, Seq("k"))
     val head = Gvt.latestVersion(dir)
-    val (dataDeleted, docsDeleted) = Gvt.vacuum(spark, dir, head)
+    val (dataDeleted, docsDeleted) = Gvt.vacuum(dir, head, graceMs = 0L)
     assert(dataDeleted >= 6, s"expected the 6 pre-compaction files gone, " +
       s"deleted $dataDeleted")
     assert(docsDeleted >= 6, s"expected pre-floor log docs gone, " +
@@ -303,7 +303,49 @@ class GvtSpec extends GraftSuite {
     val e = intercept[IllegalArgumentException](Gvt.read(spark, dir, Some(2)))
     assert(e.getMessage.contains("vacuumed"))
     // idempotent at the same floor
-    assert(Gvt.vacuum(spark, dir, head) == ((0, 0)))
+    assert(Gvt.vacuum(dir, head, graceMs = 0L) == ((0, 0)))
+  }
+
+  test("vacuum grace window protects young unreferenced files") {
+    val dir = freshDir()
+    (0 until 3).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 10L, i * 10L + 10L).repartition(1),
+        Seq("k")))
+    Gvt.compact(spark, dir, Long.MaxValue, 1, Seq("k"))
+    val head = Gvt.latestVersion(dir)
+    // default grace: files written milliseconds ago look like an
+    // in-flight commit's and must survive the walk
+    val (young, _) = Gvt.vacuum(dir, head)
+    assert(young == 0, s"grace window should keep young files, deleted $young")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 30L).map(k => (k, k * 10)))
+    // re-vacuuming AT the floor with zero grace reaps them — graced
+    // skips are deferred, not leaked
+    val (aged, _) = Gvt.vacuum(dir, head, graceMs = 0L)
+    assert(aged >= 3, s"expected the pre-compaction files reaped, got $aged")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 30L).map(k => (k, k * 10)))
+  }
+
+  test("CoW delete keeps rows whose predicate evaluates to NULL") {
+    val dir = freshDir()
+    // x is null for k < 3 — SQL DELETE semantics remove only
+    // predicate-TRUE rows; false AND null rows both stay
+    val df = spark.range(0, 10).toDF("k")
+      .withColumn("v", col("k") * 10)
+      .withColumn("x", when(col("k") >= 3, col("k")))
+    Gvt.append(spark, dir, df.repartition(1), Seq("k"))
+    Gvt.delete(spark, dir, col("x") > 5, Seq("k"))
+    val kept = Gvt.read(spark, dir).select("k")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == (0L to 5L), s"null-x rows must survive the delete: $kept")
+    // the merge-on-read twin agrees
+    val dir2 = freshDir()
+    Gvt.append(spark, dir2, df.repartition(1), Seq("k"))
+    Gvt.deleteWhereDV(spark, dir2, col("x") > 5)
+    val kept2 = Gvt.read(spark, dir2).select("k")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept2 == (0L to 5L), s"DV delete disagrees with CoW: $kept2")
   }
 
   test("z-order GVT: 2-D box prune beats 1-D, correctness intact") {
@@ -410,7 +452,7 @@ class GvtSpec extends GraftSuite {
       Seq(("delete", 0L), ("delete", 1L), ("delete", 2L)), feed.toSeq)
     // vacuum at the DV version must keep BOTH the data files and the
     // vector sidecar — deleting a live vector would resurrect rows
-    Gvt.vacuum(spark, dir, Gvt.latestVersion(dir))
+    Gvt.vacuum(dir, Gvt.latestVersion(dir), graceMs = 0L)
     assert(sortedRows(Gvt.read(spark, dir)) ==
       (3L until 10L).map(k => (k, k * 10)))
   }

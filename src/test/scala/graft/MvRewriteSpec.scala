@@ -102,6 +102,32 @@ class MvRewriteSpec extends GraftSuite {
       "a row-level measure predicate must keep the fact scan")
   }
 
+  test("global COUNT routed over an empty-matching filter is 0, not null") {
+    // the filter is on a grouping column so the rule engages, the view
+    // scan matches no groups, and the one-row global aggregate must
+    // still say count = 0 (Sum over zero rows alone would say null)
+    val q = fact.filter(col("o_orderstatus") === "ZZ")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+    assert(scanPaths(q).exists(_.endsWith("/view")),
+      "global aggregate over a grouping-column filter should route")
+    val row = q.collect().head
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+      s"routed global count must be 0 on empty match, got $row")
+    assert(row.isNullAt(1), "global sum over zero rows stays null")
+  }
+
+  test("count(NULL) stays 0 — never rewritten to the row count") {
+    // Catalyst folds count(null) to literal 0 before our batch, so the
+    // routed plan carries 0 AS n over the view — the matcher's own
+    // non-null-literal guard is defense in depth should that fold move.
+    // Either way the VALUE must be 0 per group, not the group size.
+    val q = fact.groupBy("o_orderstatus")
+      .agg(count(lit(null)).as("n"))
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) == 0L),
+      s"count(null) must be 0 per group: ${rows.toSeq}")
+  }
+
   test("exprIds survive: downstream operators resolve over the rewrite") {
     val q = fact.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), max("o_totalprice").as("mx"))
