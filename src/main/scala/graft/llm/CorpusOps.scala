@@ -37,8 +37,6 @@ object CorpusOps {
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val budget = 1024L
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -71,6 +69,26 @@ object CorpusOps {
         col("n"))
       .orderBy("label", "dim")
 
+  /** Max-cosine centroid assignment — THE shared argmax contract of
+    * the IVF / scaled-kNN / k-means / semantic-dedup family: cosine on
+    * the 6-decimal grid (cross-engine determinism), ties to the LOWER
+    * centroid id, codebook broadcast, one row_number window per
+    * vector. `cent` must be (cid, cvec); returns
+    * (vec_id, embedding, cid). One definition so a rounding or
+    * tie-break change cannot drift between the four call sites.
+    */
+  private[llm] def assignToCentroids(e: DataFrame,
+      cent: DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(e.sparkSession)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("csim", round(expr("cosine_sim(embedding, cvec)"), 6))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
   /** IVF ANN: vectors with vec_id < 10 serve as the deterministic coarse
     * codebook; every vector is assigned to its max-cosine centroid
     * (rounded to 6 decimals, ties to the lower centroid id), the probe
@@ -83,13 +101,7 @@ object CorpusOps {
     val e = Tables(spark, dir, "embeddings")
     val cent = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("csim", round(expr("cosine_sim(embedding, cvec)"), 6))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val assigned = assignToCentroids(e, cent)
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("pvec"))
     val pcells = cent.crossJoin(broadcast(probe))
@@ -207,13 +219,7 @@ object CorpusOps {
   }
 
   private def knnCandidatesFrom(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("csim", round(expr("cosine_sim(embedding, cvec)"), 6))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val assigned = assignToCentroids(e, cent)
     val qv = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val wProbe = Window.partitionBy("qid")

@@ -9,8 +9,9 @@ import graft.Tables
   *
   * Exact dedup: deterministic survivor (min doc_id per text) via one
   * window pass — at 100 TB this is a single shuffle on a text hash;
-  * substituting `xxhash64(text)` for the raw text as the partition key
-  * keeps shuffle rows narrow (applied here).
+  * substituting `md5(text)` for the raw text as the partition key keeps
+  * shuffle rows narrow (applied here — md5, NOT a 64-bit hash: see
+  * [[dedupExact]]'s scaladoc for the collision-bound argument).
   *
   * Near-dup: MinHash+LSH, all per-row HOF expressions (codegen'd, no
   * UDFs): 3-word shingles → 16 minhash permutations via xxhash64(shingle,
@@ -199,7 +200,7 @@ object Dedup {
     * colliding band — either way survivors dedup where only ~|result|
     * rows remain.
     */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+  private[llm] def verifyJaccard(cand: DataFrame, sets: DataFrame,
       tau: Double): DataFrame = {
     graft.functions.SortedIntersectCount.register(cand.sparkSession)
     // sort ONCE per document (doc-count-sized, map-side); every
@@ -297,7 +298,10 @@ object Dedup {
     */
   def minhashAggQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.MinHashAgg.register(spark)
-    Tables(spark, dir, "documents")
+    // width before the explode, same as minhashSignatures: a compressed
+    // corpus under the scan-split floor is ONE partition and would
+    // serialize the explode + partial aggregate into a single task
+    Tables.wide(spark, dir, "documents")
       .select(col("doc_id"), explode(hashedShingles(col("text"))).as("sh"))
       .groupBy("doc_id")
       .agg(expr("minhash_agg(sh)").as("sig"))

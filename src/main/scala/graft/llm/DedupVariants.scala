@@ -23,8 +23,13 @@ object DedupVariants {
 
   /** SimHash per doc: bit i = sign of Σ_words (bit_i(xxhash64(word)) ? +1 : -1). */
   def simhashes(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("word"))
+    // width before the explode (see Dedup.minhashSignatures): without it
+    // a single-file scan serializes the word explode + 64-column
+    // bit-sum partial aggregate into one task
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val words = docs.repartition(nPart, col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
       .withColumn("h", xxhash64(col("word")))
     val bitSums = (0 until M).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
@@ -80,33 +85,11 @@ object DedupVariants {
     * result — and the DuckDB oracle — is unchanged from the naive join.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val tau = NgramTau
+    // exact verification is Dedup.verifyJaccard — ONE implementation of
+    // the sorted-distinct + two-pointer-kernel contract for both dedup
+    // families (a drift between twin copies would silently skew counts)
     val (cand, sets) = ngramCandidates(spark, dir)
-    // verify against the full shingle sets: `sets` is doc-count-sized with
-    // ~60-element long arrays — broadcastable here; at 100 TB swap these
-    // two broadcasts for shuffle hash joins on id (the candidate side is
-    // already small after prefix filtering). The column renames stay
-    // OUTSIDE broadcast(): with identical broadcast children the second
-    // BroadcastExchange canonicalizes equal to the first and is reused —
-    // one build instead of two.
-    graft.functions.SortedIntersectCount.register(spark)
-    // sorted once per document, verified per candidate with the
-    // codegen'd two-pointer kernel (see Dedup.verifyJaccard — same
-    // count, same jaccard, same oracle; no per-pair hash set)
-    val sorted = sets.select(col("doc_id"), array_sort(col("shs")).as("shs"))
-    val sa = sorted.as("sa")
-    val sb = sorted.as("sb")
-    cand
-      .join(broadcast(sa), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sb), col("id_b") === col("sb.doc_id"))
-      .withColumn("inter", expr("sorted_intersect_count(sa.shs, sb.shs)"))
-      .withColumn("jaccard",
-        col("inter").cast("double")
-          / (size(col("sa.shs")) + size(col("sb.shs")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select("id_a", "id_b", "jaccard")
-      .distinct()
-      .orderBy("id_a", "id_b")
+    Dedup.verifyJaccard(cand, sets, NgramTau)
   }
 
   private val NgramTau = 0.6
@@ -264,9 +247,14 @@ object DedupVariants {
     var labels = edges.groupBy(col("id_a").as("id"))
       .agg(min("id_b").as("nbr_min"))
       .select(col("id"), least(col("id"), col("nbr_min")).as("comp"))
+    // min-label propagation converges in O(component diameter) rounds;
+    // the guard is a runaway bound, NOT a silent cap — exhausting it
+    // with labels still moving must fail loudly (wrong components would
+    // otherwise flow into the survivor/cleaned-corpus keys unnoticed)
+    val maxRounds = 50
     var changed = 1L
     var guard = 0
-    while (changed > 0 && guard < 20) {
+    while (changed > 0 && guard < maxRounds) {
       val prop = edges
         .join(labels.select(col("id").as("id_b"), col("comp").as("nbr")),
           Seq("id_b"))
@@ -281,6 +269,11 @@ object DedupVariants {
       labels = next.select(col("id"), col("next_comp").as("comp"))
       guard += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          s"($changed labels still moving) — component diameter exceeds " +
+          "the bound; raise maxRounds or switch to pointer jumping")
     labels
   }
 
@@ -341,13 +334,7 @@ object DedupVariants {
     val e = Tables(spark, dir, "embeddings")
     val cent = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("csim", round(expr("cosine_sim(embedding, cvec)"), 6))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val assigned = CorpusOps.assignToCentroids(e, cent)
     val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = assigned.select(col("cid"), col("vec_id").as("id_b"),

@@ -98,7 +98,9 @@ object Multimodal {
         val h = (n + 15) / 16L
         var sum = 0L
         var i = 0
-        while (i < 8) {
+        // n = 0 ⇒ the clamp below would index -1; an empty raster's
+        // thumbnail sum is 0 by definition (oracle CASEs the same)
+        while (n > 0 && i < 8) {
           var j = 0
           while (j < 8) {
             val idx = math.min(i * h / 8 * w + j * w / 8, n - 1L).toInt
@@ -179,29 +181,37 @@ object Multimodal {
         "max(embedding[1]) AS max_first_dim " +
         "FROM documents JOIN embeddings ON doc_id = vec_id " +
         "GROUP BY label ORDER BY label"),
+    // edge contract (regen-proof): an EMPTY text must not crash or
+    // diverge — thumb_sum 0, first_byte -1, byte_sum 0, no frames
     "llm_multimodal_resize" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
         "CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h, " +
-        "CAST(list_sum(flatten(list_transform(range(0, 8), i -> " +
+        "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE " +
+        "list_sum(flatten(list_transform(range(0, 8), i -> " +
         "list_transform(range(0, 8), j -> ascii(substring(text, " +
         "CAST(least(((i * ((length(text) + 15) // 16)) // 8) * 16 + " +
-        "(j * 16) // 8, length(text) - 1) AS INTEGER) + 1, 1)))))) " +
+        "(j * 16) // 8, length(text) - 1) AS INTEGER) + 1, 1)))))) END " +
         "AS BIGINT) AS thumb_sum " +
         "FROM documents ORDER BY doc_id"),
+    // frame indexes are LATERAL per-document (length(text)//64 frames),
+    // not a fixed constant range — a regenerated fixture with longer
+    // documents verifies every frame the operator emits
     "llm_multimodal_frames" ->
       ("SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
         "CAST(list_sum(list_transform(range(f * 64 + 1, f * 64 + 65), " +
         "k -> ascii(substring(text, CAST(k AS INTEGER), 1)))) AS BIGINT) " +
         "AS frame_sum " +
-        "FROM documents CROSS JOIN range(0, 64, 4) t(f) " +
+        "FROM documents, LATERAL (SELECT unnest(range(0, " +
+        "length(text) // 64, 4)) AS f) r " +
         "WHERE (f + 1) * 64 <= length(text) " +
         "ORDER BY doc_id, frame_idx"),
     "llm_multimodal_decode" ->
       ("SELECT doc_id, 'txt' AS fmt, " +
         "CAST(length(text) AS BIGINT) AS n_bytes, " +
-        "CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte, " +
-        "CAST(list_sum(list_transform(range(1, length(text) + 1), " +
-        "i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_sum " +
+        "CAST(CASE WHEN length(text) = 0 THEN -1 ELSE " +
+        "ascii(substring(text, 1, 1)) END AS BIGINT) AS first_byte, " +
+        "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1), " +
+        "i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS byte_sum " +
         "FROM documents ORDER BY doc_id")
   )
 }

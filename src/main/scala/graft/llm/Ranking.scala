@@ -54,8 +54,11 @@ object Ranking {
     * column (measured 5.3 s → the array_remove form keeps the project in
     * WholeStageCodegen with one split per row). `tfd` feeds two
     * consumers (global stats + scoring) and Spark shares no common
-    * subplans, so the tiny per-doc frame is persisted — the same
-    * materialization a production pipeline would do with a temp table.
+    * subplans, so the tiny per-doc frame is localCheckpoint'd — the
+    * materialization a production pipeline would do with a temp
+    * table, and unlike persist() the blocks are reclaimed by the
+    * ContextCleaner once the frame is unreferenced (a persist() here
+    * pinned the cache for the whole 271-key session).
     */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -66,7 +69,7 @@ object Ranking {
     }
     val tfd = docs.select(
       Seq(col("doc_id"), size(col("w")).cast("double").as("dl")) ++ tfCols: _*)
-      .persist()
+      .localCheckpoint()
     val statCols =
       ((sum(col("dl").cast("long")).cast("double") /
         count(lit(1)).cast("double")).as("avgdl")) +:
@@ -124,12 +127,7 @@ object Ranking {
     val e = Tables(spark, dir, "embeddings")
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("csim", round(expr("cosine_sim(embedding, cvec)"), 6))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
+    val assigned = CorpusOps.assignToCentroids(e, cent)
       .select(col("cid"), col("embedding"))
     assigned
       .select(col("cid"), posexplode(col("embedding")))
