@@ -38,4 +38,11 @@ object Det {
   /** DuckDB-side rendering of [[moneySum]]. */
   def moneySumSql(expr: String): String =
     s"CAST(sum(CAST(round(($expr)*1e6) AS BIGINT)) AS DOUBLE)/1e6"
+
+  /** Spark-SQL-side rendering of [[moneySum]] (the one dialect split:
+    * Spark's `round` needs the explicit 0 scale). ALL three renderings
+    * of the micro-grid contract live in this object — change the grid
+    * here or nowhere. */
+  def moneySumSparkSql(expr: String): String =
+    s"CAST(sum(CAST(round(($expr) * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6"
 }

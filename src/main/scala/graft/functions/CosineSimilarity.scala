@@ -25,6 +25,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // a null ELEMENT nulls the whole similarity (the HOF formulation's
+  // x*y -> null -> acc+null chain does the same); without the check,
+  // getFloat on a null slot silently reads 0.0 and returns a finite
+  // similarity for an undefined input
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || elemNullable
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -43,6 +54,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
@@ -59,15 +71,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      // the element null check is emitted ONLY for containsNull schemas
+      // — on the (containsNull = false) hot path the loop body is
+      // unchanged, and ev.isNull may then be a compile-time literal
+      val check =
+        if (elemNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val assign =
+        s"${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $check
          |  double $xv = (double) $a.getFloat($i);
          |  double $yv = (double) $b.getFloat($i);
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |${if (elemNullable) s"if (!${ev.isNull}) { $assign }" else assign}
        """.stripMargin
     })
 
@@ -96,6 +118,15 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // same null-element contract as [[CosineSimilarity]] — the rewrite
+  // must be observation-equivalent on EVERY input, including null slots
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def nullable: Boolean = super.nullable || elemNullable
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -110,7 +141,10 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
     val x = a.asInstanceOf[ArrayData]
     var nx = 0.0; var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble; nx += v * v; i += 1
+    }
     nx / (math.sqrt(nx) * math.sqrt(nx))
   }
 
@@ -119,13 +153,20 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val nx = ctx.freshName("nx")
       val v = ctx.freshName("v")
+      val check =
+        if (elemNullable)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val assign =
+        s"${ev.value} = $nx / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($nx));"
       s"""
          |double $nx = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  $check
          |  double $v = (double) $a.getFloat($i);
          |  $nx += $v * $v;
          |}
-         |${ev.value} = $nx / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($nx));
+         |${if (elemNullable) s"if (!${ev.isNull}) { $assign }" else assign}
        """.stripMargin
     })
 

@@ -34,12 +34,15 @@ class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog {
       Array(Identifier.of(Array("default"), "hamming64"))
     else Array.empty
 
+  // the namespace is checked (not ignored) and a miss throws Spark's
+  // NoSuchFunctionException, so a typo surfaces as the analyzer's clean
+  // FUNCTION_NOT_FOUND error — and graftfns.bogus_ns.hamming64 does not
+  // resolve at all — instead of an internal-looking NoSuchElementException
   override def loadFunction(ident: Identifier): UnboundFunction =
-    ident.name() match {
-      case "hamming64" => Hamming64Unbound
-      case other => throw new NoSuchElementException(
-        s"function $other not in catalog $catalogName")
-    }
+    if (ident.namespace().sameElements(Array("default")) &&
+        ident.name() == "hamming64") Hamming64Unbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 }
 
 object Hamming64Unbound extends UnboundFunction {

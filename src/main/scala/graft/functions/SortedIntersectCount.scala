@@ -23,12 +23,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   *
   * PRECONDITION (caller-owned, like any sorted-merge kernel): both
   * arrays ascending and duplicate-free. The near-dup sets satisfy it by
-  * construction (`array_sort(array_distinct(...))`).
+  * construction (`array_sort(array_distinct(...))`). A null ELEMENT
+  * (possible only under a containsNull schema, which the pipeline never
+  * produces) nulls the result instead of silently reading garbage; the
+  * check is emitted only for containsNull inputs, so the hot path is
+  * unchanged.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || elemNullable
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -46,6 +57,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
+    if (elemNullable) {
+      var k = 0
+      while (k < nx) { if (x.isNullAt(k)) return null; k += 1 }
+      k = 0
+      while (k < ny) { if (y.isNullAt(k)) return null; k += 1 }
+    }
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
       val xv = x.getLong(i); val yv = y.getLong(j)
@@ -65,16 +82,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val k = ctx.freshName("k")
+      val nullScan =
+        if (elemNullable)
+          s"""
+             |for (int $k = 0; $k < $nx && !${ev.isNull}; $k++) {
+             |  if ($a.isNullAt($k)) { ${ev.isNull} = true; }
+             |}
+             |for (int $k = 0; $k < $ny && !${ev.isNull}; $k++) {
+             |  if ($b.isNullAt($k)) { ${ev.isNull} = true; }
+             |}
+           """.stripMargin
+        else ""
+      val merge =
+        s"""
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv < $yv) { $i++; }
+           |  else if ($xv > $yv) { $j++; }
+           |  else { $c++; $i++; $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
       s"""
          |int $nx = $a.numElements(); int $ny = $b.numElements();
-         |int $i = 0; int $j = 0; int $c = 0;
-         |while ($i < $nx && $j < $ny) {
-         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |  if ($xv < $yv) { $i++; }
-         |  else if ($xv > $yv) { $j++; }
-         |  else { $c++; $i++; $j++; }
-         |}
-         |${ev.value} = $c;
+         |$nullScan
+         |${if (elemNullable) s"if (!${ev.isNull}) {\n$merge\n}" else merge}
        """.stripMargin
     })
 

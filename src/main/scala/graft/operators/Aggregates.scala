@@ -395,6 +395,11 @@ object Aggregates {
     * ran twice) — persist/checkpoint is the user-controlled fix, and at
     * 100 TB it is the difference between one pass and N over a fan-out
     * DataFrame. Ordered limits carry a unique suppkey tiebreak (§5.3).
+    * Cache lifetime: the pinned base is one tiny row-per-suppkey
+    * aggregate; repeat builds hit the CacheManager's same-plan dedup
+    * (no accumulation per call), so a multi-SF run pins at most one
+    * such relation per SF dir — bounded by design, and unpersisting
+    * before the caller's action would defeat the operator's purpose.
     */
   def cacheReuse(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir, "lineitem")

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -397,9 +395,12 @@ object Etl {
     * n·Σv², which wrap silently past 2^63 (Spark non-ANSI) while DuckDB
     * errors — decimal keeps the comparison exact to 10^38, far beyond
     * any per-station history (n·Σv² < 10^38 holds to ~10^13 rows/station
-    * at 10^5-cent values), and overflows loudly instead of flipping
-    * flags (advisor round-4 note). Per-station stats ride a partitioned
-    * window; one aggregate emits per-station totals.
+    * at 10^5-cent values). Past 10^38 non-ANSI decimal arithmetic
+    * yields NULL, not an error — which would silently UNFLAG the
+    * overflowing rows — so a null inequality on a non-null observation
+    * raises explicitly (overflow is loud by mechanism, not by
+    * assumption; advisor round-4 note). Per-station stats ride a
+    * partitioned window; one aggregate emits per-station totals.
     */
   def stationQc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -417,7 +418,14 @@ object Etl {
       .withColumn("n", count(lit(1)).over(wU))
       .withColumn("s", sum("v").over(wU))
       .withColumn("sq", sum(dec(col("v")) * dec(col("v"))).over(wU))
-      .withColumn("flag", col("n") > 1 && qc)
+      // a NULL inequality on a non-null observation means the decimal
+      // arithmetic overflowed 10^38 (non-ANSI overflow = null) — raise
+      // instead of letting count(when(flag,1)) silently skip the row
+      .withColumn("flag",
+        when(col("v").isNotNull && col("n") > 1 && qc.isNull,
+          raise_error(lit("stationQc: DecimalType(38,0) overflow in the " +
+            "2-sigma inequality — widen the grid")).cast("boolean"))
+          .otherwise(col("n") > 1 && qc))
       .groupBy("user_id")
       .agg(max("n").as("n_obs"),
         count(when(col("flag"), 1)).as("n_flagged"))

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -151,25 +149,29 @@ object Scans {
 
   /** `binaryFile` ingestion — the raw-bytes multimodal path: one opaque
     * blob per asset read as (path, length, content), keyed by an id parsed
-    * from the filename. Fixture blobs are rendered executor-side
-    * (foreachPartition + NIO, no driver collect) from `documents.text`,
-    * so the oracle can recompute the expected (byte length, md5) from the
-    * source rows. At 100 TB this same scan shape reads image/audio shards;
-    * binaryFile never splits a file, so a pre-bucketed many-files layout
-    * (not few giant blobs) is what keeps tasks even.
+    * from the filename. Fixture blobs are staged DRIVER-side
+    * (toLocalIterator, one partition in memory at a time): the files
+    * must land on the filesystem `binaryFile` will list, and an
+    * executor-side foreachPartition write only coincides with it on
+    * local[*] — on a real cluster it would scatter the blobs across
+    * executor-local disks and the read would silently return zero rows.
+    * Staging is fixture setup, not the measured operator. At 100 TB this
+    * same scan shape reads image/audio shards; binaryFile never splits a
+    * file, so a pre-bucketed many-files layout (not few giant blobs) is
+    * what keeps tasks even.
     */
   def binaryFiles(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.Staging.memoDir("graft_bin", dir) { tmp =>
-      Tables(spark, dir, "documents")
+      val it = Tables(spark, dir, "documents")
         .filter(col("source") === "src0")
         .select(col("doc_id"), col("text"))
-        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-          it.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(tmp, s"doc_${r.getLong(0)}.bin"),
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }
-        }
+        .toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, s"doc_${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     spark.read.format("binaryFile").load(tmp)
       .select(

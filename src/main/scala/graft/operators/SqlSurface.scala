@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.Tables
+import graft.{Det, Tables}
 
 /** The SQL front door: canonical benchmark statements submitted as TEXT
   * through `spark.sql` over registered views — proving the engine's SQL
@@ -19,18 +19,18 @@ import graft.Tables
   */
 object SqlSurface {
 
-  private def view(spark: SparkSession, dir: String, t: String): String = {
+  /** Shared with [[TpchComplete]] — ONE temp-view naming convention
+    * (`<t>_v`) for both SQL-text families on the shared session. */
+  private[operators] def view(spark: SparkSession, dir: String,
+      t: String): String = {
     val v = t + "_v"
     Tables(spark, dir, t).createOrReplaceTempView(v)
     v
   }
 
-  /** sum(l_extendedprice*(1-l_discount)) on the integer-micro grid:
-    * identical bigint partials on any engine under any ordering, one
-    * final exact division. `expr` must be engine-portable SQL.
-    */
-  private def gridSum(expr: String): String =
-    s"CAST(sum(CAST(round($expr * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6"
+  /** sum(expr) on the integer-micro grid — delegates to [[graft.Det]],
+    * the single home of the grid contract. */
+  private def gridSum(expr: String): String = Det.moneySumSparkSql(expr)
 
   private def q(spark: SparkSession, dir: String, tables: Seq[String],
                 sql: String): DataFrame = {
@@ -45,7 +45,7 @@ object SqlSurface {
   private def stmt(sparkSide: Boolean, name: String): String = {
     def t(base: String) = if (sparkSide) base + "_v" else base
     val rev = if (sparkSide) gridSum("l_extendedprice * (1 - l_discount)")
-    else "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"
+    else Det.moneySumSql("l_extendedprice * (1 - l_discount)")
     name match {
       case "q5" =>
         s"SELECT n_name, $rev AS revenue, count(*) AS n_items " +
@@ -258,19 +258,26 @@ object SqlSurface {
     * (stats change plans, never answers).
     */
   def cboStats(spark: SparkSession, dir: String): DataFrame = {
+    // CBO is enabled on an ISOLATED child session (shared context +
+    // external catalog, separate SQLConf seeded from the builder
+    // options): the returned frame plans under CBO at action time while
+    // the caller's session keeps its flags — a spark.conf.set on the
+    // shared session leaked CBO + joinReorder into every key that ran
+    // after this one in the same Verify/Bench JVM
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     // external table at a per-run temp location: a managed table's fixed
     // warehouse path survives the JVM and collides with the next run's
     // fresh (in-memory) catalog
     val tmp = graft.Staging.tempDir("graft_cbo")
-    spark.sql("DROP TABLE IF EXISTS graft_cbo_orders")
-    Tables(spark, dir, "orders")
+    s.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+    Tables(s, dir, "orders")
       .write.mode("overwrite").option("path", tmp)
       .saveAsTable("graft_cbo_orders")
-    spark.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS " +
+    s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS " +
       "FOR ALL COLUMNS")
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    spark.sql(
+    s.sql(
       "SELECT o_orderstatus, count(*) AS n, " +
         gridSum("o_totalprice") + " AS total " +
         "FROM graft_cbo_orders GROUP BY o_orderstatus " +

@@ -31,12 +31,6 @@ import graft.Tables
   */
 object TpchComplete {
 
-  private def view(spark: SparkSession, dir: String, t: String): String = {
-    val v = t + "_v"
-    Tables(spark, dir, t).createOrReplaceTempView(v)
-    v
-  }
-
   private def q(spark: SparkSession, dir: String, tables: Seq[String],
                 sql: String): DataFrame = {
     // idempotent, same rule set graft.Sessions installs at construction —
@@ -44,7 +38,7 @@ object TpchComplete {
     // q21 plan (RewriteExistsOther collapses the EXISTS/NOT EXISTS pair
     // into one aggregation; plan shape asserted in TpchCompleteSpec)
     graft.plans.RewriteExistsOther.install(spark)
-    tables.foreach(view(spark, dir, _))
+    tables.foreach(SqlSurface.view(spark, dir, _))
     spark.sql(sql)
   }
 

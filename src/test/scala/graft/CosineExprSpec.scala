@@ -65,4 +65,26 @@ class CosineExprSpec extends GraftSuite {
       .toLowerCase.contains("sortedintersectcount"))
   }
 
+  test("a null ELEMENT nulls the kernel results instead of reading 0") {
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.SortedIntersectCount.register(spark)
+    // array(...) with a null literal gives a containsNull = true schema
+    // — the guarded codegen path; repartition so the expressions
+    // actually execute instead of constant-folding
+    val df = spark.range(1).repartition(2).selectExpr(
+      "cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c_null",
+      "cosine_sim(array(CAST(3.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) " +
+        "AS c_ok",
+      "sorted_intersect_count(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)), " +
+        "array(CAST(1 AS BIGINT))) AS s_null",
+      "sorted_intersect_count(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)), " +
+        "array(CAST(2 AS BIGINT))) AS s_ok")
+    val r = df.collect().head
+    assert(r.isNullAt(0), "null element must null cosine_sim")
+    assert(!r.isNullAt(1) && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.isNullAt(2), "null element must null sorted_intersect_count")
+    assert(r.getInt(3) == 1)
+  }
+
 }

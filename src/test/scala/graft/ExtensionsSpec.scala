@@ -54,6 +54,14 @@ class ExtensionsSpec extends AnyFunSuite {
     // row-boxing produceResult fallback
     val plan = viaCatalog.queryExecution.optimizedPlan.toString
     assert(plan.toLowerCase.contains("invoke"), plan)
+    // a wrong namespace or name fails as a clean analysis error (the
+    // catalog throws NoSuchFunctionException, not NoSuchElementException)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graftfns.bogus_ns.hamming64(1, 2)").collect())
+    assert(e1.getMessage.toLowerCase.contains("hamming64"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graftfns.default.haming64(1, 2)").collect())
+    assert(e2.getMessage.toLowerCase.contains("haming64"))
   }
 
   test("self-cosine folds to a literal in the optimized plan") {

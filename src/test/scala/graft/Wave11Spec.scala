@@ -9,11 +9,26 @@ class Wave11Spec extends GraftSuite {
 
   test("cbo stats: analyzed rowCount reaches the optimizer") {
     operators.SqlSurface.cboStats(spark, sf0001).collect()
-    val rel = spark.table("graft_cbo_orders")
-    val stats = rel.queryExecution.optimizedPlan.stats
+    // stats visibility needs CBO on — assert through an isolated child
+    // session (the same mechanism the operator uses); the catalog table
+    // and its ANALYZE stats are shared, the conf is not
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    // plan.stats reads the THREAD-ACTIVE session's conf (Dataset
+    // actions set it themselves; this direct access must too)
+    org.apache.spark.sql.classic.SparkSession.setActiveSession(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    val stats =
+      try s.table("graft_cbo_orders").queryExecution.optimizedPlan.stats
+      finally org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     assert(stats.rowCount.contains(BigInt(1500)), stats.toString)
     // column-level stats exist for the analyzed columns
     assert(stats.attributeStats.nonEmpty, stats.toString)
+    // and the operator must NOT have leaked CBO into the caller's
+    // session — the r8 review's cross-key contamination finding
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "false",
+      "cboStats leaked spark.sql.cbo.enabled into the shared session")
   }
 
   test("pagerank iterations: localCheckpoint truncates lineage") {
