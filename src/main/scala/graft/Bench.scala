@@ -52,8 +52,11 @@ object Bench {
     val raw = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
+        // NonFatal only (Verify's pattern): an OOM/StackOverflow must
+        // kill the run — timings taken in a post-OOM JVM are noise that
+        // would be committed as the round's profile
         val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+                 catch { case scala.util.control.NonFatal(_) => false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       name -> times
@@ -116,11 +119,9 @@ object Bench {
         System.err.println(s"[bench] full-profile write failed: $e"); false }
     // JSON-escape env-controlled strings (advisor r6): a quote or
     // backslash in the path/sfDir would otherwise emit invalid JSON and
-    // the driver would record parsed:null.
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    // the driver would record parsed:null. Shared escaper (graft.Json)
+    // — Verify writes its manifests through the same one.
+    def jstr(s: String): String = Json.str(s)
     val fullField = if (fullWritten) jstr(fullPath) else "null"
     // 1-minute system load average at measurement end: BENCH_r06's 2-5×
     // "regression" was pure machine contention (judge re-measured idle),

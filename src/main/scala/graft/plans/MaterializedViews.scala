@@ -2,6 +2,8 @@ package graft.plans
 
 import java.util.concurrent.ConcurrentHashMap
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
@@ -99,12 +101,6 @@ object MaterializedViews {
         if projectList.forall(_.isInstanceOf[AttributeReference]) =>
       factSuffixOf(inner).map(sfx => (sfx, Some(cond)))
     case other => factSuffixOf(other).map(sfx => (sfx, None))
-  }
-
-  implicit private class JIt[A](private val it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext = it.hasNext; def next() = it.next()
-    }
   }
 
   object Rewrite extends Rule[LogicalPlan] {

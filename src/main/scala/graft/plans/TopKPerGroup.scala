@@ -131,16 +131,25 @@ case class TopKPerGroupExec(
   */
 object RewriteWindowTopK extends Rule[LogicalPlan] {
 
-  private def limitOf(cond: Expression, rn: Attribute): Option[Int] =
-    cond match {
+  /** Above this the per-group heap is the wrong tool (and `kk + 1`
+    * capacities approach Int overflow) — decline and leave Spark's
+    * sort-based plan in place. */
+  private val MaxK = 10000000
+
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] = {
+    // Long arithmetic: `rn < Int.MinValue` (always-false filter, correct
+    // answer: empty) must not wrap k - 1 around to keep-everything
+    val raw: Option[Long] = cond match {
       case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
-        if a.exprId == rn.exprId => Some(k)
+        if a.exprId == rn.exprId => Some(k.toLong)
       case LessThan(a: Attribute, Literal(k: Int, IntegerType))
-        if a.exprId == rn.exprId => Some(k - 1)
+        if a.exprId == rn.exprId => Some(k.toLong - 1)
       case EqualTo(a: Attribute, Literal(1, IntegerType))
-        if a.exprId == rn.exprId => Some(1)
+        if a.exprId == rn.exprId => Some(1L)
       case _ => None
     }
+    raw.filter(k => k >= 1L && k <= MaxK).map(_.toInt)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // part.nonEmpty: a GLOBAL row_number ≤ k (no PARTITION BY) must stay

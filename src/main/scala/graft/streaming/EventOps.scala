@@ -138,7 +138,13 @@ object EventOps {
         var lastUs = Long.MinValue; var lastId = Long.MinValue
         rows.foreach { case (_, us, id, value) =>
           n += 1
-          cents += math.rint(value * 100).toLong
+          // HALF AWAY FROM ZERO, matching Spark's round(col*100, 0) in
+          // every sibling key and DuckDB's round(): math.rint's
+          // half-to-EVEN diverges on exact .5 cents (e.g. value 0.125)
+          // the moment a fixture regen uses a finer value grid
+          val x = value * 100
+          cents += (if (x >= 0) math.floor(x + 0.5)
+                    else math.ceil(x - 0.5)).toLong
           if (us > lastUs || (us == lastUs && id > lastId)) {
             lastUs = us; lastId = id
           }
@@ -159,22 +165,28 @@ object EventOps {
     * order-independent exactly like a shuffle aggregate.
     */
   def transformWithStateBatch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     // transformWithState requires the RocksDB provider even in batch
     // (the HDFS-backed store doesn't implement the new state variables);
     // disable the snapshot-lag telemetry — its StateStoreCoordinator RPC
-    // endpoint only exists under a real streaming query
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // endpoint only exists under a real streaming query. BOTH confs go
+    // on an ISOLATED child session: setting them on the shared session
+    // would silently switch every streaming key that runs later in the
+    // same JVM onto a provider it was never validated or benched under
+    // (the cboStats leak class; Sessions.scala's no-mid-run-mutation
+    // invariant).
+    val s = spark.newSession()
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set(
+    s.conf.set(
       "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
       "false")
     // touch the StreamingQueryManager: it registers the driver-side
     // StateStoreCoordinator RPC endpoint the RocksDB store reports to —
     // under batch execution nothing else creates it
-    spark.streams.active
-    val ds = Tables(spark, dir, "events")
+    s.streams.active
+    val ds = Tables(s, dir, "events")
       .select(col("user_id"),
         round(col("value") * 100, 0).cast("long").as("cents"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
@@ -363,6 +375,12 @@ object EventOps {
           && System.nanoTime() < deadline && q.exception.isEmpty)
         Thread.sleep(50)
       q.exception.foreach(throw _)
+      // deadline expiry must FAIL the key, not dump a partial memory
+      // table that the driver would misread as a correctness regression
+      if (q.lastProgress == null || q.lastProgress.batchId < 2)
+        throw new IllegalStateException(
+          "rate-micro-batch stream stalled: batchId < 2 after 120s — " +
+            "environment stall, not a query defect")
     } finally q.stop()
     q.awaitTermination()
     spark.table(name)

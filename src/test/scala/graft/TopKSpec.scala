@@ -43,6 +43,31 @@ class TopKSpec extends GraftSuite {
     assert(native.exceptAll(df).count() == 0)
   }
 
+  test("extreme k literals decline instead of wrapping or overflowing") {
+    plans.TopK.installRewrite(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def q(pred: org.apache.spark.sql.Column) =
+      Tables(spark, sf0001, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(pred)
+        .select("o_custkey", "o_orderkey")
+    // rn < Int.MinValue: always-false filter — k-1 must not wrap to
+    // keep-everything; the correct answer is zero rows
+    val empty = q(col("rn") < Int.MinValue)
+    assert(!empty.queryExecution.executedPlan.toString
+      .contains("TopKPerGroup"))
+    assert(empty.count() == 0)
+    // rn <= Int.MaxValue: keep-all — a heap of capacity k+1 would
+    // overflow; the rule declines and Spark's plan answers
+    val all = q(col("rn") <= Int.MaxValue)
+    assert(!all.queryExecution.executedPlan.toString
+      .contains("TopKPerGroup"))
+    assert(all.count() ==
+      Tables(spark, sf0001, "orders").count())
+  }
+
   test("rewrite does NOT fire when the rank column is still referenced") {
     plans.TopK.installRewrite(spark)
     import org.apache.spark.sql.expressions.Window
