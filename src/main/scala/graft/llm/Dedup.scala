@@ -23,6 +23,19 @@ object Dedup {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** The n-1 full adjacent word pairs of `text`, space-joined — shared
+    * by the BPE pair statistic and the repetition filter. Same
+    * windowing rule as [[shingles]]: zip_with pads the shorter side
+    * with null and concat_ws would silently emit the padded tail as a
+    * bare unigram, so the slice clamps to exactly the full bigrams.
+    */
+  def bigrams(text: Column): Column = {
+    val w = split(text, " ")
+    slice(
+      zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat_ws(" ", a, b)),
+      lit(1), greatest(size(w) - 1, lit(0)))
+  }
+
   /** 3-word shingles of the text as strings.
     *
     * Built with zip_with over the word array and its two shifted slices

@@ -26,8 +26,13 @@ object GraphOps {
     * floor and is standardly re-injected via the teleport term).
     */
   def pagerankStep(spark: SparkSession, dir: String): DataFrame = {
+    // the distinct edge frame feeds three branches (main join, degrees,
+    // n_items) and Spark shares no subplans across them — checkpoint it
+    // once so the events scan + distinct shuffle run once, not three
+    // times (the same lesson pagerankIter3's loop documents)
     val edges = Tables(spark, dir, "events")
       .select("user_id", "event_type").distinct()
+      .localCheckpoint()
     val deg = edges.groupBy("user_id").agg(count(lit(1)).as("deg"))
     val nItems = edges.agg(countDistinct("event_type").as("n_items"))
     edges.join(deg, "user_id")
@@ -113,7 +118,13 @@ object GraphOps {
     * orderkey join of the table against itself, 2× the exchanges and
     * 6M joined rows at sf0.1) measured 6.8 s vs 1.4 s for this shape.
     */
-  def coorder(spark: SparkSession, dir: String): DataFrame = {
+  def coorder(spark: SparkSession, dir: String): DataFrame =
+    coorderEdges(spark, dir).orderBy("p1", "p2")
+
+  /** [[coorder]] WITHOUT the presentation sort — shared with
+    * [[triangles]], whose localCheckpoint would otherwise materialize a
+    * useless global range-shuffle of the edge table. */
+  private def coorderEdges(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -125,8 +136,6 @@ object GraphOps {
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
-      .orderBy("p1", "p2")
-  }
 
   /** Per-node triangle counts over the [[coorder]] graph — the
     * degree-ordered node-iterator (Schank–Wagner): every undirected
@@ -148,7 +157,7 @@ object GraphOps {
     * sized).
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = coorder(spark, dir).select("p1", "p2").localCheckpoint()
+    val e = coorderEdges(spark, dir).select("p1", "p2").localCheckpoint()
     val deg = e.select(col("p1").as("node"))
       .union(e.select(col("p2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -132,14 +132,9 @@ object TextOps {
     * [[bpeMergeStep]] (one ranked round) and [[bpeTrain]] (chained
     * rounds).
     */
-  private def pairCounts(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    val bigrams = slice(
-      zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat_ws(" ", a, b)),
-      lit(1), greatest(size(w) - 1, lit(0)))
-    docs.select(explode(bigrams).as("pair"))
+  private def pairCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(Dedup.bigrams(col("text"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("ct"))
-  }
 
   /** TWO chained BPE training rounds with the merge applied between them
     * — the data-dependent iterate-and-rewrite shape of real tokenizer
@@ -183,12 +178,16 @@ object TextOps {
     * aggregate + TakeOrderedAndProject(50).
     */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // the corpus explode + word-count aggregate feeds BOTH the top-50
+    // and the total; checkpoint the (vocab-sized) counts ONCE so the
+    // most expensive stage runs once — tot/top/ahead all derive from
+    // the materialized frame (Spark shares no subplans across branches)
     val wc = Tables(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
     val tot = wc.agg(sum("ct").cast("double").as("n"))
     val top = wc.orderBy(col("ct").desc, col("word")).limit(50)
-      .localCheckpoint()
     val ahead = broadcast(top.select(col("word").as("w2"),
       col("ct").as("ct2")))
     top

@@ -137,12 +137,7 @@ object TextQuality {
     */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
-    // zip_with pads the shorter side with null; concat_ws would silently
-    // turn the padded tail into a bare unigram, so slice to exactly the
-    // n-1 full bigrams (the Dedup.shingles windowing rule)
-    val bigrams = slice(
-      zip_with(w, slice(w, lit(2), size(w)), (a, b) => concat_ws(" ", a, b)),
-      lit(1), greatest(size(w) - 1, lit(0)))
+    val bigrams = Dedup.bigrams(col("text"))
     val grams = Tables.wide(spark, dir, "documents")
       .select(col("doc_id"), explode(concat(
         transform(w, g => struct(lit(1).as("n"), g.as("gram"))),

@@ -56,6 +56,20 @@ class FixedWidthDataSource extends TableProvider {
 }
 
 object FixedWidth {
+
+  /** ONE listing rule for every row/agg scan over a flat fixed-width
+    * dir: visible files only (no `_staging_*`, no dotfiles), sorted for
+    * a deterministic partition order; a plain file is its own
+    * single-partition list. */
+  private[sources] def listDataFiles(path: String): Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).sorted
+    else Array(path)
+  }
   /** (name, start1based, len, type) */
   final case class Field(name: String, start: Int, len: Int, dt: DataType)
 
@@ -162,9 +176,16 @@ class FixedWidthTable(path: String, fields: Seq[FixedWidth.Field],
     val base = FixedWidth.schemaOf(fields)
     partcol.fold(base)(pc => base.add(StructField(pc, LongType, nullable = false)))
   }
+  // a partcol table is READ-only: the writer renders only the
+  // fixed-width fields, so a partitioned write would silently drop the
+  // partition column and land flat files the partitioned scan never
+  // lists — declining the capability turns that silent data loss into
+  // Spark's clean "table does not support batch write" analysis error
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    if (partcol.isEmpty)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     partcol match {
@@ -172,8 +193,11 @@ class FixedWidthTable(path: String, fields: Seq[FixedWidth.Field],
       case None => new FixedWidthScanBuilder(path, fields)
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(partcol.isEmpty,
+      s"fixed_width($path): partcol tables are read-only (see capabilities)")
     new FixedWidthWriteBuilder(path, fields, info)
+  }
 }
 
 /** The WRITE side of the connector — the one DataSourceV2 surface the
@@ -228,7 +252,17 @@ class FixedWidthBatchWrite(path: String, fields: Seq[FixedWidth.Field],
     }
     messages.foreach { case FixedWidthCommit(staged) =>
       val sp = new Path(staged)
-      f.rename(sp, new Path(dest, sp.getName))
+      val target = new Path(dest, sp.getName)
+      // rename is the atomic publish — a false return (or a squatting
+      // destination, which local rename would silently clobber) must
+      // FAIL the commit, not drop a task's rows
+      if (f.exists(target))
+        throw new java.io.IOException(
+          s"fixed-width commit: destination $target already exists " +
+            "(concurrent append with colliding part names?)")
+      if (!f.rename(sp, target))
+        throw new java.io.IOException(
+          s"fixed-width commit: rename $sp -> $target failed")
     }
     f.delete(stagingDir, true)
   }
@@ -244,11 +278,18 @@ class FixedWidthWriterFactory(path: String, fields: Seq[FixedWidth.Field],
       private val staged =
         new Path(new Path(path, s"_staging_$queryId"),
           f"part-$partitionId%05d-$taskId.txt")
-      private val fs = staged.getFileSystem(new Configuration())
       // fixed-width lines are their own integrity check (width mismatch
       // fails the parse); skip Hadoop's .crc sidecars so commit renames
-      // exactly the files it staged
-      fs.setWriteChecksum(false)
+      // exactly the files it staged. setWriteChecksum mutates the
+      // FileSystem INSTANCE, and FileSystem.get's JVM-wide cache would
+      // broadcast that to every other writer in the executor — use a
+      // private uncached instance and close it with the writer.
+      private val fs = {
+        val f = org.apache.hadoop.fs.FileSystem.newInstance(
+          staged.toUri, new Configuration())
+        f.setWriteChecksum(false)
+        f
+      }
       private val out = fs.create(staged, true)
       private val w = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
@@ -278,7 +319,7 @@ class FixedWidthWriterFactory(path: String, fields: Seq[FixedWidth.Field],
         FixedWidthCommit(staged.toString)
       }
       override def abort(): Unit = { w.close(); fs.delete(staged, false) }
-      override def close(): Unit = ()
+      override def close(): Unit = fs.close() // private newInstance, not the cache
     }
 }
 
@@ -481,17 +522,9 @@ class FixedWidthAggScan(path: String, allFields: Seq[FixedWidth.Field],
     s"FixedWidthAggScan pushedAggs=[${aggs.map(FixedWidth.aggName).mkString(", ")}]" +
       (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(", ")}]" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-          && !s.getPath.getName.startsWith("."))
-          .map(_.getPath.toString).sorted
-      else Array(path)
-    files.map(f => FixedWidthPartition(f): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    FixedWidth.listDataFiles(path)
+      .map(f => FixedWidthPartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val filterNames = pushed.flatMap(FixedWidth.refs).toSet
@@ -570,15 +603,20 @@ class FixedWidthScan(path: String, output: Seq[FixedWidth.Field],
     * parquet dim (asserted in SourcesSpec). Rows are estimated from the
     * pruned record width — an upper bound the optimizer treats as such.
     */
+  // one listing per Scan instance — Catalyst may consult statistics
+  // repeatedly while planning, and each consult must not pay a fresh
+  // synchronous filesystem walk
+  private lazy val totalBytes: Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    else st.getLen
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes: Long = {
-      val p = new Path(path)
-      val fs = p.getFileSystem(new Configuration())
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
-      else st.getLen
-    }
+    private val bytes: Long = totalBytes
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = {
@@ -597,17 +635,9 @@ class FixedWidthScan(path: String, output: Seq[FixedWidth.Field],
       (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(", ")}]" else "") +
       (if (limit >= 0) s" limit=$limit" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-          && !s.getPath.getName.startsWith("."))
-          .map(_.getPath.toString).sorted
-      else Array(path)
-    files.map(f => FixedWidthPartition(f): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    FixedWidth.listDataFiles(path)
+      .map(f => FixedWidthPartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // parse the union of output + filter-referenced byte ranges; emit

@@ -169,7 +169,10 @@ object Sources {
     */
   def fixedWidthSink(spark: SparkSession, dir: String): DataFrame = {
     val spec = "s_suppkey:1:8:long,s_nationkey:9:4:long,s_cents:13:14:long"
-    val tmp = Files.createTempDirectory("graft_fwsink").toString
+    // Staging.tempDir (not a raw createTempDirectory): fresh-per-call
+    // semantics, but registered for exit-time cleanup — the raw form
+    // leaked one supplier render per bench rep
+    val tmp = graft.Staging.tempDir("graft_fwsink")
     Tables(spark, dir, "supplier")
       .select(col("s_suppkey"),
         col("s_nationkey").cast("long").as("s_nationkey"),
