@@ -370,6 +370,12 @@ object Gvt {
     v
   }
 
+  /** The commit doc at `v` — the streaming source's per-version feed
+    * ([[GvtStreamSource]] reads one doc per micro-batch; a listing walk
+    * per batch would be O(log length) each trigger). */
+  private[sources] def commitAt(dir: String, v: Int): GvtCommit =
+    mapper.readValue(Files.readAllBytes(commitPath(dir, v)), classOf[GvtCommit])
+
   /** All commit docs currently in the log (post-vacuum tail), ascending. */
   private def listCommits(dir: String): Seq[GvtCommit] = {
     val ld = logDirOf(dir)

@@ -459,6 +459,83 @@ object GvtOps {
         round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy("o_orderpriority")
 
+  /** Pure-append history for the streaming SOURCE: orders in 4 quarter
+    * commits (keys ≡0..3 mod 4) — versions 0..3, no rewrites. */
+  private def appendOnlyGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_appendonly", dir) { tmp =>
+      val orders = graft.Tables(spark, dir, "orders")
+      val stats = Seq("o_orderkey")
+      for (q <- 0 until 4)
+        Gvt.append(spark, tmp, orders.filter(col("o_orderkey") % 4 === q), stats)
+    }
+
+  /** Drain a [[GvtStreamSource]] query to its table head, then return
+    * the memory-sink state. Advance-by-one pacing means exactly
+    * `head + 1` micro-batches (initial snapshot + one per commit);
+    * the bounded wait is the rate-source pattern — an unguarded poll
+    * would hang the verify gate if the stream stopped progressing. */
+  private def drainGvtStream(spark: SparkSession, staged: String,
+      sinkName: String, mode: String)(shape: DataFrame => DataFrame)
+      : DataFrame = {
+    val head = Gvt.latestVersion(staged)
+    val q = shape(
+      spark.readStream.format("graft.sources.GvtStreamSource")
+        .option("mode", mode).load(staged))
+      .writeStream
+      .option("checkpointLocation", graft.Staging.fastTempDir("gvt_src_ckpt"))
+      .format("memory").queryName(sinkName).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while ((q.lastProgress == null || q.lastProgress.batchId < head)
+          && System.nanoTime() < deadline && q.exception.isEmpty) {
+        Thread.sleep(25)
+      }
+      q.exception.foreach(throw _)
+      require(q.lastProgress != null && q.lastProgress.batchId >= head,
+        s"gvt stream stalled before batch $head")
+    } finally q.stop()
+    spark.table(sinkName)
+  }
+
+  /** THE TABLE AS A STREAMING SOURCE (`mode=append`): the version-offset
+    * source replays the 4-commit append-only history — initial-snapshot
+    * batch plus one batch per later commit (advance-by-one pacing) —
+    * into a complete-mode aggregate. The oracle restates the full orders
+    * aggregate: a skipped, re-served, or half-read COMMIT fails the
+    * hash, which pins the source's offset arithmetic end-to-end. */
+  def gvtStreamSource(spark: SparkSession, dir: String): DataFrame =
+    drainGvtStream(spark, appendOnlyGvt(spark, dir),
+        "graft_gvt_source_result", "append") {
+      _.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+    }.select("o_orderpriority", "n_orders", "total_price")
+      .orderBy("o_orderpriority")
+
+  /** STREAMING CDC (`mode=cdc`): the change feed of the orders history
+    * (3 appends + a copy-on-write delete) consumed as a stream, with a
+    * SIGNED FOLD maintaining the aggregate incrementally — inserts weigh
+    * +1/+cents, deletes −1/−cents, integer-cents states so the fold is
+    * exact and order-independent (§5.3). The streaming half of the IVM
+    * loop ([[refreshSummary]] is the batch half); the oracle is the
+    * DIRECT aggregate of the final state — hash equality proves
+    * stream-fold-of-the-feed ≡ recompute, including the delete commit's
+    * retractions riding batch 4. */
+  def gvtStreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    drainGvtStream(spark, ordersGvt(spark, dir),
+        "graft_gvt_cdc_result", "cdc") {
+      _.select(col("o_orderstatus"), sign.as("w"), (sign * cents).as("cents"))
+        .groupBy("o_orderstatus")
+        .agg(sum("w").as("n_orders"),
+          (sum("cents").cast("double") / 100).as("total_price"))
+    }.select("o_orderstatus", "n_orders", "total_price")
+      .orderBy("o_orderstatus")
+  }
+
   /** Change feed over the orders history, v1 → v3: the third append's
     * rows surface as inserts (minus those the v3 delete also removed),
     * the delete's casualties among v1's rows as deletes. The oracle
@@ -504,6 +581,8 @@ object GvtOps {
     "etl_gvt_mv_refresh" -> gvtMvRefresh,
     "etl_gvt_corpus" -> gvtCorpus,
     "stream_gvt_sink" -> gvtStreamSink,
+    "stream_gvt_source" -> gvtStreamSource,
+    "stream_gvt_cdc" -> gvtStreamCdc,
     "sink_gvt_vacuum" -> gvtVacuum,
     "scan_gvt_schema_evo" -> gvtSchemaEvo,
     "etl_gvt_feed_apply" -> gvtFeedApply,
@@ -551,6 +630,19 @@ object GvtOps {
     "stream_gvt_sink" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // every quarter-commit replayed exactly once = the full table
+    "stream_gvt_source" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // signed fold of the streamed change feed ≡ direct aggregate of the
+    // final state (same restatement as etl_gvt_feed_apply)
+    "stream_gvt_cdc" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders " +
+        "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "sink_gvt_vacuum" ->
       ("SELECT o_orderpriority, count(*) AS n_orders, " +

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryException, Trigger}
+import graft.sources.Gvt
+
+/** The GVT streaming source ([[graft.sources.GvtStreamSource]]):
+  * version offsets, advance-by-one pacing, append/cdc modes, change
+  * commits, maintenance invisibility, and checkpoint resume.
+  */
+class GvtStreamSpec extends GraftSuite {
+
+  import org.apache.spark.sql.Row
+
+  private def freshTable(name: String): String = Staging.tempDir(name)
+
+  private def seed(dir: String, rows: Seq[(Long, String, Double)]): Int = {
+    import spark.implicits._
+    Gvt.append(spark, dir,
+      rows.toDF("k", "grp", "v"), Seq("k"))
+  }
+
+  private def startAgg(dir: String, sink: String,
+      extra: Map[String, String] = Map.empty): StreamingQuery =
+    spark.readStream.format("graft.sources.GvtStreamSource")
+      .options(extra)
+      .load(dir)
+      .groupBy("grp").agg(count(lit(1)).as("n"),
+        round(sum("v"), 2).as("sv"))
+      .writeStream
+      .option("checkpointLocation", Staging.fastTempDir("gvtstream_ckpt"))
+      .format("memory").queryName(sink).outputMode("complete")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+  private def drainTo(q: StreamingQuery, batch: Long): Unit = {
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while ((q.lastProgress == null || q.lastProgress.batchId < batch)
+        && System.nanoTime() < deadline && q.exception.isEmpty) {
+      Thread.sleep(20)
+    }
+    q.exception.foreach(throw _)
+    assert(q.lastProgress != null && q.lastProgress.batchId >= batch,
+      s"stream stalled before batch $batch")
+  }
+
+  private def grpState(sink: String): Map[String, (Long, Double)] =
+    spark.table(sink).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("append mode: initial snapshot + one batch per commit, exact rows") {
+    val dir = freshTable("gvtstream_append")
+    seed(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0)))            // v0
+    seed(dir, Seq((3L, "a", 3.0)))                            // v1
+    seed(dir, Seq((4L, "b", 4.0), (5L, "a", 5.0)))            // v2
+    val q = startAgg(dir, "gvtstream_append_sink")
+    try {
+      drainTo(q, 2)
+      // advance-by-one pacing: the three batches carry exactly the
+      // snapshot then each commit's adds
+      val perBatch = q.recentProgress.toSeq
+        .filter(_.batchId <= 2).sortBy(_.batchId).map(_.numInputRows)
+      assert(perBatch == Seq(2L, 1L, 2L), s"batch sizes: $perBatch")
+      assert(grpState("gvtstream_append_sink") ==
+        Map("a" -> ((3L, 9.0)), "b" -> ((2L, 6.0))))
+    } finally q.stop()
+  }
+
+  test("append mode: a change commit fails the stream with guidance") {
+    val dir = freshTable("gvtstream_chg")
+    seed(dir, Seq((1L, "a", 1.0), (2L, "a", 2.0)))            // v0
+    Gvt.delete(spark, dir, col("k") === 1L, Seq("k"))         // v1: rewrite
+    val q = startAgg(dir, "gvtstream_chg_sink")
+    try {
+      val ex = intercept[StreamingQueryException] {
+        drainTo(q, 1)
+        q.awaitTermination(10000)
+      }
+      val msg = Option(ex.getCause).fold(ex.getMessage)(_.getMessage)
+      assert(msg.contains("skipChangeCommits"), s"unhelpful error: $msg")
+    } finally q.stop()
+  }
+
+  test("append mode: skipChangeCommits skips rewrites, later appends flow") {
+    val dir = freshTable("gvtstream_skip")
+    seed(dir, Seq((1L, "a", 1.0), (2L, "a", 2.0)))            // v0
+    Gvt.delete(spark, dir, col("k") === 1L, Seq("k"))         // v1: skipped
+    seed(dir, Seq((3L, "b", 3.0)))                            // v2
+    val q = startAgg(dir, "gvtstream_skip_sink",
+      Map("skipChangeCommits" -> "true"))
+    try {
+      drainTo(q, 2)
+      // v1's retraction is NOT applied (append semantics: emitted rows
+      // stand); v2's append lands
+      assert(grpState("gvtstream_skip_sink") ==
+        Map("a" -> ((2L, 3.0)), "b" -> ((1L, 3.0))))
+    } finally q.stop()
+  }
+
+  test("append mode: compaction mid-stream emits zero rows") {
+    val dir = freshTable("gvtstream_compact")
+    seed(dir, Seq((1L, "a", 1.0)))                            // v0
+    seed(dir, Seq((2L, "a", 2.0)))                            // v1
+    Gvt.compact(spark, dir, smallRows = 1000L, targetFiles = 1,
+      Seq("k"))                                               // v2: layout
+    seed(dir, Seq((3L, "b", 3.0)))                            // v3
+    val q = startAgg(dir, "gvtstream_compact_sink")
+    try {
+      drainTo(q, 3)
+      val sizes = q.recentProgress.toSeq
+        .filter(_.batchId <= 3).sortBy(_.batchId).map(_.numInputRows)
+      assert(sizes == Seq(1L, 1L, 0L, 1L), s"batch sizes: $sizes")
+      assert(grpState("gvtstream_compact_sink") ==
+        Map("a" -> ((2L, 3.0)), "b" -> ((1L, 3.0))))
+    } finally q.stop()
+  }
+
+  test("cdc mode: signed fold of the feed equals the final state") {
+    val dir = freshTable("gvtstream_cdc")
+    seed(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0)))            // v0
+    seed(dir, Seq((3L, "a", 3.0)))                            // v1
+    Gvt.delete(spark, dir, col("grp") === "b", Seq("k"))      // v2: -b
+    val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    val name = "gvtstream_cdc_sink"
+    val q = spark.readStream.format("graft.sources.GvtStreamSource")
+      .option("mode", "cdc")
+      .load(dir)
+      .select(col("grp"), sign.as("w"),
+        (sign * round(col("v") * 100, 0).cast("long")).as("cents"))
+      .groupBy("grp").agg(sum("w").as("n"), sum("cents").as("cents"))
+      .writeStream
+      .option("checkpointLocation", Staging.fastTempDir("gvtstream_ckpt"))
+      .format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      drainTo(q, 2)
+      val state = spark.table(name).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // group b retracted to zero by the delete's feed rows
+      assert(state == Map("a" -> ((2L, 400L)), "b" -> ((0L, 0L))),
+        s"folded state: $state")
+    } finally q.stop()
+  }
+
+  test("cdc mode: the streamed feed carries explicit delete rows") {
+    val dir = freshTable("gvtstream_cdcrows")
+    seed(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0)))            // v0
+    Gvt.delete(spark, dir, col("k") === 2L, Seq("k"))         // v1
+    val name = "gvtstream_cdcrows_sink"
+    val q = spark.readStream.format("graft.sources.GvtStreamSource")
+      .option("mode", "cdc")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", Staging.fastTempDir("gvtstream_ckpt"))
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      drainTo(q, 1)
+      val rows = spark.table(name)
+        .select("change_type", "k", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("insert", 1L, 0L), ("insert", 2L, 0L),
+        ("delete", 2L, 1L)), s"feed rows: $rows")
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpoint: no snapshot re-emit") {
+    val dir = freshTable("gvtstream_resume")
+    seed(dir, Seq((1L, "a", 1.0)))                            // v0
+    seed(dir, Seq((2L, "a", 2.0)))                            // v1
+    val ckpt = Staging.fastTempDir("gvtstream_resume_ckpt")
+    // memory sink refuses checkpoint recovery; foreachBatch supports it
+    val got = java.util.Collections.synchronizedSet(
+      new java.util.HashSet[Long]())
+    def start(): StreamingQuery =
+      spark.readStream.format("graft.sources.GvtStreamSource")
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("k").collect().foreach(r => got.add(r.getLong(0)))
+          ()
+        }
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    val q1 = start()
+    try drainTo(q1, 1) finally q1.stop()
+    assert(got.contains(1L) && got.contains(2L))
+    got.clear()
+    seed(dir, Seq((3L, "b", 3.0)))                            // v2, post-stop
+    val q2 = start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (got.isEmpty
+          && System.nanoTime() < deadline && q2.exception.isEmpty) {
+        Thread.sleep(20)
+      }
+      q2.exception.foreach(throw _)
+      // resumed checkpoint: ONLY v2's rows arrive — a source that
+      // forgot its high-water mark would re-serve the initial snapshot
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == Set(3L),
+        s"resumed batch re-emitted: ${got.asScala.toSet}")
+    } finally q2.stop()
+  }
+}

@@ -181,7 +181,11 @@ class SurveyCoverageSpec extends GraftSuite {
     "plan_mv_rewrite_filtered",
     // round-8: GVT-backed incremental materialized view — CDC deltas
     // folded into a versioned summary via merge + dead-group deletes
-    "etl_gvt_mv_refresh")
+    "etl_gvt_mv_refresh",
+    // round-8 third wave: the table format as a streaming SOURCE —
+    // version-offset replay (append mode) and the change feed as a
+    // stream with a signed incremental fold (cdc mode)
+    "stream_gvt_source", "stream_gvt_cdc")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
