@@ -514,6 +514,74 @@ object GvtOps {
     }.select("o_orderpriority", "n_orders", "total_price")
       .orderBy("o_orderpriority")
 
+  /** END-TO-END EXACTLY-ONCE STREAMING IVM — source, sink, and view
+    * maintenance composed: the fact's change feed streams out of
+    * [[GvtStreamSource]] (`mode=cdc`), each micro-batch is reduced to a
+    * per-group SIGNED DELTA (+1/+cents insert, −1/−cents delete,
+    * integer-cents so the fold is exact and order-independent), and the
+    * delta lands in the summary's OWN GVT via [[Gvt.appendTxn]] with
+    * the batch id as the idempotence token — the delta-log MV design:
+    * the WRITE path is append-only (cost ∝ churn, exactly-once no
+    * matter how often the engine re-delivers a batch), the READ path
+    * folds the deltas, and ordinary [[Gvt.compact]] keeps the log
+    * short. The staging proves the exactly-once claim the same way
+    * `stream_gvt_sink` does — it re-delivers batch 0's delta under its
+    * original txn id and requires the log to refuse it — then compacts
+    * the delta log to show maintenance doesn't change the fold (the
+    * oracle hash would catch it). */
+  private def streamIvmGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_sivm", dir) { tmp =>
+      val fact = ordersGvt(spark, dir)
+      val head = Gvt.latestVersion(fact)
+      val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val stats = Seq("o_orderstatus")
+      def deltaOf(batch: DataFrame): DataFrame = batch
+        .select(col("o_orderstatus"), sign.as("w"), (sign * cents).as("c"))
+        .groupBy("o_orderstatus")
+        .agg(sum("w").as("dn"), sum("c").as("dcents"))
+      val q = spark.readStream.format("graft.sources.GvtStreamSource")
+        .option("mode", "cdc").load(fact)
+        .writeStream
+        .option("checkpointLocation", graft.Staging.fastTempDir("gvt_ivm_ckpt"))
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty)
+            Gvt.appendTxn(spark, tmp, deltaOf(batch), stats, s"ivm-$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while ((q.lastProgress == null || q.lastProgress.batchId < head)
+            && System.nanoTime() < deadline && q.exception.isEmpty) {
+          Thread.sleep(25)
+        }
+        q.exception.foreach(throw _)
+        require(q.lastProgress != null && q.lastProgress.batchId >= head,
+          s"gvt ivm stream stalled before batch $head")
+      } finally q.stop()
+      // exactly-once: re-deliver batch 0's delta under its txn id
+      val dup = Gvt.appendTxn(spark, tmp,
+        deltaOf(Gvt.read(spark, fact, Some(0))
+          .withColumn("change_type", lit("insert"))),
+        stats, "ivm-0")
+      require(dup.isEmpty, s"redelivered IVM batch committed twice: $dup")
+      // delta-log maintenance: fold is invariant under compaction
+      Gvt.compact(spark, tmp, smallRows = 1000000L, targetFiles = 1, stats)
+    }
+
+  /** The view read: fold the delta log. Groups whose count folded to
+    * zero are retracted rows, not real groups — dropped. */
+  def gvtStreamIvm(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, streamIvmGvt(spark, dir))
+      .groupBy("o_orderstatus")
+      .agg(sum("dn").as("n_orders"),
+        (sum("dcents").cast("double") / 100).as("total_price"))
+      .filter(col("n_orders") =!= 0)
+      .select("o_orderstatus", "n_orders", "total_price")
+      .orderBy("o_orderstatus")
+
   /** STREAMING CDC (`mode=cdc`): the change feed of the orders history
     * (3 appends + a copy-on-write delete) consumed as a stream, with a
     * SIGNED FOLD maintaining the aggregate incrementally — inserts weigh
@@ -583,6 +651,7 @@ object GvtOps {
     "stream_gvt_sink" -> gvtStreamSink,
     "stream_gvt_source" -> gvtStreamSource,
     "stream_gvt_cdc" -> gvtStreamCdc,
+    "stream_gvt_ivm" -> gvtStreamIvm,
     "sink_gvt_vacuum" -> gvtVacuum,
     "scan_gvt_schema_evo" -> gvtSchemaEvo,
     "etl_gvt_feed_apply" -> gvtFeedApply,
@@ -636,6 +705,15 @@ object GvtOps {
       ("SELECT o_orderpriority, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // exactly-once delta-log IVM: streamed feed → txn-append deltas →
+    // fold ≡ direct aggregate of the final state (redelivery refused,
+    // compaction invariant — both would break the hash)
+    "stream_gvt_ivm" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders " +
+        "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // signed fold of the streamed change feed ≡ direct aggregate of the
     // final state (same restatement as etl_gvt_feed_apply)
     "stream_gvt_cdc" ->

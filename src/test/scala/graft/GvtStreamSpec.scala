@@ -167,6 +167,43 @@ class GvtStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("delta-log IVM: a fully-retracted group folds out of the view") {
+    val fact = freshTable("gvtstream_ivm_fact")
+    val view = freshTable("gvtstream_ivm_view")
+    seed(fact, Seq((1L, "a", 1.0), (2L, "b", 2.0)))           // v0
+    seed(fact, Seq((3L, "a", 3.0)))                           // v1
+    Gvt.delete(spark, fact, col("grp") === "b", Seq("k"))     // v2: kill b
+    val head = Gvt.latestVersion(fact)
+    val sign = when(col("change_type") === "insert", 1L).otherwise(-1L)
+    def deltaOf(batch: DataFrame): DataFrame = batch
+      .select(col("grp"), sign.as("w"),
+        (sign * round(col("v") * 100, 0).cast("long")).as("c"))
+      .groupBy("grp").agg(sum("w").as("dn"), sum("c").as("dcents"))
+    val q = spark.readStream.format("graft.sources.GvtStreamSource")
+      .option("mode", "cdc").load(fact)
+      .writeStream
+      .option("checkpointLocation", Staging.fastTempDir("gvtstream_ckpt"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          Gvt.appendTxn(spark, view, deltaOf(batch), Seq("grp"), s"t-$id")
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try drainTo(q, head) finally q.stop()
+    // exactly-once under redelivery: same txn id refused
+    val dup = Gvt.appendTxn(spark, view,
+      deltaOf(Gvt.read(spark, fact, Some(0))
+        .withColumn("change_type", lit("insert"))), Seq("grp"), "t-0")
+    assert(dup.isEmpty, s"redelivered delta committed twice: $dup")
+    val folded = Gvt.read(spark, view)
+      .groupBy("grp").agg(sum("dn").as("n"), sum("dcents").as("cents"))
+      .filter(col("n") =!= 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // group b's inserts and deletes cancel: it must NOT appear
+    assert(folded == Set(("a", 2L, 400L)), s"folded view: $folded")
+  }
+
   test("restart resumes from the checkpoint: no snapshot re-emit") {
     val dir = freshTable("gvtstream_resume")
     seed(dir, Seq((1L, "a", 1.0)))                            // v0

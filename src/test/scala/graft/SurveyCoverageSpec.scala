@@ -185,7 +185,9 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-8 third wave: the table format as a streaming SOURCE —
     // version-offset replay (append mode) and the change feed as a
     // stream with a signed incremental fold (cdc mode)
-    "stream_gvt_source", "stream_gvt_cdc")
+    "stream_gvt_source", "stream_gvt_cdc",
+    // round-8 third wave: exactly-once delta-log IVM end to end
+    "stream_gvt_ivm")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
