@@ -34,13 +34,16 @@ import org.apache.spark.sql.functions._
   * the listing, which at 100 TB (millions of files on object storage)
   * is the difference between a planning step and a coffee break.
   *
-  * Commit protocol: write `.tmp-*` then ATOMIC_MOVE to the next
-  * `%08d.json`. The rename fails if the version was taken — optimistic
+  * Commit protocol: write `.tmp-*` then hard-LINK it to the next
+  * `%08d.json` (`Files.createLink` is atomic create-if-absent; a
+  * rename would silently REPLACE a racing winner — see [[tryPublish]]).
+  * Link creation fails if the version was taken — optimistic
   * concurrency. Appends retry (adds stay valid under any interleaving);
   * read-modify-write ops (merge/delete/compact) abort on conflict
   * because their read set may be stale. This is Delta-style SET
-  * semantics built on nothing but a filesystem with atomic rename; on
-  * S3 the move would go through a log-store / conditional-put instead.
+  * semantics built on nothing but a filesystem with an atomic
+  * create-if-absent; on S3 it would go through a log-store /
+  * conditional-put instead.
   *
   * Reads go through the NATIVE parquet scan (`spark.read.parquet` on
   * the snapshot's file list): vectorized reader, predicate pushdown,
@@ -82,9 +85,15 @@ object Gvt {
 
   /** `txn` is an optional idempotence token ([[appendTxn]]): null on
     * plain commits and on every pre-existing log doc (Jackson leaves
-    * the missing field null on read). */
+    * the missing field null on read). `ts` is the commit's publish
+    * timestamp (epoch millis), stamped by [[tryPublish]] as
+    * `max(clock, previous ts + 1)` so it is STRICTLY increasing even
+    * when commits land inside one millisecond — [[versionAt]] needs the
+    * strict order to resolve a timestamp to exactly one version. 0 on
+    * pre-timestamp log docs (Jackson's missing-primitive default). */
   final case class GvtCommit(version: Int, op: String,
-      adds: Seq[GvtFile], removes: Seq[String], txn: String = null)
+      adds: Seq[GvtFile], removes: Seq[String], txn: String = null,
+      ts: Long = 0L)
 
   final case class GvtCheckpoint(version: Int, files: Seq[GvtFile])
 
@@ -181,6 +190,40 @@ object Gvt {
       c.adds.foreach(f => active.put(f.path, f))
     }
     active.values.toSeq
+  }
+
+  /** TIMESTAMP time travel: the greatest version whose publish
+    * timestamp is ≤ `tsMillis`, or -1 if no retained version existed
+    * yet. Binary search over the retained tail (commit `ts` is strictly
+    * increasing by [[tryPublish]]'s stamping; docs are random-access by
+    * version), so resolution is O(log tail) doc reads — never a data
+    * read. Pre-timestamp log docs carry ts=0 and sort below any real
+    * clock, which resolves queries into an old table's un-stamped era
+    * to its last un-stamped version — documented, deterministic.
+    * A request below the vacuum floor's timestamp returns the floor
+    * minus one; the subsequent [[read]] raises the retention error. */
+  def versionAt(dir: String, tsMillis: Long): Int = {
+    val head = latestVersion(dir)
+    if (head < 0) return -1
+    var lo = vacuumFloor(dir)
+    if (commitAt(dir, lo).ts > tsMillis) return lo - 1
+    var hi = head
+    // invariant: ts(lo) <= tsMillis < ts(hi+1)
+    while (lo < hi) {
+      val mid = lo + (hi - lo + 1) / 2
+      if (commitAt(dir, mid).ts <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** Snapshot read at a TIMESTAMP (`TIMESTAMP AS OF`): resolve via
+    * [[versionAt]], then the ordinary version read. */
+  def readAsOfTimestamp(spark: SparkSession, dir: String,
+      tsMillis: Long): DataFrame = {
+    val v = versionAt(dir, tsMillis)
+    require(v >= 0,
+      s"GVT at $dir: no version existed at ts=$tsMillis (table created later)")
+    read(spark, dir, Some(v))
   }
 
   /** Snapshot read — time travel via `asOf`. Native vectorized parquet
@@ -337,8 +380,16 @@ object Gvt {
   private[graft] def tryPublish(dir: String, commit: GvtCommit): Boolean = {
     val ld = logDirOf(dir)
     Files.createDirectories(ld)
+    // stamp the publish timestamp, strictly above the predecessor's (the
+    // predecessor doc exists by construction — versions are sequential
+    // and we are about to contend for version N, so N-1 is published)
+    val stamped = commit.copy(ts = {
+      val prev =
+        if (commit.version > 0) commitAt(dir, commit.version - 1).ts else 0L
+      math.max(System.currentTimeMillis(), prev + 1)
+    })
     val tmp = Files.createTempFile(ld, ".tmp-", ".json")
-    Files.write(tmp, mapper.writeValueAsBytes(commit))
+    Files.write(tmp, mapper.writeValueAsBytes(stamped))
     val won =
       try { Files.createLink(commitPath(dir, commit.version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
@@ -373,7 +424,7 @@ object Gvt {
   /** The commit doc at `v` — the streaming source's per-version feed
     * ([[GvtStreamSource]] reads one doc per micro-batch; a listing walk
     * per batch would be O(log length) each trigger). */
-  private[sources] def commitAt(dir: String, v: Int): GvtCommit =
+  private[graft] def commitAt(dir: String, v: Int): GvtCommit =
     mapper.readValue(Files.readAllBytes(commitPath(dir, v)), classOf[GvtCommit])
 
   /** All commit docs currently in the log (post-vacuum tail), ascending. */

@@ -46,6 +46,21 @@ object GvtOps {
         round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy("o_orderstatus")
 
+  /** TIMESTAMP AS OF: resolve the RECORDED publish timestamp of v1 and
+    * read the table at that instant — [[Gvt.versionAt]] must map it
+    * back to exactly v1 (strict ts monotonicity is what makes "exactly"
+    * well-defined), so the aggregate equals the version-1 time travel
+    * and shares its oracle. The boundary cases (ts−1 → v0, pre-creation
+    * → error) are GvtSpec's. */
+  def timeTravelTs(spark: SparkSession, dir: String): DataFrame = {
+    val t = ordersGvt(spark, dir)
+    Gvt.readAsOfTimestamp(spark, t, Gvt.commitAt(t, 1).ts)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** customer upserted with updates (≡0 mod 10: acctbal+1000, segment
     * overwritten) and inserts (≡0 mod 100, shifted key space). Only
     * files containing a matched key get rewritten; the oracle restates
@@ -659,6 +674,7 @@ object GvtOps {
     "etl_gvt_diff" -> gvtDiff,
     "sink_versioned_log" -> versionedLog,
     "scan_time_travel" -> timeTravel,
+    "scan_time_travel_ts" -> timeTravelTs,
     "etl_merge_into" -> mergeInto,
     "scan_manifest_prune" -> manifestPrune,
     "sink_compaction" -> compaction
@@ -760,6 +776,12 @@ object GvtOps {
         "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "scan_time_travel" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE o_orderkey % 3 <> 0 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // ts(v1) resolves to exactly v1: same state, same oracle
+    "scan_time_travel_ts" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +
         "WHERE o_orderkey % 3 <> 0 " +

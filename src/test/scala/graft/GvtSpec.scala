@@ -527,6 +527,33 @@ class GvtSpec extends GraftSuite {
     assert(v1.contains("B"), s"pre-wipe view state lost B: $v1")
   }
 
+  test("timestamp time travel: strict ts order, exact resolution, edges") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))   // v0
+    Gvt.append(spark, dir, slab(10, 20), Seq("k"))  // v1
+    Gvt.append(spark, dir, slab(20, 30), Seq("k"))  // v2
+    val ts = (0 to 2).map(v => Gvt.commitAt(dir, v).ts)
+    // commits land well inside one millisecond of each other on this
+    // box, so strictness here is the +1 bump actually firing
+    assert(ts == ts.sorted && ts.distinct == ts, s"ts not strict: $ts")
+    // exact hit resolves to exactly that version
+    assert(Gvt.versionAt(dir, ts(1)) == 1)
+    // between two commits: the earlier one
+    assert(Gvt.versionAt(dir, ts(2) - 1) == 1)
+    assert(Gvt.versionAt(dir, ts(0)) == 0)
+    // after head: head
+    assert(Gvt.versionAt(dir, ts(2) + 1000000) == 2)
+    // before creation: -1, and the read raises a clear error
+    assert(Gvt.versionAt(dir, ts(0) - 1) == -1)
+    val ex = intercept[IllegalArgumentException] {
+      Gvt.readAsOfTimestamp(spark, dir, ts(0) - 1)
+    }
+    assert(ex.getMessage.contains("created later"))
+    // the read itself: state at ts(v1) is v0 union v1
+    assert(sortedRows(Gvt.readAsOfTimestamp(spark, dir, ts(1))) ==
+      (0L until 20L).map(k => (k, k * 10)))
+  }
+
   test("registry keys return rows at sf0.001") {
     GvtOps.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")

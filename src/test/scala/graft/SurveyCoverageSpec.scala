@@ -187,7 +187,10 @@ class SurveyCoverageSpec extends GraftSuite {
     // stream with a signed incremental fold (cdc mode)
     "stream_gvt_source", "stream_gvt_cdc",
     // round-8 third wave: exactly-once delta-log IVM end to end
-    "stream_gvt_ivm")
+    "stream_gvt_ivm",
+    // round-8 third wave: TIMESTAMP AS OF time travel (strictly-monotonic
+    // commit timestamps + O(log tail) binary-search resolution)
+    "scan_time_travel_ts")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
