@@ -330,7 +330,8 @@ object Scans {
   }
 
   /** Staged twice — with and without the bloom filter — so the spec can
-    * compare rows actually scanned on identical data and probe. */
+    * compare rows actually scanned on identical data and probe. Small
+    * row groups (16 KiB blocks) give the filter many groups to skip. */
   private[graft] def bloomStage(spark: SparkSession, dir: String,
       bloom: Boolean): String =
     graft.Staging.memoDir(s"graft_bloom_$bloom", dir) { tmp =>

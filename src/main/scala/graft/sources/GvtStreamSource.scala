@@ -1,7 +1,8 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
@@ -121,17 +122,41 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
     * checkpoint) resumes incremental arithmetic — without it, a
     * restart's first getOffset would re-propose the initial snapshot
     * and the engine (which trusts the source for ranges) would re-emit
-    * it. The engine's own offset log replays any uncommitted batch. */
-  private val markPath = Paths.get(metadataPath, "gvt-high-water")
+    * it. The engine's own offset log replays any uncommitted batch.
+    *
+    * `metadataPath` is a Hadoop path STRING with a scheme
+    * (`file:/...`, or `hdfs://`/`s3a://` on a cluster), so it must be
+    * resolved through Hadoop `Path`/`FileSystem` — the same pattern
+    * Spark's own `FileStreamSource` uses — never `java.nio`, which
+    * would treat `file:/dev/shm/...` as a RELATIVE path and write the
+    * mark under the driver's cwd (outside the checkpoint: not
+    * relocatable, and driver-local on a real cluster). A mark that is
+    * missing or unreadable degrades safely: `lastServed` restarts at
+    * -1, the engine still hands `getBatch` its COMMITTED offset as
+    * `start`, and the `endV <= u` replay guard serves empty batches
+    * until proposals pass it — no duplication, just idle batches. */
+  private val markPath = new Path(metadataPath, "gvt-high-water")
+  private val markFs =
+    markPath.getFileSystem(spark.sessionState.newHadoopConf())
+
   private var lastServed: Long =
-    if (Files.exists(markPath))
-      new String(Files.readAllBytes(markPath), StandardCharsets.UTF_8).trim.toLong
-    else -1L
+    if (markFs.exists(markPath)) {
+      val in = markFs.open(markPath)
+      try {
+        val raw = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).trim
+        scala.util.Try(raw.toLong).getOrElse(-1L)
+      } finally in.close()
+    } else -1L
 
   private def persist(v: Long): Unit = {
-    Files.createDirectories(markPath.getParent)
-    Files.write(markPath, v.toString.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // single-writer mark (one Source instance per running query), so a
+    // plain overwrite-create suffices; a torn write is recovered by the
+    // safe-degrade path above
+    val out = markFs.create(markPath, /* overwrite = */ true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def versionOf(o: Offset): Long = o match {
@@ -208,9 +233,19 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
     else ordered(spark.read.schema(base).parquet(paths: _*))
   }
 
+  /** One [[Gvt.diff]] per commit in `(u, endV]`, each stamped with ITS
+    * OWN version — when `maxVersionsPerBatch > 1` a single-range diff
+    * would mislabel earlier commits' changes with the range's end
+    * version (and a delete+re-insert across two commits would cancel
+    * out of the bag diff entirely, hiding the churn from downstream
+    * IVM). Unioning per-version diffs keeps `_commit_version` exact;
+    * the per-version manifests the diffs compare are O(file count), so
+    * the extra plans cost manifest work, not data scans. */
   private def cdcBatch(u: Long, endV: Long): DataFrame =
-    ordered(Gvt.diff(spark, dir, u.toInt, endV.toInt)
-      .withColumn("_commit_version", lit(endV)))
+    ordered(((u + 1) to endV).map { v =>
+      Gvt.diff(spark, dir, (v - 1).toInt, v.toInt)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_ unionAll _))
 
   override def commit(end: Offset): Unit = ()
 

@@ -242,4 +242,102 @@ class GvtStreamSpec extends GraftSuite {
         s"resumed batch re-emitted: ${got.asScala.toSet}")
     } finally q2.stop()
   }
+
+  test("high-water mark lives INSIDE the checkpoint, never under cwd") {
+    val dir = freshTable("gvtstream_markloc")
+    seed(dir, Seq((1L, "a", 1.0)))                            // v0
+    val ckpt = Staging.fastTempDir("gvtstream_markloc_ckpt")
+    val q = spark.readStream.format("graft.sources.GvtStreamSource")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try drainTo(q, 0) finally q.stop()
+    val mark = new java.io.File(s"$ckpt/sources/0/gvt-high-water")
+    assert(mark.isFile, s"mark not in checkpoint: ${mark.getPath}")
+    // the r8 bug: java.nio treated the file:-scheme metadataPath as
+    // relative and wrote `$CWD/file:/...` — that junk must never appear
+    val junk = new java.io.File("file:")
+    assert(!junk.exists, s"cwd-relative 'file:' artifact created")
+  }
+
+  test("restart from a RELOCATED checkpoint still serves only new commits") {
+    val dir = freshTable("gvtstream_moveckpt")
+    seed(dir, Seq((1L, "a", 1.0)))                            // v0
+    seed(dir, Seq((2L, "a", 2.0)))                            // v1
+    val ckptA = Staging.fastTempDir("gvtstream_moveckpt_a")
+    val got = java.util.Collections.synchronizedSet(
+      new java.util.HashSet[Long]())
+    def start(ckpt: String): StreamingQuery =
+      spark.readStream.format("graft.sources.GvtStreamSource")
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("k").collect().foreach(r => got.add(r.getLong(0)))
+          ()
+        }
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    val q1 = start(ckptA)
+    try drainTo(q1, 1) finally q1.stop()
+    assert(got.contains(1L) && got.contains(2L))
+    got.clear()
+    // move the WHOLE checkpoint directory: all resume state (engine
+    // offset log AND the source's high-water mark) must travel with it.
+    // The r8 bug parked the mark under the driver cwd, so a moved
+    // checkpoint "worked" only because the cwd stayed the same.
+    val ckptB = Staging.fastTempDir("gvtstream_moveckpt_b")
+    new java.io.File(ckptB).delete()
+    java.nio.file.Files.move(java.nio.file.Paths.get(ckptA),
+      java.nio.file.Paths.get(ckptB))
+    assert(new java.io.File(s"$ckptB/sources/0/gvt-high-water").isFile,
+      "mark did not travel with the checkpoint")
+    seed(dir, Seq((3L, "b", 3.0)))                            // v2, post-move
+    val q2 = start(ckptB)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (got.isEmpty
+          && System.nanoTime() < deadline && q2.exception.isEmpty) {
+        Thread.sleep(20)
+      }
+      q2.exception.foreach(throw _)
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == Set(3L),
+        s"relocated checkpoint re-emitted: ${got.asScala.toSet}")
+    } finally q2.stop()
+  }
+
+  test("cdc multi-version batch stamps each row with ITS commit version") {
+    val dir = freshTable("gvtstream_cdcver")
+    seed(dir, Seq((1L, "a", 1.0)))                            // v0
+    seed(dir, Seq((2L, "b", 2.0)))                            // v1
+    Gvt.delete(spark, dir, col("k") === 1L, Seq("k"))         // v2
+    seed(dir, Seq((3L, "c", 3.0)))                            // v3
+    val name = "gvtstream_cdcver_sink"
+    // all 4 versions exist up front: batch 0 is the v0 snapshot, and
+    // maxVersionsPerBatch=4 makes batch 1 span (0, 3] in ONE getBatch
+    val q = spark.readStream.format("graft.sources.GvtStreamSource")
+      .option("mode", "cdc")
+      .option("maxVersionsPerBatch", "4")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", Staging.fastTempDir("gvtstream_ckpt"))
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      drainTo(q, 1)
+      val rows = spark.table(name)
+        .select("change_type", "k", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // a single-range diff would stamp everything 3 — and worse, v1's
+      // insert of k=2 survives while v2 deletes k=1: each change must
+      // carry the version of the commit that MADE it
+      assert(rows == Set(
+        ("insert", 1L, 0L),                                   // snapshot
+        ("insert", 2L, 1L), ("delete", 1L, 2L), ("insert", 3L, 3L)),
+        s"feed rows: $rows")
+    } finally q.stop()
+  }
 }
