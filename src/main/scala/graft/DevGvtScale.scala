@@ -206,6 +206,88 @@ object DevGvtScale {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s")).collect()
     }
+
+    // ---- claim 7: 100k-entry manifest — DF path keeps it off the driver ----
+    // A 100 TB table at 128 MB/file is ~10⁶ manifest entries; this
+    // fabricates a 10⁵-entry manifest (parquet checkpoint written by a
+    // Spark job + JSON twin for the driver-path contrast) and measures
+    // snapshot resolution and zone-map pruning through both paths. The
+    // DF path collects only the pruned SURVIVORS; the driver path
+    // parses and holds all 100k entries.
+    {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val nFiles = 100000
+      val mTable = Staging.tempDir("gvt_manifest100k")
+      val ld = Paths.get(mTable, Gvt.LogDir)
+      Files.createDirectories(ld)
+      // each synthetic file covers 1000 consecutive doc_ids — tight,
+      // disjoint zone maps, the well-clustered-table shape
+      val manifest = spark.range(nFiles).select(
+        format_string("data/c0-synth/part-%06d.parquet", col("id")).as("path"),
+        lit(250000L).as("rows"),
+        map(lit("doc_id"), (col("id") * 1000).cast("string")).as("min"),
+        map(lit("doc_id"), ((col("id") + 1) * 1000 - 1).cast("string")).as("max"),
+        lit(null).cast("array<string>").as("dv"),
+        lit(0L).as("dvRows"))
+      timed(s"fabricate parquet ckpt ($nFiles entries, Spark job)") {
+        val tmp = ld.resolve(".tmp-fab")
+        manifest.repartition(1).write.parquet(tmp.toString)
+        Files.move(tmp, ld.resolve(f"${0}%08d.ckpt.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.write(ld.resolve(f"${0}%08d.json"),
+        """{"version":0,"op":"append","adds":[],"removes":[],"ts":1}"""
+          .getBytes("UTF-8"))
+      // JSON twin so the driver path has its usual anchor
+      timed("fabricate JSON ckpt twin (driver-path contrast)") {
+        val files = manifest
+          .as(org.apache.spark.sql.Encoders.product[Gvt.GvtFile])
+          .collect().toSeq
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          .registerModule(
+            com.fasterxml.jackson.module.scala.DefaultScalaModule)
+        Files.write(ld.resolve(f"${0}%08d.ckpt.json"),
+          m.writeValueAsBytes(Gvt.GvtCheckpoint(0, files)))
+      }
+      def heapMB(): Double = {
+        System.gc(); Thread.sleep(100); System.gc()
+        val r = Runtime.getRuntime
+        (r.totalMemory() - r.freeMemory()) / 1e6
+      }
+      val h0 = heapMB()
+      val cnt = timed("DF path: snapshotDF.count() (resolution as a job)") {
+        Gvt.snapshotDF(spark, mTable).count()
+      }
+      // prune to a 0.05% range: survivors = ~50 of 100k
+      val survivors = timed("DF path: zone-map prune to 0.05% key range") {
+        val m = Gvt.snapshotDF(spark, mTable)
+        val mn = element_at(col("min"), lit("doc_id")).cast("double")
+        val mx = element_at(col("max"), lit("doc_id")).cast("double")
+        m.filter(when(mn.isNotNull && mx.isNotNull,
+            !(mx < lit(5.0e7) || mn > lit(5.005e7))).otherwise(lit(true)))
+          .select("path", "dv").collect().length
+      }
+      val h1 = heapMB()
+      println(f"[gvt-scale] DF path: $cnt entries resolved, $survivors " +
+        f"survivors collected; driver heap $h0%.0f → $h1%.0f MB")
+      val h2 = heapMB()
+      val drv = timed("driver path: Gvt.snapshot (all entries on driver)") {
+        Gvt.snapshot(mTable)
+      }
+      val keptDrv = drv.count { f =>
+        (f.min.get("doc_id"), f.max.get("doc_id")) match {
+          case (Some(mn), Some(mx)) =>
+            !(mx.toDouble < 5.0e7 || mn.toDouble > 5.005e7)
+          case _ => true
+        }
+      }
+      val h3 = heapMB()
+      println(f"[gvt-scale] driver path: ${drv.size} entries materialized, " +
+        f"$keptDrv kept; driver heap $h2%.0f → $h3%.0f MB " +
+        "(full manifest resident)")
+      require(survivors == keptDrv,
+        s"prune parity broken: DF $survivors vs driver $keptDrv")
+    }
     spark.stop()
   }
 }

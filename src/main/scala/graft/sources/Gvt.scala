@@ -110,6 +110,8 @@ object Gvt {
     logDirOf(dir).resolve(f"$v%08d.json")
   private def ckptPath(dir: String, v: Int) =
     logDirOf(dir).resolve(f"$v%08d.ckpt.json")
+  private def pqCkptPath(dir: String, v: Int) =
+    logDirOf(dir).resolve(f"$v%08d.ckpt.parquet")
 
   /** Highest committed version, or -1 for an empty/absent table. */
   def latestVersion(dir: String): Int = {
@@ -130,6 +132,11 @@ object Gvt {
   }
   private object CkptName {
     private val Re = raw"(\d{8})\.ckpt\.json".r
+    def unapply(name: String): Option[Int] =
+      name match { case Re(d) => Some(d.toInt); case _ => None }
+  }
+  private object PqCkptName {
+    private val Re = raw"(\d{8})\.ckpt\.parquet".r
     def unapply(name: String): Option[Int] =
       name match { case Re(d) => Some(d.toInt); case _ => None }
   }
@@ -190,6 +197,155 @@ object Gvt {
       c.adds.foreach(f => active.put(f.path, f))
     }
     active.values.toSeq
+  }
+
+  // --------------------------------------------------------------------
+  // MANIFEST AS A DATAFRAME — the 100 TB path. A 100 TB table at 128 MB
+  // a file is ~10⁶ manifest entries; [[snapshot]]'s driver Seq is fine
+  // to ~10⁵ but beyond that the full file list must never land in
+  // driver memory. This section keeps manifest STATE distributed:
+  // checkpoints are parquet datasets written BY A SPARK JOB from the
+  // previous parquet checkpoint plus the commit tail (so the writer
+  // never materializes the list either), snapshot resolution is a
+  // ≤[[CheckpointEvery]]-step DataFrame fold, and zone-map pruning is a
+  // Spark filter over the manifest — the driver sees only the pruned
+  // SURVIVOR list it must hand to the parquet scan (the same contract
+  // as Delta's checkpoint-parquet + state-reconstruction DataFrame).
+  // --------------------------------------------------------------------
+
+  private def gvtFileEnc = org.apache.spark.sql.Encoders.product[GvtFile]
+
+  /** Small per-commit file lists (adds of ONE commit — bounded by that
+    * commit's churn, never table size) lifted to a DataFrame. */
+  private def filesDF(spark: SparkSession, files: Seq[GvtFile]): DataFrame =
+    spark.createDataset(files)(gvtFileEnc).toDF()
+
+  /** Newest parquet checkpoint ≤ `upTo`, or -1. */
+  private def newestPqCkpt(dir: String, upTo: Int): Int = {
+    val ld = logDirOf(dir)
+    if (!Files.isDirectory(ld)) return -1
+    val it = Files.list(ld)
+    try it.iterator().asScala().map(_.getFileName.toString)
+      .collect { case PqCkptName(v) if v <= upTo => v }
+      .foldLeft(-1)(math.max)
+    finally it.close()
+  }
+
+  /** Active-file manifest at `asOf` as a DATAFRAME (columns = the
+    * [[GvtFile]] fields) — no driver materialization of the file list.
+    * Anchors on the newest parquet checkpoint ≤ asOf and folds the
+    * remaining commit tail (anti-join removes, union adds — each step
+    * bounded by ONE commit's churn). Bridges: a table that has never
+    * written a parquet checkpoint anchors on the JSON checkpoint (one
+    * driver-side doc read, the pre-existing liability) or, lacking
+    * both, folds the whole retained log. */
+  def snapshotDF(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val last = asOf.getOrElse(latestVersion(dir))
+    require(last >= 0, s"GVT at $dir has no commits (asOf=$asOf)")
+    val floor = vacuumFloor(dir)
+    require(last >= floor,
+      s"GVT at $dir: version $last was vacuumed (floor $floor) — " +
+        "time travel below the retention floor is gone by design")
+    require(Files.exists(commitPath(dir, last)),
+      s"GVT at $dir has no version $last")
+    val pq = newestPqCkpt(dir, last)
+    val (anchorV, base) =
+      if (pq >= 0) (pq, spark.read.parquet(pqCkptPath(dir, pq).toString))
+      else {
+        val ld = logDirOf(dir)
+        val js = {
+          val it = Files.list(ld)
+          try it.iterator().asScala().map(_.getFileName.toString)
+            .collect { case CkptName(v) if v <= last => v }
+            .foldLeft(-1)(math.max)
+          finally it.close()
+        }
+        if (js >= 0) {
+          val ck = mapper.readValue(
+            Files.readAllBytes(ckptPath(dir, js)), classOf[GvtCheckpoint])
+          (js, filesDF(spark, ck.files))
+        } else (-1, filesDF(spark, Nil))
+      }
+    ((anchorV + 1) to last).foldLeft(base) { (df, v) =>
+      val c = commitAt(dir, v)
+      val afterRemoves =
+        if (c.removes.isEmpty) df
+        else df.join(
+          spark.createDataset(c.removes)(
+            org.apache.spark.sql.Encoders.STRING).toDF("path"),
+          Seq("path"), "left_anti")
+      if (c.adds.isEmpty) afterRemoves
+      else afterRemoves.unionByName(filesDF(spark, c.adds))
+    }
+  }
+
+  /** Write the parquet-checkpoint twin for version `v` (idempotent;
+    * racing writers resolve by atomic directory move). The state is
+    * computed by [[snapshotDF]] — previous parquet checkpoint + tail —
+    * so the WRITE is a Spark job too: no driver materialization at any
+    * manifest size. One output file: manifest rows are ~200 B, so even
+    * 10⁶ entries are one well-sized parquet file, and a single-file
+    * checkpoint keeps resolution a single-split scan. */
+  def checkpointParquet(spark: SparkSession, dir: String, v: Int): Unit = {
+    val target = pqCkptPath(dir, v)
+    if (Files.exists(target)) return
+    val tmp = logDirOf(dir)
+      .resolve(s".tmp-pqckpt-${UUID.randomUUID().toString.take(8)}")
+    snapshotDF(spark, dir, Some(v)).repartition(1)
+      .write.parquet(tmp.toString)
+    try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: FileAlreadyExistsException | _: java.nio.file.FileSystemException =>
+        deleteRecursively(tmp) // lost the race; the winner's twin stands
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala().foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** [[readPrunedMulti]] through the DataFrame manifest: zone-map file
+    * pruning AS A SPARK JOB. The survivor condition matches the driver
+    * path exactly — a file is pruned only when BOTH bounds parse
+    * numerically and the box provably misses (missing/garbage stats ⇒
+    * keep; pruning is never load-bearing) — and the driver collects
+    * only the SURVIVORS (path + dv), never the manifest. Returns
+    * (df, filesKept, filesTotal). */
+  def readPrunedMultiDF(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Double, Double)], asOf: Option[Int] = None)
+      : (DataFrame, Long, Long) = {
+    val m = snapshotDF(spark, dir, asOf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = m.count()
+      require(total > 0, s"GVT at $dir is empty at version $asOf")
+      val survive = ranges.map { case (c, lo, hi) =>
+        val mn = element_at(col("min"), lit(c)).cast("double")
+        val mx = element_at(col("max"), lit(c)).cast("double")
+        when(mn.isNotNull && mx.isNotNull,
+          !(mx < lit(lo) || mn > lit(hi))).otherwise(lit(true))
+      }.reduce(_ && _)
+      val kept = m.filter(survive).select(col("path"), col("dv"))
+        .collect()
+        .map(r => GvtFile(r.getString(0), 0L, Map.empty, Map.empty,
+          Option(r.getSeq[String](1)).map(_.toSeq).orNull))
+        .toSeq.sortBy(_.path)
+      val df =
+        if (kept.isEmpty) {
+          val donor = m.select("path").head.getString(0)
+          spark.read.parquet(s"$dir/$donor").limit(0)
+        } else readFiles(spark, dir, kept)
+      val filtered = ranges.foldLeft(df) { case (d, (column, lo, hi)) =>
+        d.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+      }
+      (filtered, kept.size.toLong, total)
+    } finally m.unpersist()
   }
 
   /** TIMESTAMP time travel: the greatest version whose publish
@@ -377,7 +533,8 @@ object Gvt {
     * when the target exists; readers see either no file or the complete
     * doc, never a partial write (GvtSpec proves the abort fires with a
     * commit injected mid-operation). */
-  private[graft] def tryPublish(dir: String, commit: GvtCommit): Boolean = {
+  private[graft] def tryPublish(dir: String, commit: GvtCommit,
+      spark: SparkSession = null): Boolean = {
     val ld = logDirOf(dir)
     Files.createDirectories(ld)
     // stamp the publish timestamp, strictly above the predecessor's (the
@@ -395,15 +552,30 @@ object Gvt {
       catch { case _: FileAlreadyExistsException => false }
     Files.delete(tmp)
     if (won && commit.version > 0 && commit.version % CheckpointEvery == 0) {
-      // checkpoint AFTER the commit is visible; a lost race or failure
-      // here only costs replay length, never correctness
-      val files = snapshot(dir, Some(commit.version))
-      val ctmp = Files.createTempFile(ld, ".tmp-", ".ckpt")
-      Files.write(ctmp,
-        mapper.writeValueAsBytes(GvtCheckpoint(commit.version, files)))
-      try Files.createLink(ckptPath(dir, commit.version), ctmp)
-      catch { case _: FileAlreadyExistsException => () }
-      Files.delete(ctmp)
+      // checkpoints AFTER the commit is visible; a lost race or failure
+      // here only costs replay length, never correctness.
+      // `parquetOnlyCheckpoints` is the >10⁵-file regime: skip the JSON
+      // checkpoint (whose write materializes the full list on the
+      // driver) and keep only the parquet twin, whose state is computed
+      // AND written as a Spark job — the driver path ([[snapshot]])
+      // then replays a longer tail from the last JSON checkpoint, which
+      // is exactly the path such tables should no longer use.
+      val parquetOnly = spark != null && spark.conf
+        .getOption("spark.graft.gvt.parquetOnlyCheckpoints")
+        .exists(_.toBoolean)
+      if (!parquetOnly) {
+        val files = snapshot(dir, Some(commit.version))
+        val ctmp = Files.createTempFile(ld, ".tmp-", ".ckpt")
+        Files.write(ctmp,
+          mapper.writeValueAsBytes(GvtCheckpoint(commit.version, files)))
+        try Files.createLink(ckptPath(dir, commit.version), ctmp)
+        catch { case _: FileAlreadyExistsException => () }
+        Files.delete(ctmp)
+      }
+      if (spark != null) {
+        try checkpointParquet(spark, dir, commit.version)
+        catch { case scala.util.control.NonFatal(_) => () } // best-effort
+      }
     }
     won
   }
@@ -415,7 +587,7 @@ object Gvt {
       statsCols: Seq[String]): Int = {
     var v = latestVersion(dir) + 1
     val adds = writeData(spark, dir, df, statsCols, v)
-    while (!tryPublish(dir, GvtCommit(v, "append", adds, Nil))) {
+    while (!tryPublish(dir, GvtCommit(v, "append", adds, Nil), spark)) {
       v = latestVersion(dir) + 1
     }
     v
@@ -470,7 +642,7 @@ object Gvt {
       // twin committing between a pre-read check and our publish would
       // hand us a fresh slot ABOVE its commit and we'd land twice
       if (alreadyCommitted) return None // our twin won; files are orphans
-      if (tryPublish(dir, GvtCommit(v, "append", adds, Nil, txnId)))
+      if (tryPublish(dir, GvtCommit(v, "append", adds, Nil, txnId), spark))
         return Some(v)
       v = latestVersion(dir) + 1
     }
@@ -543,7 +715,7 @@ object Gvt {
     val v = base + 1
     val adds = writeData(spark, dir, rewritten, statsCols, v)
     if (!tryPublish(dir,
-        GvtCommit(v, "merge", adds, touchedFiles.map(_.path))))
+        GvtCommit(v, "merge", adds, touchedFiles.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; merge read set stale")
     v
@@ -573,7 +745,7 @@ object Gvt {
       if (kept.isEmpty) Nil
       else writeData(spark, dir, kept, statsCols, v)
     if (!tryPublish(dir,
-        GvtCommit(v, "delete", adds, touchedFiles.map(_.path))))
+        GvtCommit(v, "delete", adds, touchedFiles.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; delete read set stale")
     v
@@ -603,7 +775,7 @@ object Gvt {
       if (kept.isEmpty) Nil
       else writeData(spark, dir, kept, statsCols, v)
     if (!tryPublish(dir,
-        GvtCommit(v, "delete", adds, touchedFiles.map(_.path))))
+        GvtCommit(v, "delete", adds, touchedFiles.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; delete read set stale")
     v
@@ -645,7 +817,7 @@ object Gvt {
     val adds = touched.map(f =>
       f.copy(dv = dvOf(f) :+ sub, dvRows = f.dvRows + perFile(f.path)))
     if (!tryPublish(dir,
-        GvtCommit(v, "dv_delete", adds, touched.map(_.path))))
+        GvtCommit(v, "dv_delete", adds, touched.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; DV read set stale")
     v
@@ -670,7 +842,7 @@ object Gvt {
     val adds =
       if (live.isEmpty) Nil else writeData(spark, dir, live, statsCols, v)
     if (!tryPublish(dir,
-        GvtCommit(v, "absorb", adds, doomed.map(_.path))))
+        GvtCommit(v, "absorb", adds, doomed.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; absorb read set stale")
     v
@@ -697,7 +869,7 @@ object Gvt {
       else smallDf.repartition(targetFiles)
     val v = base + 1
     val adds = writeData(spark, dir, packed, statsCols, v, cluster = false)
-    if (!tryPublish(dir, GvtCommit(v, "compact", adds, small.map(_.path))))
+    if (!tryPublish(dir, GvtCommit(v, "compact", adds, small.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; compact read set stale")
     v
@@ -722,7 +894,7 @@ object Gvt {
     if (target == current) return head // already there
     val v = head + 1
     if (!tryPublish(dir,
-        GvtCommit(v, "restore", target, current.map(_.path))))
+        GvtCommit(v, "restore", target, current.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; restore read set stale")
     v
@@ -815,6 +987,8 @@ object Gvt {
           Files.delete(p); docsDeleted += 1
         case CkptName(v) if v < retainFrom =>
           Files.delete(p); docsDeleted += 1
+        case PqCkptName(v) if v < retainFrom =>
+          deleteRecursively(p); docsDeleted += 1 // parquet twin directory
         case _ => ()
       }
     } finally docs.close()

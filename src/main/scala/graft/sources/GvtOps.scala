@@ -131,6 +131,22 @@ object GvtOps {
       .orderBy("l_returnflag")
   }
 
+  /** The SAME pruned read through the DATAFRAME manifest path
+    * ([[Gvt.readPrunedMultiDF]]): snapshot resolution and zone-map
+    * pruning run as a Spark job over the parquet-checkpoint manifest,
+    * and the driver only ever sees the pruned survivor list — the
+    * ≥10⁵-file regime where [[Gvt.snapshot]]'s driver Seq stops
+    * scaling. Shares `scan_manifest_prune`'s oracle: both paths must
+    * produce the identical answer. */
+  def manifestDf(spark: SparkSession, dir: String): DataFrame = {
+    val (qlo, qhi) = tileBounds(spark, dir)
+    val (df, _, _) = Gvt.readPrunedMultiDF(spark, tilesGvt(spark, dir),
+      Seq(("l_orderkey", qlo.toDouble, qhi.toDouble)))
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pruning stats for GvtSpec (scanned vs total file counts). */
   def manifestPruneStats(spark: SparkSession, dir: String): (Int, Int) = {
     val (qlo, qhi) = tileBounds(spark, dir)
@@ -677,6 +693,7 @@ object GvtOps {
     "scan_time_travel_ts" -> timeTravelTs,
     "etl_merge_into" -> mergeInto,
     "scan_manifest_prune" -> manifestPrune,
+    "scan_manifest_df" -> manifestDf,
     "sink_compaction" -> compaction
   )
 
@@ -800,6 +817,15 @@ object GvtOps {
         "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer c " +
         "WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)" +
         ") ORDER BY c_custkey"),
+    "scan_manifest_df" ->
+      ("WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi " +
+        "FROM lineitem), " +
+        "r AS (SELECT lo + (hi-lo+1)*4//8 AS qlo, " +
+        "lo + (hi-lo+1)*5//8 - 1 AS qhi FROM b) " +
+        "SELECT l_returnflag, count(*) AS n_rows, " +
+        "round(sum(l_quantity),2) AS sum_qty FROM lineitem, r " +
+        "WHERE l_orderkey >= qlo AND l_orderkey <= qhi " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_manifest_prune" ->
       ("WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi " +
         "FROM lineitem), " +

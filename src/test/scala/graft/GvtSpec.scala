@@ -559,6 +559,77 @@ class GvtSpec extends GraftSuite {
       assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")
     }
   }
+
+  test("DF manifest: snapshotDF ≡ snapshot, parquet twin written and " +
+      "anchoring, pruning parity") {
+    val dir = freshDir()
+    (0 until 12).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 10, i * 10 + 10).repartition(1),
+        Seq("k")))
+    Gvt.delete(spark, dir, col("k") === 55L, Seq("k"))
+    // the parquet twin landed at the checkpoint cadence
+    val pq = Paths.get(dir, Gvt.LogDir).resolve(f"${10}%08d.ckpt.parquet")
+    assert(Files.isDirectory(pq), "no parquet checkpoint twin at v10")
+    // DF manifest ≡ driver manifest, latest and time-traveled, including
+    // rows/stats/dv fields (dv normalized: null ≡ empty)
+    def asSet(files: Seq[Gvt.GvtFile]) =
+      files.map(f => (f.path, f.rows, f.min, f.max,
+        Option(f.dv).getOrElse(Nil), f.dvRows)).toSet
+    def dfAsSet(df: DataFrame) = df.collect().map { r =>
+      (r.getString(0), r.getLong(1),
+        r.getMap[String, String](2).toMap, r.getMap[String, String](3).toMap,
+        Option(r.getSeq[String](4)).map(_.toSeq).getOrElse(Nil), r.getLong(5))
+    }.toSet
+    assert(dfAsSet(Gvt.snapshotDF(spark, dir)) == asSet(Gvt.snapshot(dir)))
+    assert(dfAsSet(Gvt.snapshotDF(spark, dir, Some(7))) ==
+      asSet(Gvt.snapshot(dir, Some(7))))
+    // anchoring is real: drop the pre-checkpoint commit docs — the DF
+    // path must resolve from the parquet twin + tail alone
+    (0 until 10).foreach(v =>
+      Files.delete(Paths.get(dir, Gvt.LogDir).resolve(f"$v%08d.json")))
+    assert(dfAsSet(Gvt.snapshotDF(spark, dir)) == asSet(Gvt.snapshot(dir)))
+    // pruning parity: same kept/total and the same rows as the driver path
+    val ranges = Seq(("k", 30.0, 49.0))
+    val (dDf, kept, total) = Gvt.readPrunedMultiDF(spark, dir, ranges)
+    val (dDrv, keptDrv, totalDrv) = Gvt.readPrunedMulti(spark, dir, ranges)
+    assert((kept, total) == (keptDrv.toLong, totalDrv.toLong),
+      s"prune counts diverge: df ($kept,$total) vs driver ($keptDrv,$totalDrv)")
+    assert(kept < total, "nothing pruned in a range-tiled table")
+    assert(sortedRows(dDf) == sortedRows(dDrv))
+  }
+
+  test("parquetOnlyCheckpoints: no JSON ckpt, both read paths correct") {
+    val dir = freshDir()
+    spark.conf.set("spark.graft.gvt.parquetOnlyCheckpoints", "true")
+    try {
+      (0 until 12).foreach(i =>
+        Gvt.append(spark, dir, slab(i, i + 1), Seq("k")))
+      val ld = Paths.get(dir, Gvt.LogDir)
+      assert(!Files.exists(ld.resolve(f"${10}%08d.ckpt.json")),
+        "JSON checkpoint written in parquet-only mode")
+      assert(Files.isDirectory(ld.resolve(f"${10}%08d.ckpt.parquet")),
+        "parquet checkpoint missing in parquet-only mode")
+      // driver path replays the longer tail; DF path anchors on parquet
+      assert(sortedRows(Gvt.read(spark, dir)) ==
+        (0L until 12L).map(k => (k, k * 10)))
+      assert(Gvt.snapshotDF(spark, dir).count() ==
+        Gvt.snapshot(dir).size.toLong)
+    } finally spark.conf.unset("spark.graft.gvt.parquetOnlyCheckpoints")
+  }
+
+  test("vacuum reaps pre-floor parquet checkpoint twins") {
+    val dir = freshDir()
+    (0 until 22).foreach(i => Gvt.append(spark, dir, slab(i, i + 1), Seq("k")))
+    val ld = Paths.get(dir, Gvt.LogDir)
+    assert(Files.isDirectory(ld.resolve(f"${10}%08d.ckpt.parquet")))
+    Gvt.vacuum(dir, retainFrom = 15, graceMs = 0L)
+    assert(!Files.exists(ld.resolve(f"${10}%08d.ckpt.parquet")),
+      "pre-floor parquet twin survived vacuum")
+    assert(Files.isDirectory(ld.resolve(f"${20}%08d.ckpt.parquet")),
+      "retained parquet twin deleted")
+    // and the DF path still resolves above the floor
+    assert(Gvt.snapshotDF(spark, dir).count() == 22L)
+  }
 }
 
 object GvtSpec {

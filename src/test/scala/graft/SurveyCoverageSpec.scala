@@ -190,7 +190,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "stream_gvt_ivm",
     // round-8 third wave: TIMESTAMP AS OF time travel (strictly-monotonic
     // commit timestamps + O(log tail) binary-search resolution)
-    "scan_time_travel_ts")
+    "scan_time_travel_ts",
+    // round-9: the manifest as a DATAFRAME — parquet-checkpoint snapshot
+    // resolution + zone-map pruning as Spark jobs (the ≥10⁵-file regime)
+    "scan_manifest_df")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
