@@ -696,8 +696,33 @@ object Gvt {
     files.filter(f => touched.contains(f.path))
   }
 
+  /** Bounded optimistic retry for read-modify-write commits. Each
+    * attempt is a FULL re-execution — re-read the (new) head snapshot,
+    * recompute the touched set and rewrite, publish at head+1 — so a
+    * retried operation is exactly the operation started later:
+    * serializable without Delta-style logical conflict detection,
+    * because nothing from the stale attempt survives (its data files
+    * are orphans; [[vacuum]] reaps them). Default 3 retries
+    * (`spark.graft.gvt.rmwRetries`); exhaustion rethrows the abort —
+    * sustained write-write contention on one table should surface, not
+    * spin. Set 0 to restore fail-fast semantics. */
+  private def rmwRetry(spark: SparkSession)(body: => Int): Int = {
+    val retries = spark.conf.getOption("spark.graft.gvt.rmwRetries")
+      .map(_.toInt).getOrElse(3)
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > retries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-      key: String, statsCols: Seq[String]): Int = {
+      key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     if (source.isEmpty) return base // no-op: nothing to upsert
@@ -728,7 +753,7 @@ object Gvt {
     * by any Spark job (dedup losers, policy violations, GDPR erasure
     * lists) and stays distributed end to end. */
   def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
-      key: String, statsCols: Seq[String]): Int = {
+      key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     if (keys.isEmpty) return base
@@ -755,7 +780,7 @@ object Gvt {
     * at least one matching row (found by a column-pruned probe over the
     * predicate's columns). Aborts on concurrent commit. */
   def delete(spark: SparkSession, dir: String, predicate: Column,
-      statsCols: Seq[String]): Int = {
+      statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     val touched: Set[String] = readFilesWithId(spark, dir, files)
@@ -799,7 +824,7 @@ object Gvt {
     * double-counts a row and `dvRows` stays exact. Aborts on concurrent
     * commit (read-modify-write, same as merge/delete). */
   def deleteWhereDV(spark: SparkSession, dir: String, predicate: Column)
-      : Int = {
+      : Int = rmwRetry(spark) {
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     val v = base + 1
@@ -831,7 +856,8 @@ object Gvt {
     * small-file count. No-op (returns the current version) when nothing
     * qualifies. */
   def absorbDeletes(spark: SparkSession, dir: String,
-      minDeletedFraction: Double, statsCols: Seq[String]): Int = {
+      minDeletedFraction: Double, statsCols: Seq[String]): Int =
+      rmwRetry(spark) {
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     val doomed = files.filter(f =>
@@ -852,7 +878,7 @@ object Gvt {
     * output files, removed + added in one atomic commit. Readers never
     * observe a half-compacted state. */
   def compact(spark: SparkSession, dir: String, smallRows: Long,
-      targetFiles: Int, statsCols: Seq[String]): Int = {
+      targetFiles: Int, statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     val small = files.filter(_.rows < smallRows)
@@ -886,7 +912,8 @@ object Gvt {
     * state is gone by design and the snapshot resolution fails loudly.
     * Aborts on concurrent commit. Returns the restore commit's version
     * (current head if already at that state — no-op). */
-  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int =
+      rmwRetry(spark) {
     val head = latestVersion(dir)
     require(toVersion <= head, s"restore target $toVersion beyond head $head")
     val target = snapshot(dir, Some(toVersion))

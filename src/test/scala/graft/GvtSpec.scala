@@ -129,24 +129,44 @@ class GvtSpec extends GraftSuite {
       "append must retry past the mid-flight commit and land at 4")
     assert(sortedRows(Gvt.read(spark, dir)) ==
       (0L until 10L).map(k => (k, k * 10)))
-    // read-modify-write abort: the competing commit must land BETWEEN
-    // the op's snapshot read and its publish. Inject it from inside
+    // read-modify-write retry: the competing commit lands BETWEEN the
+    // op's snapshot read and its publish (injected from inside
     // predicate evaluation — the probe job runs after the snapshot and
-    // before the publish, and local mode keeps executors in this JVM.
+    // before the publish, and local mode keeps executors in this JVM).
+    // The op must lose version 5 to the squat, RE-EXECUTE against the
+    // new head, and land at 6 — BOTH writers commit, serialized.
     GvtSpec.squatDir = dir
     GvtSpec.squatVersion = Gvt.latestVersion(dir) + 1
     GvtSpec.squatted.set(false)
     val racing = udf { k: Long => GvtSpec.squatNow(); k == 0L }
-    intercept[java.util.ConcurrentModificationException](
-      Gvt.delete(spark, dir, racing(col("k")), Seq("k")))
+    val vDel = Gvt.delete(spark, dir, racing(col("k")), Seq("k"))
+    assert(vDel == GvtSpec.squatVersion + 1,
+      s"delete must retry past the squat and land at ${GvtSpec.squatVersion + 1}, got $vDel")
+    assert(Gvt.commitAt(dir, GvtSpec.squatVersion).op == "append",
+      "the competing commit must survive the retried delete")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (1L until 10L).map(k => (k, k * 10)),
+      "retried delete applied against the post-squat head")
     // DV delete is read-modify-write too (its manifest rewrite carries
-    // the dv list of a snapshot that just went stale) — same abort
+    // the dv list of a snapshot that just went stale) — same retry
     GvtSpec.squatDir = dir
     GvtSpec.squatVersion = Gvt.latestVersion(dir) + 1
     GvtSpec.squatted.set(false)
     val racing2 = udf { k: Long => GvtSpec.squatNow(); k == 1L }
-    intercept[java.util.ConcurrentModificationException](
-      Gvt.deleteWhereDV(spark, dir, racing2(col("k"))))
+    val vDv = Gvt.deleteWhereDV(spark, dir, racing2(col("k")))
+    assert(vDv == GvtSpec.squatVersion + 1, "DV delete must retry and land")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (2L until 10L).map(k => (k, k * 10)))
+    // fail-fast opt-out: with rmwRetries=0 the abort surfaces as before
+    spark.conf.set("spark.graft.gvt.rmwRetries", "0")
+    try {
+      GvtSpec.squatDir = dir
+      GvtSpec.squatVersion = Gvt.latestVersion(dir) + 1
+      GvtSpec.squatted.set(false)
+      val racing3 = udf { k: Long => GvtSpec.squatNow(); k == 2L }
+      intercept[java.util.ConcurrentModificationException](
+        Gvt.delete(spark, dir, racing3(col("k")), Seq("k")))
+    } finally spark.conf.unset("spark.graft.gvt.rmwRetries")
   }
 
   test("stress: 8 concurrent appenders, every commit serialized, no loss") {

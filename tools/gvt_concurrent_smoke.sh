@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Cross-JVM GVT concurrency smoke: two real processes append+merge the
+# same table concurrently; a third checks every commit serialized with
+# no loss. Run from the repo root after `sbt compile`:
+#
+#   bash tools/gvt_concurrent_smoke.sh [nAppends]
+#
+# Uses the compiled classes directly (two `sbt` servers would serialize
+# on the build lock and defeat the point).
+set -euo pipefail
+N="${1:-6}"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+TABLE="$(mktemp -d /dev/shm/gvt_xjvm.XXXXXX)/table"
+JAVA_OPTS="--add-opens=java.base/java.lang=ALL-UNNAMED \
+--add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED \
+--add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+--add-opens=java.base/sun.security.action=ALL-UNNAMED \
+--add-opens=java.base/java.io=ALL-UNNAMED \
+--add-opens=java.base/java.net=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent=ALL-UNNAMED"
+
+echo "[smoke] table: $TABLE  appends/writer: $N"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent write "$TABLE" 0 "$N" &
+P0=$!
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent write "$TABLE" 1 "$N" &
+P1=$!
+wait $P0; wait $P1
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent check "$TABLE" 2 "$N"
+rm -rf "$(dirname "$TABLE")"
+echo "[smoke] PASS"
