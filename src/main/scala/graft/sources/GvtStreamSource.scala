@@ -40,10 +40,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Pacing: `maxVersionsPerBatch` (default 1) caps how many commits one
   * micro-batch may cover, so a consumer that fell far behind catches up
   * in bounded-size batches instead of one giant one — at 100 TB the
-  * difference between a re-plannable stream and an OOM. The served
-  * high-water mark is persisted under the query's `metadataPath`
-  * (inside the checkpoint dir), so a restarted query resumes its
-  * version arithmetic instead of re-serving the initial snapshot.
+  * difference between a re-plannable stream and an OOM. Version caps
+  * alone cannot bound one FAT commit, so `maxRowsPerBatch` (append
+  * mode; manifest `rows` stats, no data read) additionally splits a
+  * single commit across micro-batches at add-file boundaries via
+  * sub-version offsets ([[GvtFileOffset]] — the Delta
+  * (reservoirVersion, index) idea). The served high-water mark is
+  * persisted under the query's `metadataPath` (inside the checkpoint
+  * dir), so a restarted query resumes its version arithmetic instead
+  * of re-serving the initial snapshot.
   *
   * v1 `Source` (DataFrames from `getBatch`) rather than a DSv2
   * `MicroBatchStream` is deliberate, and the same choice Delta made:
@@ -95,20 +100,45 @@ class GvtStreamSource extends StreamSourceProvider with DataSourceRegister {
         parameters.getOrElse("skipChangeCommits", "false").toBoolean,
       maxVersionsPerBatch =
         parameters.getOrElse("maxVersionsPerBatch", "1").toInt,
+      maxRowsPerBatch =
+        parameters.getOrElse("maxRowsPerBatch", "0").toLong,
       base = dataSchema(sqlContext.sparkSession, dir))
   }
 }
 
+/** Sub-version stream offset: commits `< v` fully served plus the
+  * first `files` add-files of commit `v` — what lets `maxRowsPerBatch`
+  * split ONE giant commit across micro-batches. Emitted only when a
+  * batch actually stops mid-commit; at commit boundaries the source
+  * emits plain [[LongOffset]] so existing checkpoints (and their bare
+  * version numbers) stay readable and new checkpoints of un-paced
+  * streams stay identical to the r8 format. */
+private[sources] case class GvtFileOffset(v: Long, files: Int)
+    extends Offset {
+  override def json: String = s"""{"v":$v,"files":$files}"""
+}
+
 class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
     mode: String, startingVersion: Int, skipChangeCommits: Boolean,
-    maxVersionsPerBatch: Int, base: StructType) extends Source {
+    maxVersionsPerBatch: Int, maxRowsPerBatch: Long, base: StructType)
+    extends Source {
 
   require(mode == "append" || mode == "cdc",
     s"gvt-stream: unknown mode '$mode' (append|cdc)")
   require(maxVersionsPerBatch >= 1,
     s"gvt-stream: maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
+  require(maxRowsPerBatch == 0 || mode == "append",
+    "gvt-stream: maxRowsPerBatch paces append mode only (a cdc diff is " +
+      "a bag over whole version ranges; its batches split by version)")
 
   private val spark = sqlContext.sparkSession
+
+  /** Stream position: commits `< v` fully served, plus the first
+    * `files` add-files of commit `v`. `files == 0` ⇔ the classic
+    * version-granular position "served through v-1". */
+  private case class Pos(v: Long, files: Int) {
+    def isBefore(o: Pos): Boolean = v < o.v || (v == o.v && files < o.files)
+  }
 
   override val schema: StructType =
     if (mode == "cdc")
@@ -139,56 +169,114 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
   private val markFs =
     markPath.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private var lastServed: Long =
+  private var lastServed: Option[Pos] =
     if (markFs.exists(markPath)) {
       val in = markFs.open(markPath)
       try {
         val raw = new String(
           org.apache.commons.io.IOUtils.toByteArray(in),
           StandardCharsets.UTF_8).trim
-        scala.util.Try(raw.toLong).getOrElse(-1L)
+        raw.split(":") match {
+          case Array(v, f) if raw.contains(":") =>
+            scala.util.Try(Pos(v.toLong, f.toInt)).toOption
+          case _ => // legacy bare-version mark: "served through V"
+            scala.util.Try(Pos(raw.toLong + 1, 0)).toOption
+        }
       } finally in.close()
-    } else -1L
+    } else None
 
-  private def persist(v: Long): Unit = {
+  private def persist(p: Pos): Unit = {
     // single-writer mark (one Source instance per running query), so a
     // plain overwrite-create suffices; a torn write is recovered by the
     // safe-degrade path above
     val out = markFs.create(markPath, /* overwrite = */ true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    try out.write(s"${p.v}:${p.files}".getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
+  private def posOf(o: Offset): Pos = o match {
+    case l: LongOffset => Pos(l.offset + 1, 0)
+    case other =>
+      val j = other.json.trim
+      if (j.startsWith("{")) {
+        val Re = raw"""\{"v":(\d+),"files":(\d+)\}""".r
+        j match {
+          case Re(v, f) => Pos(v.toLong, f.toInt)
+          case _ => throw new IllegalStateException(
+            s"gvt-stream: unreadable offset '$j'")
+        }
+      } else Pos(j.toLong + 1, 0)
+  }
+
+  private def toOffset(p: Pos): Offset =
+    if (p.files == 0) LongOffset(p.v - 1) else GvtFileOffset(p.v, p.files)
+
+  /** Next batch end from `cur`: up to `maxVersionsPerBatch` commits
+    * and (append mode, when `maxRowsPerBatch > 0`) up to that many
+    * manifest-counted rows, stopping MID-COMMIT at a file boundary
+    * when one commit alone exceeds the budget — one giant commit can
+    * no longer form one giant micro-batch. Always takes at least one
+    * file, so a single file larger than the budget still flows. The
+    * un-paced path stays metadata-free (no commit-doc reads per
+    * trigger); the paced path reads ≤ maxVersionsPerBatch docs. */
+  private def advance(cur: Pos, head: Long): Pos = {
+    if (maxRowsPerBatch <= 0)
+      return Pos(math.min(head + 1, cur.v + maxVersionsPerBatch), 0)
+    var v = cur.v
+    var k = cur.files
+    var rows = 0L
+    var versions = 0
+    var tookAny = false
+    while (v <= head && versions < maxVersionsPerBatch) {
+      val c = Gvt.commitAt(dir, v.toInt)
+      if (c.op == "append") {
+        val adds = c.adds
+        while (k < adds.size) {
+          val r = adds(k).rows
+          if (tookAny && rows + r > maxRowsPerBatch) return Pos(v, k)
+          rows += r; k += 1; tookAny = true
+        }
+      }
+      // non-append commits (maintenance / change) carry no append rows:
+      // they pass through whole, subject only to the version cap
+      v += 1; k = 0; versions += 1
+    }
+    Pos(v, 0)
   }
 
   override def getOffset: Option[Offset] = {
     val head = Gvt.latestVersion(dir).toLong
     if (head < 0) None
-    else if (lastServed < 0) {
-      // first batch: the startingVersion snapshot (nothing to serve yet
-      // if the table hasn't reached it)
-      if (head >= startingVersion) Some(LongOffset(startingVersion.toLong))
-      else None
-    } else Some(LongOffset(math.min(head, lastServed + maxVersionsPerBatch)))
+    else lastServed match {
+      case None =>
+        // first batch: the startingVersion snapshot (nothing to serve
+        // yet if the table hasn't reached it)
+        if (head >= startingVersion)
+          Some(toOffset(Pos(startingVersion + 1L, 0)))
+        else None
+      case Some(cur) =>
+        val end = advance(cur, head)
+        if (cur.isBefore(end)) Some(toOffset(end)) else None
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = versionOf(end)
-    val startV = start.map(versionOf)
-    val out = startV match {
+    val endP = posOf(end)
+    val startP = start.map(posOf)
+    val out = startP match {
       case None =>
-        initialBatch(endV)
-      case Some(u) if endV <= u =>
+        initialBatch(endP.v - 1)
+      case Some(s) if !s.isBefore(endP) =>
         // engine replay / no-advance edge: serve an empty batch rather
         // than re-emitting rows the checkpoint already committed
         emptyBatch()
-      case Some(u) =>
-        if (mode == "cdc") cdcBatch(u, endV) else appendBatch(u, endV)
+      case Some(s) =>
+        if (mode == "cdc") cdcBatch(s.v - 1, endP.v - 1)
+        else appendBatch(s, endP)
     }
-    if (endV > lastServed) { lastServed = endV; persist(lastServed) }
+    if (lastServed.forall(_.isBefore(endP))) {
+      lastServed = Some(endP); persist(endP)
+    }
     StreamingShim.asStreamingFrame(out)
   }
 
@@ -207,26 +295,35 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
     else ordered(snap)
   }
 
-  /** Rows added by the commits in `(u, endV]` — one plain vectorized
-    * parquet scan over exactly the added files (append adds never carry
-    * deletion vectors, so no DV join belongs here; a LATER DV delete of
-    * an already-streamed row is a change commit and surfaces as such
-    * when it happens, never retroactively). */
-  private def appendBatch(u: Long, endV: Long): DataFrame = {
-    val paths = ((u + 1) to endV).flatMap { v =>
-      val c = Gvt.commitAt(dir, v.toInt)
-      c.op match {
-        case "append" => c.adds.map(f => s"$dir/${f.path}")
-        // pure layout maintenance: every row in these adds was already
-        // emitted by the commit that first added it
-        case "compact" | "absorb" => Nil
-        case other =>
-          if (skipChangeCommits) Nil
-          else throw new IllegalStateException(
-            s"gvt-stream: commit $v is a '$other' — an append stream " +
-              "cannot retract already-emitted rows. Restart from a " +
-              "fresh startingVersion, use mode=cdc, or set " +
-              "skipChangeCommits=true to ignore rewrite commits.")
+  /** Rows added in the position range `(s, e]` — one plain vectorized
+    * parquet scan over exactly the covered add-files, sliced at file
+    * granularity when the range starts or ends inside a commit (append
+    * adds never carry deletion vectors, so no DV join belongs here; a
+    * LATER DV delete of an already-streamed row is a change commit and
+    * surfaces as such when it happens, never retroactively). Add order
+    * inside a commit doc is stable (writeData sorts by path), so the
+    * slice arithmetic is deterministic across restarts. */
+  private def appendBatch(s: Pos, e: Pos): DataFrame = {
+    val paths = (s.v to e.v).flatMap { v =>
+      if (v == e.v && e.files == 0) Nil // e.v itself not yet entered
+      else {
+        val c = Gvt.commitAt(dir, v.toInt)
+        c.op match {
+          case "append" =>
+            val from = if (v == s.v) s.files else 0
+            val until = if (v == e.v) e.files else c.adds.size
+            c.adds.slice(from, until).map(f => s"$dir/${f.path}")
+          // pure layout maintenance: every row in these adds was
+          // already emitted by the commit that first added it
+          case "compact" | "absorb" => Nil
+          case other =>
+            if (skipChangeCommits) Nil
+            else throw new IllegalStateException(
+              s"gvt-stream: commit $v is a '$other' — an append stream " +
+                "cannot retract already-emitted rows. Restart from a " +
+                "fresh startingVersion, use mode=cdc, or set " +
+                "skipChangeCommits=true to ignore rewrite commits.")
+        }
       }
     }
     if (paths.isEmpty) emptyBatch()

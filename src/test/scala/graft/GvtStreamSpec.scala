@@ -308,6 +308,48 @@ class GvtStreamSpec extends GraftSuite {
     } finally q2.stop()
   }
 
+  test("maxRowsPerBatch splits one fat commit across micro-batches") {
+    val dir = freshTable("gvtstream_rows")
+    import spark.implicits._
+    seed(dir, Seq((1L, "a", 1.0)))                            // v0: snapshot
+    // v1: ONE fat commit of 400 rows across many small files (AQE
+    // coalescing off so writeData's range clustering keeps the
+    // shuffle-partition split; per-file counts come from the manifest,
+    // which the pacing walk reads)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Gvt.append(spark, dir,
+      (100L until 500L).map(k => (k, "b", 1.0)).toDF("k", "grp", "v"),
+      Seq("k"))
+    finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val perFile = Gvt.snapshot(dir).filter(_.path.contains("/c1-"))
+      .map(_.rows)
+    assert(perFile.size >= 3 && perFile.forall(_ <= 150),
+      s"fat commit did not split into small files: $perFile")
+    val q = startAgg(dir, "gvtstream_rows_sink",
+      Map("maxRowsPerBatch" -> "150"))
+    try {
+      // drain until the fold reaches the final state
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def state() = scala.util.Try(grpState("gvtstream_rows_sink"))
+        .getOrElse(Map.empty)
+      while (state().get("b").forall(_._1 < 400L)
+          && System.nanoTime() < deadline && q.exception.isEmpty) {
+        Thread.sleep(20)
+      }
+      q.exception.foreach(throw _)
+      assert(state() == Map("a" -> ((1L, 1.0)), "b" -> ((400L, 400.0))),
+        s"final state wrong: ${state()}")
+      val sizes = q.recentProgress.toSeq
+        .filter(p => p.batchId >= 1 && p.numInputRows > 0)
+        .sortBy(_.batchId).map(_.numInputRows)
+      // the ONE commit arrived as several batches, each within budget
+      assert(sizes.size >= 3, s"fat commit served in too few batches: $sizes")
+      assert(sizes.forall(_ <= 150), s"a batch breached the budget: $sizes")
+      assert(sizes.sum == 400L, s"split lost/duplicated rows: $sizes")
+    } finally q.stop()
+  }
+
   test("cdc multi-version batch stamps each row with ITS commit version") {
     val dir = freshTable("gvtstream_cdcver")
     seed(dir, Seq((1L, "a", 1.0)))                            // v0
