@@ -51,17 +51,31 @@ object MaterializedViews {
   final case class Measure(fn: String, col: String, mvCol: String)
 
   final case class MvDef(factPathSuffix: String, groupCols: Seq[String],
-      measures: Seq[Measure], view: LogicalPlan)
+      measures: Seq[Measure], view: LogicalPlan) {
+    /** Selection cost: the view's logical-stats size (for a parquet
+      * scan: actual file bytes — no job, no estimate drift). */
+    lazy val costBytes: BigInt = view.stats.sizeInBytes
+  }
 
-  private val registry = new ConcurrentHashMap[String, MvDef]()
+  /** Per fact suffix, the CANDIDATE views keyed by their grouping
+    * signature — a fact may carry several summaries at different
+    * granularities ((status, priority) and (status)); selection picks
+    * the cheapest one that covers the query. Re-registering the same
+    * (fact, grouping) replaces, so per-JVM staging stays idempotent. */
+  private val registry =
+    new ConcurrentHashMap[String, Map[String, MvDef]]()
 
-  /** Register `view` (its ANALYZED plan is captured) as the summary of
+  /** Register `view` (its ANALYZED plan is captured) as a summary of
     * the fact whose scan path ends with `factPathSuffix`. */
   def register(spark: SparkSession, factPathSuffix: String,
       groupCols: Seq[String], measures: Seq[Measure],
-      view: DataFrame): Unit =
-    registry.put(factPathSuffix,
-      MvDef(factPathSuffix, groupCols, measures, view.queryExecution.analyzed))
+      view: DataFrame): Unit = {
+    val mv = MvDef(factPathSuffix, groupCols, measures,
+      view.queryExecution.analyzed)
+    registry.compute(factPathSuffix, (_, old) =>
+      (if (old == null) Map.empty[String, MvDef] else old) +
+        (groupCols.mkString(",") -> mv))
+  }
 
   def clear(): Unit = registry.clear()
 
@@ -110,8 +124,21 @@ object MaterializedViews {
         case agg @ Aggregate(_, _, child, _) =>
           factWithFilter(child)
             .flatMap { case (sfx, cond) =>
-              Option(registry.get(sfx)).flatMap(mv =>
-                tryRewrite(agg, mv, cond))
+              // COST-BASED SELECTION among every candidate view that
+              // covers the query: cheapest by actual view bytes (a
+              // status-only rollup beats the (status, priority) one by
+              // its cardinality ratio), grouping width as the
+              // deterministic tie-break. A query no candidate covers
+              // stays on the fact — decline is always correct.
+              Option(registry.get(sfx)).flatMap { views =>
+                val covering = views.values.toSeq
+                  .flatMap(mv => tryRewrite(agg, mv, cond)
+                    .map(p => (mv, p)))
+                covering
+                  .sortBy { case (mv, _) =>
+                    (mv.costBytes, mv.groupCols.length) }
+                  .headOption.map(_._2)
+              }
             }
             .getOrElse(agg)
       }
@@ -274,10 +301,63 @@ object MaterializedViews {
       .orderBy("o_orderstatus")
   }
 
+  /** Two candidate views over ONE isolated fact copy: `view_fine` at
+    * (status, priority) and `view_coarse` at (status) — the
+    * cost-selection fixture. Separate from [[mvStage]] so routing of
+    * the single-view keys never depends on key execution order. */
+  private def mvSelStage(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_mv_sel", dir) { tmp =>
+      graft.Tables(spark, dir, "orders")
+        .write.parquet(s"$tmp/fact")
+      val fact = spark.read.parquet(s"$tmp/fact")
+      fact.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("mv_cnt"),
+          sum("o_totalprice").as("mv_sum_price"))
+        .write.parquet(s"$tmp/view_fine")
+      fact.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("mv_cnt"),
+          sum("o_totalprice").as("mv_sum_price"))
+        .write.parquet(s"$tmp/view_coarse")
+    }
+
+  private[graft] def ensureRegisteredSelect(spark: SparkSession,
+      dir: String): String = {
+    val tmp = mvSelStage(spark, dir)
+    val measures = Seq(
+      Measure("cnt", "*", "mv_cnt"),
+      Measure("sum", "o_totalprice", "mv_sum_price"))
+    register(spark, s"$tmp/fact",
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      measures = measures,
+      view = spark.read.parquet(s"$tmp/view_fine"))
+    register(spark, s"$tmp/fact",
+      groupCols = Seq("o_orderstatus"),
+      measures = measures,
+      view = spark.read.parquet(s"$tmp/view_coarse"))
+    tmp
+  }
+
+  /** COST-BASED VIEW SELECTION: with both candidates registered, the
+    * status-grouped query is coverable by either — the rule must pick
+    * the COARSER (smaller) view; a priority-grouped sibling must still
+    * route to the fine view (coarse cannot cover it). MvRewriteSpec
+    * asserts both executed plans; the oracle proves the selected
+    * view's answer. */
+  def mvSelectQuery(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tmp = ensureRegisteredSelect(spark, dir)
+    spark.read.parquet(s"$tmp/fact")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   def queries: Map[String, (SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
     "plan_mv_rewrite" -> mvRewriteQuery,
-    "plan_mv_rewrite_filtered" -> mvRewriteFiltered)
+    "plan_mv_rewrite_filtered" -> mvRewriteFiltered,
+    "plan_mv_select" -> mvSelectQuery)
 
   def oracle: Map[String, String] = Map(
     "plan_mv_rewrite" ->
@@ -289,5 +369,9 @@ object MaterializedViews {
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +
         "WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' " +
-        "GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "plan_mv_select" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
 }

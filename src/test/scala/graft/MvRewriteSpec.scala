@@ -128,6 +128,41 @@ class MvRewriteSpec extends GraftSuite {
       s"count(null) must be 0 per group: ${rows.toSeq}")
   }
 
+  test("cost-based selection: the cheapest covering view wins") {
+    val sel = MaterializedViews.ensureRegisteredSelect(spark, sf0001)
+    def selFact = spark.read.parquet(s"$sel/fact")
+    // status-grouped: BOTH views cover; the coarse (smaller) one must win
+    val coarse = MaterializedViews.mvSelectQuery(spark, sf0001)
+    val pc = scanPaths(coarse)
+    assert(pc.exists(_.endsWith("/view_coarse")),
+      s"coarse query must route to the coarse view: $pc")
+    assert(!pc.exists(p => p.endsWith("/view_fine") || p.endsWith("/fact")),
+      s"coarse query scanned more than the coarse view: $pc")
+    // priority-grouped: only the FINE view covers — selection must not
+    // blindly take the cheapest candidate
+    val fine = selFact.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+    val pf = scanPaths(fine)
+    assert(pf.exists(_.endsWith("/view_fine")),
+      s"fine-only query must route to the fine view: $pf")
+    assert(!pf.exists(_.endsWith("/fact")), s"fact still scanned: $pf")
+    // covered by neither (grouping outside both views): stays on the fact
+    val none = selFact.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(scanPaths(none).exists(_.endsWith("/fact")),
+      "un-coverable query must decline to the fact")
+    // answer equality vs the rule-free control for the selected route
+    val routed = coarse.collect().toSeq
+    val ex = spark.experimental
+    val prev = ex.extraOptimizations
+    ex.extraOptimizations = prev.filterNot(_ == MaterializedViews.Rewrite)
+    try {
+      val direct = MaterializedViews.mvSelectQuery(spark, sf0001)
+      assert(scanPaths(direct).exists(_.endsWith("/fact")))
+      assert(direct.collect().toSeq == routed)
+    } finally ex.extraOptimizations = prev
+  }
+
   test("exprIds survive: downstream operators resolve over the rewrite") {
     val q = fact.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), max("o_totalprice").as("mx"))

@@ -193,7 +193,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "scan_time_travel_ts",
     // round-9: the manifest as a DATAFRAME — parquet-checkpoint snapshot
     // resolution + zone-map pruning as Spark jobs (the ≥10⁵-file regime)
-    "scan_manifest_df")
+    "scan_manifest_df",
+    // round-9: cost-based MV selection — cheapest covering candidate
+    // view wins by actual stats bytes
+    "plan_mv_select")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
