@@ -109,6 +109,43 @@ object DedupVariants {
     * whose true pairs sit above the banding's safe band (the r6 fixture
     * regeneration proved the corpus can change under us).
     */
+  /** Per-corpus memo of the auto prefix-order decision — the gate job
+    * runs once per (JVM, corpus), not once per key that routes through
+    * [[ngramCandidates]]. */
+  private val autoGateMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private[graft] def clearAutoGateMemo(): Unit = autoGateMemo.clear()
+
+  /** The df-skew gate behind `spark.graft.ppjoin.dfOrdered=auto`: turn
+    * on df-ordered prefixes iff the HOTTEST shingle's doc-frequency
+    * share exceeds `spark.graft.ppjoin.autoSkewThreshold` (default
+    * 0.10 — fixture corpora measure ≤0.02, an every-doc boilerplate
+    * phrase measures ≈1.0). Measured on a DETERMINISTIC ~5% key-hash
+    * sample of the corpus (whole corpus below 1000 docs), so the gate
+    * costs one small aggregate over sampled shingles — the doc filter
+    * sits under the shingle projection, so unsampled docs are never
+    * shingled — and the decision is stable across runs and partition
+    * counts. The statistic targets exactly the failure mode df
+    * ordering fixes: a shingle in share-s of N docs alone yields
+    * ~(sN)²/2 candidate pairs if it stays in prefixes. */
+  private def autoDfOrderedGate(spark: SparkSession, dir: String,
+      sets: DataFrame): Boolean =
+    autoGateMemo.getOrElseUpdate(dir, {
+      val thresh = spark.conf
+        .get("spark.graft.ppjoin.autoSkewThreshold", "0.1").toDouble
+      val total = sets.count() // column-pruned: no shingling for a count
+      val sampled =
+        if (total <= 1000) sets
+        else sets.filter(pmod(xxhash64(col("doc_id")), lit(20)) === 0)
+      val n = if (total <= 1000) total else sampled.count()
+      n > 0 && {
+        val maxDf = sampled.select(explode(col("shs")).as("sh"))
+          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .agg(max(col("df"))).head.getLong(0)
+        maxDf.toDouble / n >= thresh
+      }
+    })
+
   private[graft] def ngramCandidates(
       spark: SparkSession, dir: String,
       tau: Double = NgramTau): (DataFrame, DataFrame) = {
@@ -157,20 +194,30 @@ object DedupVariants {
     // is asymptotic — at corpus scale posting lists are long and the
     // filter bounds candidate volume independent of the verify path
     //
-    // PREFIX ORDERING is config-gated (r7 verdict #4). Default: the hash
-    // value itself — pure map-side, measured linear through ×100.
-    // `spark.graft.ppjoin.dfOrdered=true` switches to ascending
-    // (document-frequency, hash) order, which pushes hot shingles out of
-    // every prefix (−28% candidates measured at sf0.1, BASELINE.md r7
-    // addendum) at the cost of a df aggregate + join + per-doc window —
-    // NOT worth it at fixture scale (+0.3–0.5 s vs ~0.1 s saved), the
-    // one-flip answer when extreme vocabulary skew arrives at corpus
-    // scale. Recall stays EXACT under either flag: the prefix-filter
-    // guarantee needs only SOME global total order on shingles, and both
-    // (hash) and (df, hash) are global total orders — property-tested
-    // against brute-force truth in NgramPrefixOrderSpec.
+    // PREFIX ORDERING is config-gated (r7 verdict #4). "false" (hash
+    // order): pure map-side, measured linear through ×100.
+    // "true" switches to ascending (document-frequency, hash) order,
+    // which pushes hot shingles out of every prefix (−28% candidates
+    // measured at sf0.1, BASELINE.md r7 addendum) at the cost of a df
+    // aggregate + join + per-doc window — not worth it on a NORMAL
+    // corpus (+0.3–0.5 s vs ~0.1 s saved at fixture scale), decisive
+    // under extreme vocabulary skew, where one hot shingle's d²/2
+    // candidate pairs swamp the join. "auto" (the default since r9)
+    // measures that skew instead of asking the user to know it: see
+    // [[autoDfOrderedGate]]. Recall stays EXACT under either order: the
+    // prefix-filter guarantee needs only SOME global total order on
+    // shingles, and both (hash) and (df, hash) are global total orders
+    // — property-tested against brute-force truth in
+    // NgramPrefixOrderSpec, which also proves the gate flips on a
+    // skewed synthetic corpus and drops candidate volume.
     val dfOrdered =
-      spark.conf.get("spark.graft.ppjoin.dfOrdered", "false").toBoolean
+      spark.conf.get("spark.graft.ppjoin.dfOrdered", "auto") match {
+        case "true" => true
+        case "false" => false
+        case "auto" => autoDfOrderedGate(spark, dir, sets)
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.ppjoin.dfOrdered: '$other' (true|false|auto)")
+      }
     val prefixLen: Column => Column = sz =>
       (sz - ceil(sz * lit(tau)) + lit(1)).cast("int")
     val prefix = (if (!dfOrdered) {

@@ -60,4 +60,59 @@ class NgramPrefixOrderSpec extends GraftSuite {
     assert(default.sameElements(flipped),
       "jaccard results differ between prefix orderings")
   }
+
+  private def withMode[A](v: String)(body: => A): A = {
+    spark.conf.set("spark.graft.ppjoin.dfOrdered", v)
+    try body finally spark.conf.unset("spark.graft.ppjoin.dfOrdered")
+  }
+
+  test("auto gate: off on the fixture, flips on a skewed corpus and " +
+      "drops candidate volume, recall intact") {
+    llm.DedupVariants.clearAutoGateMemo()
+    def cand(dir: String): Set[(Long, Long)] =
+      llm.DedupVariants.ngramCandidates(spark, dir, tau)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture corpus: hottest shingle df share ≤ ~0.02 — the gate must
+    // stay OFF (auto ≡ hash-ordered candidates)
+    assert(withMode("auto")(cand(sf0001)) == candidates(dfOrdered = false),
+      "auto flipped df ordering on the un-skewed fixture")
+    // skewed synthetic corpus: every doc opens with the same 4-word
+    // boilerplate (two shingles with df share 1.0 — three orders of
+    // magnitude beyond the fixture), unique tails, plus one genuine
+    // duplicate pair for a nonempty truth set
+    import spark.implicits._
+    val dir = Staging.tempDir("skew_corpus")
+    val docs = (0 until 80).map { i =>
+      (i.toLong, "alpha beta gamma delta " +
+        (0 until 8).map(j => s"u${i}w$j").mkString(" "))
+    } :+ (100L, "alpha beta gamma delta same same2 same3 same4 " +
+      "same5 same6 same7 same8") :+
+      (101L, "alpha beta gamma delta same same2 same3 same4 " +
+        "same5 same6 same7 same8")
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val truthSkew: Set[(Long, Long)] = {
+      val sets = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(llm.Dedup.hashedShingles(col("text"))).as("shs"))
+      val a = sets.select(col("doc_id").as("id_a"), col("shs").as("sa"))
+      val b = sets.select(col("doc_id").as("id_b"), col("shs").as("sb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .filter(col("inter") * 1.0 >=
+          (size(col("sa")) + size(col("sb")) - col("inter")) * tau)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(truthSkew.nonEmpty, "skew corpus lost its duplicate pair")
+    val candHash = withMode("false")(cand(dir))
+    val candAuto = withMode("auto")(cand(dir))
+    val candDf = withMode("true")(cand(dir))
+    assert(candAuto == candDf,
+      "auto did NOT flip to df ordering on the skewed corpus")
+    assert(candAuto.size * 2 < candHash.size,
+      s"df ordering did not drop candidate volume: " +
+        s"auto=${candAuto.size} hash=${candHash.size}")
+    assert((truthSkew -- candAuto).isEmpty,
+      s"df-ordered candidates missed true pairs: ${truthSkew -- candAuto}")
+  }
 }
