@@ -20,6 +20,32 @@ object DevPlanGate {
     val planted = df.queryExecution.optimizedPlan.toString
       .contains("RepartitionByExpression")
     println(s"[plan-gate] dir=$dir key=$key repartitionPlanted=$planted")
+    // per-table scan counts in the EXECUTED plan (subqueries + reuse
+    // included) — the evidence line for scan-dedup rewrites
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.ReusedSubqueryExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: ReusedExchangeExec | _: ReusedSubqueryExec => Seq(p)
+      case _ =>
+        p +: (p.children ++ p.subqueries).flatMap(walk)
+    }
+    val scans = walk(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.getName).mkString(",") }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val reused = walk(df.queryExecution.executedPlan)
+      .count { case _: ReusedExchangeExec | _: ReusedSubqueryExec => true
+               case _ => false }
+    println(s"[plan-gate] scans=$scans reusedNodes=$reused")
+    if (sys.env.contains("SPARK_GRAFT_DUMP_PLAN")) {
+      println("[plan-gate] ===== optimized =====")
+      println(df.queryExecution.optimizedPlan.treeString)
+    }
     spark.stop()
   }
 }

@@ -100,5 +100,6 @@ object Sessions {
     plans.TopK.installRewrite(spark)
     plans.RewriteExistsOther.install(spark)
     plans.MaterializedViews.install(spark)
+    plans.RewriteCohortScalar.install(spark)
   }
 }
