@@ -24,9 +24,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    computes `Sum(x)` per key: the global sum is the sum of per-key
   *    sums (null-key rows land in the null group — included either
   *    way; an all-null group sums to null and both forms skip it);
-  *  - `Count(DISTINCT k)` where `k` IS the grouping key and the key is
-  *    in the grouped output: distinct non-null keys = non-null group
-  *    rows, so it is a plain `Count(key)` over groups;
+  *  - `Count(DISTINCT k)` where `k` is a grouping key present in the
+  *    grouped output: when `k` is the SOLE grouping key, distinct
+  *    non-null keys = non-null group rows, so it is a plain
+  *    `Count(key)` over groups; under a composite key (k, j) the group
+  *    rows repeat each k once per j, so the rewrite keeps DISTINCT —
+  *    `Count(DISTINCT key)` over groups — which still re-roots the
+  *    scalar on the grouped aggregate (one fact scan) and counts each
+  *    non-null k exactly once;
   * the scalar plan can be re-rooted ON the grouped aggregate. The
   * cohort subplans are then canonically identical, AQE's stage cache
   * reuses the grouped partial-aggregate exchange across the subquery
@@ -88,7 +93,13 @@ object RewriteCohortScalar extends Rule[LogicalPlan] {
         case AggregateExpression(Count(Seq(k)), Complete, true, None, _)
             if gkAttrs.exists(_.semanticEquals(k)) =>
           keyOut(gkAttrs.find(_.semanticEquals(k)).get) match {
-            case Some(attr) => Count(Seq(attr)).toAggregateExpression()
+            case Some(attr) =>
+              // sole grouping key: group rows are already distinct in k.
+              // Composite key: each k repeats once per other-key combo —
+              // keep DISTINCT (still one fact scan, just a distinct agg
+              // over the much smaller grouped relation).
+              Count(Seq(attr))
+                .toAggregateExpression(isDistinct = gkAttrs.size > 1)
             case None => ok = false; Count(Seq(k)).toAggregateExpression()
           }
         case ae: AggregateExpression => ok = false; ae
