@@ -109,11 +109,14 @@ object DedupVariants {
     * whose true pairs sit above the banding's safe band (the r6 fixture
     * regeneration proved the corpus can change under us).
     */
-  /** Per-corpus memo of the auto prefix-order decision — the gate job
-    * runs once per (JVM, corpus), not once per key that routes through
-    * [[ngramCandidates]]. */
+  /** Per-(corpus, threshold) memo of the auto prefix-order decision —
+    * the gate job runs once per (JVM, corpus, threshold), not once per
+    * key that routes through [[ngramCandidates]]. */
   private val autoGateMemo =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** MUST be called after regenerating a corpus in place (same path,
+    * new data) — the memo cannot see the rewrite. Perf-only either
+    * way: a stale gate changes candidate volume, never recall. */
   private[graft] def clearAutoGateMemo(): Unit = autoGateMemo.clear()
 
   /** The df-skew gate behind `spark.graft.ppjoin.dfOrdered=auto`: turn
@@ -129,22 +132,35 @@ object DedupVariants {
     * ordering fixes: a shingle in share-s of N docs alone yields
     * ~(sN)²/2 candidate pairs if it stays in prefixes. */
   private def autoDfOrderedGate(spark: SparkSession, dir: String,
-      sets: DataFrame): Boolean =
-    autoGateMemo.getOrElseUpdate(dir, {
-      val thresh = spark.conf
-        .get("spark.graft.ppjoin.autoSkewThreshold", "0.1").toDouble
+      sets: DataFrame): Boolean = {
+    val thresh = spark.conf
+      .get("spark.graft.ppjoin.autoSkewThreshold", "0.1").toDouble
+    // memo key carries the threshold: a conf change must re-decide, not
+    // read a stale verdict frozen under the old threshold. (A corpus
+    // REGENERATED at the same path still needs clearAutoGateMemo —
+    // documented there; fixture regen is the only case that hits it.)
+    autoGateMemo.getOrElseUpdate(s"$dir#$thresh", {
       val total = sets.count() // column-pruned: no shingling for a count
       val sampled =
         if (total <= 1000) sets
         else sets.filter(pmod(xxhash64(col("doc_id")), lit(20)) === 0)
       val n = if (total <= 1000) total else sampled.count()
-      n > 0 && {
-        val maxDf = sampled.select(explode(col("shs")).as("sh"))
+      // coalesce(max, 0): zero exploded shingles (every sampled doc
+      // empty) must read as "no skew", not NullPointerException
+      val maxDf = if (n == 0) 0L else
+        sampled.select(explode(col("shs")).as("sh"))
           .groupBy("sh").agg(count(lit(1)).as("df"))
-          .agg(max(col("df"))).head.getLong(0)
-        maxDf.toDouble / n >= thresh
-      }
+          .agg(coalesce(max(col("df")), lit(0L)).as("m")).head.getLong(0)
+      val share = if (n == 0) 0.0 else maxDf.toDouble / n
+      val decision = share >= thresh
+      // one observable line per (corpus, threshold) decision — lands in
+      // the bench/verify stderr tail so a corpus regen that flips the
+      // gate shows up in artifacts, not just in timings
+      Console.err.println(f"[ppjoin-auto-gate] dir=$dir share=$share%.4f " +
+        f"thresh=$thresh n=$n dfOrdered=${if (decision) "on" else "off"}")
+      decision
     })
+  }
 
   private[graft] def ngramCandidates(
       spark: SparkSession, dir: String,

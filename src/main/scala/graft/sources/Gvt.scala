@@ -1016,6 +1016,11 @@ object Gvt {
           Files.delete(p); docsDeleted += 1
         case PqCkptName(v) if v < retainFrom =>
           deleteRecursively(p); docsDeleted += 1 // parquet twin directory
+        case n if n.startsWith(".tmp-pqckpt-") && aged(p) =>
+          // a crash between writing the twin and its atomic move leaks
+          // the tmp dir; no name pattern above ever matches it, so the
+          // vacuum walk reaps aged ones here (grace keeps live writers)
+          deleteRecursively(p); docsDeleted += 1
         case _ => ()
       }
     } finally docs.close()

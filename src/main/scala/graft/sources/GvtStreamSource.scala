@@ -339,10 +339,14 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
     * the per-version manifests the diffs compare are O(file count), so
     * the extra plans cost manifest work, not data scans. */
   private def cdcBatch(u: Long, endV: Long): DataFrame =
+    // unionByName, not positional unionAll: each per-version diff aligns
+    // its own columns internally, but nothing guarantees identical
+    // column ORDER across versions (schema evolution adds columns at
+    // different positions) — positional union would silently misbind
     ordered(((u + 1) to endV).map { v =>
       Gvt.diff(spark, dir, (v - 1).toInt, v.toInt)
         .withColumn("_commit_version", lit(v))
-    }.reduce(_ unionAll _))
+    }.reduce(_ unionByName _))
 
   override def commit(end: Offset): Unit = ()
 

@@ -650,6 +650,24 @@ class GvtSpec extends GraftSuite {
     // and the DF path still resolves above the floor
     assert(Gvt.snapshotDF(spark, dir).count() == 22L)
   }
+
+  test("vacuum reaps aged leaked .tmp-pqckpt-* twins, keeps young ones") {
+    val dir = freshDir()
+    (0 until 3).foreach(i => Gvt.append(spark, dir, slab(i, i + 1), Seq("k")))
+    val ld = Paths.get(dir, Gvt.LogDir)
+    // simulate a writer that crashed between twin write and atomic move
+    val leakedAged = ld.resolve(".tmp-pqckpt-deadbeef")
+    val leakedYoung = ld.resolve(".tmp-pqckpt-young123")
+    Files.createDirectory(leakedAged)
+    Files.write(leakedAged.resolve("part-0.parquet"), Array[Byte](1, 2))
+    Files.createDirectory(leakedYoung)
+    Gvt.vacuum(dir, Gvt.latestVersion(dir), graceMs = 60000L)
+    assert(Files.exists(leakedAged) && Files.exists(leakedYoung),
+      "grace window must protect a possibly-live twin write")
+    Gvt.vacuum(dir, Gvt.latestVersion(dir), graceMs = 0L)
+    assert(!Files.exists(leakedAged), "aged leaked twin survived vacuum")
+    assert(!Files.exists(leakedYoung), "aged leaked twin survived vacuum")
+  }
 }
 
 object GvtSpec {

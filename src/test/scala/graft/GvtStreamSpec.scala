@@ -34,12 +34,13 @@ class GvtStreamSpec extends GraftSuite {
       .trigger(Trigger.ProcessingTime(0))
       .start()
 
+  /** Deterministic drain: block until every available offset is
+    * processed AND committed (throws the stream's death cause if it
+    * failed). No wall-clock deadline — a loaded box just takes longer;
+    * the old 60 s poll loops made the suite flaky under parallel load
+    * (1/245 failures in full-suite runs, green in isolation). */
   private def drainTo(q: StreamingQuery, batch: Long): Unit = {
-    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    while ((q.lastProgress == null || q.lastProgress.batchId < batch)
-        && System.nanoTime() < deadline && q.exception.isEmpty) {
-      Thread.sleep(20)
-    }
+    q.processAllAvailable()
     q.exception.foreach(throw _)
     assert(q.lastProgress != null && q.lastProgress.batchId >= batch,
       s"stream stalled before batch $batch")
@@ -74,7 +75,8 @@ class GvtStreamSpec extends GraftSuite {
     val q = startAgg(dir, "gvtstream_chg_sink")
     try {
       val ex = intercept[StreamingQueryException] {
-        drainTo(q, 1)
+        // processAllAvailable rethrows the stream's death cause
+        q.processAllAvailable()
         q.awaitTermination(10000)
       }
       val msg = Option(ex.getCause).fold(ex.getMessage)(_.getMessage)
@@ -229,11 +231,7 @@ class GvtStreamSpec extends GraftSuite {
     seed(dir, Seq((3L, "b", 3.0)))                            // v2, post-stop
     val q2 = start()
     try {
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (got.isEmpty
-          && System.nanoTime() < deadline && q2.exception.isEmpty) {
-        Thread.sleep(20)
-      }
+      q2.processAllAvailable()
       q2.exception.foreach(throw _)
       // resumed checkpoint: ONLY v2's rows arrive — a source that
       // forgot its high-water mark would re-serve the initial snapshot
@@ -296,11 +294,7 @@ class GvtStreamSpec extends GraftSuite {
     seed(dir, Seq((3L, "b", 3.0)))                            // v2, post-move
     val q2 = start(ckptB)
     try {
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (got.isEmpty
-          && System.nanoTime() < deadline && q2.exception.isEmpty) {
-        Thread.sleep(20)
-      }
+      q2.processAllAvailable()
       q2.exception.foreach(throw _)
       import scala.jdk.CollectionConverters._
       assert(got.asScala.toSet == Set(3L),
@@ -329,15 +323,12 @@ class GvtStreamSpec extends GraftSuite {
     val q = startAgg(dir, "gvtstream_rows_sink",
       Map("maxRowsPerBatch" -> "150"))
     try {
-      // drain until the fold reaches the final state
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def state() = scala.util.Try(grpState("gvtstream_rows_sink"))
-        .getOrElse(Map.empty)
-      while (state().get("b").forall(_._1 < 400L)
-          && System.nanoTime() < deadline && q.exception.isEmpty) {
-        Thread.sleep(20)
-      }
+      // drain everything — pacing sub-batches included: available() in
+      // the source reports the table head, so processAllAvailable only
+      // returns once every split batch has committed
+      q.processAllAvailable()
       q.exception.foreach(throw _)
+      def state() = grpState("gvtstream_rows_sink")
       assert(state() == Map("a" -> ((1L, 1.0)), "b" -> ((400L, 400.0))),
         s"final state wrong: ${state()}")
       val sizes = q.recentProgress.toSeq
