@@ -214,10 +214,28 @@ object DevGvtScale {
     // snapshot resolution and zone-map pruning through both paths. The
     // DF path collects only the pruned SURVIVORS; the driver path
     // parses and holds all 100k entries.
+    manifestProbe(spark, 100000)
+    // ---- claim 8: the same probe at the full 10⁶ design point, plus
+    // the checkpointParquet WRITE cost (snapshotDF fold + one-file
+    // parquet write, all as a Spark job) at that size — the numbers
+    // behind the auto parquetOnlyCheckpoints default (tryPublish skips
+    // the JSON checkpoint once the previous one outgrows
+    // jsonCheckpointMaxBytes ≈ 8×10⁴ entries).
+    manifestProbe(spark, 1000000)
+    spark.stop()
+  }
+
+  private def manifestProbe(spark: org.apache.spark.sql.SparkSession,
+      nFiles: Int): Unit = {
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[gvt-scale] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     {
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val nFiles = 100000
-      val mTable = Staging.tempDir("gvt_manifest100k")
+      val mTable = Staging.tempDir(s"gvt_manifest$nFiles")
       val ld = Paths.get(mTable, Gvt.LogDir)
       Files.createDirectories(ld)
       // each synthetic file covers 1000 consecutive doc_ids — tight,
@@ -287,7 +305,18 @@ object DevGvtScale {
         "(full manifest resident)")
       require(survivors == keptDrv,
         s"prune parity broken: DF $survivors vs driver $keptDrv")
+      // checkpointParquet WRITE at this size: one more commit doc, then
+      // the twin for v1 = snapshotDF fold over (ckpt v0 + tail) +
+      // repartition(1) parquet write — the whole thing a Spark job,
+      // nothing manifest-sized on the driver
+      Files.write(ld.resolve(f"${1}%08d.json"),
+        """{"version":1,"op":"append","adds":[],"removes":[],"ts":2}"""
+          .getBytes("UTF-8"))
+      timed(s"checkpointParquet write ($nFiles entries)") {
+        Gvt.checkpointParquet(spark, mTable, 1)
+      }
+      require(Files.isDirectory(ld.resolve(f"${1}%08d.ckpt.parquet")),
+        "checkpointParquet twin missing")
     }
-    spark.stop()
   }
 }

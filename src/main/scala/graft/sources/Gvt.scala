@@ -560,9 +560,29 @@ object Gvt {
       // AND written as a Spark job — the driver path ([[snapshot]])
       // then replays a longer tail from the last JSON checkpoint, which
       // is exactly the path such tables should no longer use.
-      val parquetOnly = spark != null && spark.conf
-        .getOption("spark.graft.gvt.parquetOnlyCheckpoints")
-        .exists(_.toBoolean)
+      // auto (the default): flip to parquet-only once the PREVIOUS
+      // JSON checkpoint outgrew `jsonCheckpointMaxBytes` (~200 B/entry,
+      // so the 16 MiB default ≈ 8×10⁴ files — the regime where the
+      // JSON write's driver materialization starts to hurt). The
+      // decision is sticky: once a JSON checkpoint is skipped, the next
+      // probe finds only the parquet twin and stays parquet-only — a
+      // table that big should never drift back onto the driver path by
+      // accident. Explicit true/false still overrides.
+      val parquetOnly = {
+        val conf = if (spark == null) None else spark.conf
+          .getOption("spark.graft.gvt.parquetOnlyCheckpoints")
+        conf match {
+          case Some(v) if v != "auto" => v.toBoolean
+          case _ =>
+            val maxBytes = (if (spark == null) None else spark.conf
+              .getOption("spark.graft.gvt.jsonCheckpointMaxBytes"))
+              .map(_.toLong).getOrElse(16L * 1024 * 1024)
+            val prev = commit.version - CheckpointEvery
+            val prevJson = ckptPath(dir, prev)
+            if (Files.exists(prevJson)) Files.size(prevJson) > maxBytes
+            else Files.exists(pqCkptPath(dir, prev))
+        }
+      }
       if (!parquetOnly) {
         val files = snapshot(dir, Some(commit.version))
         val ctmp = Files.createTempFile(ld, ".tmp-", ".ckpt")

@@ -637,6 +637,34 @@ class GvtSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.gvt.parquetOnlyCheckpoints")
   }
 
+  test("auto parquet-only: JSON ckpt stops once the previous one is big, stays off") {
+    val dir = freshDir()
+    val ld = Paths.get(dir, Gvt.LogDir)
+    // tiny byte threshold stands in for the 16 MiB (~8e4 entries)
+    // default — the flip logic is identical, only the scale differs
+    spark.conf.set("spark.graft.gvt.jsonCheckpointMaxBytes", "200")
+    try {
+      (0 until 22).foreach(i => Gvt.append(spark, dir, slab(i, i + 1), Seq("k")))
+      // v10: previous ckpt (v0) absent -> JSON still written
+      assert(Files.exists(ld.resolve(f"${10}%08d.ckpt.json")),
+        "fresh table must keep writing JSON checkpoints")
+      // v20: v10's JSON outgrew the threshold -> parquet twin only
+      assert(!Files.exists(ld.resolve(f"${20}%08d.ckpt.json")),
+        "JSON checkpoint written past the size threshold")
+      assert(Files.isDirectory(ld.resolve(f"${20}%08d.ckpt.parquet")))
+      // sticky: v30 sees no JSON at v20 but a twin -> stays parquet-only
+      (22 until 32).foreach(i => Gvt.append(spark, dir, slab(i, i + 1), Seq("k")))
+      assert(!Files.exists(ld.resolve(f"${30}%08d.ckpt.json")),
+        "auto parquet-only must be sticky once flipped")
+      assert(Files.isDirectory(ld.resolve(f"${30}%08d.ckpt.parquet")))
+      // both read paths stay correct across the flip
+      assert(sortedRows(Gvt.read(spark, dir)) ==
+        (0L until 32L).map(k => (k, k * 10)))
+      assert(Gvt.snapshotDF(spark, dir).count() ==
+        Gvt.snapshot(dir).size.toLong)
+    } finally spark.conf.unset("spark.graft.gvt.jsonCheckpointMaxBytes")
+  }
+
   test("vacuum reaps pre-floor parquet checkpoint twins") {
     val dir = freshDir()
     (0 until 22).foreach(i => Gvt.append(spark, dir, slab(i, i + 1), Seq("k")))
