@@ -71,6 +71,71 @@ object DevGvtConcurrent {
         }
         println(s"[gvt-concurrent] CHECK OK: $expectedCommits commits, " +
           s"$total rows, all merges visible")
+
+      // ---- RMW-conflict smoke: merge vs delete vs DV-delete vs ----
+      // ---- compact vs vacuum racing across PROCESSES            ----
+      // Each writer's ops touch DISJOINT key stripes, so every serial
+      // order yields the same final state — the check below is exact,
+      // and any torn/lost/double-applied RMW (the thing rmwRetry's
+      // re-execute-from-head contract must prevent cross-JVM) breaks
+      // it. Commit contention is real: all ops race for versions on
+      // one log.
+      case "seedrmw" =>
+        (0 until 10).foreach { i =>
+          Gvt.append(spark, table,
+            spark.range(i * 1000L, (i + 1) * 1000L).toDF("k")
+              .withColumn("v", col("k") * 10),
+            Seq("k"))
+        }
+        println("[gvt-concurrent] rmw seed done (10k rows, 10 commits)")
+      case "rmw" =>
+        val writer = args(2).toInt
+        if (writer == 0) {
+          Gvt.merge(spark, table,
+            spark.range(0L, 500L).toDF("k").withColumn("v", lit(-1L)),
+            "k", Seq("k"))
+          Gvt.deleteWhereDV(spark, table,
+            col("k") >= 1000L && col("k") < 1500L)
+          Gvt.compact(spark, table, smallRows = 100000L, targetFiles = 2,
+            Seq("k"))
+        } else {
+          Gvt.merge(spark, table,
+            spark.range(500L, 1000L).toDF("k").withColumn("v", lit(-2L)),
+            "k", Seq("k"))
+          Gvt.delete(spark, table,
+            col("k") >= 1500L && col("k") < 2000L, Seq("k"))
+          // default grace: reaps nothing young, but races the floor
+          // marker + anchor checkpoint against the other writer's RMWs
+          Gvt.vacuum(table, Gvt.latestVersion(table))
+        }
+        println(s"[gvt-concurrent] rmw writer $writer done")
+      case "checkrmw" =>
+        val head = Gvt.latestVersion(table)
+        // 10 seed appends + 2 merges + delete + dv_delete + compact =
+        // 15 commits in EVERY serial order (vacuum never commits; its
+        // pre-floor doc reaping is why we count the head, not the docs)
+        assert(head == 14,
+          s"head $head != 14: an RMW was lost or double-committed")
+        val floor = Gvt.vacuumFloor(table)
+        val ops = (floor to head).map(v => Gvt.commitAt(table, v).op)
+        val counts = ops.groupBy(identity).view.mapValues(_.size).toMap
+        assert(ops.forall(Set("append", "merge", "delete", "dv_delete",
+          "compact").contains), s"unexpected op in log tail: $counts")
+        val df = Gvt.read(spark, table).cache()
+        assert(df.count() == 9000L, s"row count ${df.count()} != 9000")
+        val dups = df.groupBy("k").count().filter(col("count") > 1).count()
+        assert(dups == 0, s"$dups duplicated keys")
+        val badA = df.filter(col("k") < 500L && col("v") =!= -1L).count()
+        val badB = df.filter(col("k") >= 500L && col("k") < 1000L &&
+          col("v") =!= -2L).count()
+        val ghosts = df.filter(col("k") >= 1000L && col("k") < 2000L).count()
+        val badTail = df.filter(col("k") >= 2000L &&
+          col("v") =!= col("k") * 10).count()
+        assert(badA == 0 && badB == 0 && ghosts == 0 && badTail == 0,
+          s"state diverged from the serial outcome: badMergeA=$badA " +
+            s"badMergeB=$badB resurrectedDeletes=$ghosts badTail=$badTail")
+        println(s"[gvt-concurrent] RMW CHECK OK: ${head + 1} commits " +
+          s"($counts), 9000 rows, state equals the serial outcome")
     }
     spark.stop()
   }

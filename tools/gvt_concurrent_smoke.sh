@@ -30,4 +30,19 @@ P1=$!
 wait $P0; wait $P1
 java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent check "$TABLE" 2 "$N"
 rm -rf "$(dirname "$TABLE")"
+echo "[smoke] append+merge PASS"
+
+# RMW-conflict phase: merge vs delete vs DV-delete vs compact vs vacuum
+# racing across two JVMs on one table; disjoint key stripes make every
+# serial order the same final state, so the check is exact.
+TABLE2="$(mktemp -d /dev/shm/gvt_xjvm.XXXXXX)/table"
+echo "[smoke] rmw table: $TABLE2"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent seedrmw "$TABLE2"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent rmw "$TABLE2" 0 &
+R0=$!
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent rmw "$TABLE2" 1 &
+R1=$!
+wait $R0; wait $R1
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checkrmw "$TABLE2"
+rm -rf "$(dirname "$TABLE2")"
 echo "[smoke] PASS"
