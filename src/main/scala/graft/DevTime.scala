@@ -7,12 +7,23 @@ package graft
   * plan iteration without a full Bench run.
   *
   * Usage: runMain graft.DevTime <dir> <key> [key...]
+  *
+  * SPARK_GRAFT_RULE_OFF=Name[,Name...] removes the named rules from
+  * `experimental.extraOptimizations` before timing — the rule-on /
+  * rule-off A-B loop for optimizer-rule evidence runs.
   */
 object DevTime {
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val keys = args.tail.toSeq
     val spark = Sessions.localFor("32", dir, "ERROR")
+    for (names <- sys.env.get("SPARK_GRAFT_RULE_OFF")) {
+      val off = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val ex = spark.experimental
+      ex.extraOptimizations = ex.extraOptimizations
+        .filterNot(r => off.exists(r.ruleName.contains))
+      println(s"RULE_OFF $off -> ${ex.extraOptimizations.map(_.ruleName)}")
+    }
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
       val times = (1 to 2).map { _ =>
