@@ -169,6 +169,47 @@ class GvtStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("cdc mode: maxVersionsPerBatch drains a range per batch, feed invariant") {
+    val dir = freshTable("gvtstream_cdcrange")
+    seed(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0)))            // v0
+    seed(dir, Seq((3L, "a", 3.0)))                            // v1
+    Gvt.delete(spark, dir, col("k") === 2L, Seq("k"))         // v2
+    seed(dir, Seq((4L, "b", 4.0)))                            // v3
+    // the full feed every pacing must produce: each row tagged with ITS
+    // commit version, not the range end
+    val expected = Set(
+      ("insert", 1L, 0L), ("insert", 2L, 0L), ("insert", 3L, 1L),
+      ("delete", 2L, 2L), ("insert", 4L, 3L))
+    def feed(mvpb: Int, sink: String): (Set[(String, Long, Long)], Long) = {
+      val q = spark.readStream.format("graft.sources.GvtStreamSource")
+        .option("mode", "cdc")
+        .option("maxVersionsPerBatch", mvpb.toString)
+        .load(dir)
+        .writeStream
+        .option("checkpointLocation", Staging.fastTempDir("gvtstream_ckpt"))
+        .format("memory").queryName(sink).outputMode("append")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        q.processAllAvailable()
+        q.exception.foreach(throw _)
+        val rows = spark.table(sink)
+          .select("change_type", "k", "_commit_version").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        (rows, q.lastProgress.batchId)
+      } finally q.stop()
+    }
+    val (coarse, coarseBatches) = feed(16, "gvtstream_cdcrange_coarse")
+    val (fine, fineBatches) = feed(1, "gvtstream_cdcrange_fine")
+    // coarse catch-up: the cold 4-commit history drains as the
+    // startingVersion snapshot + ONE v1..v3 range batch; default pacing
+    // pays one batch per commit
+    assert(coarseBatches == 1L, s"coarse drain used ${coarseBatches + 1} batches")
+    assert(fineBatches == 3L, s"fine drain used ${fineBatches + 1} batches")
+    assert(coarse == expected, s"coarse feed: $coarse")
+    assert(fine == expected, "range batching changed the feed")
+  }
+
   test("delta-log IVM: a fully-retracted group folds out of the view") {
     val fact = freshTable("gvtstream_ivm_fact")
     val view = freshTable("gvtstream_ivm_view")
