@@ -76,6 +76,16 @@ object DevStreamScale {
     drain(Map("maxVersionsPerBatch" -> commits.toString),
       "catch-up maxVersionsPerBatch=head (1 snapshot batch)")
 
+    // claim 2b (round 10): the same trade for the CDC feed — a lagging
+    // cdc consumer catching up on a deep commit backlog pays per-batch
+    // planning per VERSION at default pacing, per RANGE when coarsened
+    // (cdcBatch unions per-version diffs inside the range, so the feed
+    // is identical either way — GvtStreamSpec proves row equality)
+    drain(Map("mode" -> "cdc"),
+      s"cdc catch-up maxVersionsPerBatch=1 ($commits batches)")
+    drain(Map("mode" -> "cdc", "maxVersionsPerBatch" -> "16"),
+      "cdc catch-up maxVersionsPerBatch=16 (snapshot + ranges)")
+
     // claim 1: caught-up consumer + one 0.1% commit
     val ckpt = Staging.fastTempDir("streamscale_tail_ckpt")
     def tailQuery(): org.apache.spark.sql.streaming.StreamingQuery =

@@ -1081,7 +1081,14 @@ object Gvt {
     // produce files whose physical column order differs from older ones,
     // and exceptAll is positional
     val newRows = readOrEmpty(added).select(oldRows.columns.map(col): _*)
-    newRows.exceptAll(oldRows).withColumn("change_type", lit("insert"))
+    // exceptAll against an empty side is the identity, but Spark still
+    // plans (and shuffles) the set op — skip it when a side churned no
+    // files. Append commits hit the first arm, so an append-only CDC
+    // backlog drains with ZERO set-op exchanges; file-granular deletes
+    // hit the second. Semantics are unchanged by construction.
+    if (removed.isEmpty) newRows.withColumn("change_type", lit("insert"))
+    else if (added.isEmpty) oldRows.withColumn("change_type", lit("delete"))
+    else newRows.exceptAll(oldRows).withColumn("change_type", lit("insert"))
       .unionByName(
         oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))
   }
