@@ -302,7 +302,10 @@ object Gvt {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
+    // NOFOLLOW: a symlinked directory (a branch's shared `data` link)
+    // must be unlinked as an entry, never descended into — following it
+    // would delete the parent table's data pool
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val s = Files.list(p)
       try s.iterator().asScala().foreach(deleteRecursively)
       finally s.close()
@@ -990,11 +993,20 @@ object Gvt {
       Files.delete(ctmp)
     }
     val retainedSnapshots = (retainFrom to head).map(v => snapshot(dir, Some(v)))
-    val referenced = retainedSnapshots.flatten.map(_.path).toSet
+    // live branches share this table's data pool: every version a branch
+    // can still read (its fork version through its head) pins its files,
+    // even below the parent's retention floor — a published-or-dropped
+    // branch stops pinning and its unique files age out normally
+    val branchSnapshots = listBranches(dir).flatMap { name =>
+      val bd = branchDir(dir, name)
+      (branchBase(dir, name) to latestVersion(bd)).map(v => snapshot(bd, Some(v)))
+    }
+    val liveSnapshots = retainedSnapshots ++ branchSnapshots
+    val referenced = liveSnapshots.flatten.map(_.path).toSet
     // DV sidecar dirs referenced by any retained snapshot: their parquet
     // files must survive the walk below (deleting a live vector would
     // RESURRECT rows — worse than leaking bytes)
-    val referencedDvDirs = retainedSnapshots.flatten.flatMap(dvOf).toSet
+    val referencedDvDirs = liveSnapshots.flatten.flatMap(dvOf).toSet
     // (2) floor marker BEFORE deleting anything
     val mtmp = Files.createTempFile(ld, ".tmp-", ".vac")
     Files.write(mtmp, s"""{"floor":$retainFrom}""".getBytes("UTF-8"))
@@ -1092,5 +1104,129 @@ object Gvt {
       .unionByName(
         oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))
   }
+
+  // --------------------------------------------------------------------
+  // BRANCHES — write-audit-publish. A branch is a REAL table directory
+  // under `_gvt_log/branch-<name>/`: its own commit log seeded with a
+  // checkpoint at the fork version, and a `data` symlink back into the
+  // parent's pool so manifest paths are identical on both sides. The
+  // payoff of that representation: EVERY existing operation — append,
+  // merge, CoW/MoR delete, compact, read, time travel, diff, even the
+  // streaming source — works on a branch unchanged (pass the branch dir
+  // where a table dir goes), and publishing is pure metadata: ONE
+  // squash commit on the parent whose adds/removes are the branch's net
+  // file delta, through the same atomic createLink + rmwRetry path as
+  // any other commit. Writers stage and audit a data drop in isolation;
+  // the parent's readers see either none of it or all of it.
+  // --------------------------------------------------------------------
+
+  private final case class GvtBranchRef(base: Int)
+  private val BranchNameRe = "[A-Za-z0-9._-]{1,64}".r
+  private def branchPath(dir: String, name: String) = {
+    require(BranchNameRe.matches(name),
+      s"branch name '$name' (allowed: [A-Za-z0-9._-]{1,64})")
+    logDirOf(dir).resolve(s"branch-$name")
+  }
+
+  /** The branch's table directory — pass this anywhere a table dir
+    * goes (read/append/merge/delete/compact/diff/stream). */
+  def branchDir(dir: String, name: String): String =
+    branchPath(dir, name).toString
+
+  /** The parent version branch `name` forked from. */
+  def branchBase(dir: String, name: String): Int = {
+    val ref = branchPath(dir, name).resolve("branch.json")
+    require(Files.exists(ref), s"GVT $dir has no branch '$name'")
+    mapper.readValue(Files.readAllBytes(ref), classOf[GvtBranchRef]).base
+  }
+
+  def listBranches(dir: String): Seq[String] = {
+    val ld = logDirOf(dir)
+    if (!Files.isDirectory(ld)) return Nil
+    val it = Files.list(ld)
+    try it.iterator().asScala()
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("branch-") &&
+        Files.exists(ld.resolve(n).resolve("branch.json")) =>
+        n.stripPrefix("branch-") }
+      .toSeq.sorted
+    finally it.close()
+  }
+
+  /** Fork a branch at the parent's current head. The `branch.json` ref
+    * is the atomic existence claim (createLink — a concurrent creator
+    * of the same name loses loudly); the log seed is a checkpoint at
+    * the fork version plus a HARD LINK of the fork commit doc, so the
+    * branch stays readable even after the parent vacuums its own copy.
+    * Returns the branch's table dir. */
+  def createBranch(spark: SparkSession, dir: String, name: String): String = {
+    val base = latestVersion(dir)
+    require(base >= 0, s"GVT $dir has no commits to branch from")
+    val bdir = branchPath(dir, name)
+    Files.createDirectories(bdir)
+    val tmp = Files.createTempFile(bdir, ".tmp-", ".json")
+    Files.write(tmp, mapper.writeValueAsBytes(GvtBranchRef(base)))
+    val claimed =
+      try { Files.createLink(bdir.resolve("branch.json"), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    Files.delete(tmp)
+    if (!claimed)
+      throw new IllegalStateException(s"GVT $dir: branch '$name' already exists")
+    // shared data pool: relative symlink so the table relocates whole
+    Files.createSymbolicLink(bdir.resolve("data"),
+      Paths.get("..", "..", "data"))
+    val bld = Files.createDirectories(bdir.resolve(LogDir))
+    val files = snapshot(dir, Some(base))
+    val ctmp = Files.createTempFile(bld, ".tmp-", ".ckpt")
+    Files.write(ctmp, mapper.writeValueAsBytes(GvtCheckpoint(base, files)))
+    try Files.createLink(bld.resolve(f"$base%08d.ckpt.json"), ctmp)
+    catch { case _: FileAlreadyExistsException => () }
+    Files.delete(ctmp)
+    try Files.createLink(bld.resolve(f"$base%08d.json"), commitPath(dir, base))
+    catch { case _: FileAlreadyExistsException => () }
+    bdir.toString
+  }
+
+  /** PUBLISH: squash the branch's net effect into ONE parent commit
+    * (op `publish`) — adds = files the branch has that the fork state
+    * did not (including DV re-adds), removes = fork-state files the
+    * branch dropped. Atomic by the same createLink the whole log uses:
+    * parent readers see none of the branch or all of it, never a
+    * partial drop. If the parent advanced past the fork version, an
+    * APPEND-ONLY branch (removes empty by construction) lands safely on
+    * the new head; a branch holding rewrites aborts — its audit read
+    * no longer describes what publishing would produce. The branch is
+    * left in place (stale) for the caller to [[dropBranch]]. */
+  def publishBranch(spark: SparkSession, dir: String, name: String): Int =
+    rmwRetry(spark) {
+      val bdir = branchDir(dir, name)
+      val base = branchBase(dir, name)
+      val bHead = latestVersion(bdir)
+      require(bHead > base, s"branch '$name' has no commits to publish")
+      val head = latestVersion(dir)
+      val appendOnly =
+        ((base + 1) to bHead).forall(v => commitAt(bdir, v).op == "append")
+      if (head != base && !appendOnly)
+        throw new java.util.ConcurrentModificationException(
+          s"GVT $dir: advanced $base -> $head since branch '$name' forked " +
+            "and the branch holds non-append commits; re-audit on a fresh branch")
+      val baseFiles = snapshot(dir, Some(base))
+      val bFiles = snapshot(bdir)
+      val baseByPath = baseFiles.map(f => f.path -> f).toMap
+      val bPaths = bFiles.map(_.path).toSet
+      val adds = bFiles.filterNot(f => baseByPath.get(f.path).contains(f))
+      val removes = baseFiles.map(_.path).filterNot(bPaths.contains)
+      val v = head + 1
+      if (!tryPublish(dir, GvtCommit(v, "publish", adds, removes), spark))
+        throw new java.util.ConcurrentModificationException(
+          s"GVT $dir: version $v committed concurrently; publish read set stale")
+      v
+    }
+
+  /** Delete the branch (its unique data files become unreferenced and
+    * the parent's next aged [[vacuum]] reaps them). The shared-data
+    * symlink is unlinked as an entry, never followed. */
+  def dropBranch(dir: String, name: String): Unit =
+    deleteRecursively(branchPath(dir, name))
 
 }

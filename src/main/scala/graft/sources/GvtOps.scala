@@ -29,6 +29,34 @@ object GvtOps {
         col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0, stats)
     }
 
+  /** WRITE-AUDIT-PUBLISH: the quarterly data drop (keys ≡0 mod 4)
+    * lands on a BRANCH of the table, the audit pass deletes the rows
+    * failing its quality rule (≡0 mod 20 — all inside the new drop,
+    * since 20 | key ⇒ 4 | key) against the branch's full state, and
+    * only then does ONE atomic squash commit expose the drop to parent
+    * readers — they see none of it or all of it, never a partial or
+    * unaudited state. The branch shares the parent's data pool
+    * (publish moves metadata, zero data bytes) and is dropped after. */
+  private def wapGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_wap", dir) { tmp =>
+      val orders = graft.Tables(spark, dir, "orders")
+      val stats = Seq("o_orderkey")
+      Gvt.append(spark, tmp, orders.filter(col("o_orderkey") % 4 =!= 0), stats)
+      val b = Gvt.createBranch(spark, tmp, "drop_q3")
+      Gvt.append(spark, b, orders.filter(col("o_orderkey") % 4 === 0), stats)
+      Gvt.delete(spark, b, col("o_orderkey") % 20 === 0, stats)
+      Gvt.publishBranch(spark, tmp, "drop_q3")
+      Gvt.dropBranch(tmp, "drop_q3")
+    }
+
+  /** The parent read after the WAP cycle: base + audited drop. */
+  def gvtWap(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, wapGvt(spark, dir))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+
   /** Latest-snapshot read over the 4-commit history. */
   def versionedLog(spark: SparkSession, dir: String): DataFrame =
     Gvt.read(spark, ordersGvt(spark, dir))
@@ -693,6 +721,7 @@ object GvtOps {
     "scan_gvt_zorder" -> gvtZorder,
     "etl_gvt_diff" -> gvtDiff,
     "sink_versioned_log" -> versionedLog,
+    "etl_gvt_wap" -> gvtWap,
     "scan_time_travel" -> timeTravel,
     "scan_time_travel_ts" -> timeTravelTs,
     "etl_merge_into" -> mergeInto,
@@ -795,6 +824,14 @@ object GvtOps {
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +
         "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // post-publish parent ≡ base plus the AUDITED drop: the quality
+    // rule's casualties (≡0 mod 20, all inside the ≡0 mod 4 drop)
+    // never become visible to a parent reader
+    "etl_gvt_wap" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE o_orderkey % 20 <> 0 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "scan_time_travel" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +

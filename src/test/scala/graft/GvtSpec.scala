@@ -696,6 +696,82 @@ class GvtSpec extends GraftSuite {
     assert(!Files.exists(leakedAged), "aged leaked twin survived vacuum")
     assert(!Files.exists(leakedYoung), "aged leaked twin survived vacuum")
   }
+
+  test("branch: isolated writes, publish squashes atomically, audit ≡ published") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    val b = Gvt.createBranch(spark, dir, "wap")
+    assert(Gvt.listBranches(dir) == Seq("wap"))
+    // branch sees the fork state; every op works on the branch dir
+    assert(sortedRows(Gvt.read(spark, b)) == (0L until 10L).map(k => (k, k * 10)))
+    Gvt.append(spark, b, slab(10, 20), Seq("k"))
+    Gvt.delete(spark, b, col("k") % 5 === 4L, Seq("k"))   // CoW audit fix
+    val audited = sortedRows(Gvt.read(spark, b))
+    // parent saw NOTHING of it
+    assert(sortedRows(Gvt.read(spark, dir)) == (0L until 10L).map(k => (k, k * 10)))
+    val v = Gvt.publishBranch(spark, dir, "wap")
+    assert(v == 1 && Gvt.latestVersion(dir) == 1, "squash = ONE parent commit")
+    assert(sortedRows(Gvt.read(spark, dir)) == audited,
+      "published state must equal the audited branch read")
+    // time travel on the parent still has the pre-publish state
+    assert(sortedRows(Gvt.read(spark, dir, asOf = Some(0))) ==
+      (0L until 10L).map(k => (k, k * 10)))
+    Gvt.dropBranch(dir, "wap")
+    assert(Gvt.listBranches(dir).isEmpty)
+    // the shared data pool survived the drop (the data symlink is
+    // unlinked as an entry, never followed)
+    assert(sortedRows(Gvt.read(spark, dir)) == audited)
+  }
+
+  test("branch: append-only branch lands on an advanced head; rewrite branch aborts") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    val bApp = Gvt.createBranch(spark, dir, "drops")
+    Gvt.append(spark, bApp, slab(100, 110), Seq("k"))
+    val bRw = Gvt.createBranch(spark, dir, "fixes")
+    Gvt.delete(spark, bRw, col("k") < 2L, Seq("k"))
+    // parent advances past both forks
+    Gvt.append(spark, dir, slab(10, 15), Seq("k"))
+    // append-only branch: removes are empty by construction — safe
+    Gvt.publishBranch(spark, dir, "drops")
+    val got = sortedRows(Gvt.read(spark, dir))
+    assert(got == ((0L until 15L) ++ (100L until 110L)).map(k => (k, k * 10)),
+      "rebased publish must carry both the parent's and the branch's rows")
+    // rewrite branch: its audit no longer describes the outcome — abort
+    spark.conf.set("spark.graft.gvt.rmwRetries", "0")
+    try intercept[java.util.ConcurrentModificationException] {
+      Gvt.publishBranch(spark, dir, "fixes")
+    } finally spark.conf.unset("spark.graft.gvt.rmwRetries")
+    // double-create is a loud failure
+    intercept[IllegalStateException] { Gvt.createBranch(spark, dir, "drops") }
+  }
+
+  test("branch: DV audit publishes vectors; vacuum pins live branches, reaps dropped ones") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    val b = Gvt.createBranch(spark, dir, "dv")
+    Gvt.append(spark, b, slab(10, 20), Seq("k"))
+    Gvt.deleteWhereDV(spark, b, col("k") === 13L)   // MoR audit fix
+    // an aged parent vacuum BEFORE publish must not reap the branch's
+    // unique files (shared pool, branch still live)
+    Gvt.vacuum(dir, Gvt.latestVersion(dir), graceMs = 0L)
+    assert(sortedRows(Gvt.read(spark, b)) ==
+      ((0L until 10L) ++ (10L until 20L).filter(_ != 13L)).map(k => (k, k * 10)))
+    Gvt.publishBranch(spark, dir, "dv")
+    // the squash carried the DV sidecar: 13 stays dead on the parent
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 20L).filter(_ != 13L).map(k => (k, k * 10)))
+    // drop an ABANDONED branch: its unique files become unreferenced
+    val junk = Gvt.createBranch(spark, dir, "junk")
+    Gvt.append(spark, junk, slab(1000, 2000), Seq("k"))
+    val before = Gvt.vacuum(dir, Gvt.latestVersion(dir), graceMs = 0L)
+    assert(before._1 == 0, s"live-branch files reaped: $before")
+    Gvt.dropBranch(dir, "junk")
+    val after = Gvt.vacuum(dir, Gvt.latestVersion(dir), graceMs = 0L)
+    assert(after._1 > 0, "dropped branch's unique files must age out")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (0L until 20L).filter(_ != 13L).map(k => (k, k * 10)))
+  }
 }
 
 object GvtSpec {

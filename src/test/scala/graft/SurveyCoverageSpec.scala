@@ -196,7 +196,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "scan_manifest_df",
     // round-9: cost-based MV selection — cheapest covering candidate
     // view wins by actual stats bytes
-    "plan_mv_select")
+    "plan_mv_select",
+    // round-10: write-audit-publish on a GVT branch — isolated staging,
+    // quality-rule audit, ONE atomic squash commit to the parent
+    "etl_gvt_wap")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
