@@ -28,6 +28,9 @@ object DevGvtScale {
     val dir = args.head
     val tiles = if (args.length > 1) args(1).toInt else 20
     val spark = Sessions.localFor("32", dir, "ERROR")
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("branch")) {
+      branchProbe(spark, 1000000); spark.stop(); return
+    }
 
     def timed[A](what: String)(body: => A): A = {
       val t0 = System.nanoTime()
@@ -222,7 +225,79 @@ object DevGvtScale {
     // the JSON checkpoint once the previous one outgrows
     // jsonCheckpointMaxBytes ≈ 8×10⁴ entries).
     manifestProbe(spark, 1000000)
+    // ---- claim 9: branch + publish at 10⁶ manifest entries — the WAP
+    // cycle is O(tail + churn), never O(files). createBranch hard-links
+    // the parent's anchors (no manifest materialization), the audit
+    // writes real (small) commits on the branch, and publish diffs the
+    // two snapshotDF manifests as a Spark job, collecting only the
+    // churn. The heap deltas are the evidence.
+    branchProbe(spark, 1000000)
     spark.stop()
+  }
+
+  private def branchProbe(spark: org.apache.spark.sql.SparkSession,
+      nFiles: Int): Unit = {
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[gvt-scale] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    def heapMB(): Double = {
+      System.gc(); Thread.sleep(100); System.gc()
+      val r = Runtime.getRuntime
+      (r.totalMemory() - r.freeMemory()) / 1e6
+    }
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val mTable = Staging.tempDir(s"gvt_branch$nFiles")
+    val ld = Paths.get(mTable, Gvt.LogDir)
+    Files.createDirectories(ld)
+    // a real table always has its data pool; the branch's `data`
+    // symlink must not dangle
+    Files.createDirectories(Paths.get(mTable, "data"))
+    val manifest = spark.range(nFiles).select(
+      format_string("data/c0-synth/part-%07d.parquet", col("id")).as("path"),
+      lit(250000L).as("rows"),
+      map(lit("doc_id"), (col("id") * 1000).cast("string")).as("min"),
+      map(lit("doc_id"), ((col("id") + 1) * 1000 - 1).cast("string")).as("max"),
+      lit(null).cast("array<string>").as("dv"),
+      lit(0L).as("dvRows"))
+    val tmp = ld.resolve(".tmp-fab")
+    manifest.repartition(1).write.parquet(tmp.toString)
+    Files.move(tmp, ld.resolve(f"${0}%08d.ckpt.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.write(ld.resolve(f"${0}%08d.json"),
+      """{"version":0,"op":"append","adds":[],"removes":[],"ts":1}"""
+        .getBytes("UTF-8"))
+    // parquet-only regime on purpose: no JSON ckpt, publishViaDF=auto
+    // must route through the DF path by itself
+    println(s"[gvt-scale] branch probe: $nFiles-entry parent fabricated " +
+      "(parquet-only checkpoint regime)")
+    val h0 = heapMB()
+    val bdir = timed("createBranch at 10^6 entries (linked anchors)") {
+      Gvt.createBranch(spark, mTable, "wap")
+    }
+    val h1 = heapMB()
+    // the audit: one real (small) append on the branch — data files are
+    // real parquet, manifest entries of the fabricated million are not
+    // read by any of this (publish is pure metadata)
+    timed("branch audit: real 10k-row append") {
+      Gvt.append(spark, bdir,
+        spark.range(10000).select(col("id").as("k"), (col("id") * 10).as("v")),
+        Seq("k"))
+    }
+    val h2 = heapMB()
+    val v = timed("publishBranch (DF delta diff, auto-routed)") {
+      Gvt.publishBranch(spark, mTable, "wap")
+    }
+    val h3 = heapMB()
+    val c = Gvt.commitAt(mTable, v)
+    println(f"[gvt-scale] publish commit: ${c.adds.size} adds, " +
+      f"${c.removes.size} removes; heap create $h0%.0f→$h1%.0f MB, " +
+      f"publish $h2%.0f→$h3%.0f MB")
+    require(c.removes.isEmpty && c.adds.nonEmpty && c.adds.size < 100,
+      s"publish delta not churn-sized: ${c.adds.size}/${c.removes.size}")
+    timed("dropBranch") { Gvt.dropBranch(mTable, "wap") }
   }
 
   private def manifestProbe(spark: org.apache.spark.sql.SparkSession,

@@ -1107,9 +1107,11 @@ object Gvt {
 
   // --------------------------------------------------------------------
   // BRANCHES — write-audit-publish. A branch is a REAL table directory
-  // under `_gvt_log/branch-<name>/`: its own commit log seeded with a
-  // checkpoint at the fork version, and a `data` symlink back into the
-  // parent's pool so manifest paths are identical on both sides. The
+  // under `_gvt_log/branch-<name>/`: its own commit log seeded by
+  // hard-linking the parent's resolution anchors at the fork (O(tail)
+  // driver work, no manifest materialization at any table size), and a
+  // `data` symlink back into the parent's pool so manifest paths are
+  // identical on both sides. The
   // payoff of that representation: EVERY existing operation — append,
   // merge, CoW/MoR delete, compact, read, time travel, diff, even the
   // streaming source — works on a branch unchanged (pass the branch dir
@@ -1133,6 +1135,29 @@ object Gvt {
   def branchDir(dir: String, name: String): String =
     branchPath(dir, name).toString
 
+  /** Is this table in the big-manifest regime? Same signal as
+    * tryPublish's parquet-only flip: the newest JSON checkpoint ≤
+    * `upTo` outgrew `jsonCheckpointMaxBytes` (~200 B/entry, 16 MiB ≈
+    * 8×10⁴ files) — or only a parquet twin exists at all, which is
+    * that regime's steady state. */
+  private def manifestIsBig(spark: SparkSession, dir: String,
+      upTo: Int): Boolean = {
+    val maxBytes = spark.conf
+      .getOption("spark.graft.gvt.jsonCheckpointMaxBytes")
+      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+    val ld = logDirOf(dir)
+    if (!Files.isDirectory(ld)) return false
+    val jsonCk = {
+      val it = Files.list(ld)
+      try it.iterator().asScala().map(_.getFileName.toString)
+        .collect { case CkptName(v) if v <= upTo => v }
+        .foldLeft(-1)(math.max)
+      finally it.close()
+    }
+    if (jsonCk >= 0) Files.size(ckptPath(dir, jsonCk)) > maxBytes
+    else newestPqCkpt(dir, upTo) >= 0
+  }
+
   /** The parent version branch `name` forked from. */
   def branchBase(dir: String, name: String): Int = {
     val ref = branchPath(dir, name).resolve("branch.json")
@@ -1155,9 +1180,15 @@ object Gvt {
 
   /** Fork a branch at the parent's current head. The `branch.json` ref
     * is the atomic existence claim (createLink — a concurrent creator
-    * of the same name loses loudly); the log seed is a checkpoint at
-    * the fork version plus a HARD LINK of the fork commit doc, so the
-    * branch stays readable even after the parent vacuums its own copy.
+    * of the same name loses loudly). The log seed is O(tail), NOT
+    * O(files): instead of materializing the fork manifest into a fresh
+    * checkpoint (a 10⁶-entry table must never pass through the driver
+    * just to get a branch), it HARD-LINKS the parent's own resolution
+    * anchors — the newest JSON checkpoint ≤ fork, the newest parquet
+    * checkpoint twin, and the commit docs between them and the fork —
+    * so the branch resolves exactly like the parent did at the fork,
+    * through either path, and stays readable even after the parent
+    * vacuums its own copies (links survive the source's deletion).
     * Returns the branch's table dir. */
   def createBranch(spark: SparkSession, dir: String, name: String): String = {
     val base = latestVersion(dir)
@@ -1176,14 +1207,45 @@ object Gvt {
     Files.createSymbolicLink(bdir.resolve("data"),
       Paths.get("..", "..", "data"))
     val bld = Files.createDirectories(bdir.resolve(LogDir))
-    val files = snapshot(dir, Some(base))
-    val ctmp = Files.createTempFile(bld, ".tmp-", ".ckpt")
-    Files.write(ctmp, mapper.writeValueAsBytes(GvtCheckpoint(base, files)))
-    try Files.createLink(bld.resolve(f"$base%08d.ckpt.json"), ctmp)
-    catch { case _: FileAlreadyExistsException => () }
-    Files.delete(ctmp)
-    try Files.createLink(bld.resolve(f"$base%08d.json"), commitPath(dir, base))
-    catch { case _: FileAlreadyExistsException => () }
+    val ld = logDirOf(dir)
+    // driver-path anchor: newest JSON checkpoint ≤ base (-1 on a young,
+    // never-vacuumed table — then commits 0..base all still exist)
+    val jsonCk = {
+      val it = Files.list(ld)
+      try it.iterator().asScala().map(_.getFileName.toString)
+        .collect { case CkptName(v) if v <= base => v }
+        .foldLeft(-1)(math.max)
+      finally it.close()
+    }
+    if (jsonCk >= 0)
+      try Files.createLink(bld.resolve(f"$jsonCk%08d.ckpt.json"),
+        ckptPath(dir, jsonCk))
+      catch { case _: FileAlreadyExistsException => () }
+    // DF-path anchor: link the parquet twin's files (flat dir) — but
+    // only when the linked commit tail reaches it; a twin OLDER than
+    // the JSON anchor would fold versions whose docs we don't link
+    val pqCk = newestPqCkpt(dir, base)
+    if (pqCk >= 0 && pqCk >= jsonCk) {
+      val src = pqCkptPath(dir, pqCk)
+      val dst = Files.createDirectories(
+        bld.resolve(f"$pqCk%08d.ckpt.parquet"))
+      val s = Files.list(src)
+      try s.iterator().asScala().foreach { f =>
+        if (Files.isRegularFile(f))
+          try Files.createLink(dst.resolve(f.getFileName.toString), f)
+          catch { case _: FileAlreadyExistsException => () }
+      } finally s.close()
+    }
+    // the tail: every commit doc from the anchor through the fork —
+    // the anchor version's own doc included, so branch time travel
+    // reaches back to the parent's newest checkpoint ≤ fork (deeper
+    // history stays the parent's to serve). All docs exist in the
+    // parent — vacuum ensures a JSON checkpoint at its floor and keeps
+    // the floor doc, so [jsonCk, base] is never vacuumed away.
+    (math.max(jsonCk, 0) to base).foreach { v =>
+      try Files.createLink(bld.resolve(f"$v%08d.json"), commitPath(dir, v))
+      catch { case _: FileAlreadyExistsException => () }
+    }
     bdir.toString
   }
 
@@ -1210,12 +1272,43 @@ object Gvt {
         throw new java.util.ConcurrentModificationException(
           s"GVT $dir: advanced $base -> $head since branch '$name' forked " +
             "and the branch holds non-append commits; re-audit on a fresh branch")
-      val baseFiles = snapshot(dir, Some(base))
-      val bFiles = snapshot(bdir)
-      val baseByPath = baseFiles.map(f => f.path -> f).toMap
-      val bPaths = bFiles.map(_.path).toSet
-      val adds = bFiles.filterNot(f => baseByPath.get(f.path).contains(f))
-      val removes = baseFiles.map(_.path).filterNot(bPaths.contains)
+      // Net delta, two regimes (`spark.graft.gvt.publishViaDF`: auto).
+      // Big manifests (the >8×10⁴-entry JSON-checkpoint-overflow regime,
+      // same threshold as tryPublish's parquet-only flip) diff the two
+      // snapshotDF manifests as a Spark job and the driver collects only
+      // the CHURN — files the branch added or rewrote, paths it dropped
+      // — never either side's full file list, so publish stays O(delta)
+      // at any table size. Small manifests keep the in-memory diff (the
+      // DF path's fixed job cost dwarfs a thousand-entry Seq walk).
+      val viaDF = spark.conf
+        .getOption("spark.graft.gvt.publishViaDF").getOrElse("auto") match {
+        case "auto" => manifestIsBig(spark, dir, base)
+        case v => v.toBoolean
+      }
+      val (adds, removes) = if (viaDF) {
+        val baseM = snapshotDF(spark, dir, Some(base))
+        val bM = snapshotDF(spark, bdir)
+        // identity = (path, dv, dvRows): data files are immutable once
+        // written (same path ⇒ same rows/stats), so only a DV swap can
+        // change a surviving path — and set ops can't compare the
+        // min/max map columns anyway. The semi-join recovers the full
+        // manifest row (maps included) for just the changed paths.
+        val key = Seq("path", "dv", "dvRows")
+        val changed = bM.select(key.map(col): _*)
+          .exceptAll(baseM.select(key.map(col): _*)).select("path")
+        val a = bM.join(changed, Seq("path"), "left_semi")
+          .as(gvtFileEnc).collect().toSeq
+        val r = baseM.select("path").exceptAll(bM.select("path"))
+          .as(org.apache.spark.sql.Encoders.STRING).collect().toSeq
+        (a, r)
+      } else {
+        val baseFiles = snapshot(dir, Some(base))
+        val bFiles = snapshot(bdir)
+        val baseByPath = baseFiles.map(f => f.path -> f).toMap
+        val bPaths = bFiles.map(_.path).toSet
+        (bFiles.filterNot(f => baseByPath.get(f.path).contains(f)),
+          baseFiles.map(_.path).filterNot(bPaths.contains))
+      }
       val v = head + 1
       if (!tryPublish(dir, GvtCommit(v, "publish", adds, removes), spark))
         throw new java.util.ConcurrentModificationException(

@@ -746,6 +746,50 @@ class GvtSpec extends GraftSuite {
     intercept[IllegalStateException] { Gvt.createBranch(spark, dir, "drops") }
   }
 
+  test("branch: linked-anchor seed resolves through a checkpointed parent; DF publish ≡ driver publish") {
+    val dir = freshDir()
+    // 12 commits: the parent crosses CheckpointEvery, so the fork seed
+    // must anchor on the parent's own checkpoint + linked tail (no
+    // fresh fork-manifest checkpoint is written any more)
+    (0 until 12).foreach(i => Gvt.append(spark, dir, slab(i * 10, i * 10 + 10), Seq("k")))
+    val b = Gvt.createBranch(spark, dir, "linked")
+    val bld = Paths.get(b, Gvt.LogDir)
+    assert(Files.exists(bld.resolve(f"${10}%08d.ckpt.json")),
+      "seed must hard-link the parent's newest checkpoint, not write one at the fork")
+    assert(!Files.exists(bld.resolve(f"${11}%08d.ckpt.json")),
+      "no fork-version checkpoint should be fabricated")
+    assert(sortedRows(Gvt.read(spark, b)) == (0L until 120L).map(k => (k, k * 10)))
+    // branch time travel BELOW the fork works through the linked tail
+    assert(sortedRows(Gvt.read(spark, b, asOf = Some(10))) ==
+      (0L until 110L).map(k => (k, k * 10)))
+    // both publish regimes produce the same commit: audit on the
+    // branch (append + DV delete — a surviving path whose dv changed,
+    // the identity case the (path, dv, dvRows) key exists for)
+    Gvt.append(spark, b, slab(200, 210), Seq("k"))
+    Gvt.deleteWhereDV(spark, b, col("k") === 5L)
+    spark.conf.set("spark.graft.gvt.publishViaDF", "true")
+    val v = try Gvt.publishBranch(spark, dir, "linked")
+      finally spark.conf.unset("spark.graft.gvt.publishViaDF")
+    val dfCommit = Gvt.commitAt(dir, v)
+    val expected = ((0L until 120L) ++ (200L until 210L)).filter(_ != 5L)
+    assert(sortedRows(Gvt.read(spark, dir)) == expected.map(k => (k, k * 10)))
+    // driver-path control on an identical second branch of the same fork
+    val dir2 = freshDir()
+    (0 until 12).foreach(i => Gvt.append(spark, dir2, slab(i * 10, i * 10 + 10), Seq("k")))
+    val b2 = Gvt.createBranch(spark, dir2, "linked")
+    Gvt.append(spark, b2, slab(200, 210), Seq("k"))
+    Gvt.deleteWhereDV(spark, b2, col("k") === 5L)
+    spark.conf.set("spark.graft.gvt.publishViaDF", "false")
+    val v2 = try Gvt.publishBranch(spark, dir2, "linked")
+      finally spark.conf.unset("spark.graft.gvt.publishViaDF")
+    val drvCommit = Gvt.commitAt(dir2, v2)
+    assert(dfCommit.adds.map(_.path).sorted.size == drvCommit.adds.map(_.path).sorted.size &&
+      dfCommit.removes.sorted == drvCommit.removes.sorted,
+      s"DF and driver publish disagree: ${dfCommit.adds.size}/${dfCommit.removes} vs " +
+        s"${drvCommit.adds.size}/${drvCommit.removes}")
+    assert(sortedRows(Gvt.read(spark, dir2)) == expected.map(k => (k, k * 10)))
+  }
+
   test("branch: DV audit publishes vectors; vacuum pins live branches, reaps dropped ones") {
     val dir = freshDir()
     Gvt.append(spark, dir, slab(0, 10), Seq("k"))
