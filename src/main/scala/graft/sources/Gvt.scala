@@ -1105,6 +1105,35 @@ object Gvt {
         oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))
   }
 
+  /** [[diff]] with UPDATE images (the Delta CDF contract): a key that
+    * appears on BOTH sides of the churn is an update — its old row
+    * becomes `update_preimage`, its new row `update_postimage`; keys on
+    * one side only stay `insert`/`delete`. The pairing joins shuffle
+    * only the CHURN (diff's output, bounded by the range's rewrites),
+    * never the table, and a no-op rewrite (a file rewritten with a row
+    * byte-identical) never reaches the pairing at all — [[diff]]'s
+    * exceptAll cancels it first. `keyCols` should identify a row
+    * (duplicate keys pair ambiguously, same as Delta's CDF). */
+  def diffWithUpdates(spark: SparkSession, dir: String, fromV: Int,
+      toV: Int, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diffWithUpdates needs at least one key column")
+    val d = diff(spark, dir, fromV, toV)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = keyCols.map(col)
+    val dels = d.filter(col("change_type") === "delete").drop("change_type")
+    val ins = d.filter(col("change_type") === "insert").drop("change_type")
+    // distinct churned keys present on both sides = the updates
+    val updKeys = dels.select(keys: _*).intersect(ins.select(keys: _*))
+    dels.join(updKeys, keyCols, "left_anti")
+      .withColumn("change_type", lit("delete"))
+      .unionByName(ins.join(updKeys, keyCols, "left_anti")
+        .withColumn("change_type", lit("insert")))
+      .unionByName(dels.join(updKeys, keyCols, "left_semi")
+        .withColumn("change_type", lit("update_preimage")))
+      .unionByName(ins.join(updKeys, keyCols, "left_semi")
+        .withColumn("change_type", lit("update_postimage")))
+  }
+
   // --------------------------------------------------------------------
   // BRANCHES — write-audit-publish. A branch is a REAL table directory
   // under `_gvt_log/branch-<name>/`: its own commit log seeded by

@@ -115,6 +115,19 @@ object GvtOps {
       .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       .orderBy("c_custkey")
 
+  /** CDC with UPDATE images over the merge commit: the upserted keys
+    * (≡0 mod 10) pair into update_preimage/update_postimage by
+    * c_custkey, the fresh keys (≡0 mod 100, shifted) stay inserts, and
+    * the REWRITTEN-but-unchanged rows of the touched files never appear
+    * — diff's row-level cancellation plus key pairing is exactly the
+    * Delta CDF contract, and the oracle restates all three classes
+    * directly from the customer table. */
+  def cdcUpdates(spark: SparkSession, dir: String): DataFrame =
+    Gvt.diffWithUpdates(spark, mergeGvt(spark, dir), 0, 1, Seq("c_custkey"))
+      .select(col("change_type"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy("change_type", "c_custkey")
+
   /** lineitem committed as 8 contiguous l_orderkey range tiles (one
     * file each, near-disjoint manifest stats); the read prunes to the
     * tile(s) overlapping the queried range from the MANIFEST before
@@ -725,6 +738,7 @@ object GvtOps {
     "scan_time_travel" -> timeTravel,
     "scan_time_travel_ts" -> timeTravelTs,
     "etl_merge_into" -> mergeInto,
+    "etl_gvt_cdc_upd" -> cdcUpdates,
     "scan_manifest_prune" -> manifestPrune,
     "scan_manifest_df" -> manifestDf,
     "sink_compaction" -> compaction
@@ -858,6 +872,24 @@ object GvtOps {
         "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer c " +
         "WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)" +
         ") ORDER BY c_custkey"),
+    // the three CDC classes restated directly: upserted keys (≡0 mod
+    // 10) yield a pre/post pair, shifted keys (≡0 mod 100) yield
+    // inserts, and nothing deletes — rewritten-but-unchanged rows of
+    // the touched files must NOT appear (diff's row-level cancellation)
+    "etl_gvt_cdc_upd" ->
+      ("WITH upd AS (SELECT * FROM customer WHERE c_custkey % 10 = 0) " +
+        "SELECT change_type, c_custkey, c_name, c_acctbal, c_mktsegment " +
+        "FROM (" +
+        "SELECT 'update_preimage' AS change_type, c_custkey, c_name, " +
+        "c_acctbal, c_mktsegment FROM upd " +
+        "UNION ALL " +
+        "SELECT 'update_postimage', c_custkey, c_name, c_acctbal + 1000, " +
+        "'UPDATED' FROM upd " +
+        "UNION ALL " +
+        "SELECT 'insert', c_custkey + 1000000, " +
+        "'new#' || CAST(c_custkey + 1000000 AS VARCHAR), " +
+        "c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 100 = 0" +
+        ") ORDER BY change_type, c_custkey"),
     "scan_manifest_df" ->
       ("WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi " +
         "FROM lineitem), " +

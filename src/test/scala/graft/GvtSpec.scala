@@ -697,6 +697,29 @@ class GvtSpec extends GraftSuite {
     assert(!Files.exists(leakedYoung), "aged leaked twin survived vacuum")
   }
 
+  test("diffWithUpdates pairs churned keys into update images; no-op rewrites stay silent") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    import spark.implicits._
+    // update k∈{2,4}, NO-OP "update" k=6 (byte-identical row — must
+    // cancel in diff and never reach the pairing), insert k=100
+    val src = Seq((2L, 21L), (4L, 41L), (6L, 60L), (100L, 1000L)).toDF("k", "v")
+    Gvt.merge(spark, dir, src, "k", Seq("k"))
+    val d = Gvt.diffWithUpdates(spark, dir, 0, 1, Seq("k"))
+      .collect().map(r => (r.getAs[String]("change_type"),
+        r.getAs[Long]("k"), r.getAs[Long]("v"))).toSet
+    assert(d == Set(
+      ("update_preimage", 2L, 20L), ("update_postimage", 2L, 21L),
+      ("update_preimage", 4L, 40L), ("update_postimage", 4L, 41L),
+      ("insert", 100L, 1000L)), s"got $d")
+    // a pure delete commit stays a delete — no phantom pairing
+    Gvt.delete(spark, dir, col("k") === 3L, Seq("k"))
+    val d2 = Gvt.diffWithUpdates(spark, dir, 1, 2, Seq("k"))
+      .collect().map(r => (r.getAs[String]("change_type"),
+        r.getAs[Long]("k"), r.getAs[Long]("v"))).toSet
+    assert(d2 == Set(("delete", 3L, 30L)), s"got $d2")
+  }
+
   test("branch: isolated writes, publish squashes atomically, audit ≡ published") {
     val dir = freshDir()
     Gvt.append(spark, dir, slab(0, 10), Seq("k"))

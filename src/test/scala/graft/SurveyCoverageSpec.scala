@@ -199,7 +199,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "plan_mv_select",
     // round-10: write-audit-publish on a GVT branch — isolated staging,
     // quality-rule audit, ONE atomic squash commit to the parent
-    "etl_gvt_wap")
+    "etl_gvt_wap",
+    // round-10: CDC with UPDATE images — churned keys on both diff
+    // sides pair into update_preimage/update_postimage (Delta CDF)
+    "etl_gvt_cdc_upd")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
