@@ -118,6 +118,66 @@ object CorpusOps {
       .limit(10)
   }
 
+  /** PRODUCT-QUANTIZATION ANN (ADC scoring): the 64-dim embedding space
+    * splits into m = 4 subspaces of 16 dims; each subspace's codebook is
+    * the subvectors of vec_id < 8 (deterministic, like [[annIvf]]'s
+    * coarse centroids), every vector's subvector maps to its
+    * max-inner-product code (rounded to 6 decimals, ties to the lower
+    * code), and the probe (vec_id = 0) scores candidates ASYMMETRICALLY:
+    * its per-(subspace, code) inner products form a 32-entry lookup
+    * table, and a vector's approximate similarity is the SUM of its 4
+    * table hits — inner product decomposes exactly across subspaces, so
+    * ADC is unbiased up to quantization. The ADC pass SHORTLISTS the
+    * top-50 candidates; the exact cosine re-rank runs only on those 50
+    * (the standard two-stage production shape — quantized scan over
+    * everything, exact math over a constant-size shortlist). Why this
+    * is the 100 TB shape: codes are m SMALL INTS per vector (vs d
+    * floats — a 64× compression here, the reason PQ exists), assignment
+    * is one map-side pass against a broadcast 32-row codebook, ADC
+    * scoring is a broadcast lookup-join + per-vector sum, and the
+    * re-rank touches 50 full vectors regardless of corpus size; nothing
+    * all-pairs, no shuffle wider than (vec_id, m, code). Oracle-able
+    * end-to-end because every step is a deterministic argmax/sum over
+    * rounded doubles. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    // long form: one row per (vector, subspace) with the 16-dim slice
+    val subs = e.select(col("vec_id"), posexplode(
+      expr("transform(sequence(0, 3), m -> slice(emb, m * 16 + 1, 16))")))
+      .toDF("vec_id", "m", "svec")
+    val cb = subs.filter(col("vec_id") < 8)
+      .select(col("m"), col("vec_id").as("code"), col("svec").as("cvec"))
+    val ip = (a: String, b: String) =>
+      round(expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "0D, (acc, x) -> acc + x)"), 6)
+    val assigned = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("s", ip("svec", "cvec"))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id", "m")
+        .orderBy(col("s").desc, col("code"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "m", "code")
+    val q = subs.filter(col("vec_id") === 0)
+      .select(col("m"), col("svec").as("qvec"))
+    val adc = cb.join(broadcast(q), Seq("m"))
+      .select(col("m"), col("code"), ip("qvec", "cvec").as("ips"))
+    val shortlist = assigned.join(broadcast(adc), Seq("m", "code"))
+      .groupBy("vec_id").agg(round(sum("ips"), 4).as("sim_pq"))
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+      .limit(50)
+    graft.functions.CosineSimilarity.register(spark)
+    val raw = Tables(spark, dir, "embeddings")
+    val probe = raw.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pvec"))
+    raw.join(broadcast(shortlist), Seq("vec_id"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("sim_pq"),
+        round(expr("cosine_sim(embedding, pvec)"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Dataset-card manifest: the (lang × source) statistics grid with
     * subtotals and a grand total in ONE Expand pass (`rollup`), the
     * summary block a corpus release ships. All metrics are exact integer
@@ -240,7 +300,8 @@ object CorpusOps {
     "llm_embed_centroid" -> embedCentroid,
     "llm_knn_join" -> knnJoin,
     "llm_knn_join_scaled" -> knnJoinScaled,
-    "llm_ann_ivf" -> annIvf
+    "llm_ann_ivf" -> annIvf,
+    "llm_ann_pq" -> annPq
   )
 
   def oracle: Map[String, String] = Map(
@@ -336,6 +397,38 @@ object CorpusOps {
         "SELECT a.vec_id, a.cid, " +
         "round(list_cosine_similarity(a.emb, (SELECT pvec FROM probe)), 4) AS sim " +
         "FROM assigned a JOIN pcells USING (cid) " +
-        "ORDER BY sim DESC, vec_id LIMIT 10")
+        "ORDER BY sim DESC, vec_id LIMIT 10"),
+    // PQ/ADC restated: subspace slices, first-8 codebooks, rounded
+    // max-IP assignment, the probe's 32-entry lookup table summed into
+    // a top-50 shortlist, exact cosine re-rank over the shortlist only
+    "llm_ann_pq" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
+        "FROM embeddings), " +
+        "ms AS (SELECT unnest(range(4)) AS m), " +
+        "subs AS (SELECT vec_id, m, emb[m*16+1 : m*16+16] AS svec " +
+        "FROM e CROSS JOIN ms), " +
+        "cb AS (SELECT m, vec_id AS code, svec AS cvec FROM subs " +
+        "WHERE vec_id < 8), " +
+        "asg AS (SELECT vec_id, m, code FROM (" +
+        "SELECT s.vec_id, s.m, c.code, row_number() OVER (" +
+        "PARTITION BY s.vec_id, s.m ORDER BY " +
+        "round(list_inner_product(s.svec, c.cvec), 6) DESC, c.code) AS rk " +
+        "FROM subs s JOIN cb c ON s.m = c.m) WHERE rk = 1), " +
+        "q AS (SELECT m, svec AS qvec FROM subs WHERE vec_id = 0), " +
+        "adc AS (SELECT c.m, c.code, " +
+        "round(list_inner_product(q.qvec, c.cvec), 6) AS ips " +
+        "FROM cb c JOIN q ON c.m = q.m), " +
+        "scored AS (SELECT vec_id, round(sum(ips), 4) AS sim_pq " +
+        "FROM asg JOIN adc ON asg.m = adc.m AND asg.code = adc.code " +
+        "GROUP BY vec_id), " +
+        "short AS (SELECT vec_id, sim_pq FROM (" +
+        "SELECT vec_id, sim_pq, row_number() OVER (" +
+        "ORDER BY sim_pq DESC, vec_id) AS rk FROM scored) WHERE rk <= 50) " +
+        "SELECT s.vec_id, s.sim_pq, " +
+        "round(list_cosine_similarity(e.emb, " +
+        "(SELECT emb FROM e WHERE vec_id = 0)), 4) AS sim " +
+        "FROM short s JOIN e ON s.vec_id = e.vec_id " +
+        "ORDER BY sim DESC, s.vec_id LIMIT 10")
   )
 }

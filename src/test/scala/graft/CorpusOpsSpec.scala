@@ -54,6 +54,23 @@ class CorpusOpsSpec extends GraftSuite {
     assert(scaled.count() > 0)
   }
 
+  test("PQ/ADC ranks the probe first and overlaps brute force") {
+    val pq = llm.CorpusOps.annPq(spark, sf001).collect()
+    assert(pq.length == 10)
+    // the probe's subvectors sit in the codebook, so ADC reconstructs
+    // it exactly: top hit is the probe at its own (unit) inner product
+    assert(pq.head.getAs[Long]("vec_id") == 0L &&
+      pq.head.getAs[Double]("sim") == 1.0)
+    val sims = pq.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse, "PQ results not sorted by score")
+    // the exact re-rank over the ADC top-50 shortlist recovers most of
+    // the true top-10 even through the coarse 8-code quantizer
+    val brute = llm.Similarity.simCosine(spark, sf001).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val overlap = pq.map(_.getAs[Long]("vec_id")).count(brute.contains)
+    assert(overlap >= 7, s"PQ recall@10 too low: $overlap/10 vs brute force")
+  }
+
   test("IVF rerank returns the probe first and overlaps brute force") {
     val ivf = llm.CorpusOps.annIvf(spark, sf001).collect()
     assert(ivf.head.getAs[Long]("vec_id") == 0L && ivf.head.getAs[Double]("sim") == 1.0)

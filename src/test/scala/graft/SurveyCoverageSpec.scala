@@ -202,7 +202,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "etl_gvt_wap",
     // round-10: CDC with UPDATE images — churned keys on both diff
     // sides pair into update_preimage/update_postimage (Delta CDF)
-    "etl_gvt_cdc_upd")
+    "etl_gvt_cdc_upd",
+    // round-10: product-quantization ANN — 4×16-dim codebooks, ADC
+    // lookup-table scoring, top-50 shortlist, exact cosine re-rank
+    "llm_ann_pq")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
