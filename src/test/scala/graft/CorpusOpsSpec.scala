@@ -71,6 +71,25 @@ class CorpusOpsSpec extends GraftSuite {
     assert(overlap >= 7, s"PQ recall@10 too low: $overlap/10 vs brute force")
   }
 
+  test("IVFPQ retrieval: no self-matches, ≤3 per query, strong overlap with exact-scored IVF") {
+    val pq = llm.CorpusOps.knnJoinIvfPq(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nbr")))
+    assert(pq.forall { case (q, n) => q != n }, "self-match leaked")
+    val perQ = pq.groupBy(_._1).view.mapValues(_.length)
+    assert(perQ.values.forall(_ <= 3))
+    // quality vs the exact-scored IVF over the SAME cells: exact top-3
+    // ids are brittle when sims are nearly tied (quantization noise
+    // reorders hair-thin gaps), so assert the standard ANN quality
+    // measure instead — the re-ranked top-3 must hold most of the
+    // exact top-3's similarity mass (measured 0.885 on this fixture)
+    val pqSims = llm.CorpusOps.knnJoinIvfPq(spark, sf001).collect()
+      .map(r => r.getAs[Double]("sim")).sum
+    val ivfSims = llm.CorpusOps.knnJoin(spark, sf001).collect()
+      .map(r => r.getAs[Double]("sim")).sum
+    assert(pqSims >= 0.8 * ivfSims,
+      s"IVFPQ quality too low: $pqSims vs exact $ivfSims")
+  }
+
   test("IVF rerank returns the probe first and overlaps brute force") {
     val ivf = llm.CorpusOps.annIvf(spark, sf001).collect()
     assert(ivf.head.getAs[Long]("vec_id") == 0L && ivf.head.getAs[Double]("sim") == 1.0)

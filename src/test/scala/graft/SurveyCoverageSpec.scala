@@ -205,7 +205,11 @@ class SurveyCoverageSpec extends GraftSuite {
     "etl_gvt_cdc_upd",
     // round-10: product-quantization ANN — 4×16-dim codebooks, ADC
     // lookup-table scoring, top-50 shortlist, exact cosine re-rank
-    "llm_ann_pq")
+    "llm_ann_pq",
+    // round-10: the full IVF+PQ retrieval stack — cells bound the
+    // candidates, codes + per-query ADC tables score them, exact
+    // re-rank of the per-query top-20
+    "llm_knn_join_ivfpq")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
