@@ -24,13 +24,7 @@ object DevShuffleAudit {
     val keys = args.tail.toSeq
     val spark = Sessions.localFor("32", dir, "ERROR")
     // same A-B hook as DevTime: drop named optimizer rules for a control run
-    for (names <- sys.env.get("SPARK_GRAFT_RULE_OFF")) {
-      val off = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
-      val ex = spark.experimental
-      ex.extraOptimizations = ex.extraOptimizations
-        .filterNot(r => off.exists(r.ruleName.contains))
-      println(s"RULE_OFF $off -> ${ex.extraOptimizations.map(_.ruleName)}")
-    }
+    Sessions.applyRuleOff(spark)
     val write = new AtomicLong(0L)
     val read = new AtomicLong(0L)
     val records = new AtomicLong(0L)

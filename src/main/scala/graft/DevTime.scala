@@ -17,13 +17,7 @@ object DevTime {
     val dir = args.head
     val keys = args.tail.toSeq
     val spark = Sessions.localFor("32", dir, "ERROR")
-    for (names <- sys.env.get("SPARK_GRAFT_RULE_OFF")) {
-      val off = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
-      val ex = spark.experimental
-      ex.extraOptimizations = ex.extraOptimizations
-        .filterNot(r => off.exists(r.ruleName.contains))
-      println(s"RULE_OFF $off -> ${ex.extraOptimizations.map(_.ruleName)}")
-    }
+    Sessions.applyRuleOff(spark)
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
       val times = (1 to 2).map { _ =>

@@ -80,6 +80,19 @@ object Sessions {
     else b
   }
 
+  /** The dev probes' shared A-B hook: SPARK_GRAFT_RULE_OFF=Name[,Name]
+    * drops the named rules from `experimental.extraOptimizations` for a
+    * control run (substring match on ruleName). One definition so the
+    * matching semantics cannot drift between probes. */
+  def applyRuleOff(spark: org.apache.spark.sql.SparkSession): Unit =
+    for (names <- sys.env.get("SPARK_GRAFT_RULE_OFF")) {
+      val off = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val ex = spark.experimental
+      ex.extraOptimizations = ex.extraOptimizations
+        .filterNot(r => off.exists(r.ruleName.contains))
+      println(s"RULE_OFF $off -> ${ex.extraOptimizations.map(_.ruleName)}")
+    }
+
   def localFor(cpus: String, sfDir: String,
       logLevel: String = "WARN"): SparkSession = {
     val s = builderFor(cpus, sfDir).getOrCreate()

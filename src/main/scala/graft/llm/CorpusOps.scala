@@ -118,6 +118,38 @@ object CorpusOps {
       .limit(10)
   }
 
+  /** Rounded inner product on the 6-decimal grid — the PQ family's
+    * shared scoring primitive (assignment AND ADC tables must use the
+    * same one, or codes and lookups drift). */
+  private def pqIp(a: String, b: String) =
+    round(expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+      "0D, (acc, x) -> acc + x)"), 6)
+
+  /** The shared PQ quantizer of [[annPq]] / [[knnJoinIvfPq]] — ONE
+    * definition of the subspace geometry (m = 4 × 16 dims), codebook
+    * bound (subvectors of vec_id < 8), and max-IP assignment (6-decimal
+    * grid, ties to the lower code), so the two operators and their two
+    * DuckDB oracle restatements cannot desynchronize. Returns
+    * (subs: (vec_id, m, svec), cb: (m, code, cvec),
+    *  codes: (vec_id, m, code)). */
+  private def pqStages(raw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val e = raw.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    // long form: one row per (vector, subspace) with the 16-dim slice
+    val subs = e.select(col("vec_id"), posexplode(
+      expr("transform(sequence(0, 3), m -> slice(emb, m * 16 + 1, 16))")))
+      .toDF("vec_id", "m", "svec")
+    val cb = subs.filter(col("vec_id") < 8)
+      .select(col("m"), col("vec_id").as("code"), col("svec").as("cvec"))
+    val codes = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("s", pqIp("svec", "cvec"))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id", "m")
+        .orderBy(col("s").desc, col("code"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "m", "code")
+    (subs, cb, codes)
+  }
+
   /** PRODUCT-QUANTIZATION ANN (ADC scoring): the 64-dim embedding space
     * splits into m = 4 subspaces of 16 dims; each subspace's codebook is
     * the subvectors of vec_id < 8 (deterministic, like [[annIvf]]'s
@@ -140,28 +172,11 @@ object CorpusOps {
     * end-to-end because every step is a deterministic argmax/sum over
     * rounded doubles. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("emb"))
-    // long form: one row per (vector, subspace) with the 16-dim slice
-    val subs = e.select(col("vec_id"), posexplode(
-      expr("transform(sequence(0, 3), m -> slice(emb, m * 16 + 1, 16))")))
-      .toDF("vec_id", "m", "svec")
-    val cb = subs.filter(col("vec_id") < 8)
-      .select(col("m"), col("vec_id").as("code"), col("svec").as("cvec"))
-    val ip = (a: String, b: String) =>
-      round(expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
-        "0D, (acc, x) -> acc + x)"), 6)
-    val assigned = subs.join(broadcast(cb), Seq("m"))
-      .withColumn("s", ip("svec", "cvec"))
-      .withColumn("rk", row_number().over(Window.partitionBy("vec_id", "m")
-        .orderBy(col("s").desc, col("code"))))
-      .filter(col("rk") === 1)
-      .select("vec_id", "m", "code")
+    val (subs, cb, assigned) = pqStages(Tables(spark, dir, "embeddings"))
     val q = subs.filter(col("vec_id") === 0)
       .select(col("m"), col("svec").as("qvec"))
     val adc = cb.join(broadcast(q), Seq("m"))
-      .select(col("m"), col("code"), ip("qvec", "cvec").as("ips"))
+      .select(col("m"), col("code"), pqIp("qvec", "cvec").as("ips"))
     val shortlist = assigned.join(broadcast(adc), Seq("m", "code"))
       .groupBy("vec_id").agg(round(sum("ips"), 4).as("sim_pq"))
       .orderBy(col("sim_pq").desc, col("vec_id"))
@@ -207,27 +222,14 @@ object CorpusOps {
       .withColumn("rk", row_number().over(Window.partitionBy("qid")
         .orderBy(col("psim").desc, col("cid"))))
       .filter(col("rk") <= 2).select("qid", "cid")
-    // PQ codes, same construction as [[annPq]]
-    val e = raw.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("emb"))
-    val subs = e.select(col("vec_id"), posexplode(
-      expr("transform(sequence(0, 3), m -> slice(emb, m * 16 + 1, 16))")))
-      .toDF("vec_id", "m", "svec")
-    val cb = subs.filter(col("vec_id") < 8)
-      .select(col("m"), col("vec_id").as("code"), col("svec").as("cvec2"))
-    val ip = (a: String, b: String) =>
-      round(expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
-        "0D, (acc, x) -> acc + x)"), 6)
-    val codes = subs.join(broadcast(cb), Seq("m"))
-      .withColumn("s", ip("svec", "cvec2"))
-      .withColumn("rk", row_number().over(Window.partitionBy("vec_id", "m")
-        .orderBy(col("s").desc, col("code"))))
-      .filter(col("rk") === 1).select("vec_id", "m", "code")
+    // PQ quantizer shared with [[annPq]] — one definition, one oracle
+    // contract (subspace geometry, codebook bound, rounding, tie-break)
+    val (subs, cb, codes) = pqStages(raw)
     // per-query ADC lookup tables: queries × 32 rows, broadcast
     val adcq = subs.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("qid"), col("m"), col("svec").as("qsvec"))
       .join(broadcast(cb), Seq("m"))
-      .select(col("qid"), col("m"), col("code"), ip("qsvec", "cvec2").as("ips"))
+      .select(col("qid"), col("m"), col("code"), pqIp("qsvec", "cvec").as("ips"))
     val candidates = assigned.join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
     val adcScored = candidates.join(codes, Seq("vec_id"))

@@ -113,6 +113,21 @@ object Gvt {
   private def pqCkptPath(dir: String, v: Int) =
     logDirOf(dir).resolve(f"$v%08d.ckpt.parquet")
 
+  /** Lowest commit doc still in the log (a branch's oldest readable
+    * version via its linked seed tail), or -1 for an empty table. */
+  private def oldestVersion(dir: String): Int = {
+    val ld = logDirOf(dir)
+    if (!Files.isDirectory(ld)) return -1
+    val it = Files.list(ld)
+    try {
+      val m = it.iterator().asScala()
+        .map(_.getFileName.toString)
+        .collect { case CommitName(v) => v }
+        .foldLeft(Int.MaxValue)(math.min)
+      if (m == Int.MaxValue) -1 else m
+    } finally it.close()
+  }
+
   /** Highest committed version, or -1 for an empty/absent table. */
   def latestVersion(dir: String): Int = {
     val ld = logDirOf(dir)
@@ -269,10 +284,17 @@ object Gvt {
       }
     ((anchorV + 1) to last).foldLeft(base) { (df, v) =>
       val c = commitAt(dir, v)
+      // adds UPSERT by path — the driver path's LinkedHashMap.put
+      // contract. A commit may re-add a surviving path with a new DV
+      // and no matching remove (publishBranch's DV-audit squash does),
+      // so the anti-join must drop removed AND re-added paths before
+      // the union, or the fold yields duplicate manifest rows and the
+      // dv-less twin resurrects deleted rows on the DF read path.
+      val gone = c.removes ++ c.adds.map(_.path)
       val afterRemoves =
-        if (c.removes.isEmpty) df
+        if (gone.isEmpty) df
         else df.join(
-          spark.createDataset(c.removes)(
+          spark.createDataset(gone)(
             org.apache.spark.sql.Encoders.STRING).toDF("path"),
           Seq("path"), "left_anti")
       if (c.adds.isEmpty) afterRemoves
@@ -571,19 +593,17 @@ object Gvt {
       // probe finds only the parquet twin and stays parquet-only — a
       // table that big should never drift back onto the driver path by
       // accident. Explicit true/false still overrides.
+      // the auto probe is [[manifestIsBig]]'s newest-≤ scan, NOT a look
+      // at exactly version-CheckpointEvery: vacuum deletes that doc and
+      // writes a (huge) JSON checkpoint at its floor, and the probe
+      // must find THAT one — or a big table would flip back onto the
+      // driver JSON path for one commit after every vacuum
       val parquetOnly = {
         val conf = if (spark == null) None else spark.conf
           .getOption("spark.graft.gvt.parquetOnlyCheckpoints")
         conf match {
           case Some(v) if v != "auto" => v.toBoolean
-          case _ =>
-            val maxBytes = (if (spark == null) None else spark.conf
-              .getOption("spark.graft.gvt.jsonCheckpointMaxBytes"))
-              .map(_.toLong).getOrElse(16L * 1024 * 1024)
-            val prev = commit.version - CheckpointEvery
-            val prevJson = ckptPath(dir, prev)
-            if (Files.exists(prevJson)) Files.size(prevJson) > maxBytes
-            else Files.exists(pqCkptPath(dir, prev))
+          case _ => manifestIsBig(spark, dir, commit.version)
         }
       }
       if (!parquetOnly) {
@@ -974,6 +994,12 @@ object Gvt {
     * collecting every add, which is O(tail). */
   def vacuum(dir: String, retainFrom: Int,
       graceMs: Long = 600000L): (Int, Int) = {
+    // a BRANCH shares its parent's data pool through the `data`
+    // symlink; walking it here would delete parent files the branch's
+    // snapshots don't reference — vacuum the parent (which pins every
+    // live branch), never the branch
+    require(!Files.isSymbolicLink(Paths.get(dir, "data")),
+      s"GVT $dir is a branch (shared data pool) — vacuum its parent table")
     val head = latestVersion(dir)
     require(retainFrom >= 0 && retainFrom <= head,
       s"vacuum retainFrom $retainFrom outside [0, $head]")
@@ -997,9 +1023,12 @@ object Gvt {
     // can still read (its fork version through its head) pins its files,
     // even below the parent's retention floor — a published-or-dropped
     // branch stops pinning and its unique files age out normally
+    // a branch reads below its fork too — down to its oldest linked
+    // commit doc (the seed links [parent ckpt, fork]) — so the pin
+    // range is the branch's FULL readable range, not just fork..head
     val branchSnapshots = listBranches(dir).flatMap { name =>
       val bd = branchDir(dir, name)
-      (branchBase(dir, name) to latestVersion(bd)).map(v => snapshot(bd, Some(v)))
+      (oldestVersion(bd) to latestVersion(bd)).map(v => snapshot(bd, Some(v)))
     }
     val liveSnapshots = retainedSnapshots ++ branchSnapshots
     val referenced = liveSnapshots.flatten.map(_.path).toSet
@@ -1105,11 +1134,34 @@ object Gvt {
         oldRows.exceptAll(newRows).withColumn("change_type", lit("delete")))
   }
 
+  /** `processAllAvailable` with a hard upper bound: the deterministic
+    * drain (returns once every available offset is committed, rethrows
+    * stream failure) that CANNOT wedge a gate — a regression leaving
+    * the query alive but stuck fails loudly at `timeoutMs` instead of
+    * blocking forever. */
+  def drainBounded(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 600000L): Unit = {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val t = new Thread(() =>
+      try q.processAllAvailable()
+      catch { case e: Throwable => err.set(e) })
+    t.setDaemon(true)
+    t.start()
+    t.join(timeoutMs)
+    if (t.isAlive) {
+      q.stop()
+      throw new IllegalStateException(
+        s"gvt stream drain exceeded $timeoutMs ms — stalled")
+    }
+    if (err.get != null) throw err.get
+    q.exception.foreach(throw _)
+  }
+
   /** [[diff]] with UPDATE images (the Delta CDF contract): a key that
     * appears on BOTH sides of the churn is an update — its old row
     * becomes `update_preimage`, its new row `update_postimage`; keys on
-    * one side only stay `insert`/`delete`. The pairing joins shuffle
-    * only the CHURN (diff's output, bounded by the range's rewrites),
+    * one side only stay `insert`/`delete`. The pairing shuffles the
+    * CHURN once (diff's output, bounded by the range's rewrites),
     * never the table, and a no-op rewrite (a file rewritten with a row
     * byte-identical) never reaches the pairing at all — [[diff]]'s
     * exceptAll cancels it first. `keyCols` should identify a row
@@ -1117,21 +1169,22 @@ object Gvt {
   def diffWithUpdates(spark: SparkSession, dir: String, fromV: Int,
       toV: Int, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "diffWithUpdates needs at least one key column")
-    val d = diff(spark, dir, fromV, toV)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keys = keyCols.map(col)
-    val dels = d.filter(col("change_type") === "delete").drop("change_type")
-    val ins = d.filter(col("change_type") === "insert").drop("change_type")
-    // distinct churned keys present on both sides = the updates
-    val updKeys = dels.select(keys: _*).intersect(ins.select(keys: _*))
-    dels.join(updKeys, keyCols, "left_anti")
-      .withColumn("change_type", lit("delete"))
-      .unionByName(ins.join(updKeys, keyCols, "left_anti")
-        .withColumn("change_type", lit("insert")))
-      .unionByName(dels.join(updKeys, keyCols, "left_semi")
-        .withColumn("change_type", lit("update_preimage")))
-      .unionByName(ins.join(updKeys, keyCols, "left_semi")
-        .withColumn("change_type", lit("update_postimage")))
+    import org.apache.spark.sql.expressions.Window
+    // ONE window pass over the churn, keyed on keyCols: a key whose
+    // partition holds both sides is an update; its rows relabel in
+    // place. One shuffle, no self-joins, nothing persisted (the
+    // intersect+semi/anti formulation needed the churn cached across
+    // four subplans and leaked the cache for the session lifetime).
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val hasSide = (side: String) =>
+      max(when(col("change_type") === side, 1).otherwise(0)).over(w)
+    diff(spark, dir, fromV, toV)
+      .withColumn("is_upd", hasSide("delete") + hasSide("insert") === 2)
+      .withColumn("change_type",
+        when(!col("is_upd"), col("change_type"))
+          .when(col("change_type") === "delete", lit("update_preimage"))
+          .otherwise(lit("update_postimage")))
+      .drop("is_upd")
   }
 
   // --------------------------------------------------------------------
@@ -1171,8 +1224,8 @@ object Gvt {
     * that regime's steady state. */
   private def manifestIsBig(spark: SparkSession, dir: String,
       upTo: Int): Boolean = {
-    val maxBytes = spark.conf
-      .getOption("spark.graft.gvt.jsonCheckpointMaxBytes")
+    val maxBytes = Option(spark)
+      .flatMap(_.conf.getOption("spark.graft.gvt.jsonCheckpointMaxBytes"))
       .map(_.toLong).getOrElse(16L * 1024 * 1024)
     val ld = logDirOf(dir)
     if (!Files.isDirectory(ld)) return false
@@ -1309,13 +1362,17 @@ object Gvt {
       // — never either side's full file list, so publish stays O(delta)
       // at any table size. Small manifests keep the in-memory diff (the
       // DF path's fixed job cost dwarfs a thousand-entry Seq walk).
+      // fork-state resolution reads the BRANCH's linked log, not the
+      // parent's: the parent's vacuum floor may have passed the fork
+      // (vacuum pins the branch's FILES precisely so it can still
+      // land), and the branch's seed links serve version `base` forever
       val viaDF = spark.conf
         .getOption("spark.graft.gvt.publishViaDF").getOrElse("auto") match {
-        case "auto" => manifestIsBig(spark, dir, base)
+        case "auto" => manifestIsBig(spark, bdir, base)
         case v => v.toBoolean
       }
       val (adds, removes) = if (viaDF) {
-        val baseM = snapshotDF(spark, dir, Some(base))
+        val baseM = snapshotDF(spark, bdir, Some(base))
         val bM = snapshotDF(spark, bdir)
         // identity = (path, dv, dvRows): data files are immutable once
         // written (same path ⇒ same rows/stats), so only a DV swap can
@@ -1331,7 +1388,7 @@ object Gvt {
           .as(org.apache.spark.sql.Encoders.STRING).collect().toSeq
         (a, r)
       } else {
-        val baseFiles = snapshot(dir, Some(base))
+        val baseFiles = snapshot(bdir, Some(base))
         val bFiles = snapshot(bdir)
         val baseByPath = baseFiles.map(f => f.path -> f).toMap
         val bPaths = bFiles.map(_.path).toSet

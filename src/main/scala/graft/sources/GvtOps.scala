@@ -562,9 +562,11 @@ object GvtOps {
       .start()
     try {
       // deterministic drain (no wall-clock poll): returns once every
-      // available offset is processed and committed, throws on failure
-      q.processAllAvailable()
-      q.exception.foreach(throw _)
+      // available offset is processed and committed, throws on failure.
+      // Bounded from a side thread — processAllAvailable alone is
+      // unbounded, and a regression that leaves the stream alive but
+      // stuck would wedge the verify gate forever instead of failing.
+      Gvt.drainBounded(q)
     } finally q.stop()
     spark.table(sinkName)
   }

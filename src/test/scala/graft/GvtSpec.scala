@@ -813,6 +813,74 @@ class GvtSpec extends GraftSuite {
     assert(sortedRows(Gvt.read(spark, dir2)) == expected.map(k => (k, k * 10)))
   }
 
+  test("snapshotDF upserts re-added paths: a DV-audit publish yields no duplicate manifest rows") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    val b = Gvt.createBranch(spark, dir, "dvdup")
+    Gvt.deleteWhereDV(spark, b, col("k") === 3L) // path survives, dv swaps
+    // publish commits adds=[path with dv] and removes=[] — the upsert
+    // shape the DF fold must handle like the driver's LinkedHashMap.put
+    Gvt.publishBranch(spark, dir, "dvdup")
+    Gvt.dropBranch(dir, "dvdup")
+    val m = Gvt.snapshotDF(spark, dir)
+    assert(m.count() == Gvt.snapshot(dir).size.toLong,
+      "DF manifest diverged from the driver manifest")
+    assert(m.groupBy("path").count().filter(col("count") > 1).count() == 0,
+      "duplicate manifest row after DV re-add")
+    // the DF-path read must not resurrect the DV-deleted row through a
+    // dv-less duplicate entry
+    val (df, _, _) = Gvt.readPrunedMultiDF(spark, dir, Seq(("k", 0.0, 1e9)))
+    assert(df.count() == 9L, "DF-path read resurrected a DV-deleted row")
+  }
+
+  test("vacuum pins a branch's SUB-FORK reads; vacuum on a branch dir refuses") {
+    val dir = freshDir()
+    (0 until 11).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 10, i * 10 + 10), Seq("k"))) // ckpt at v10
+    Gvt.delete(spark, dir, col("k") < 10L, Seq("k")) // v11 drops v0's file
+    val b = Gvt.createBranch(spark, dir, "history") // fork 11, links [10, 11]
+    intercept[IllegalArgumentException] { Gvt.vacuum(b, 0, graceMs = 0L) }
+    // parent vacuums to head: v0's file is referenced ONLY by the
+    // branch's sub-fork read at the linked checkpoint version
+    Gvt.vacuum(dir, Gvt.latestVersion(dir), graceMs = 0L)
+    assert(sortedRows(Gvt.read(spark, b, asOf = Some(10))) ==
+      (0L until 110L).map(k => (k, k * 10)),
+      "parent vacuum reaped a file the branch's sub-fork read needs")
+  }
+
+  test("append-only branch publishes after the parent's floor passes the fork") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10), Seq("k")) // v0
+    val b = Gvt.createBranch(spark, dir, "late") // fork at 0
+    Gvt.append(spark, b, slab(100, 110), Seq("k"))
+    Gvt.append(spark, dir, slab(10, 20), Seq("k")) // v1
+    Gvt.vacuum(dir, 1, graceMs = 0L) // parent floor 1 > fork 0
+    // fork-state resolution must come from the BRANCH's linked log —
+    // the parent can no longer serve version 0
+    Gvt.publishBranch(spark, dir, "late")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      ((0L until 20L) ++ (100L until 110L)).map(k => (k, k * 10)))
+  }
+
+  test("auto parquet-only survives a vacuum that deletes the cadence-aligned checkpoint") {
+    val dir = freshDir()
+    spark.conf.set("spark.graft.gvt.jsonCheckpointMaxBytes", "1")
+    try {
+      (0 until 25).foreach(i =>
+        Gvt.append(spark, dir, slab(i * 10, i * 10 + 10), Seq("k")))
+      // v20 already flipped parquet-only (v10's JSON outgrew 1 byte)
+      assert(!Files.exists(Paths.get(dir, Gvt.LogDir, f"${20}%08d.ckpt.json")))
+      Gvt.vacuum(dir, 22, graceMs = 0L) // deletes docs < 22, JSON ckpt at 22
+      (25 until 31).foreach(i =>
+        Gvt.append(spark, dir, slab(i * 10, i * 10 + 10), Seq("k")))
+      // v30's probe must find the floor checkpoint (newest-≤ scan), not
+      // look at exactly v20 and fall back onto the driver JSON path
+      assert(!Files.exists(Paths.get(dir, Gvt.LogDir, f"${30}%08d.ckpt.json")),
+        "big table flipped back to the driver JSON checkpoint after vacuum")
+      assert(Files.isDirectory(Paths.get(dir, Gvt.LogDir, f"${30}%08d.ckpt.parquet")))
+    } finally spark.conf.unset("spark.graft.gvt.jsonCheckpointMaxBytes")
+  }
+
   test("branch: DV audit publishes vectors; vacuum pins live branches, reaps dropped ones") {
     val dir = freshDir()
     Gvt.append(spark, dir, slab(0, 10), Seq("k"))

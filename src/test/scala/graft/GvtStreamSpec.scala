@@ -40,8 +40,7 @@ class GvtStreamSpec extends GraftSuite {
     * the old 60 s poll loops made the suite flaky under parallel load
     * (1/245 failures in full-suite runs, green in isolation). */
   private def drainTo(q: StreamingQuery, batch: Long): Unit = {
-    q.processAllAvailable()
-    q.exception.foreach(throw _)
+    Gvt.drainBounded(q)
     assert(q.lastProgress != null && q.lastProgress.batchId >= batch,
       s"stream stalled before batch $batch")
   }
