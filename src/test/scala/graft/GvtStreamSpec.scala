@@ -413,4 +413,23 @@ class GvtStreamSpec extends GraftSuite {
         s"feed rows: $rows")
     } finally q.stop()
   }
+
+  test("a BRANCH is a streaming source unchanged; parent commits stay invisible to it") {
+    val dir = freshTable("gvtstream_branch")
+    seed(dir, Seq((1L, "a", 1.0), (2L, "b", 2.0)))            // parent v0
+    val b = Gvt.createBranch(spark, dir, "feed")
+    seed(b, Seq((3L, "a", 3.0)))                              // branch v1
+    seed(dir, Seq((9L, "b", 9.0)))                            // parent v1 — NOT the branch's
+    val q = startAgg(b, "gvtstream_branch_sink")
+    try {
+      drainTo(q, 1)
+      assert(grpState("gvtstream_branch_sink") ==
+        Map("a" -> (2L, 4.0), "b" -> (1L, 2.0)),
+        "branch stream must serve the branch's history, not the parent's")
+      seed(b, Seq((4L, "b", 4.0)))                            // branch v2
+      drainTo(q, 2)
+      assert(grpState("gvtstream_branch_sink") ==
+        Map("a" -> (2L, 4.0), "b" -> (2L, 6.0)))
+    } finally q.stop()
+  }
 }
