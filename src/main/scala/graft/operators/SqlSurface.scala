@@ -288,6 +288,28 @@ object SqlSurface {
     * Spark 4 and the oracle engine share — the statement runs VERBATIM
     * on both): non-aggregated select items become the grouping key.
     */
+  /** SQL PIPE SYNTAX (Spark 4's `|>` operators): each stage parses
+    * into the ordinary relational operators (WHERE → Filter,
+    * AGGREGATE … GROUP BY → Aggregate, post-aggregate WHERE → the
+    * HAVING position, ORDER BY → Sort), so Catalyst optimizes the
+    * chain exactly like the keyword form — pushdown, partial aggs,
+    * everything; the surface is authoring ergonomics, not a new
+    * execution path. The quantity sum rides the integer cent grid
+    * (§5.3) so the DuckDB keyword-form oracle hashes bit-equal. */
+  def pipeSyntax(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql(
+      "FROM lineitem_v " +
+        "|> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "|> AGGREGATE count(*) AS n_items, " +
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ 100 AS sum_qty " +
+        "GROUP BY l_returnflag, l_linestatus " +
+        "|> WHERE n_items > 0 " +
+        "|> SELECT l_returnflag, l_linestatus, n_items, sum_qty " +
+        "|> ORDER BY l_returnflag, l_linestatus")
+  }
+
   def groupByAll(spark: SparkSession, dir: String): DataFrame = {
     view(spark, dir, "orders")
     spark.sql(
@@ -461,6 +483,7 @@ object SqlSurface {
     "sql_tpch_q4x" -> tpchQ4x,
     "sql_tpch_q22x" -> tpchQ22x,
     "sql_group_by_all" -> groupByAll,
+    "sql_pipe_syntax" -> pipeSyntax,
     "sql_ddl_defaults" -> ddlDefaults,
     "sql_pivot" -> sqlPivot,
     "plan_cbo_stats" -> cboStats,
@@ -548,6 +571,14 @@ object SqlSurface {
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
         "max(o_totalprice) AS max_price " +
         "FROM orders GROUP BY ALL ORDER BY ALL"),
+    // the pipe chain restated in keyword form — same logical plan
+    "sql_pipe_syntax" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ 100 AS sum_qty FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus HAVING count(*) > 0 " +
+        "ORDER BY l_returnflag, l_linestatus"),
     "sql_ddl_defaults" ->
       ("SELECT * FROM (VALUES " +
         "(CAST(1 AS BIGINT), 'NEW', 10), (2, 'NEW', 10), " +

@@ -209,7 +209,10 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-10: the full IVF+PQ retrieval stack — cells bound the
     // candidates, codes + per-query ADC tables score them, exact
     // re-rank of the per-query top-20
-    "llm_knn_join_ivfpq")
+    "llm_knn_join_ivfpq",
+    // round-10: Spark 4 SQL pipe syntax — |> stages parse into the
+    // ordinary operators, optimized identically to the keyword form
+    "sql_pipe_syntax")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

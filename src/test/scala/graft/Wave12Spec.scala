@@ -50,4 +50,21 @@ class Wave12Spec extends GraftSuite {
       Seq((1L, "NEW", 10), (2L, "NEW", 10), (3L, "DONE", 10),
         (4L, "NEW", 99)))
   }
+
+  test("pipe syntax optimizes to the keyword form's plan (same rows, pushed filter)") {
+    val piped = operators.SqlSurface.pipeSyntax(spark, sf0001)
+    val keyword = spark.sql(
+      "SELECT l_returnflag, l_linestatus, count(*) AS n_items, " +
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) " +
+        "/ 100 AS sum_qty FROM lineitem_v " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus HAVING count(*) > 0 " +
+        "ORDER BY l_returnflag, l_linestatus")
+    assert(piped.collect().toSeq == keyword.collect().toSeq)
+    // the pipe stages parse into ordinary operators — the shipdate
+    // filter must reach the scan exactly like the keyword form
+    val plan = piped.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), s"filter not pushed:\n$plan")
+  }
 }
