@@ -136,6 +136,61 @@ object DevGvtConcurrent {
             s"badMergeB=$badB resurrectedDeletes=$ghosts badTail=$badTail")
         println(s"[gvt-concurrent] RMW CHECK OK: ${head + 1} commits " +
           s"($counts), 9000 rows, state equals the serial outcome")
+      // ---- branch WAP race: one JVM stages + publishes an append-only
+      // branch while the other appends to the PARENT — publish's squash
+      // commit must serialize through rmwRetry/createLink against the
+      // racing appends and rebase onto whatever head it finds ----
+      case "seedwap" =>
+        (0 until 10).foreach { i =>
+          Gvt.append(spark, table,
+            spark.range(i * 1000L, (i + 1) * 1000L).toDF("k")
+              .withColumn("v", col("k") * 10),
+            Seq("k"))
+        }
+        println("[gvt-concurrent] wap seed done (10k rows, 10 commits)")
+      case "wap" =>
+        val writer = args(2).toInt
+        if (writer == 0) {
+          val b = Gvt.createBranch(spark, table, "drop")
+          (0 until 2).foreach { i =>
+            Gvt.append(spark, b,
+              spark.range(20000L + i * 1000L, 20000L + (i + 1) * 1000L)
+                .toDF("k").withColumn("v", col("k") * 10),
+              Seq("k"))
+          }
+          val v = Gvt.publishBranch(spark, table, "drop")
+          Gvt.dropBranch(table, "drop")
+          println(s"[gvt-concurrent] wap writer 0: published at v$v")
+        } else {
+          (0 until 3).foreach { i =>
+            Gvt.append(spark, table,
+              spark.range(30000L + i * 1000L, 30000L + (i + 1) * 1000L)
+                .toDF("k").withColumn("v", col("k") * 10),
+              Seq("k"))
+          }
+          println("[gvt-concurrent] wap writer 1: 3 parent appends done")
+        }
+      case "checkwap" =>
+        val head = Gvt.latestVersion(table)
+        // 10 seed appends + 3 parent appends + ONE publish squash
+        assert(head == 13,
+          s"head $head != 13: a commit was lost or double-committed")
+        val ops = (0 to head).map(v => Gvt.commitAt(table, v).op)
+        assert(ops.count(_ == "publish") == 1,
+          s"expected exactly one publish squash, log ops: $ops")
+        val df = Gvt.read(spark, table).cache()
+        assert(df.count() == 15000L, s"row count ${df.count()} != 15000")
+        val dups = df.groupBy("k").count().filter(col("count") > 1).count()
+        assert(dups == 0, s"$dups duplicated keys")
+        val branchRows = df.filter(col("k") >= 20000L && col("k") < 22000L)
+        val parentRows = df.filter(col("k") >= 30000L && col("k") < 33000L)
+        assert(branchRows.count() == 2000L && parentRows.count() == 3000L,
+          "a racing side lost rows: branch=" + branchRows.count() +
+            " parent=" + parentRows.count())
+        assert(Gvt.listBranches(table).isEmpty, "branch not dropped")
+        println(s"[gvt-concurrent] WAP CHECK OK: ${head + 1} commits, " +
+          "one publish squash rebased onto the racing appends, " +
+          "15000 rows, no loss")
     }
     spark.stop()
   }

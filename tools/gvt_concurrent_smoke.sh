@@ -45,4 +45,19 @@ R1=$!
 wait $R0; wait $R1
 java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checkrmw "$TABLE2"
 rm -rf "$(dirname "$TABLE2")"
+echo "[smoke] rmw PASS"
+
+# Branch-WAP phase: one JVM stages and publishes an append-only branch
+# while the other appends to the parent — the publish squash must
+# serialize against the racing appends and rebase onto the moved head.
+TABLE3="$(mktemp -d /dev/shm/gvt_xjvm.XXXXXX)/table"
+echo "[smoke] wap table: $TABLE3"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent seedwap "$TABLE3"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent wap "$TABLE3" 0 &
+W0=$!
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent wap "$TABLE3" 1 &
+W1=$!
+wait $W0; wait $W1
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checkwap "$TABLE3"
+rm -rf "$(dirname "$TABLE3")"
 echo "[smoke] PASS"
