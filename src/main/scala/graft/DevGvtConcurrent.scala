@@ -80,14 +80,14 @@ object DevGvtConcurrent {
       // re-execute-from-head contract must prevent cross-JVM) breaks
       // it. Commit contention is real: all ops race for versions on
       // one log.
-      case "seedrmw" =>
+      case "seedrmw" | "seedwap" =>
         (0 until 10).foreach { i =>
           Gvt.append(spark, table,
             spark.range(i * 1000L, (i + 1) * 1000L).toDF("k")
               .withColumn("v", col("k") * 10),
             Seq("k"))
         }
-        println("[gvt-concurrent] rmw seed done (10k rows, 10 commits)")
+        println(s"[gvt-concurrent] $mode done (10k rows, 10 commits)")
       case "rmw" =>
         val writer = args(2).toInt
         if (writer == 0) {
@@ -140,14 +140,6 @@ object DevGvtConcurrent {
       // branch while the other appends to the PARENT — publish's squash
       // commit must serialize through rmwRetry/createLink against the
       // racing appends and rebase onto whatever head it finds ----
-      case "seedwap" =>
-        (0 until 10).foreach { i =>
-          Gvt.append(spark, table,
-            spark.range(i * 1000L, (i + 1) * 1000L).toDF("k")
-              .withColumn("v", col("k") * 10),
-            Seq("k"))
-        }
-        println("[gvt-concurrent] wap seed done (10k rows, 10 commits)")
       case "wap" =>
         val writer = args(2).toInt
         if (writer == 0) {
@@ -188,9 +180,18 @@ object DevGvtConcurrent {
           "a racing side lost rows: branch=" + branchRows.count() +
             " parent=" + parentRows.count())
         assert(Gvt.listBranches(table).isEmpty, "branch not dropped")
+        // contention visibility: where did the squash land relative to
+        // the racing appends? pubAt=10 with a lucky schedule means the
+        // writers serialized and no rebase-under-contention ran — the
+        // line makes a vacuous run VISIBLE in the smoke output instead
+        // of silently reporting success
+        val pubAt = ops.indexOf("publish")
+        val racedBefore = pubAt - 10 // parent appends that landed first
         println(s"[gvt-concurrent] WAP CHECK OK: ${head + 1} commits, " +
-          "one publish squash rebased onto the racing appends, " +
-          "15000 rows, no loss")
+          s"publish squash at v$pubAt ($racedBefore racing parent " +
+          s"appends before it — ${if (racedBefore == 0) "head never " +
+            "moved, rebase NOT exercised this run"
+          else "rebased onto a moved head"}), 15000 rows, no loss")
     }
     spark.stop()
   }

@@ -284,10 +284,6 @@ object SqlSurface {
         "ORDER BY o_orderstatus")
   }
 
-  /** GROUP BY ALL / ORDER BY ALL (the analyst-ergonomics surface both
-    * Spark 4 and the oracle engine share — the statement runs VERBATIM
-    * on both): non-aggregated select items become the grouping key.
-    */
   /** SQL PIPE SYNTAX (Spark 4's `|>` operators): each stage parses
     * into the ordinary relational operators (WHERE → Filter,
     * AGGREGATE … GROUP BY → Aggregate, post-aggregate WHERE → the
@@ -310,6 +306,10 @@ object SqlSurface {
         "|> ORDER BY l_returnflag, l_linestatus")
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (the analyst-ergonomics surface both
+    * Spark 4 and the oracle engine share — the statement runs VERBATIM
+    * on both): non-aggregated select items become the grouping key.
+    */
   def groupByAll(spark: SparkSession, dir: String): DataFrame = {
     view(spark, dir, "orders")
     spark.sql(
