@@ -135,6 +135,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SUB-DOCUMENT (paragraph-granularity) exact dedup — the
+    * Dolma/RefinedWeb-style pass the document-level family can't
+    * express: the corpus deduplicates at the CHUNK level (fixed 8-word
+    * windows standing in for paragraphs — the fixture text has no
+    * paragraph breaks), keep-first by global (doc_id, pos) order, and
+    * each document reports how much of it survived. A boilerplate
+    * paragraph repeated across thousands of pages dies everywhere but
+    * its first occurrence while the hosting documents live on — the
+    * case where document-level exact/near dedup keeps every copy.
+    * Topology at 100 TB: explode is linear, the winner election is ONE
+    * hash aggregate keyed on the chunk (min of the encoded
+    * (doc_id, pos) — no window over the corpus), the kept-count join is
+    * chunk-keyed and aggregates straight back down to doc_id. Encoded
+    * winner key = doc_id·100000 + pos (headroom to ~800k-word docs;
+    * the same arithmetic the oracle runs). */
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(words) + 7) div 8 - 1), " +
+          "i -> concat_ws(' ', slice(words, i * 8 + 1, 8)))")))
+      .toDF("doc_id", "pos", "chunk")
+      .withColumn("key", col("doc_id") * 100000L + col("pos"))
+    val winners = ch.groupBy("chunk").agg(min("key").as("wkey"))
+    val kept = ch.join(winners,
+      ch("chunk") === winners("chunk") && ch("key") === winners("wkey"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc MinHash signatures (golden-file unit test; xxhash64 has no
     * DuckDB twin, so no oracle). Emitted comma-joined: the driver's
     * rows-only check still loads and sorts the output, and array columns
@@ -357,6 +391,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_url" -> dedupUrl,
     "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_paragraph" -> dedupParagraph,
     "llm_canonicalize" -> canonicalize,
     "llm_minhash_signature" -> minhashQuery,
     "llm_minhash_agg" -> minhashAggQuery,
@@ -389,6 +424,26 @@ object Dedup {
       ("SELECT doc_id, lang, source, n_chars FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
         "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
+    // chunk-level keep-first restated: same 8-word windows, same
+    // encoded (doc_id, pos) winner key
+    "llm_dedup_paragraph" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words " +
+        "FROM documents), " +
+        "ch AS (SELECT doc_id, " +
+        "unnest(range((len(words)+7)//8)) AS pos, " +
+        "unnest(list_transform(range((len(words)+7)//8), " +
+        "i -> array_to_string(words[i*8+1 : i*8+8], ' '))) AS chunk " +
+        "FROM w), " +
+        "winners AS (SELECT chunk, min(doc_id*100000 + pos) AS wkey " +
+        "FROM ch GROUP BY chunk), " +
+        "kept AS (SELECT c.doc_id, count(*) AS n_kept FROM ch c " +
+        "JOIN winners x ON c.chunk = x.chunk " +
+        "AND c.doc_id*100000 + c.pos = x.wkey GROUP BY c.doc_id), " +
+        "tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch " +
+        "GROUP BY doc_id) " +
+        "SELECT t.doc_id, t.n_chunks, COALESCE(k.n_kept, 0) AS n_kept " +
+        "FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id " +
+        "ORDER BY t.doc_id"),
     "llm_canonicalize" ->
       ("WITH c AS (SELECT doc_id, trim(regexp_replace(" +
         "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +

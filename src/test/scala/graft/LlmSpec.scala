@@ -21,6 +21,29 @@ class LlmSpec extends GraftSuite {
       deduped.dropDuplicates("doc_id").count())
   }
 
+  test("paragraph dedup: every chunk elects ONE winner; internal dups lose to the first occurrence") {
+    val out = llm.Dedup.dedupParagraph(spark, sf01).cache()
+    val docs = Tables(spark, sf01, "documents")
+    assert(out.count() == docs.count(), "every document must report")
+    assert(out.filter(col("n_kept") > col("n_chunks")).count() == 0)
+    // independent recomputation of the invariant: total kept chunks ==
+    // number of DISTINCT chunks corpus-wide (each elects exactly one)
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(posexplode(expr(
+        "transform(sequence(0, (size(words) + 7) div 8 - 1), " +
+          "i -> concat_ws(' ', slice(words, i * 8 + 1, 8)))")))
+      .toDF("pos", "chunk")
+    val distinctChunks = chunks.select("chunk").distinct().count()
+    val totalKept = out.agg(sum("n_kept")).head.getLong(0)
+    assert(totalKept == distinctChunks,
+      s"kept $totalKept != $distinctChunks distinct chunks")
+    // sub-document granularity is real: some doc keeps only PART of
+    // itself (document-level dedup can't produce that state)
+    assert(out.filter(col("n_kept") < col("n_chunks") &&
+      col("n_kept") > 0).count() > 0, "no partially-deduped document")
+  }
+
   test("exact duplicates have identical minhash signatures") {
     val sigs = llm.Dedup.minhashQuery(spark, sf01)
     val docs = Tables(spark, sf01, "documents").select("doc_id", "text")

@@ -212,7 +212,10 @@ class SurveyCoverageSpec extends GraftSuite {
     "llm_knn_join_ivfpq",
     // round-10: Spark 4 SQL pipe syntax — |> stages parse into the
     // ordinary operators, optimized identically to the keyword form
-    "sql_pipe_syntax")
+    "sql_pipe_syntax",
+    // round-10: sub-document (paragraph/chunk) exact dedup —
+    // keep-first winner election per chunk, per-doc survival stats
+    "llm_dedup_paragraph")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
