@@ -833,6 +833,42 @@ class GvtSpec extends GraftSuite {
     assert(df.count() == 9L, "DF-path read resurrected a DV-deleted row")
   }
 
+  test("re-publishing a stale branch: rewrite branches abort, append-only ones stay state-neutral") {
+    val dir = freshDir()
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    // a REWRITE branch cannot re-publish at all: its own first publish
+    // advanced the parent past the fork, so the advanced-head guard
+    // fires before any duplicate commit can form
+    val b = Gvt.createBranch(spark, dir, "stale")
+    Gvt.append(spark, b, slab(100, 110), Seq("k"))
+    Gvt.deleteWhereDV(spark, b, col("k") === 105L)
+    Gvt.publishBranch(spark, dir, "stale")
+    spark.conf.set("spark.graft.gvt.rmwRetries", "0")
+    try intercept[java.util.ConcurrentModificationException] {
+      Gvt.publishBranch(spark, dir, "stale")
+    } finally spark.conf.unset("spark.graft.gvt.rmwRetries")
+    Gvt.dropBranch(dir, "stale")
+    // an APPEND-ONLY stale branch re-publishes (rebase is legal), but
+    // its adds re-add live (path, dv) entries with no removes — the
+    // log's upsert contract must keep BOTH manifest paths duplicate-
+    // free and the state unchanged (one junk commit aside)
+    val b2 = Gvt.createBranch(spark, dir, "stale2")
+    Gvt.append(spark, b2, slab(200, 210), Seq("k"))
+    Gvt.publishBranch(spark, dir, "stale2")
+    val rows = sortedRows(Gvt.read(spark, dir))
+    def manifestKey() = Gvt.snapshot(dir)
+      .map(f => f.path + "#" + Option(f.dv).getOrElse(Nil).mkString(",")).sorted
+    val manifest = manifestKey()
+    Gvt.publishBranch(spark, dir, "stale2")
+    assert(sortedRows(Gvt.read(spark, dir)) == rows, "re-publish changed state")
+    assert(manifestKey() == manifest)
+    val m = Gvt.snapshotDF(spark, dir)
+    assert(m.count() == manifest.size.toLong &&
+      m.groupBy("path").count().filter(col("count") > 1).count() == 0,
+      "re-publish duplicated manifest rows on the DF path")
+    Gvt.dropBranch(dir, "stale2")
+  }
+
   test("vacuum pins a branch's SUB-FORK reads; vacuum on a branch dir refuses") {
     val dir = freshDir()
     (0 until 11).foreach(i =>
