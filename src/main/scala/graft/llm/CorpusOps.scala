@@ -504,7 +504,7 @@ object CorpusOps {
         "ORDER BY sim DESC, s.vec_id LIMIT 10"),
     // the full IVFPQ stack restated: IVF cells bound candidates, PQ
     // codes + per-query ADC tables score them, exact cosine re-ranks
-    // the per-query top-10 shortlist into the final top-3
+    // the per-query top-20 shortlist into the final top-3
     "llm_knn_join_ivfpq" ->
       ("WITH e AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +

@@ -145,23 +145,34 @@ object Dedup {
     * its first occurrence while the hosting documents live on — the
     * case where document-level exact/near dedup keeps every copy.
     * Topology at 100 TB: explode is linear, the winner election is ONE
-    * hash aggregate keyed on the chunk (min of the encoded
-    * (doc_id, pos) — no window over the corpus), the kept-count join is
-    * chunk-keyed and aggregates straight back down to doc_id. Encoded
-    * winner key = doc_id·100000 + pos (headroom to ~800k-word docs;
-    * the same arithmetic the oracle runs). */
+    * hash aggregate keyed on md5(chunk) — a 16-byte digest, so the
+    * 8-word chunk text itself never rides an exchange (the
+    * llm_canonicalize lesson: never shuffle wide keys; its md5-key fix
+    * measured 6.9 s → 0.5 s) — and the kept-count join is digest-keyed,
+    * aggregating straight back down to doc_id. The winner per chunk is
+    * min(struct(doc_id, pos)) — true lexicographic keep-first with no
+    * arithmetic headroom to overflow (the r10 encoded key
+    * doc_id·100000+pos silently collided into the next doc's key space
+    * past 100k chunks/doc). NULL/empty texts are filtered explicitly:
+    * Spark's sequence(0,-1) on an empty word list would fabricate null
+    * chunks where DuckDB's range() yields zero rows. */
   def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
     val ch = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("text") =!= "")
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, (size(words) + 7) div 8 - 1), " +
           "i -> concat_ws(' ', slice(words, i * 8 + 1, 8)))")))
       .toDF("doc_id", "pos", "chunk")
-      .withColumn("key", col("doc_id") * 100000L + col("pos"))
-    val winners = ch.groupBy("chunk").agg(min("key").as("wkey"))
-    val kept = ch.join(winners,
-      ch("chunk") === winners("chunk") && ch("key") === winners("wkey"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+      .select(col("doc_id"), col("pos"), md5(col("chunk")).as("ck"))
+    val winners = ch.groupBy("ck")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val kept = ch.as("c").join(winners.as("x"),
+      col("c.ck") === col("x.ck") &&
+        col("c.doc_id") === col("x.w.doc_id") &&
+        col("c.pos") === col("x.w.pos"))
+      .groupBy(col("c.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
     ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
@@ -425,20 +436,21 @@ object Dedup {
         "(SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
         "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
     // chunk-level keep-first restated: same 8-word windows, same
-    // encoded (doc_id, pos) winner key
+    // lexicographic (doc_id, pos) winner (struct min — no encoding),
+    // same NULL/empty-text exclusion
     "llm_dedup_paragraph" ->
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS words " +
-        "FROM documents), " +
+        "FROM documents WHERE text IS NOT NULL AND text <> ''), " +
         "ch AS (SELECT doc_id, " +
         "unnest(range((len(words)+7)//8)) AS pos, " +
         "unnest(list_transform(range((len(words)+7)//8), " +
         "i -> array_to_string(words[i*8+1 : i*8+8], ' '))) AS chunk " +
         "FROM w), " +
-        "winners AS (SELECT chunk, min(doc_id*100000 + pos) AS wkey " +
+        "winners AS (SELECT chunk, min(row(doc_id, pos)) AS wkey " +
         "FROM ch GROUP BY chunk), " +
         "kept AS (SELECT c.doc_id, count(*) AS n_kept FROM ch c " +
         "JOIN winners x ON c.chunk = x.chunk " +
-        "AND c.doc_id*100000 + c.pos = x.wkey GROUP BY c.doc_id), " +
+        "AND row(c.doc_id, c.pos) = x.wkey GROUP BY c.doc_id), " +
         "tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch " +
         "GROUP BY doc_id) " +
         "SELECT t.doc_id, t.n_chunks, COALESCE(k.n_kept, 0) AS n_kept " +

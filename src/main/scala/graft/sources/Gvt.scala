@@ -1018,7 +1018,6 @@ object Gvt {
       catch { case _: FileAlreadyExistsException => () }
       Files.delete(ctmp)
     }
-    val retainedSnapshots = (retainFrom to head).map(v => snapshot(dir, Some(v)))
     // live branches share this table's data pool: every version a branch
     // can still read (its fork version through its head) pins its files,
     // even below the parent's retention floor — a published-or-dropped
@@ -1028,8 +1027,43 @@ object Gvt {
     // range is the branch's FULL readable range, not just fork..head
     val branchSnapshots = listBranches(dir).flatMap { name =>
       val bd = branchDir(dir, name)
-      (oldestVersion(bd) to latestVersion(bd)).map(v => snapshot(bd, Some(v)))
+      try {
+        val oldest = oldestVersion(bd)
+        // a listed branch with no linked commit doc is either residue
+        // (a crash between the branch.json claim and the log seed) or a
+        // LIVE createBranch caught in its claim-to-seed window — the
+        // latter is about to link parent anchors possibly below this
+        // vacuum's floor. Pin the parent's FULL still-resolvable range:
+        // covers any seed outcome (loss-proof), costs at worst a mostly
+        // no-op vacuum until the residue is dropped or the seed lands.
+        // Before r11 this path THREW (require(last >= 0) inside
+        // snapshot) and every subsequent parent vacuum failed.
+        if (oldest < 0)
+          (math.max(oldestVersion(dir), 0) to latestVersion(dir))
+            .map(v => snapshot(dir, Some(v)))
+        else (oldest to latestVersion(bd)).map(v => snapshot(bd, Some(v)))
+      } catch {
+        // the branch dir vanished mid-walk (concurrent dropBranch): a
+        // dropped branch stops pinning by contract — its published
+        // files are covered by the parent-head re-read below
+        case _: java.nio.file.NoSuchFileException => Seq.empty
+        case _: java.io.FileNotFoundException => Seq.empty
+        case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+          Seq.empty
+      }
     }
+    // the parent head is re-read AFTER the branch listing: a
+    // publishBranch that lands (and its branch drops) in the window
+    // between the first head read and the listing would otherwise be
+    // pinned by NEITHER set — its hours-old staged files past graceMs
+    // would be deleted out from under the new head. Reading the head
+    // last closes the window: either the branch was still listed (its
+    // walk pins the staged files) or the publish commit is <= headNow
+    // (the retained range pins them).
+    val headNow = math.max(head, latestVersion(dir))
+    val retainedSnapshots =
+      (retainFrom to headNow).map(v => snapshot(dir, Some(v)))
     val liveSnapshots = retainedSnapshots ++ branchSnapshots
     val referenced = liveSnapshots.flatten.map(_.path).toSet
     // DV sidecar dirs referenced by any retained snapshot: their parquet

@@ -884,6 +884,33 @@ class GvtSpec extends GraftSuite {
       "parent vacuum reaped a file the branch's sub-fork read needs")
   }
 
+  test("vacuum survives a seedless branch residue (claim without log seed)") {
+    val dir = freshDir()
+    (0 until 3).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 10, i * 10 + 10), Seq("k")))
+    Gvt.delete(spark, dir, col("k") < 10L, Seq("k")) // v3 orphans v0's file
+    // simulate a crash between createBranch's branch.json claim and its
+    // log seed: a listed branch with NO linked commit docs. Pre-r11 the
+    // parent vacuum threw require(last >= 0) on it — forever, until the
+    // residue was hand-removed.
+    val bdir = Paths.get(Gvt.branchDir(dir, "crashed"))
+    Files.createDirectories(bdir)
+    Files.write(bdir.resolve("branch.json"), """{"base":2}""".getBytes("UTF-8"))
+    val head = Gvt.latestVersion(dir)
+    val (d1, _) = Gvt.vacuum(dir, head, graceMs = 0L)
+    // the residue might be a LIVE createBranch mid-seed about to link
+    // sub-floor history, so it pins the parent's full resolvable range:
+    // no DATA file referenced by ANY version may be deleted (pre-floor
+    // log docs still age out — the pin is about the shared data pool)
+    assert(d1 == 0, s"vacuum deleted $d1 files while a seedless branch was listed")
+    assert(sortedRows(Gvt.read(spark, dir)) ==
+      (10L until 30L).map(k => (k, k * 10)), "head read broken after residue vacuum")
+    // dropping the residue releases the pin; the orphaned file reaps
+    Gvt.dropBranch(dir, "crashed")
+    val (d2, _) = Gvt.vacuum(dir, head, graceMs = 0L)
+    assert(d2 > 0, "vacuum reaped nothing after the residue was dropped")
+  }
+
   test("append-only branch publishes after the parent's floor passes the fork") {
     val dir = freshDir()
     Gvt.append(spark, dir, slab(0, 10), Seq("k")) // v0

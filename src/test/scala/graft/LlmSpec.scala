@@ -44,6 +44,25 @@ class LlmSpec extends GraftSuite {
       col("n_kept") > 0).count() > 0, "no partially-deduped document")
   }
 
+  test("paragraph dedup: NULL/empty texts excluded, winner is true (doc_id,pos) order") {
+    // Spark's sequence(0,-1) on an empty word list fabricates [0,-1]
+    // null chunks where DuckDB's range() yields zero rows (r10 advice);
+    // both are filtered before chunking now. Winner election is
+    // min(struct(doc_id,pos)) — no encoded-key arithmetic to overflow.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-par-").toString
+    Seq(
+      (1L, "a b c d e f g h i j k l m n o p"), // chunks (a..h)(i..p)
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "a b c d e f g h") // dup of doc 1's first chunk — loses
+    ).toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val out = llm.Dedup.dedupParagraph(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (4L, 1L, 0L)),
+      s"got ${out.toSeq}: NULL/empty docs must vanish, doc 4 loses to (1,0)")
+  }
+
   test("exact duplicates have identical minhash signatures") {
     val sigs = llm.Dedup.minhashQuery(spark, sf01)
     val docs = Tables(spark, sf01, "documents").select("doc_id", "text")
