@@ -1,0 +1,270 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 `TableProvider` for the GVT versioned-table format:
+  * `spark.read.format("gvt").option("path", dir)` with optional
+  * `versionAsOf` / `timestampAsOf` time travel — the rung that makes
+  * GVT's zone-map file skipping CATALYST-driven. Before this connector,
+  * a plain `Gvt.read(...).filter(...)` scanned every live file unless
+  * the caller hand-passed ranges to [[Gvt.readPrunedMulti]]; now a
+  * WHERE clause prunes automatically, the way Delta/Iceberg wire their
+  * manifests through the table interface.
+  *
+  * Architecture: the connector does NOT re-implement parquet reading
+  * (the anti-pattern [[GvtStreamSource]]'s scaladoc warns about).
+  * [[GvtTable.newScanBuilder]] returns Spark's own [[ParquetScanBuilder]]
+  * — so filter pushdown into row groups, nested column pruning,
+  * vectorized decoding, and `SupportsReportStatistics` (FileScan
+  * estimates from the index's byte totals, which is what sizes
+  * broadcast joins) are all the stock battle-tested paths — and the
+  * GVT-ness lives in ONE place: [[GvtFileIndex]], whose
+  * `listFiles(partitionFilters, dataFilters)` serves the MANIFEST's
+  * live-file list (no directory listing) intersected with the zone-map
+  * survivors of the pushed data filters. That is exactly the seam
+  * Spark gives lakehouse formats: the index decides WHICH files exist,
+  * the parquet scan decides how to read them.
+  *
+  * MoR snapshots (deletion vectors present) refuse loudly — a plain
+  * parquet scan would resurrect deleted rows; [[Gvt.read]] serves those
+  * until the DV anti-join is wired in as a scan-level row filter. */
+class GvtDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "gvt"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GvtDataSource.schemaOf(SparkSession.active,
+      GvtDataSource.resolve(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val (dir, asOf) =
+      GvtDataSource.resolve(new CaseInsensitiveStringMap(properties))
+    new GvtTable(dir, asOf, schema)
+  }
+}
+
+object GvtDataSource {
+
+  /** (table dir, resolved snapshot version). `versionAsOf` wins over
+    * `timestampAsOf` if both are passed (Delta raises there; one option
+    * is the documented contract, the precedence is belt-and-braces).
+    * Timestamps accept epoch millis or `yyyy-MM-dd HH:mm:ss[.f]`. */
+  private[sources] def resolve(
+      options: CaseInsensitiveStringMap): (String, Option[Int]) = {
+    val dir = options.get("path")
+    require(dir != null, "gvt needs a path option (the table directory)")
+    val asOf = Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(options.get("timestampAsOf")).map { ts =>
+        val ms =
+          if (ts.forall(_.isDigit)) ts.toLong
+          else java.sql.Timestamp.valueOf(ts).getTime
+        val v = Gvt.versionAt(dir, ms)
+        require(v >= 0,
+          s"GVT at $dir: no version existed at ts=$ts (table created later)")
+        v
+      })
+    (dir, asOf)
+  }
+
+  /** Snapshot schema: merged across live files' footers so
+    * schema-evolved tables (added columns) surface the union, with
+    * pre-evolution files back-filling null — same merge-on-read
+    * contract as [[Gvt.read]](mergeSchema = true). */
+  private[sources] def schemaOf(spark: SparkSession,
+      resolved: (String, Option[Int])): StructType = {
+    val (dir, asOf) = resolved
+    val files = Gvt.snapshot(dir, asOf)
+    require(files.nonEmpty, s"GVT at $dir is empty at version $asOf")
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/${f.path}"): _*).schema
+  }
+}
+
+class GvtTable(dir: String, asOf: Option[Int], tableSchema: StructType)
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"gvt.`$dir`" + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    new GvtScanBuilder(spark,
+      new GvtFileIndex(spark, dir, asOf, tableSchema),
+      tableSchema, options)
+  }
+}
+
+/** [[ParquetScanBuilder]] with one addition: `build()` hands the final
+  * pushed data filters to the index BEFORE the scan is constructed, so
+  * the scan's `estimateStatistics` (stock [[FileScan]] code computing
+  * from `fileIndex.sizeInBytes`) reports the ZONE-MAP-PRUNED byte
+  * total, not the whole table — a `WHERE`-bounded gvt side of a join
+  * sizes (and broadcasts) by what it will actually scan. Scoped safely:
+  * every `newScanBuilder` call constructs a fresh index, so the filter
+  * handoff never leaks across queries. */
+class GvtScanBuilder(spark: SparkSession, index: GvtFileIndex,
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ParquetScanBuilder(spark, index, tableSchema, tableSchema,
+      options) {
+  override def build(): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    index.statsFilters = dataFilters
+    super.build()
+  }
+}
+
+/** Manifest-backed file index: `rootPaths` are the snapshot's live data
+  * files (commit-log truth — NO directory listing, so compaction
+  * leftovers, in-flight writer staging, and vacuum stragglers are
+  * invisible by construction), and `listFiles` intersects them with the
+  * zone-map survivors of the pushed data filters, re-using the same
+  * survives-iff-[min,max]-intersects rule as [[Gvt.readPrunedMulti]]
+  * (missing/unparsable stats ⇒ keep: pruning is never load-bearing —
+  * the row-level filter still runs inside the parquet scan, pushed into
+  * row groups). `lastPrune` exposes (kept, total) for plan tests.
+  *
+  * Scale note: extending [[InMemoryFileIndex]] costs one driver stat
+  * per live file at construction (it builds `leafFiles` from the root
+  * paths). The production form carries byte sizes in the manifest
+  * (as Delta/Iceberg do) and synthesizes the `FileStatus`es from it —
+  * the listFiles/pruning seam here is unchanged by that swap. */
+class GvtFileIndex(spark: SparkSession, dir: String, asOf: Option[Int],
+    schema: StructType)
+    extends InMemoryFileIndex(spark, GvtFileIndex.livePaths(dir, asOf),
+      Map.empty, Some(schema), FileStatusCache.getOrCreate(spark),
+      Some(PartitionSpec.emptySpec), None) {
+
+  // `data/cN-uuid/part-x.parquet` (the fixed 3-deep layout) -> manifest
+  // entry; keyed on the relative suffix so file:/ URI prefixes drop out
+  private val statsBySuffix: Map[String, Gvt.GvtFile] =
+    Gvt.snapshot(dir, asOf)
+      .map(f => f.path.split('/').takeRight(3).mkString("/") -> f).toMap
+
+  @volatile private[sources] var lastPrune: (Int, Int) = (-1, -1)
+
+  /** Final pushed data filters, set by [[GvtScanBuilder.build]] so
+    * [[sizeInBytes]] can report prune-aware totals. */
+  @volatile private[sources] var statsFilters: Seq[Expression] = Nil
+
+  override def sizeInBytes: Long = {
+    val ranges = GvtFileIndex.rangesOf(statsFilters)
+    if (ranges.isEmpty) super.sizeInBytes
+    else allFiles().filter { f =>
+      val suffix = f.getPath.toUri.getPath
+        .split('/').takeRight(3).mkString("/")
+      statsBySuffix.get(suffix)
+        .forall(gf => GvtFileIndex.survives(gf, ranges))
+    }.map(_.getLen).sum
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    val ranges = GvtFileIndex.rangesOf(dataFilters)
+    val total = base.map(_.files.size).sum
+    if (ranges.isEmpty) { lastPrune = (total, total); return base }
+    val pruned = base.map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        val suffix = f.getPath.toUri.getPath
+          .split('/').takeRight(3).mkString("/")
+        statsBySuffix.get(suffix)
+          .forall(gf => GvtFileIndex.survives(gf, ranges))
+      })
+    }
+    lastPrune = (pruned.map(_.files.size).sum, total)
+    pruned
+  }
+}
+
+object GvtFileIndex {
+
+  private[sources] def livePaths(dir: String, asOf: Option[Int]): Seq[Path] = {
+    val files = Gvt.snapshot(dir, asOf)
+    require(files.nonEmpty, s"GVT at $dir is empty at version $asOf")
+    require(files.forall(f => Option(f.dv).forall(_.isEmpty)),
+      s"GVT at $dir holds deletion vectors (MoR snapshot) — the gvt " +
+        "connector's plain parquet scan would resurrect deleted rows; " +
+        "read via Gvt.read (DV anti-join) or absorbDeletes first")
+    files.map(f => new Path(s"$dir/${f.path}"))
+  }
+
+  /** Zone-map constraints extracted from pushed data filters: numeric
+    * one-sided ranges from {>=, >, <=, <, =} between a column and a
+    * literal (either operand order), conjunctions flattened. Anything
+    * else contributes no constraint (its files all survive; the
+    * row-level predicate still runs in the scan). Bounds stay DOUBLE to
+    * match the manifest's string-encoded stats — same arithmetic as
+    * [[Gvt.readPrunedMulti]], so the two prune paths can never
+    * disagree on a survivor. */
+  private[sources] def rangesOf(
+      filters: Seq[Expression]): Seq[(String, Option[Double], Option[Double])] =
+    filters.flatMap(constraintsOf)
+
+  private def constraintsOf(
+      e: Expression): Seq[(String, Option[Double], Option[Double])] = e match {
+    case And(l, r) => constraintsOf(l) ++ constraintsOf(r)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
+      num(v).map(d => (a.name, Some(d), None)).toSeq
+    case GreaterThan(a: Attribute, Literal(v, _)) =>
+      num(v).map(d => (a.name, Some(d), None)).toSeq
+    case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
+      num(v).map(d => (a.name, None, Some(d))).toSeq
+    case LessThan(a: Attribute, Literal(v, _)) =>
+      num(v).map(d => (a.name, None, Some(d))).toSeq
+    case EqualTo(a: Attribute, Literal(v, _)) =>
+      num(v).map(d => (a.name, Some(d), Some(d))).toSeq
+    case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
+      num(v).map(d => (a.name, None, Some(d))).toSeq
+    case GreaterThan(Literal(v, _), a: Attribute) =>
+      num(v).map(d => (a.name, None, Some(d))).toSeq
+    case LessThanOrEqual(Literal(v, _), a: Attribute) =>
+      num(v).map(d => (a.name, Some(d), None)).toSeq
+    case LessThan(Literal(v, _), a: Attribute) =>
+      num(v).map(d => (a.name, Some(d), None)).toSeq
+    case EqualTo(Literal(v, _), a: Attribute) =>
+      num(v).map(d => (a.name, Some(d), Some(d))).toSeq
+    case _ => Seq.empty
+  }
+
+  private def num(v: Any): Option[Double] = v match {
+    case null => None
+    case n: java.lang.Number => Some(n.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  private[sources] def survives(f: Gvt.GvtFile,
+      ranges: Seq[(String, Option[Double], Option[Double])]): Boolean =
+    ranges.forall { case (column, lo, hi) =>
+      val mnOk = hi.forall { h =>
+        f.min.get(column).forall { mn =>
+          try mn.toDouble <= h catch { case _: NumberFormatException => true }
+        }
+      }
+      val mxOk = lo.forall { l =>
+        f.max.get(column).forall { mx =>
+          try mx.toDouble >= l catch { case _: NumberFormatException => true }
+        }
+      }
+      mnOk && mxOk
+    }
+}

@@ -172,6 +172,23 @@ object GvtOps {
       .orderBy("l_returnflag")
   }
 
+  /** The SAME pruned read, CATALYST-driven: `spark.read.format("gvt")`
+    * + a plain WHERE clause — no hand-passed ranges anywhere. The DSv2
+    * connector ([[GvtDataSource]]) routes the pushed filters into the
+    * manifest zone-map prune inside [[GvtFileIndex.listFiles]], so the
+    * scan touches 1-of-8 tile files (GvtDsv2Spec asserts both the
+    * `PushedFilters` in the plan and the file count); shares
+    * `scan_manifest_prune`'s oracle — all three prune paths (caller-
+    * driven driver list, DF manifest, connector) must agree exactly. */
+  def gvtDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val (qlo, qhi) = tileBounds(spark, dir)
+    spark.read.format("gvt").option("path", tilesGvt(spark, dir)).load()
+      .filter(col("l_orderkey") >= qlo && col("l_orderkey") <= qhi)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** The SAME pruned read through the DATAFRAME manifest path
     * ([[Gvt.readPrunedMultiDF]]): snapshot resolution and zone-map
     * pruning run as a Spark job over the parquet-checkpoint manifest,
@@ -743,6 +760,7 @@ object GvtOps {
     "etl_gvt_cdc_upd" -> cdcUpdates,
     "scan_manifest_prune" -> manifestPrune,
     "scan_manifest_df" -> manifestDf,
+    "scan_gvt_dsv2" -> gvtDsv2,
     "sink_compaction" -> compaction
   )
 
@@ -902,6 +920,16 @@ object GvtOps {
         "WHERE l_orderkey >= qlo AND l_orderkey <= qhi " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "scan_manifest_prune" ->
+      ("WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi " +
+        "FROM lineitem), " +
+        "r AS (SELECT lo + (hi-lo+1)*4//8 AS qlo, " +
+        "lo + (hi-lo+1)*5//8 - 1 AS qhi FROM b) " +
+        "SELECT l_returnflag, count(*) AS n_rows, " +
+        "round(sum(l_quantity),2) AS sum_qty FROM lineitem, r " +
+        "WHERE l_orderkey >= qlo AND l_orderkey <= qhi " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the connector path must agree with both manifest-prune paths
+    "scan_gvt_dsv2" ->
       ("WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi " +
         "FROM lineitem), " +
         "r AS (SELECT lo + (hi-lo+1)*4//8 AS qlo, " +

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Gvt
+
+/** Evidence tests for the `gvt` DSv2 connector: a WHERE clause alone —
+  * no hand-passed ranges — must reach the manifest zone-map prune
+  * (file-count asserted on the executed scan's FilePartitions), the
+  * data filters must show as PushedFilters (so parquet row-group
+  * skipping still gets them), time travel must ride plain read options,
+  * and statistics must shrink with the prune (that is what sizes
+  * broadcast joins on the connector path).
+  */
+class GvtDsv2Spec extends GraftSuite {
+  import spark.implicits._
+
+  private def slab(from: Long, until: Long): DataFrame =
+    (from until until).map(k => (k, k * 10)).toDF("k", "v")
+
+  /** 8 range-tiled appends: file i covers k ∈ [100i, 100i+99]. */
+  private lazy val tiles: String = {
+    val dir = Files.createTempDirectory("gvt-dsv2-").toString + "/t"
+    (0 until 8).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 100, i * 100 + 100), Seq("k")))
+    dir
+  }
+
+  private def readGvt(opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.read.format("gvt").option("path", tiles))(
+      (r, o) => r.option(o._1, o._2)).load()
+
+  /** Executes and returns the file scans of the EXECUTED plan (AQE
+    * stages unwrapped). */
+  private def fileScans(df: DataFrame): Seq[FileScan] = {
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    nodes(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan }
+      .collect { case f: FileScan => f }
+  }
+
+  private def nFiles(f: FileScan): Int =
+    f.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[FilePartition].files.length).sum
+
+  private def nFilesRead(df: DataFrame): Int = fileScans(df).map(nFiles).sum
+
+  test("a WHERE clause alone prunes to 2-of-8 manifest files, filters pushed") {
+    val df = readGvt().filter(col("k") >= 250L && col("k") <= 340L)
+    val scans = fileScans(df)
+    assert(scans.size == 1, s"expected one file scan, got ${scans.size}")
+    val desc = scans.head.description()
+    assert(desc.contains("PushedFilters") &&
+      desc.contains("GreaterThanOrEqual(k,250)") &&
+      desc.contains("LessThanOrEqual(k,340)"),
+      s"range filters not pushed:\n$desc")
+    val n = nFiles(scans.head)
+    assert(n == 2, s"zone-map prune read $n of 8 files (want 2: tiles 2,3)")
+    // pruning is not load-bearing: the row answer is exact
+    assert(df.agg(sum("v")).head.getLong(0) ==
+      (250L to 340L).map(_ * 10).sum)
+  }
+
+  test("unfiltered connector scan reads exactly the manifest's 8 live files") {
+    val df = readGvt()
+    assert(nFilesRead(df) == 8)
+    assert(df.count() == 800)
+  }
+
+  test("a non-range predicate keeps all files but still prunes rows") {
+    val df = readGvt().filter((col("k") % 100L) === 0L)
+    assert(nFilesRead(df) == 8, "modulo predicate must not mis-prune")
+    assert(df.count() == 8)
+  }
+
+  test("versionAsOf / timestampAsOf travel through plain read options") {
+    assert(readGvt("versionAsOf" -> "1").count() == 200)
+    assert(readGvt("versionAsOf" -> "1")
+      .filter(col("k") >= 150L).count() == 50)
+    val ts = Gvt.commitAt(tiles, 2).ts
+    assert(readGvt("timestampAsOf" -> ts.toString).count() == 300)
+    // versionAsOf also bounds the PRUNE's manifest: 1 file of the 2
+    // live at v1
+    val v1 = readGvt("versionAsOf" -> "1").filter(col("k") <= 50L)
+    assert(nFilesRead(v1) == 1)
+  }
+
+  test("estimateStatistics shrinks with the prune (broadcast sizing input)") {
+    val full = fileScans(readGvt()).head
+      .estimateStatistics().sizeInBytes().getAsLong
+    val pruned = fileScans(readGvt().filter(col("k") <= 50L)).head
+      .estimateStatistics().sizeInBytes().getAsLong
+    assert(pruned > 0 && full > pruned * 4,
+      s"stats did not shrink with the prune: full=$full pruned=$pruned")
+  }
+
+  test("MoR snapshot (deletion vectors) refuses loudly") {
+    val dir = Files.createTempDirectory("gvt-dsv2-dv-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 100), Seq("k"))
+    Gvt.deleteWhereDV(spark, dir, col("k") === 7L)
+    val e = intercept[Exception] {
+      spark.read.format("gvt").option("path", dir).load().count()
+    }
+    assert(e.getMessage.contains("deletion vectors"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("schema evolution reads merged: pre-evolution files backfill null") {
+    val dir = Files.createTempDirectory("gvt-dsv2-evo-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.append(spark, dir,
+      (10L until 20L).map(k => (k, k * 10, s"w$k")).toDF("k", "v", "w"),
+      Seq("k"))
+    val df = spark.read.format("gvt").option("path", dir).load()
+    assert(df.columns.toSeq == Seq("k", "v", "w"))
+    assert(df.filter(col("w").isNull).count() == 10)
+    assert(df.filter(col("w") === "w15").count() == 1)
+  }
+}

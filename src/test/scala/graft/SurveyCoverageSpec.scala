@@ -215,7 +215,12 @@ class SurveyCoverageSpec extends GraftSuite {
     "sql_pipe_syntax",
     // round-10: sub-document (paragraph/chunk) exact dedup —
     // keep-first winner election per chunk, per-doc survival stats
-    "llm_dedup_paragraph")
+    "llm_dedup_paragraph",
+    // round-11: GVT pruning made Catalyst-driven — DSv2 TableProvider
+    // (format "gvt"), WHERE clauses route into the manifest zone-map
+    // prune through GvtFileIndex.listFiles; stock ParquetScan does
+    // the reading
+    "scan_gvt_dsv2")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
