@@ -6,9 +6,19 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Dev probe: per-key SHUFFLE-BYTE accounting via a SparkListener — the
   * "minimize shuffles" design rule, measured instead of asserted. For
-  * each named key, runs `fn(spark, dir).count()` twice (staging memos
-  * and codegen warm on rep 1; rep 2 is the steady-state plan) and
-  * reports the second rep's shuffle write/read bytes and records.
+  * each named key, executes the key's plan twice (staging memos and
+  * codegen warm on rep 1; rep 2 is the steady-state plan) and reports
+  * the second rep's shuffle write/read bytes and records.
+  *
+  * Execution is `queryExecution.toRdd.count()` — the COMPILED plan runs
+  * whole, exactly as the key defines it. `df.count()` (the tool's form
+  * through round 10) re-optimizes with zero columns referenced, and
+  * Catalyst can then ELIMINATE subtrees: llm_dedup_paragraph's whole
+  * winner-election branch vanished under it (left-outer join against
+  * unique aggregate keys, no right columns needed for a row count), so
+  * its r10 "31 KB" row measured a different plan than the key ships.
+  * Most keys are unaffected (their aggregates/sorts survive a count),
+  * but full-plan execution is the honest default.
   *
   * Reading the numbers: shuffle write ≈ the data volume that would
   * cross the network on a real cluster. A key whose shuffle bytes are a
@@ -44,14 +54,14 @@ object DevShuffleAudit {
     })
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
-      fn(spark, dir).count() // warm: staging memos, codegen, page cache
+      fn(spark, dir).queryExecution.toRdd.count() // warm: staging, codegen
       // listener events are posted asynchronously — drain before snapshot
       Thread.sleep(800) // listener events post asynchronously (the public
                         // API has no drain hook); stages are long past
                         // done by then — dev probe, coarse is fine
       val w0 = write.get(); val r0 = read.get(); val n0 = records.get()
       val sm0 = spillMem.get(); val sd0 = spillDisk.get()
-      val rows = fn(spark, dir).count()
+      val rows = fn(spark, dir).queryExecution.toRdd.count()
       Thread.sleep(800) // listener events post asynchronously (the public
                         // API has no drain hook); stages are long past
                         // done by then — dev probe, coarse is fine

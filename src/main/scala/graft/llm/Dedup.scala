@@ -145,10 +145,12 @@ object Dedup {
     * its first occurrence while the hosting documents live on — the
     * case where document-level exact/near dedup keeps every copy.
     * Topology at 100 TB: explode is linear, the winner election is ONE
-    * hash aggregate keyed on md5(chunk) — a 16-byte digest, so the
-    * 8-word chunk text itself never rides an exchange (the
-    * llm_canonicalize lesson: never shuffle wide keys; its md5-key fix
-    * measured 6.9 s → 0.5 s) — and the kept-count join is digest-keyed,
+    * hash aggregate keyed on unhex(md5(chunk)) — a 16-BYTE BINARY
+    * digest (not the 32-char hex string), so the 8-word chunk text
+    * itself never rides an exchange (the llm_canonicalize lesson:
+    * never shuffle wide keys; its md5-key fix measured 6.9 s → 0.5 s;
+    * 128 bits, not xxhash64's 64 — at 10^10 corpus chunks a 64-bit
+    * birthday bound is ~unity) — and the kept-count join is digest-keyed,
     * aggregating straight back down to doc_id. The winner per chunk is
     * min(struct(doc_id, pos)) — true lexicographic keep-first with no
     * arithmetic headroom to overflow (the r10 encoded key
@@ -164,7 +166,7 @@ object Dedup {
         "transform(sequence(0, (size(words) + 7) div 8 - 1), " +
           "i -> concat_ws(' ', slice(words, i * 8 + 1, 8)))")))
       .toDF("doc_id", "pos", "chunk")
-      .select(col("doc_id"), col("pos"), md5(col("chunk")).as("ck"))
+      .select(col("doc_id"), col("pos"), unhex(md5(col("chunk"))).as("ck"))
     val winners = ch.groupBy("ck")
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
     val kept = ch.as("c").join(winners.as("x"),

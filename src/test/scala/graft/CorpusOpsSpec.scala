@@ -90,6 +90,20 @@ class CorpusOpsSpec extends GraftSuite {
       s"IVFPQ quality too low: $pqSims vs exact $ivfSims")
   }
 
+  test("scaled IVFPQ: fixture output identical to the pinned codebook") {
+    // same floor contract as the scaled knn join: k = max(10, N/600)
+    // resolves to the fixture's 10-cell codebook at every test SF, so
+    // the composed production stack (scaled IVF cells × PQ/ADC scoring
+    // × exact re-rank) must be bit-identical to llm_knn_join_ivfpq
+    // here; divergence begins exactly where the data outgrows the
+    // pinned codebook (the 10×/100× replica rows in BASELINE.md)
+    val pinned = llm.CorpusOps.knnJoinIvfPq(spark, sf001)
+    val scaled = llm.CorpusOps.knnJoinIvfPqScaled(spark, sf001)
+    assert(scaled.exceptAll(pinned).count() === 0)
+    assert(pinned.exceptAll(scaled).count() === 0)
+    assert(scaled.count() > 0)
+  }
+
   test("IVF rerank returns the probe first and overlaps brute force") {
     val ivf = llm.CorpusOps.annIvf(spark, sf001).collect()
     assert(ivf.head.getAs[Long]("vec_id") == 0L && ivf.head.getAs[Double]("sim") == 1.0)
