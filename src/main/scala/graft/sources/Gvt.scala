@@ -673,6 +673,14 @@ object Gvt {
     * than the retention floor are forgotten with their data — retention
     * must exceed the source's redelivery horizon, same contract as any
     * log-truncating transactional sink. */
+  /** The committed version carrying `txnId`, if any — the lookup a
+    * RETRIED multi-table transaction needs to re-pin a table whose
+    * append already landed before the crash ([[GvtTxn.commitIdempotent]]:
+    * appendTxn returns None on the dup, this recovers the version to
+    * pin). Same forgetting horizon as [[appendTxn]]. */
+  private[sources] def versionOfTxn(dir: String, txnId: String): Option[Int] =
+    listCommits(dir).find(_.txn == txnId).map(_.version)
+
   def appendTxn(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String], txnId: String): Option[Int] = {
     require(txnId != null && txnId.nonEmpty, "appendTxn needs a txn id")

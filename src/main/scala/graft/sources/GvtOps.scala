@@ -445,6 +445,71 @@ object GvtOps {
     }
   }
 
+  /** CROSS-TABLE ATOMIC PUBLISH fixture: a fact table and its summary
+    * table updated through [[GvtTxn]] — txn 0 lands the base fact AND
+    * its aggregate in ONE atomic pin; txn 1 lands a fact delta + the
+    * merge-refreshed summary the same way; then a CRASH is simulated (a
+    * fact append whose txn doc never lands — the writer died between
+    * the table commit and the pointer swing). The poison commit exists
+    * in the fact's own log but no txn version pins it. */
+  private def txnMultiGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_txnm", dir) { tmp =>
+      val fact = s"$tmp/fact"
+      val summary = s"$tmp/summary"
+      val orders = graft.Tables(spark, dir, "orders")
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      def stateOf(df: DataFrame): DataFrame = df
+        .select(col("o_orderstatus"), lit(1L).as("w"), cents.as("c"))
+        .groupBy("o_orderstatus")
+        .agg(sum("w").as("n_orders"), sum("c").as("sum_cents"))
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      GvtTxn.commit(spark, tmp, Seq(
+        (fact, base, Seq("o_orderkey")),
+        (summary, stateOf(base), Seq("o_orderstatus"))))
+      val delta = orders.filter(col("o_orderkey") % 3 === 0)
+      val vFact = Gvt.append(spark, fact, delta, Seq("o_orderkey"))
+      val vSum = Gvt.merge(spark, summary,
+        stateOf(Gvt.read(spark, fact, Some(vFact))),
+        "o_orderstatus", Seq("o_orderstatus"))
+      GvtTxn.publish(tmp, Map(fact -> vFact, summary -> vSum))
+      // the crash: table commit landed, txn doc did not
+      Gvt.append(spark, fact,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)),
+        Seq("o_orderkey"))
+    }
+
+  /** Both sides of the invariant at EVERY readable txn version: for
+    * v ∈ {0, 1}, the summary read through the txn view and the direct
+    * aggregate of the fact read through the SAME view. Hash equality
+    * with the oracle (which restates both sides from the original
+    * orders rows per version) proves fact ≡ summary at every version
+    * AND that the crashed half-transaction (poison fact commit, txn
+    * doc never landed) is invisible — were it visible, the v1 fact
+    * aggregate would carry the poison rows and the hash would split. */
+  def gvtTxnMulti(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = txnMultiGvt(spark, dir)
+    val fact = s"$tmp/fact"
+    val summary = s"$tmp/summary"
+    val sides = (0 to 1).flatMap { v =>
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val f = GvtTxn.read(spark, tmp, fact, Some(v))
+        .select(col("o_orderstatus"), cents.as("c"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum("c").cast("double") / 100).as("total_price"))
+        .select(lit(v).as("txn_version"), lit("fact_agg").as("side"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+      val s = GvtTxn.read(spark, tmp, summary, Some(v))
+        .select(lit(v).as("txn_version"), lit("summary").as("side"),
+          col("o_orderstatus"), col("n_orders"),
+          (col("sum_cents").cast("double") / 100).as("total_price"))
+      Seq(f, s)
+    }
+    sides.reduce(_.unionByName(_))
+      .orderBy("txn_version", "side", "o_orderstatus")
+  }
+
   private def mvRefreshGvt(spark: SparkSession, dir: String): String =
     graft.Staging.memoDir("graft_gvt_mvr", dir) { tmp =>
       // staged once per JVM; read-only use of the shared fact history
@@ -758,6 +823,7 @@ object GvtOps {
     "scan_time_travel_ts" -> timeTravelTs,
     "etl_merge_into" -> mergeInto,
     "etl_gvt_cdc_upd" -> cdcUpdates,
+    "etl_gvt_txn_multi" -> gvtTxnMulti,
     "scan_manifest_prune" -> manifestPrune,
     "scan_manifest_df" -> manifestDf,
     "scan_gvt_dsv2" -> gvtDsv2,
@@ -928,6 +994,25 @@ object GvtOps {
         "round(sum(l_quantity),2) AS sum_qty FROM lineitem, r " +
         "WHERE l_orderkey >= qlo AND l_orderkey <= qhi " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // fact ≡ summary restated from the original rows at EVERY txn
+    // version (v0 = base keys ≢0 mod 3, v1 = all keys), each version
+    // twice (the summary-table read and the direct fact aggregate must
+    // hash-match each other THROUGH matching this one statement); the
+    // crashed poison commit (keys shifted +1e9, txn doc never landed)
+    // appears in neither version — its visibility anywhere would split
+    // the hash
+    "etl_gvt_txn_multi" ->
+      ("WITH v0 AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1), " +
+        "v1 AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders GROUP BY 1) " +
+        "SELECT 0 AS txn_version, 'fact_agg' AS side, * FROM v0 " +
+        "UNION ALL SELECT 0, 'summary', * FROM v0 " +
+        "UNION ALL SELECT 1, 'fact_agg', * FROM v1 " +
+        "UNION ALL SELECT 1, 'summary', * FROM v1 " +
+        "ORDER BY txn_version, side, o_orderstatus"),
     // the connector path must agree with both manifest-prune paths
     "scan_gvt_dsv2" ->
       ("WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi " +

@@ -220,7 +220,15 @@ class SurveyCoverageSpec extends GraftSuite {
     // (format "gvt"), WHERE clauses route into the manifest zone-map
     // prune through GvtFileIndex.listFiles; stock ParquetScan does
     // the reading
-    "scan_gvt_dsv2")
+    "scan_gvt_dsv2",
+    // round-11: the composed production retrieval stack — IVFPQ on the
+    // data-derived k = N/600 coarse codebook (floors to the fixture
+    // codebook; candidate volume linear where fixed-k is quadratic)
+    "llm_knn_join_ivfpq_scaled",
+    // round-11: cross-table atomic publish — fact + summary pinned by
+    // ONE createLink of a GvtTxn coordinator doc (the catalog-pointer
+    // shape); a crash between table commits leaves invisible orphans
+    "etl_gvt_txn_multi")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
