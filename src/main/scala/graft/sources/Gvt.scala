@@ -91,11 +91,40 @@ object Gvt {
     * when commits land inside one millisecond — [[versionAt]] needs the
     * strict order to resolve a timestamp to exactly one version. 0 on
     * pre-timestamp log docs (Jackson's missing-primitive default). */
+  /** COLUMN-MAPPING state (rename/drop without rewriting history —
+    * the Delta column-mapping shape): data files always store columns
+    * under their PHYSICAL names (the name at first write), and this
+    * state maps physical → current logical. `renames` is the full
+    * cumulative map (each schema commit carries complete state, so
+    * resolution is "newest state wins" — no fold, no partial replay);
+    * `drops` lists dropped physical columns. Reads alias physical to
+    * logical after the scan; time travel BEFORE a rename resolves that
+    * version's own state and shows the old name — history is never
+    * rewritten, which is the entire point. Null on every pre-mapping
+    * doc (the [[GvtCommit.txn]] Jackson contract). */
+  final case class GvtSchemaState(renames: Map[String, String],
+      drops: Seq[String]) {
+    // Jackson sees a no-arg def as a bean property; keep it out of the
+    // serialized doc (2-field wire contract, like GvtFile/GvtCommit)
+    @com.fasterxml.jackson.annotation.JsonIgnore
+    def isEmpty: Boolean = renames.isEmpty && drops.isEmpty
+    /** Current logical name of a physical column. */
+    def logicalOf(physical: String): Option[String] =
+      if (drops.contains(physical)) None
+      else Some(renames.getOrElse(physical, physical))
+    /** Physical column behind a current logical name. */
+    def physicalOf(logical: String): String =
+      renames.find(_._2 == logical).map(_._1).getOrElse(logical)
+  }
+
+  private[sources] val EmptySchemaState = GvtSchemaState(Map.empty, Nil)
+
   final case class GvtCommit(version: Int, op: String,
       adds: Seq[GvtFile], removes: Seq[String], txn: String = null,
-      ts: Long = 0L)
+      ts: Long = 0L, schema: GvtSchemaState = null)
 
-  final case class GvtCheckpoint(version: Int, files: Seq[GvtFile])
+  final case class GvtCheckpoint(version: Int, files: Seq[GvtFile],
+      schema: GvtSchemaState = null)
 
   val LogDir = "_gvt_log"
   /** Checkpoint cadence: snapshot resolution reads ≤ this many commit
@@ -212,6 +241,143 @@ object Gvt {
       c.adds.foreach(f => active.put(f.path, f))
     }
     active.values.toSeq
+  }
+
+  /** Column-mapping state at `asOf` (newest complete state ≤ asOf —
+    * schema commits carry CUMULATIVE state, so this is a newest-wins
+    * scan over the same anchor + tail [[snapshot]] reads: the JSON
+    * checkpoint's stored state, overridden by any later schema commit).
+    * Empty state for tables that never renamed/dropped — every
+    * pre-mapping code path is byte-identical in that case. */
+  def mappingAt(dir: String, asOf: Option[Int] = None): GvtSchemaState = {
+    val last = asOf.getOrElse(latestVersion(dir))
+    if (last < 0) return EmptySchemaState
+    val ld = logDirOf(dir)
+    if (!Files.isDirectory(ld)) return EmptySchemaState
+    val ckptVersion: Int = {
+      val it = Files.list(ld)
+      try it.iterator().asScala().map(_.getFileName.toString)
+        .collect { case CkptName(v) if v <= last => v }
+        .foldLeft(-1)(math.max)
+      finally it.close()
+    }
+    var state: GvtSchemaState =
+      if (ckptVersion < 0) EmptySchemaState
+      else Option(mapper.readValue(
+        Files.readAllBytes(ckptPath(dir, ckptVersion)),
+        classOf[GvtCheckpoint]).schema).getOrElse(EmptySchemaState)
+    ((ckptVersion + 1) to last).foreach { v =>
+      val p = commitPath(dir, v)
+      if (Files.exists(p)) {
+        val c = mapper.readValue(Files.readAllBytes(p), classOf[GvtCommit])
+        if (c.schema != null) state = c.schema
+      }
+    }
+    state
+  }
+
+  /** Alias a PHYSICAL-schema DataFrame to the state's logical names and
+    * drop dropped columns (order matters: a dropped column's rename
+    * entry is removed at drop time, so drop-then-rename cannot alias a
+    * corpse). No-op on the empty state. */
+  private def applyMapping(df: DataFrame, state: GvtSchemaState): DataFrame =
+    if (state.isEmpty) df
+    else {
+      val dropped = state.drops.foldLeft(df)(_.drop(_))
+      state.renames.foldLeft(dropped) { case (d, (p, l)) =>
+        d.withColumnRenamed(p, l)
+      }
+    }
+
+  /** Translate a LOGICAL-schema DataFrame (an append's input) back to
+    * physical names for the write path, so data files stay physically
+    * named forever. Refuses input that resurrects a dropped column or
+    * collides with a renamed physical name (writing a column literally
+    * named like someone else's physical storage is an aliasing bug, not
+    * a write). */
+  private def toPhysical(df: DataFrame, state: GvtSchemaState): DataFrame =
+    if (state.isEmpty) df
+    else {
+      df.columns.foreach { c =>
+        require(!state.drops.contains(state.physicalOf(c)),
+          s"column '$c' was dropped from this table; re-add it with a " +
+            "fresh name (the physical slot is retired, history keeps it)")
+        require(!state.renames.contains(c) || state.renames(c) == c,
+          s"column '$c' is the PHYSICAL slot of logical " +
+            s"'${state.renames(c)}' — write the logical name")
+      }
+      state.renames.foldLeft(df) { case (d, (p, l)) =>
+        if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+      }
+    }
+
+  /** Schema commits: RENAME a column (metadata-only; history keeps the
+    * old name at old versions). The new state is validated against the
+    * CURRENT logical schema and republished in full. */
+  def renameColumn(spark: SparkSession, dir: String, oldName: String,
+      newName: String): Int = {
+    require(oldName != newName, "rename to the same name")
+    var v = latestVersion(dir) + 1
+    while (true) {
+      val state = mappingAt(dir)
+      val logicals = logicalColumns(spark, dir, state)
+      require(logicals.contains(oldName),
+        s"GVT at $dir has no column '$oldName' (logical schema: " +
+          s"${logicals.mkString(", ")})")
+      require(!logicals.contains(newName),
+        s"GVT at $dir already has a column '$newName'")
+      val p = state.physicalOf(oldName)
+      val renames =
+        if (newName == p) state.renames - p else state.renames + (p -> newName)
+      val next = GvtSchemaState(renames, state.drops)
+      if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil, schema = next),
+        spark)) return v
+      v = latestVersion(dir) + 1
+    }
+    -1 // unreachable
+  }
+
+  /** Schema commits: DROP a column (metadata-only — no file rewritten;
+    * pre-drop versions still serve it, the physical slot is retired
+    * forever). */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    var v = latestVersion(dir) + 1
+    while (true) {
+      val state = mappingAt(dir)
+      val logicals = logicalColumns(spark, dir, state)
+      require(logicals.contains(name),
+        s"GVT at $dir has no column '$name' to drop")
+      val p = state.physicalOf(name)
+      val next = GvtSchemaState(state.renames - p, state.drops :+ p)
+      if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil, schema = next),
+        spark)) return v
+      v = latestVersion(dir) + 1
+    }
+    -1 // unreachable
+  }
+
+  /** Current logical column set: the merged physical footer schema of
+    * the live files, mapped. (Production pins the unified schema in
+    * table metadata; re-merging footers is the demo-scale form — same
+    * note as [[read]]'s mergeSchema.) */
+  private def logicalColumns(spark: SparkSession, dir: String,
+      state: GvtSchemaState): Seq[String] = {
+    val files = snapshot(dir)
+    require(files.nonEmpty, s"GVT at $dir is empty")
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/${f.path}"): _*)
+      .columns.toSeq.flatMap(state.logicalOf)
+  }
+
+  /** Guard for rewrite ops not yet wired through the mapping: loud
+    * refusal beats silently matching predicates against physical names. */
+  private def requireNoMapping(dir: String, op: String): Unit = {
+    val s = mappingAt(dir)
+    require(s.isEmpty,
+      s"GVT at $dir has active column mapping (renames=${s.renames}, " +
+        s"drops=${s.drops}) — $op is not yet mapping-aware; run it " +
+        "before the rename/drop, or address columns by rewriting the " +
+        "table under the new schema")
   }
 
   // --------------------------------------------------------------------
@@ -345,12 +511,18 @@ object Gvt {
   def readPrunedMultiDF(spark: SparkSession, dir: String,
       ranges: Seq[(String, Double, Double)], asOf: Option[Int] = None)
       : (DataFrame, Long, Long) = {
+    // range columns are LOGICAL; the DF manifest's stats maps key
+    // PHYSICAL names (mapping resolution is one metadata walk)
+    val state = mappingAt(dir, asOf)
+    val physRanges = ranges.map { case (c, lo, hi) =>
+      (state.physicalOf(c), lo, hi)
+    }
     val m = snapshotDF(spark, dir, asOf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val total = m.count()
       require(total > 0, s"GVT at $dir is empty at version $asOf")
-      val survive = ranges.map { case (c, lo, hi) =>
+      val survive = physRanges.map { case (c, lo, hi) =>
         val mn = element_at(col("min"), lit(c)).cast("double")
         val mx = element_at(col("max"), lit(c)).cast("double")
         when(mn.isNotNull && mx.isNotNull,
@@ -364,8 +536,8 @@ object Gvt {
       val df =
         if (kept.isEmpty) {
           val donor = m.select("path").head.getString(0)
-          spark.read.parquet(s"$dir/$donor").limit(0)
-        } else readFiles(spark, dir, kept)
+          applyMapping(spark.read.parquet(s"$dir/$donor").limit(0), state)
+        } else applyMapping(readFiles(spark, dir, kept, !state.isEmpty), state)
       val filtered = ranges.foldLeft(df) { case (d, (column, lo, hi)) =>
         d.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
       }
@@ -417,7 +589,12 @@ object Gvt {
       mergeSchema: Boolean = false): DataFrame = {
     val files = snapshot(dir, asOf)
     require(files.nonEmpty, s"GVT at $dir is empty at version $asOf")
-    readFiles(spark, dir, files, mergeSchema)
+    val state = mappingAt(dir, asOf)
+    // physical scan, logical face: files store stable physical names;
+    // the version's OWN mapping state aliases them (time travel below a
+    // rename shows the old name — history unrewritten)
+    applyMapping(readFiles(spark, dir, files,
+      mergeSchema || !state.isEmpty), state)
   }
 
   /** `data/cN-uuid/part-x.parquet` from `_metadata.file_path`: the last
@@ -484,9 +661,12 @@ object Gvt {
       ranges: Seq[(String, Double, Double)], asOf: Option[Int] = None)
       : (DataFrame, Int, Int) = {
     val files = snapshot(dir, asOf)
+    // range columns are LOGICAL; manifest stats key PHYSICAL names
+    val state = mappingAt(dir, asOf)
     val kept = files.filter { f =>
       ranges.forall { case (column, lo, hi) =>
-        (f.min.get(column), f.max.get(column)) match {
+        val physical = state.physicalOf(column)
+        (f.min.get(physical), f.max.get(physical)) match {
           case (Some(mn), Some(mx)) =>
             try !(mx.toDouble < lo || mn.toDouble > hi)
             catch { case _: NumberFormatException => true }
@@ -497,8 +677,9 @@ object Gvt {
     val df =
       if (kept.isEmpty)
         // all files pruned: preserve schema from any file, return empty
-        spark.read.parquet(s"$dir/${files.head.path}").limit(0)
-      else readFiles(spark, dir, kept)
+        applyMapping(
+          spark.read.parquet(s"$dir/${files.head.path}").limit(0), state)
+      else applyMapping(readFiles(spark, dir, kept, !state.isEmpty), state)
     val filtered = ranges.foldLeft(df) { case (d, (column, lo, hi)) =>
       d.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
     }
@@ -608,9 +789,15 @@ object Gvt {
       }
       if (!parquetOnly) {
         val files = snapshot(dir, Some(commit.version))
+        // the checkpoint carries the column-mapping state too: vacuum
+        // deletes pre-floor schema commits, so the anchor must be able
+        // to serve the mapping on its own (null when no mapping — old
+        // readers and unmapped tables see the pre-mapping shape)
+        val st = mappingAt(dir, Some(commit.version))
         val ctmp = Files.createTempFile(ld, ".tmp-", ".ckpt")
         Files.write(ctmp,
-          mapper.writeValueAsBytes(GvtCheckpoint(commit.version, files)))
+          mapper.writeValueAsBytes(GvtCheckpoint(commit.version, files,
+            if (st.isEmpty) null else st)))
         try Files.createLink(ckptPath(dir, commit.version), ctmp)
         catch { case _: FileAlreadyExistsException => () }
         Files.delete(ctmp)
@@ -629,7 +816,10 @@ object Gvt {
   def append(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String]): Int = {
     var v = latestVersion(dir) + 1
-    val adds = writeData(spark, dir, df, statsCols, v)
+    // logical in, physical on disk (no-op without active mapping)
+    val state = mappingAt(dir)
+    val adds = writeData(spark, dir, toPhysical(df, state),
+      statsCols.map(state.physicalOf), v)
     while (!tryPublish(dir, GvtCommit(v, "append", adds, Nil), spark)) {
       v = latestVersion(dir) + 1
     }
@@ -687,7 +877,9 @@ object Gvt {
     def alreadyCommitted: Boolean = listCommits(dir).exists(_.txn == txnId)
     if (alreadyCommitted) return None
     var v = latestVersion(dir) + 1
-    val adds = writeData(spark, dir, df, statsCols, v)
+    val txnState = mappingAt(dir)
+    val adds = writeData(spark, dir, toPhysical(df, txnState),
+      statsCols.map(txnState.physicalOf), v)
     while (true) {
       // the recheck must follow the version read that produced `v`: a
       // twin committing between a pre-read check and our publish would
@@ -774,6 +966,7 @@ object Gvt {
 
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
+    requireNoMapping(dir, "merge")
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     if (source.isEmpty) return base // no-op: nothing to upsert
@@ -805,6 +998,7 @@ object Gvt {
     * lists) and stays distributed end to end. */
   def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
       key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
+    requireNoMapping(dir, "deleteKeys")
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     if (keys.isEmpty) return base
@@ -832,6 +1026,7 @@ object Gvt {
     * predicate's columns). Aborts on concurrent commit. */
   def delete(spark: SparkSession, dir: String, predicate: Column,
       statsCols: Seq[String]): Int = rmwRetry(spark) {
+    requireNoMapping(dir, "delete")
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     val touched: Set[String] = readFilesWithId(spark, dir, files)
@@ -876,6 +1071,7 @@ object Gvt {
     * commit (read-modify-write, same as merge/delete). */
   def deleteWhereDV(spark: SparkSession, dir: String, predicate: Column)
       : Int = rmwRetry(spark) {
+    requireNoMapping(dir, "deleteWhereDV")
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     val v = base + 1
@@ -909,6 +1105,7 @@ object Gvt {
   def absorbDeletes(spark: SparkSession, dir: String,
       minDeletedFraction: Double, statsCols: Seq[String]): Int =
       rmwRetry(spark) {
+    requireNoMapping(dir, "absorbDeletes")
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     val doomed = files.filter(f =>
@@ -1016,12 +1213,15 @@ object Gvt {
     // reaped once they age out
     if (retainFrom < vacuumFloor(dir)) return (0, 0)
     val ld = logDirOf(dir)
-    // (1) anchor: a checkpoint AT retainFrom (idempotent)
+    // (1) anchor: a checkpoint AT retainFrom (idempotent; carries the
+    // mapping state — the pre-floor schema commits are about to go)
     if (!Files.exists(ckptPath(dir, retainFrom))) {
       val files = snapshot(dir, Some(retainFrom))
+      val st = mappingAt(dir, Some(retainFrom))
       val ctmp = Files.createTempFile(ld, ".tmp-", ".ckpt")
       Files.write(ctmp,
-        mapper.writeValueAsBytes(GvtCheckpoint(retainFrom, files)))
+        mapper.writeValueAsBytes(GvtCheckpoint(retainFrom, files,
+          if (st.isEmpty) null else st)))
       try Files.createLink(ckptPath(dir, retainFrom), ctmp)
       catch { case _: FileAlreadyExistsException => () }
       Files.delete(ctmp)

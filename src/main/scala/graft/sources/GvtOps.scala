@@ -445,6 +445,55 @@ object GvtOps {
     }
   }
 
+  /** COLUMN MAPPING fixture: a 5-commit history interleaving data and
+    * schema commits — append (%3≡1) → RENAME o_totalprice→price_usd →
+    * append (%3≡2, written with the NEW logical name; physically the
+    * file stores the stable original name) → DROP o_orderpriority →
+    * append (%3≡0, without it in its logical schema). No data file is ever
+    * rewritten by the schema commits (GvtColMapSpec asserts byte
+    * identity); every version reads under ITS OWN names. */
+  private def colMapGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_colmap", dir) { tmp =>
+      val o = graft.Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      val stats = Seq("o_orderkey")
+      Gvt.append(spark, tmp, o.filter(col("o_orderkey") % 3 === 1), stats)
+      Gvt.renameColumn(spark, tmp, "o_totalprice", "price_usd")
+      Gvt.append(spark, tmp,
+        o.filter(col("o_orderkey") % 3 === 2)
+          .withColumnRenamed("o_totalprice", "price_usd"), stats)
+      Gvt.dropColumn(spark, tmp, "o_orderpriority")
+      Gvt.append(spark, tmp,
+        o.filter(col("o_orderkey") % 3 === 0)
+          .withColumnRenamed("o_totalprice", "price_usd")
+          .drop("o_orderpriority"), stats)
+    }
+
+  /** Two eras of the SAME table under their own schemas: version 0
+    * aggregates its o_totalprice (pre-rename name, o_orderpriority
+    * still live), the head aggregates price_usd over all three appends
+    * with o_orderpriority gone. Hash proves reads resolve by version-local
+    * mapping state — renames/drops never rewrote history and never
+    * leaked across versions. */
+  def gvtColMap(spark: SparkSession, dir: String): DataFrame = {
+    val t = colMapGvt(spark, dir)
+    val v0 = Gvt.read(spark, t, asOf = Some(0))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"),
+        countDistinct("o_orderpriority").as("n_prios"))
+      .select(lit("v0").as("era"), col("o_orderstatus"), col("n_orders"),
+        col("total_price"), col("n_prios"))
+    val head = Gvt.read(spark, t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("price_usd"), 2).as("total_price"))
+      .select(lit("head").as("era"), col("o_orderstatus"), col("n_orders"),
+        col("total_price"), lit(0L).as("n_prios"))
+    v0.unionByName(head).orderBy("era", "o_orderstatus")
+  }
+
   /** CROSS-TABLE ATOMIC PUBLISH fixture: a fact table and its summary
     * table updated through [[GvtTxn]] — txn 0 lands the base fact AND
     * its aggregate in ONE atomic pin; txn 1 lands a fact delta + the
@@ -814,6 +863,7 @@ object GvtOps {
     "stream_gvt_ivm" -> gvtStreamIvm,
     "sink_gvt_vacuum" -> gvtVacuum,
     "scan_gvt_schema_evo" -> gvtSchemaEvo,
+    "scan_gvt_colmap" -> gvtColMap,
     "etl_gvt_feed_apply" -> gvtFeedApply,
     "scan_gvt_zorder" -> gvtZorder,
     "etl_gvt_diff" -> gvtDiff,
@@ -994,6 +1044,21 @@ object GvtOps {
         "round(sum(l_quantity),2) AS sum_qty FROM lineitem, r " +
         "WHERE l_orderkey >= qlo AND l_orderkey <= qhi " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the two eras restated from the original rows: v0 sees only the
+    // first append's keys under the ORIGINAL column (o_totalprice,
+    // o_orderpriority live); head sees all three appends' keys under
+    // the renamed column with o_orderpriority dropped (n_prios pinned
+    // 0 — the column no longer exists to count)
+    "scan_gvt_colmap" ->
+      ("WITH v0 AS (SELECT 'v0' AS era, o_orderstatus, " +
+        "count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price, " +
+        "count(DISTINCT o_orderpriority) AS n_prios FROM orders " +
+        "WHERE o_orderkey % 3 = 1 GROUP BY 2), " +
+        "hd AS (SELECT 'head' AS era, o_orderstatus, " +
+        "count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price, " +
+        "0 AS n_prios FROM orders GROUP BY 2) " +
+        "SELECT * FROM v0 UNION ALL SELECT * FROM hd " +
+        "ORDER BY era, o_orderstatus"),
     // fact ≡ summary restated from the original rows at EVERY txn
     // version (v0 = base keys ≢0 mod 3, v1 = all keys), each version
     // twice (the summary-table read and the direct fact aggregate must

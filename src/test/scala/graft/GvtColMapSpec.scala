@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Gvt
+
+/** Column mapping (rename/drop by stable physical name, history never
+  * rewritten): schema commits move ZERO data bytes, files stay
+  * physically named forever (appends translate logical → physical on
+  * the way in), every version reads under its own names, pruning
+  * translates logical range columns to physical manifest stats, the
+  * mapping survives vacuum via the checkpoint, and everything not yet
+  * mapping-aware refuses loudly instead of matching physical names
+  * silently.
+  */
+class GvtColMapSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def slab(from: Long, until: Long): DataFrame =
+    (from until until).map(k => (k, k * 10, s"c${k % 3}")).toDF("k", "v", "tag")
+
+  private def dataFiles(dir: String): Map[String, Long] = {
+    val d = Paths.get(dir, "data")
+    val it = java.nio.file.Files.walk(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    } finally it.close()
+  }
+
+  test("rename + drop are metadata-only; files stay physically named") {
+    val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 100), Seq("k"))           // v0
+    val before = dataFiles(dir)
+    Gvt.renameColumn(spark, dir, "v", "value")               // v1
+    Gvt.dropColumn(spark, dir, "tag")                        // v2
+    assert(dataFiles(dir) == before,
+      "a schema commit touched data files — the whole point is it must not")
+    // head reads logical names; old versions read their own
+    assert(Gvt.read(spark, dir).columns.toSeq == Seq("k", "value"))
+    assert(Gvt.read(spark, dir, asOf = Some(0)).columns.toSeq ==
+      Seq("k", "v", "tag"))
+    assert(Gvt.read(spark, dir, asOf = Some(1)).columns.toSeq ==
+      Seq("k", "value", "tag"))
+    // values ride the rename untouched
+    assert(Gvt.read(spark, dir).agg(sum("value")).head.getLong(0) ==
+      (0L until 100L).map(_ * 10).sum)
+  }
+
+  test("appends after a rename write the STABLE physical name") {
+    val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 100), Seq("k"))
+    Gvt.renameColumn(spark, dir, "v", "value")
+    val before = dataFiles(dir).keySet
+    Gvt.append(spark, dir,
+      (100L until 150L).map(k => (k, k * 10, "x")).toDF("k", "value", "tag"),
+      Seq("value"))
+    val newFile = (dataFiles(dir).keySet -- before).head
+    // the new file's FOOTER carries the physical name — all files of
+    // the table agree physically, only metadata maps to logical
+    assert(spark.read.parquet(newFile).columns.contains("v"),
+      "post-rename append wrote the logical name into the file")
+    assert(Gvt.read(spark, dir).filter(col("value") === 1200L).count() == 1)
+    // stats columns translated too: manifest keys the physical name
+    val added = Gvt.snapshot(dir).filter(f => newFile.endsWith(f.path))
+    assert(added.nonEmpty && added.head.min.contains("v"),
+      s"manifest stats keyed logically: ${added.map(_.min)}")
+  }
+
+  test("pruning translates the logical range column to physical stats") {
+    val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
+    (0 until 4).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 100, i * 100 + 100), Seq("k")))
+    Gvt.renameColumn(spark, dir, "k", "id")
+    val (df, scanned, total) =
+      Gvt.readPruned(spark, dir, "id", 150.0, 160.0)
+    assert(total == 4 && scanned == 1,
+      s"logical-name prune read $scanned of $total")
+    assert(df.count() == 11)
+  }
+
+  test("mapping survives vacuum via the checkpoint") {
+    val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 100), Seq("k"))
+    Gvt.renameColumn(spark, dir, "v", "value")
+    Gvt.append(spark, dir,
+      (100L until 120L).map(k => (k, k, "y")).toDF("k", "value", "tag"),
+      Seq("k"))
+    Gvt.vacuum(dir, Gvt.latestVersion(dir), graceMs = 0L) // floor past the rename doc
+    assert(!Files.exists(Paths.get(dir, Gvt.LogDir, f"${1}%08d.json")),
+      "setup: the rename commit should be vacuumed")
+    assert(Gvt.read(spark, dir).columns.contains("value"),
+      "mapping lost with the vacuumed schema commit — checkpoint must carry it")
+  }
+
+  test("everything not mapping-aware refuses loudly") {
+    val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 100), Seq("k"))
+    Gvt.renameColumn(spark, dir, "v", "value")
+    Gvt.dropColumn(spark, dir, "tag")
+    // rewrite ops
+    val e1 = intercept[IllegalArgumentException] {
+      Gvt.delete(spark, dir, col("value") > 10L, Seq("k"))
+    }
+    assert(e1.getMessage.contains("column mapping"))
+    intercept[IllegalArgumentException] {
+      Gvt.merge(spark, dir, slab(0, 1), "k", Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Gvt.deleteWhereDV(spark, dir, col("k") === 1L)
+    }
+    // the DSv2 connector (stock parquet scan would serve physical names)
+    val e2 = intercept[Exception] {
+      spark.read.format("gvt").option("path", dir).load().count()
+    }
+    assert(e2.getMessage.contains("column mapping"))
+    // appends that would corrupt the mapping
+    intercept[IllegalArgumentException] { // dropped column resurrected
+      Gvt.append(spark, dir,
+        Seq((1000L, 1L, "z")).toDF("k", "value", "tag"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] { // physical slot of a rename
+      Gvt.append(spark, dir, Seq((1000L, 1L)).toDF("k", "v"), Seq("k"))
+    }
+    // schema-commit validation
+    intercept[IllegalArgumentException] { // target name taken
+      Gvt.renameColumn(spark, dir, "value", "k")
+    }
+    intercept[IllegalArgumentException] { // source gone (was renamed)
+      Gvt.renameColumn(spark, dir, "v", "w")
+    }
+    intercept[IllegalArgumentException] { // already dropped
+      Gvt.dropColumn(spark, dir, "tag")
+    }
+  }
+
+  test("rename back to the physical name clears the mapping entry") {
+    val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.renameColumn(spark, dir, "v", "value")
+    Gvt.renameColumn(spark, dir, "value", "v")
+    assert(Gvt.mappingAt(dir).renames.isEmpty)
+    assert(Gvt.read(spark, dir).columns.toSeq == Seq("k", "v", "tag"))
+    // fully cleared: rewrite ops work again
+    Gvt.delete(spark, dir, col("v") === 0L, Seq("k"))
+    assert(Gvt.read(spark, dir).count() == 9)
+  }
+}

@@ -228,7 +228,11 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-11: cross-table atomic publish — fact + summary pinned by
     // ONE createLink of a GvtTxn coordinator doc (the catalog-pointer
     // shape); a crash between table commits leaves invisible orphans
-    "etl_gvt_txn_multi")
+    "etl_gvt_txn_multi",
+    // round-11: column mapping — rename/drop by stable physical name,
+    // metadata-only schema commits, history never rewritten; every
+    // version reads under its own names
+    "scan_gvt_colmap")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
