@@ -103,11 +103,17 @@ object Gvt {
     * rewritten, which is the entire point. Null on every pre-mapping
     * doc (the [[GvtCommit.txn]] Jackson contract). */
   final case class GvtSchemaState(renames: Map[String, String],
-      drops: Seq[String]) {
+      drops: Seq[String], checks: Map[String, String] = null) {
     // Jackson sees a no-arg def as a bean property; keep it out of the
-    // serialized doc (2-field wire contract, like GvtFile/GvtCommit)
+    // serialized doc (fixed wire contract, like GvtFile/GvtCommit)
     @com.fasterxml.jackson.annotation.JsonIgnore
     def isEmpty: Boolean = renames.isEmpty && drops.isEmpty
+    /** Normalized CHECK-constraint map (null on pre-constraint docs —
+      * the [[GvtCommit.txn]] Jackson contract). name → SQL predicate
+      * over LOGICAL column names; SQL-standard semantics (a NULL
+      * predicate passes — declare NOT NULL explicitly). */
+    @com.fasterxml.jackson.annotation.JsonIgnore
+    def checkMap: Map[String, String] = Option(checks).getOrElse(Map.empty)
     /** Current logical name of a physical column. */
     def logicalOf(physical: String): Option[String] =
       if (drops.contains(physical)) None
@@ -118,6 +124,68 @@ object Gvt {
   }
 
   private[sources] val EmptySchemaState = GvtSchemaState(Map.empty, Nil)
+
+  /** COMMIT-TIME CHECK enforcement, fused into the write pass itself
+    * (no second scan): every row written flows through a filter whose
+    * predicate is `assert_true(check)` — a violating row FAILS THE JOB
+    * before any commit doc exists (the half-written files are orphans,
+    * vacuum reaps them), so a constrained table can never contain a
+    * bad row at any readable version. The filter cannot be pruned away
+    * (its condition is the assertion) and rides whole-stage codegen. */
+  private def enforceChecks(df: DataFrame, state: GvtSchemaState): DataFrame =
+    state.checkMap.foldLeft(df) { case (d, (name, pred)) =>
+      d.filter(coalesce(assert_true(
+        coalesce(expr(pred), lit(true)), // SQL CHECK: NULL passes
+        concat(lit(s"GVT check '$name' violated ($pred) by row: "),
+          to_json(struct(d.columns.map(col).toIndexedSeq: _*)))), lit(true)))
+    }
+
+  /** Declare a CHECK constraint (name → SQL predicate over logical
+    * names). Validates EXISTING data first — a table is never left
+    * claiming a constraint its rows violate (the Delta ADD CONSTRAINT
+    * contract) — then lands a metadata-only schema commit. Every
+    * subsequent append/merge enforces it in-write; [[publishBranch]]
+    * re-validates a branch's net adds against the PARENT's current
+    * checks, so a check added after a fork still gates the publish. */
+  def addCheck(spark: SparkSession, dir: String, name: String,
+      predicate: String): Int = {
+    var v = latestVersion(dir) + 1
+    while (true) {
+      val state = mappingAt(dir)
+      require(!state.checkMap.contains(name),
+        s"GVT at $dir already has a check named '$name'")
+      val bad = read(spark, dir)
+        .filter(!coalesce(expr(predicate), lit(true))).limit(1).count()
+      require(bad == 0,
+        s"GVT at $dir has existing rows violating '$predicate' — " +
+          "clean the data before declaring the check")
+      val next = state.copy(checks = state.checkMap + (name -> predicate))
+      if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil, schema = next),
+        spark)) return v
+      v = latestVersion(dir) + 1
+    }
+    -1 // unreachable
+  }
+
+  /** NOT NULL sugar: the standard-semantics escape from CHECK's
+    * NULL-passes rule. */
+  def addNotNull(spark: SparkSession, dir: String, column: String): Int =
+    addCheck(spark, dir, s"${column}_not_null", s"$column IS NOT NULL")
+
+  /** Drop a CHECK constraint by name (metadata-only). */
+  def dropCheck(spark: SparkSession, dir: String, name: String): Int = {
+    var v = latestVersion(dir) + 1
+    while (true) {
+      val state = mappingAt(dir)
+      require(state.checkMap.contains(name),
+        s"GVT at $dir has no check named '$name'")
+      val next = state.copy(checks = state.checkMap - name)
+      if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil, schema = next),
+        spark)) return v
+      v = latestVersion(dir) + 1
+    }
+    -1 // unreachable
+  }
 
   final case class GvtCommit(version: Int, op: String,
       adds: Seq[GvtFile], removes: Seq[String], txn: String = null,
@@ -326,10 +394,11 @@ object Gvt {
           s"${logicals.mkString(", ")})")
       require(!logicals.contains(newName),
         s"GVT at $dir already has a column '$newName'")
+      requireUnreferenced(state, oldName, "rename")
       val p = state.physicalOf(oldName)
       val renames =
         if (newName == p) state.renames - p else state.renames + (p -> newName)
-      val next = GvtSchemaState(renames, state.drops)
+      val next = state.copy(renames = renames)
       if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil, schema = next),
         spark)) return v
       v = latestVersion(dir) + 1
@@ -347,8 +416,10 @@ object Gvt {
       val logicals = logicalColumns(spark, dir, state)
       require(logicals.contains(name),
         s"GVT at $dir has no column '$name' to drop")
+      requireUnreferenced(state, name, "drop")
       val p = state.physicalOf(name)
-      val next = GvtSchemaState(state.renames - p, state.drops :+ p)
+      val next = state.copy(renames = state.renames - p,
+        drops = state.drops :+ p)
       if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil, schema = next),
         spark)) return v
       v = latestVersion(dir) + 1
@@ -368,6 +439,18 @@ object Gvt {
       .parquet(files.map(f => s"$dir/${f.path}"): _*)
       .columns.toSeq.flatMap(state.logicalOf)
   }
+
+  /** A schema change may not orphan a CHECK's column reference (the
+    * Delta contract: drop the constraint first or restate it). Word
+    * boundary match over the predicate text — coarse, errs loud. */
+  private def requireUnreferenced(state: GvtSchemaState, column: String,
+      op: String): Unit =
+    state.checkMap.foreach { case (name, pred) =>
+      require(!s"\\b${java.util.regex.Pattern.quote(column)}\\b".r
+        .findFirstIn(pred).isDefined,
+        s"cannot $op column '$column': referenced by check '$name' " +
+          s"($pred) — drop the check first")
+    }
 
   /** Guard for rewrite ops not yet wired through the mapping: loud
     * refusal beats silently matching predicates against physical names. */
@@ -816,9 +899,11 @@ object Gvt {
   def append(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String]): Int = {
     var v = latestVersion(dir) + 1
-    // logical in, physical on disk (no-op without active mapping)
+    // logical in, checks enforced in-write, physical on disk (all
+    // no-ops without active mapping/constraints)
     val state = mappingAt(dir)
-    val adds = writeData(spark, dir, toPhysical(df, state),
+    val adds = writeData(spark, dir,
+      toPhysical(enforceChecks(df, state), state),
       statsCols.map(state.physicalOf), v)
     while (!tryPublish(dir, GvtCommit(v, "append", adds, Nil), spark)) {
       v = latestVersion(dir) + 1
@@ -878,7 +963,8 @@ object Gvt {
     if (alreadyCommitted) return None
     var v = latestVersion(dir) + 1
     val txnState = mappingAt(dir)
-    val adds = writeData(spark, dir, toPhysical(df, txnState),
+    val adds = writeData(spark, dir,
+      toPhysical(enforceChecks(df, txnState), txnState),
       statsCols.map(txnState.physicalOf), v)
     while (true) {
       // the recheck must follow the version read that produced `v`: a
@@ -970,16 +1056,20 @@ object Gvt {
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     if (source.isEmpty) return base // no-op: nothing to upsert
-    val srcKeys = source.select(col(key)).distinct()
+    // new rows must pass the table's checks; survivor rows were
+    // validated by the commit that wrote them (mapping is refused
+    // above, so state here is checks-only)
+    val source1 = enforceChecks(source, mappingAt(dir, Some(base)))
+    val srcKeys = source1.select(col(key)).distinct()
     val touchedFiles = filesContaining(spark, dir, files, srcKeys, key)
     val rewritten =
-      if (touchedFiles.isEmpty) source
+      if (touchedFiles.isEmpty) source1
       else {
         val touchedDf = readFiles(spark, dir, touchedFiles)
         // restore the file schema order (using-join puts the key first)
         touchedDf.join(srcKeys, Seq(key), "left_anti")
           .select(touchedDf.columns.map(col): _*)
-          .unionByName(source)
+          .unionByName(source1)
       }
     val v = base + 1
     val adds = writeData(spark, dir, rewritten, statsCols, v)
@@ -1592,7 +1682,16 @@ object Gvt {
       val head = latestVersion(dir)
       val appendOnly =
         ((base + 1) to bHead).forall(v => commitAt(bdir, v).op == "append")
-      if (head != base && !appendOnly)
+      // schema-only parent commits (rename/drop/check declarations)
+      // move ZERO data: the fork's data state still equals the head's,
+      // so the branch's audit still describes what publishing produces
+      // — and a post-fork CHECK is re-validated by the gate below
+      // anyway. Only a parent DATA advance invalidates a rewrite audit.
+      val parentDataAdvanced = ((base + 1) to head).exists { v =>
+        val c = commitAt(dir, v)
+        c.adds.nonEmpty || c.removes.nonEmpty
+      }
+      if (parentDataAdvanced && !appendOnly)
         throw new java.util.ConcurrentModificationException(
           s"GVT $dir: advanced $base -> $head since branch '$name' forked " +
             "and the branch holds non-append commits; re-audit on a fresh branch")
@@ -1636,6 +1735,23 @@ object Gvt {
         val bPaths = bFiles.map(_.path).toSet
         (bFiles.filterNot(f => baseByPath.get(f.path).contains(f)),
           baseFiles.map(_.path).filterNot(bPaths.contains))
+      }
+      // WAP GATE: the branch's net-new rows must pass the PARENT's
+      // CURRENT checks — a constraint added after the fork still gates
+      // the publish (branch appends enforced only the checks the
+      // branch inherited at fork time). Cost ∝ branch churn (the adds,
+      // DV-aware), never the table.
+      val parentChecks = mappingAt(dir, Some(head))
+      if (parentChecks.checkMap.nonEmpty && adds.nonEmpty) {
+        val violated = parentChecks.checkMap.filter { case (_, pred) =>
+          readFiles(spark, dir, adds)
+            .filter(!coalesce(expr(pred), lit(true))).limit(1).count() > 0
+        }
+        if (violated.nonEmpty)
+          throw new IllegalStateException(
+            s"GVT $dir: branch '$name' publish BLOCKED — its rows violate " +
+              s"parent check(s) ${violated.keys.mkString(", ")}; audit the " +
+              "branch (delete the violating rows) and publish again")
       }
       val v = head + 1
       if (!tryPublish(dir, GvtCommit(v, "publish", adds, removes), spark))

@@ -57,6 +57,38 @@ object GvtOps {
         round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy("o_orderstatus")
 
+  /** The SAME WAP cycle under DECLARED commit-time constraints: two
+    * CHECKs land as metadata commits before the fork (validating the
+    * existing data), the branch inherits them through its linked log
+    * (its append runs the in-write `assert_true` gate), and
+    * [[Gvt.publishBranch]] re-validates the branch's net adds against
+    * the parent's CURRENT checks before the squash lands — the parent
+    * cannot acquire a bad row through any path. Output ≡ the
+    * unconstrained WAP key (the fixture data passes its checks):
+    * enforcement must be invisible when nothing violates.
+    * GvtConstraintSpec drives the violating paths (append refusal with
+    * no commit, blocked publish, audit-then-publish recovery). */
+  private def constraintsGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_constraints", dir) { tmp =>
+      val orders = graft.Tables(spark, dir, "orders")
+      val stats = Seq("o_orderkey")
+      Gvt.append(spark, tmp, orders.filter(col("o_orderkey") % 4 =!= 0), stats)
+      Gvt.addCheck(spark, tmp, "price_positive", "o_totalprice > 0")
+      Gvt.addNotNull(spark, tmp, "o_orderstatus")
+      val b = Gvt.createBranch(spark, tmp, "drop_q4")
+      Gvt.append(spark, b, orders.filter(col("o_orderkey") % 4 === 0), stats)
+      Gvt.delete(spark, b, col("o_orderkey") % 20 === 0, stats)
+      Gvt.publishBranch(spark, tmp, "drop_q4")
+      Gvt.dropBranch(tmp, "drop_q4")
+    }
+
+  def gvtConstraints(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, constraintsGvt(spark, dir))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+
   /** Latest-snapshot read over the 4-commit history. */
   def versionedLog(spark: SparkSession, dir: String): DataFrame =
     Gvt.read(spark, ordersGvt(spark, dir))
@@ -869,6 +901,7 @@ object GvtOps {
     "etl_gvt_diff" -> gvtDiff,
     "sink_versioned_log" -> versionedLog,
     "etl_gvt_wap" -> gvtWap,
+    "etl_gvt_constraints" -> gvtConstraints,
     "scan_time_travel" -> timeTravel,
     "scan_time_travel_ts" -> timeTravelTs,
     "etl_merge_into" -> mergeInto,
@@ -979,6 +1012,13 @@ object GvtOps {
     // rule's casualties (≡0 mod 20, all inside the ≡0 mod 4 drop)
     // never become visible to a parent reader
     "etl_gvt_wap" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE o_orderkey % 20 <> 0 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // constraint enforcement must be INVISIBLE when nothing violates:
+    // same final state as the unconstrained WAP cycle
+    "etl_gvt_constraints" ->
       ("SELECT o_orderstatus, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +
         "WHERE o_orderkey % 20 <> 0 " +

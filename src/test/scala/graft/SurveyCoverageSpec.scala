@@ -232,7 +232,12 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-11: column mapping — rename/drop by stable physical name,
     // metadata-only schema commits, history never rewritten; every
     // version reads under its own names
-    "scan_gvt_colmap")
+    "scan_gvt_colmap",
+    // round-11: commit-time CHECK constraints — in-write assert_true
+    // enforcement (violating append commits NOTHING) + the WAP gate
+    // (publishBranch re-validates net adds against the parent's
+    // current checks)
+    "etl_gvt_constraints")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
