@@ -168,6 +168,61 @@ object TextOps {
       .orderBy("iter")
   }
 
+  /** [[bpeTrain]] driven to a TARGET VOCAB: 8 data-dependent merge
+    * rounds (each round's winner rewrites the corpus the next round
+    * counts — real tokenizer-training structure, not 8 independent
+    * counts). Two lineage disciplines make the loop scale (the
+    * `graph_pagerank_iter3` pattern): the per-round winner is
+    * localCheckpoint-pinned (a 1-row frame, broadcast into the
+    * rewrite), and the REWRITTEN CORPUS is localCheckpoint-truncated
+    * each round — without it round 8's plan stacks 8 corpus-wide
+    * `replace` projections and the pair-count aggregate re-derives all
+    * of them from the raw scan every round (quadratic recompute; at
+    * real scale the truncation checkpoints to reliable storage every
+    * few rounds instead of executor memory, same shape). Per round:
+    * one pair-count aggregate + TakeOrderedAndProject(1) + a map-side
+    * rewrite — no driver-side corpus state anywhere. */
+  def bpeTrainK(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    var docs = Tables.wide(spark, dir, "documents").select("doc_id", "text")
+    val rounds = (1 to k).map { i =>
+      val top = pairCounts(docs)
+        .orderBy(col("ct").desc, col("pair")).limit(1).localCheckpoint()
+      docs = docs
+        .crossJoin(broadcast(top.select(col("pair").as("mpair"))))
+        .select(col("doc_id"),
+          expr("replace(text, mpair, replace(mpair, ' ', '_'))").as("text"))
+        .localCheckpoint()
+      top.select(lit(i).as("iter"), col("pair"),
+        col("ct").cast("long").as("n_occurrences"))
+    }
+    rounds.reduce(_.unionAll(_)).orderBy("iter")
+  }
+
+  /** The 8-round chained-CTE restatement of [[bpeTrainK]], generated by
+    * the same loop shape so round count and rewrite rule cannot drift. */
+  private[llm] def bpeTrainKOracle(k: Int): String = {
+    val pairsOf = (src: String) =>
+      "SELECT gram, count(*) AS ct FROM (" +
+        "SELECT unnest(list_transform(range(1, len(w)), i -> " +
+        "w[i] || ' ' || w[i+1])) AS gram " +
+        s"FROM (SELECT string_split(text, ' ') AS w FROM $src)) " +
+        "GROUP BY 1 ORDER BY ct DESC, gram LIMIT 1"
+    val ctes = new StringBuilder("WITH d0 AS (SELECT doc_id, text FROM documents)")
+    (1 to k).foreach { i =>
+      ctes.append(s", p$i AS (${pairsOf(s"d${i - 1}")})")
+      if (i < k) ctes.append(s", d$i AS (SELECT doc_id, " +
+        s"replace(text, (SELECT gram FROM p$i), " +
+        s"replace((SELECT gram FROM p$i), ' ', '_')) AS text FROM d${i - 1})")
+    }
+    ctes.append(" " + (1 to k).map(i =>
+      s"SELECT $i AS iter, gram AS pair, " +
+        s"CAST(ct AS BIGINT) AS n_occurrences FROM p$i")
+      .mkString(" UNION ALL "))
+    ctes.append(" ORDER BY iter")
+    ctes.toString
+  }
+
   /** Vocabulary build with cumulative corpus coverage: top-50 words by
     * frequency, each with its rank and the fraction of all token
     * occurrences covered by the vocab up to and including it — the
@@ -209,12 +264,14 @@ object TextOps {
     "llm_ngram_lm" -> ngramLm,
     "llm_bpe_merge_step" -> bpeMergeStep,
     "llm_bpe_train" -> bpeTrain,
+    "llm_bpe_train_k" -> bpeTrainK,
     "llm_vocab_coverage" -> vocabCoverage,
     "llm_text_stats" -> textStats,
     "llm_text_tfidf" -> tfidf
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_bpe_train_k" -> bpeTrainKOracle(8),
     "llm_bpe_train" ->
       ("WITH d0 AS (SELECT doc_id, text FROM documents), " +
         "p1 AS (SELECT gram, count(*) AS ct FROM (" +

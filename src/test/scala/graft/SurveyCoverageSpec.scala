@@ -237,7 +237,11 @@ class SurveyCoverageSpec extends GraftSuite {
     // enforcement (violating append commits NOTHING) + the WAP gate
     // (publishBranch re-validates net adds against the parent's
     // current checks)
-    "etl_gvt_constraints")
+    "etl_gvt_constraints",
+    // round-11: BPE training driven to a target vocab — 8 chained
+    // merge rounds, winner-pinned and corpus-lineage-truncated per
+    // round (the pagerank-iter pattern)
+    "llm_bpe_train_k")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -142,6 +142,24 @@ class Wave13Spec extends GraftSuite {
     assert(n2 <= n1, s"$n2 > $n1")
   }
 
+  test("bpe_train_k: 8 chained rounds, counts non-increasing, prefix equals 2-round key") {
+    val rows = llm.TextOps.bpeTrainK(spark, sf001).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 8), "iters not dense 1..8")
+    val counts = rows.map(_.getLong(2)).toSeq
+    assert(counts.forall(_ > 0))
+    // each round merges the current max pair; a merge only removes
+    // occurrences of existing pairs and any pair it creates is bounded
+    // by its constituents' counts — so winners are non-increasing
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts)
+    // the k-loop must be THE SAME recurrence as the shipped 2-round
+    // key: its first two rounds are bpeTrain verbatim
+    val two = llm.TextOps.bpeTrain(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows.take(2).map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2))).toSeq == two)
+  }
+
   test("vocab_coverage: ranks dense from 1, coverage monotone to 1.0") {
     val rows = llm.TextOps.vocabCoverage(spark, sf001).collect()
     assert(rows.nonEmpty && rows.length <= 50)
