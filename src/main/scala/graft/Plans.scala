@@ -45,7 +45,13 @@ object Plans {
     "etl_gvt_wap" -> "write-audit-publish: the post-publish read is a plain snapshot scan — the squash moved metadata only",
     "etl_gvt_cdc_upd" -> "CDC update images: churned-file reads under exceptAll, ONE key-window pass relabels paired churn into pre/post images",
     "llm_ann_pq" -> "PQ/ADC ANN: broadcast codebook argmax, broadcast ADC lookup-join, top-50 shortlist, exact re-rank of 50 vectors",
-    "llm_knn_join_ivfpq" -> "IVFPQ batch retrieval: broadcast cells + codebooks + per-query ADC tables; candidate-bounded int exchanges; ≤20-vector re-rank per query")
+    "llm_knn_join_ivfpq" -> "IVFPQ batch retrieval: broadcast cells + codebooks + per-query ADC tables; candidate-bounded int exchanges; ≤20-vector re-rank per query",
+    "scan_gvt_dsv2" -> "gvt DSv2 connector: WHERE-driven manifest zone-map prune inside the FileIndex, PushedFilters on the stock vectorized parquet scan",
+    "llm_knn_join_ivfpq_scaled" -> "the composed production stack: IVFPQ on the data-derived k=N/600 codebook (codebook size from a broadcast 1-row count, same exchange profile as the pinned key)",
+    "llm_dedup_paragraph" -> "sub-document dedup: 16-byte digest keys every exchange; winner election is ONE chunk-keyed aggregate (no corpus window)",
+    "etl_gvt_txn_multi" -> "cross-table txn view: both reads are plain snapshot scans at doc-pinned versions — the coordinator adds zero data plan",
+    "scan_gvt_colmap" -> "column mapping: physical vectorized scan with an alias-only projection to the version's logical names; schema commits moved no data",
+    "etl_gvt_constraints" -> "constrained WAP publish: the post-publish read is a plain snapshot scan; checks ran inside the branch writes, the gate read only the net adds")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
