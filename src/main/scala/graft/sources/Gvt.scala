@@ -106,8 +106,16 @@ object Gvt {
       drops: Seq[String], checks: Map[String, String] = null) {
     // Jackson sees a no-arg def as a bean property; keep it out of the
     // serialized doc (fixed wire contract, like GvtFile/GvtCommit)
+    /** FULLY empty — nothing worth persisting. Checkpoint writers key
+      * on this: a checks-only state serialized as null would erase
+      * every constraint at the next checkpoint (r11 review finding). */
     @com.fasterxml.jackson.annotation.JsonIgnore
-    def isEmpty: Boolean = renames.isEmpty && drops.isEmpty
+    def isEmpty: Boolean =
+      renames.isEmpty && drops.isEmpty && checkMap.isEmpty
+    /** No RENAME/DROP state — constraints alone don't gate reads or
+      * rewrite ops; only the mapping does. */
+    @com.fasterxml.jackson.annotation.JsonIgnore
+    def mappingEmpty: Boolean = renames.isEmpty && drops.isEmpty
     /** Normalized CHECK-constraint map (null on pre-constraint docs —
       * the [[GvtCommit.txn]] Jackson contract). name → SQL predicate
       * over LOGICAL column names; SQL-standard semantics (a NULL
@@ -277,9 +285,14 @@ object Gvt {
     }
   }
 
-  /** Active files at `asOf` (default: latest). Replays from the newest
-    * checkpoint ≤ asOf; preserves add order for stable file lists. */
-  def snapshot(dir: String, asOf: Option[Int] = None): Seq[GvtFile] = {
+  /** ONE anchor-plus-tail walk producing BOTH the active file list and
+    * the column-mapping/constraint state at `asOf` — [[snapshot]] and
+    * [[mappingAt]] are views of this, and the combined read paths
+    * ([[read]], [[readPrunedMulti]]) call it once: the JSON checkpoint
+    * (which at the flip threshold is ~16 MiB) is parsed a single time
+    * per resolution, not once per concern (r11 review finding). */
+  private def resolveManifest(dir: String,
+      asOf: Option[Int]): (Seq[GvtFile], GvtSchemaState) = {
     val last = asOf.getOrElse(latestVersion(dir))
     require(last >= 0, s"GVT at $dir has no commits (asOf=$asOf)")
     val floor = vacuumFloor(dir)
@@ -297,51 +310,38 @@ object Gvt {
       finally it.close()
     }
     val active = mutable.LinkedHashMap.empty[String, GvtFile]
+    var state: GvtSchemaState = EmptySchemaState
     if (ckptVersion >= 0) {
       val ck = mapper.readValue(
         Files.readAllBytes(ckptPath(dir, ckptVersion)), classOf[GvtCheckpoint])
       ck.files.foreach(f => active.put(f.path, f))
+      if (ck.schema != null) state = ck.schema
     }
     ((ckptVersion + 1) to last).foreach { v =>
       val c = mapper.readValue(
         Files.readAllBytes(commitPath(dir, v)), classOf[GvtCommit])
       c.removes.foreach(active.remove)
       c.adds.foreach(f => active.put(f.path, f))
+      if (c.schema != null) state = c.schema
     }
-    active.values.toSeq
+    (active.values.toSeq, state)
   }
 
-  /** Column-mapping state at `asOf` (newest complete state ≤ asOf —
-    * schema commits carry CUMULATIVE state, so this is a newest-wins
-    * scan over the same anchor + tail [[snapshot]] reads: the JSON
-    * checkpoint's stored state, overridden by any later schema commit).
-    * Empty state for tables that never renamed/dropped — every
-    * pre-mapping code path is byte-identical in that case. */
+  /** Active files at `asOf` (default: latest). Replays from the newest
+    * checkpoint ≤ asOf; preserves add order for stable file lists. */
+  def snapshot(dir: String, asOf: Option[Int] = None): Seq[GvtFile] =
+    resolveManifest(dir, asOf)._1
+
+  /** Column-mapping/constraint state at `asOf` (newest complete state ≤
+    * asOf — schema commits carry CUMULATIVE state). Empty state for
+    * tables that never declared anything — every pre-mapping code path
+    * is byte-identical in that case — and for empty/absent tables (the
+    * lenient entry the strict [[snapshot]] preconditions would refuse). */
   def mappingAt(dir: String, asOf: Option[Int] = None): GvtSchemaState = {
     val last = asOf.getOrElse(latestVersion(dir))
     if (last < 0) return EmptySchemaState
-    val ld = logDirOf(dir)
-    if (!Files.isDirectory(ld)) return EmptySchemaState
-    val ckptVersion: Int = {
-      val it = Files.list(ld)
-      try it.iterator().asScala().map(_.getFileName.toString)
-        .collect { case CkptName(v) if v <= last => v }
-        .foldLeft(-1)(math.max)
-      finally it.close()
-    }
-    var state: GvtSchemaState =
-      if (ckptVersion < 0) EmptySchemaState
-      else Option(mapper.readValue(
-        Files.readAllBytes(ckptPath(dir, ckptVersion)),
-        classOf[GvtCheckpoint]).schema).getOrElse(EmptySchemaState)
-    ((ckptVersion + 1) to last).foreach { v =>
-      val p = commitPath(dir, v)
-      if (Files.exists(p)) {
-        val c = mapper.readValue(Files.readAllBytes(p), classOf[GvtCommit])
-        if (c.schema != null) state = c.schema
-      }
-    }
-    state
+    if (!Files.isDirectory(logDirOf(dir))) return EmptySchemaState
+    resolveManifest(dir, asOf)._2
   }
 
   /** Alias a PHYSICAL-schema DataFrame to the state's logical names and
@@ -349,7 +349,7 @@ object Gvt {
     * entry is removed at drop time, so drop-then-rename cannot alias a
     * corpse). No-op on the empty state. */
   private def applyMapping(df: DataFrame, state: GvtSchemaState): DataFrame =
-    if (state.isEmpty) df
+    if (state.mappingEmpty) df
     else {
       val dropped = state.drops.foldLeft(df)(_.drop(_))
       state.renames.foldLeft(dropped) { case (d, (p, l)) =>
@@ -364,7 +364,7 @@ object Gvt {
     * named like someone else's physical storage is an aliasing bug, not
     * a write). */
   private def toPhysical(df: DataFrame, state: GvtSchemaState): DataFrame =
-    if (state.isEmpty) df
+    if (state.mappingEmpty) df
     else {
       df.columns.foreach { c =>
         require(!state.drops.contains(state.physicalOf(c)),
@@ -396,6 +396,14 @@ object Gvt {
         s"GVT at $dir already has a column '$newName'")
       requireUnreferenced(state, oldName, "rename")
       val p = state.physicalOf(oldName)
+      // a logical name equal to ANOTHER column's PHYSICAL storage slot
+      // would make writes of that name ambiguous (toPhysical refuses
+      // them) and applyMapping's rename chain order-dependent — refuse
+      // at declaration time (r11 review finding: rename a→c then b→a).
+      // Renaming back to your OWN slot is the clear-the-entry case.
+      require(!state.renames.contains(newName) || newName == p,
+        s"GVT at $dir: '$newName' is the physical storage slot of " +
+          s"logical '${state.renames(newName)}' — pick another name")
       val renames =
         if (newName == p) state.renames - p else state.renames + (p -> newName)
       val next = state.copy(renames = renames)
@@ -456,7 +464,9 @@ object Gvt {
     * refusal beats silently matching predicates against physical names. */
   private def requireNoMapping(dir: String, op: String): Unit = {
     val s = mappingAt(dir)
-    require(s.isEmpty,
+    // mappingEmpty, not isEmpty: CHECK constraints alone never block a
+    // rewrite (deletes only remove rows; merge enforces on its source)
+    require(s.mappingEmpty,
       s"GVT at $dir has active column mapping (renames=${s.renames}, " +
         s"drops=${s.drops}) — $op is not yet mapping-aware; run it " +
         "before the rename/drop, or address columns by rewriting the " +
@@ -620,7 +630,7 @@ object Gvt {
         if (kept.isEmpty) {
           val donor = m.select("path").head.getString(0)
           applyMapping(spark.read.parquet(s"$dir/$donor").limit(0), state)
-        } else applyMapping(readFiles(spark, dir, kept, !state.isEmpty), state)
+        } else applyMapping(readFiles(spark, dir, kept, !state.mappingEmpty), state)
       val filtered = ranges.foldLeft(df) { case (d, (column, lo, hi)) =>
         d.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
       }
@@ -670,14 +680,13 @@ object Gvt {
     * unified schema in table metadata instead of re-merging footers). */
   def read(spark: SparkSession, dir: String, asOf: Option[Int] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    val files = snapshot(dir, asOf)
+    val (files, state) = resolveManifest(dir, asOf)
     require(files.nonEmpty, s"GVT at $dir is empty at version $asOf")
-    val state = mappingAt(dir, asOf)
     // physical scan, logical face: files store stable physical names;
     // the version's OWN mapping state aliases them (time travel below a
     // rename shows the old name — history unrewritten)
     applyMapping(readFiles(spark, dir, files,
-      mergeSchema || !state.isEmpty), state)
+      mergeSchema || !state.mappingEmpty), state)
   }
 
   /** `data/cN-uuid/part-x.parquet` from `_metadata.file_path`: the last
@@ -743,9 +752,9 @@ object Gvt {
   def readPrunedMulti(spark: SparkSession, dir: String,
       ranges: Seq[(String, Double, Double)], asOf: Option[Int] = None)
       : (DataFrame, Int, Int) = {
-    val files = snapshot(dir, asOf)
-    // range columns are LOGICAL; manifest stats key PHYSICAL names
-    val state = mappingAt(dir, asOf)
+    // one walk for files + state; range columns are LOGICAL, manifest
+    // stats key PHYSICAL names
+    val (files, state) = resolveManifest(dir, asOf)
     val kept = files.filter { f =>
       ranges.forall { case (column, lo, hi) =>
         val physical = state.physicalOf(column)
@@ -762,7 +771,7 @@ object Gvt {
         // all files pruned: preserve schema from any file, return empty
         applyMapping(
           spark.read.parquet(s"$dir/${files.head.path}").limit(0), state)
-      else applyMapping(readFiles(spark, dir, kept, !state.isEmpty), state)
+      else applyMapping(readFiles(spark, dir, kept, !state.mappingEmpty), state)
     val filtered = ranges.foldLeft(df) { case (d, (column, lo, hi)) =>
       d.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
     }
@@ -907,8 +916,33 @@ object Gvt {
       statsCols.map(state.physicalOf), v)
     while (!tryPublish(dir, GvtCommit(v, "append", adds, Nil), spark)) {
       v = latestVersion(dir) + 1
+      // losing the publish race means SOMETHING committed since our
+      // state snapshot — if it declared a check our in-write gate never
+      // saw, the staged files must pass it before we may land (r11
+      // review finding: the addCheck/append TOCTOU)
+      validateLateChecks(spark, dir, adds, state)
     }
     v
+  }
+
+  /** Probe staged (uncommitted) files against checks declared AFTER the
+    * writer's state snapshot — the publish-retry gate of [[append]] /
+    * [[appendTxn]]. Throws instead of committing bad rows; the staged
+    * files become orphans (vacuum reaps them). */
+  private def validateLateChecks(spark: SparkSession, dir: String,
+      adds: Seq[GvtFile], snapshotState: GvtSchemaState): Unit = {
+    val now = mappingAt(dir)
+    val late = now.checkMap.toSet -- snapshotState.checkMap.toSet
+    if (late.nonEmpty) {
+      val staged = applyMapping(readFiles(spark, dir, adds), now)
+      late.foreach { case (name, pred) =>
+        require(staged.filter(!coalesce(expr(pred), lit(true)))
+          .limit(1).count() == 0,
+          s"GVT at $dir: check '$name' ($pred) was declared while this " +
+            "append was in flight and its rows violate it — nothing " +
+            "was committed")
+      }
+    }
   }
 
   /** The commit doc at `v` — the streaming source's per-version feed
@@ -974,6 +1008,9 @@ object Gvt {
       if (tryPublish(dir, GvtCommit(v, "append", adds, Nil, txnId), spark))
         return Some(v)
       v = latestVersion(dir) + 1
+      // same TOCTOU gate as append: a check declared since our state
+      // snapshot must pass against the staged files before we land
+      validateLateChecks(spark, dir, adds, txnState)
     }
     None // unreachable
   }
@@ -1687,11 +1724,17 @@ object Gvt {
       // so the branch's audit still describes what publishing produces
       // — and a post-fork CHECK is re-validated by the gate below
       // anyway. Only a parent DATA advance invalidates a rewrite audit.
-      val parentDataAdvanced = ((base + 1) to head).exists { v =>
-        val c = commitAt(dir, v)
-        c.adds.nonEmpty || c.removes.nonEmpty
+      // Evaluated ONLY for non-append branches (an append-only branch
+      // lands on any head — and its fork may sit below the parent's
+      // vacuum floor, where these docs no longer exist); a MISSING doc
+      // can't be proven schema-only, so it counts as a data advance.
+      def parentDataAdvanced = ((base + 1) to head).exists { v =>
+        !Files.exists(commitPath(dir, v)) || {
+          val c = commitAt(dir, v)
+          c.adds.nonEmpty || c.removes.nonEmpty
+        }
       }
-      if (parentDataAdvanced && !appendOnly)
+      if (!appendOnly && parentDataAdvanced)
         throw new java.util.ConcurrentModificationException(
           s"GVT $dir: advanced $base -> $head since branch '$name' forked " +
             "and the branch holds non-append commits; re-audit on a fresh branch")
@@ -1743,15 +1786,24 @@ object Gvt {
       // DV-aware), never the table.
       val parentChecks = mappingAt(dir, Some(head))
       if (parentChecks.checkMap.nonEmpty && adds.nonEmpty) {
-        val violated = parentChecks.checkMap.filter { case (_, pred) =>
-          readFiles(spark, dir, adds)
-            .filter(!coalesce(expr(pred), lit(true))).limit(1).count() > 0
-        }
-        if (violated.nonEmpty)
+        // checks speak LOGICAL names; the files store physical ones —
+        // alias first, exactly like the in-write enforcement path.
+        // ONE combined pass probes all checks (any-violation), and only
+        // the rare blocked path pays per-check scans to NAME the
+        // culprits in the error.
+        def added = applyMapping(readFiles(spark, dir, adds), parentChecks)
+        val preds = parentChecks.checkMap.values
+          .map(p => !coalesce(expr(p), lit(true))).reduce(_ || _)
+        if (added.filter(preds).limit(1).count() > 0) {
+          val violated = parentChecks.checkMap.filter { case (_, pred) =>
+            added.filter(!coalesce(expr(pred), lit(true)))
+              .limit(1).count() > 0
+          }
           throw new IllegalStateException(
             s"GVT $dir: branch '$name' publish BLOCKED — its rows violate " +
               s"parent check(s) ${violated.keys.mkString(", ")}; audit the " +
               "branch (delete the violating rows) and publish again")
+        }
       }
       val v = head + 1
       if (!tryPublish(dir, GvtCommit(v, "publish", adds, removes), spark))

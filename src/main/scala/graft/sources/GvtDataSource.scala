@@ -204,7 +204,7 @@ object GvtFileIndex {
       s"GVT at $dir holds deletion vectors (MoR snapshot) — the gvt " +
         "connector's plain parquet scan would resurrect deleted rows; " +
         "read via Gvt.read (DV anti-join) or absorbDeletes first")
-    require(Gvt.mappingAt(dir, asOf).isEmpty,
+    require(Gvt.mappingAt(dir, asOf).mappingEmpty,
       s"GVT at $dir has active column mapping (renamed/dropped " +
         "columns) — the connector's stock parquet scan would serve " +
         "PHYSICAL names; read via Gvt.read until the mapping is wired " +

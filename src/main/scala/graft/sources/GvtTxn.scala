@@ -135,7 +135,10 @@ object GvtTxn {
     * None). None if the table was never pinned. */
   def tableVersion(txnDir: String, tableDir: String,
       asOf: Option[Int] = None): Option[Int] = {
-    val v = asOf.getOrElse(latestVersion(txnDir))
+    val head = latestVersion(txnDir)
+    val v = asOf.getOrElse(head)
+    require(v <= head,
+      s"GvtTxn at $txnDir has no version $v (head is $head)")
     if (v < 0) None else docAt(txnDir, v).tables.get(tableDir)
   }
 

@@ -140,6 +140,20 @@ class GvtColMapSpec extends GraftSuite {
     }
   }
 
+  test("rename may not shadow another column's physical slot (r11 review finding)") {
+    val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.renameColumn(spark, dir, "k", "id")
+    // 'k' is no longer a logical name, but it IS the physical slot of
+    // 'id' — renaming v→k would make writes of 'k' ambiguous and the
+    // applyMapping rename chain order-dependent
+    val e = intercept[IllegalArgumentException] {
+      Gvt.renameColumn(spark, dir, "v", "k")
+    }
+    assert(e.getMessage.contains("physical storage slot"))
+    assert(Gvt.read(spark, dir).columns.toSeq == Seq("id", "v", "tag"))
+  }
+
   test("rename back to the physical name clears the mapping entry") {
     val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
     Gvt.append(spark, dir, slab(0, 10), Seq("k"))

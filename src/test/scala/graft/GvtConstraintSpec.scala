@@ -84,6 +84,44 @@ class GvtConstraintSpec extends GraftSuite {
     assert(Gvt.read(spark, dir).count() == 100)
   }
 
+  test("checks survive the checkpoint cadence AND vacuum (r11 review finding)") {
+    val dir = Files.createTempDirectory("gvt-ck-").toString + "/t"
+    Gvt.append(spark, dir, slab(1, 50), Seq("k"))
+    Gvt.addCheck(spark, dir, "k_positive", "k > 0")
+    // cross the checkpoint cadence: the ckpt at v10+ must CARRY the
+    // checks-only state (pre-fix it serialized schema = null and the
+    // constraint silently vanished from resolution)
+    (0 until 12).foreach(i =>
+      Gvt.append(spark, dir, slab(100 + i * 10, 110 + i * 10), Seq("k")))
+    val e = intercept[Exception] { Gvt.append(spark, dir, slab(-1, 0), Seq("k")) }
+    assert(e.getMessage.contains("k_positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("k_positive")),
+      s"check lost after checkpoint: ${e.getMessage}")
+    // vacuum deletes the addCheck commit doc itself; the floor ckpt
+    // must still serve the constraint
+    Gvt.vacuum(dir, Gvt.latestVersion(dir), graceMs = 0L)
+    val e2 = intercept[Exception] { Gvt.append(spark, dir, slab(-1, 0), Seq("k")) }
+    assert(e2.getMessage.contains("k_positive") ||
+      Option(e2.getCause).exists(_.getMessage.contains("k_positive")),
+      s"check lost after vacuum: ${e2.getMessage}")
+  }
+
+  test("WAP gate aliases physical files to logical names on a mapped table") {
+    val dir = Files.createTempDirectory("gvt-ck-").toString + "/t"
+    Gvt.append(spark, dir, slab(1, 50), Seq("k"))
+    Gvt.renameColumn(spark, dir, "v", "value")
+    Gvt.addCheck(spark, dir, "value_nonneg", "value >= 0")
+    val b = Gvt.createBranch(spark, dir, "drop")
+    // post-rename appends speak the LOGICAL name
+    Gvt.append(spark, b,
+      slab(50, 60).withColumnRenamed("v", "value"), Seq("k")) // all valid
+    // pre-fix: the gate read PHYSICAL columns and expr("value >= 0")
+    // failed to resolve, aborting a publish that must succeed
+    Gvt.publishBranch(spark, dir, "drop")
+    Gvt.dropBranch(dir, "drop")
+    assert(Gvt.read(spark, dir).count() == 59)
+  }
+
   test("a check pins its columns: rename/drop of a referenced column refuses") {
     val dir = Files.createTempDirectory("gvt-ck-").toString + "/t"
     Gvt.append(spark, dir, slab(1, 10), Seq("k"))

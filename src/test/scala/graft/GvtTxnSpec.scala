@@ -94,5 +94,11 @@ class GvtTxnSpec extends GraftSuite {
     // time travel across txn versions stays consistent
     assert(GvtTxn.read(spark, base, t1, asOf = Some(0)).count() == 20)
     assert(GvtTxn.tableVersion(base, t2, asOf = Some(0)).isEmpty)
+    // asOf above the head fails with the curated error, not a raw
+    // NoSuchFileException from the doc read (r11 review finding)
+    val e = intercept[IllegalArgumentException] {
+      GvtTxn.tableVersion(base, t1, asOf = Some(99))
+    }
+    assert(e.getMessage.contains("no version 99"))
   }
 }
