@@ -460,19 +460,6 @@ object Gvt {
           s"($pred) — drop the check first")
     }
 
-  /** Guard for rewrite ops not yet wired through the mapping: loud
-    * refusal beats silently matching predicates against physical names. */
-  private def requireNoMapping(dir: String, op: String): Unit = {
-    val s = mappingAt(dir)
-    // mappingEmpty, not isEmpty: CHECK constraints alone never block a
-    // rewrite (deletes only remove rows; merge enforces on its source)
-    require(s.mappingEmpty,
-      s"GVT at $dir has active column mapping (renames=${s.renames}, " +
-        s"drops=${s.drops}) — $op is not yet mapping-aware; run it " +
-        "before the rename/drop, or address columns by rewriting the " +
-        "table under the new schema")
-  }
-
   // --------------------------------------------------------------------
   // MANIFEST AS A DATAFRAME — the 100 TB path. A 100 TB table at 128 MB
   // a file is ~10⁶ manifest entries; [[snapshot]]'s driver Seq is fine
@@ -1089,27 +1076,32 @@ object Gvt {
 
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
-    requireNoMapping(dir, "merge")
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     if (source.isEmpty) return base // no-op: nothing to upsert
-    // new rows must pass the table's checks; survivor rows were
-    // validated by the commit that wrote them (mapping is refused
-    // above, so state here is checks-only)
-    val source1 = enforceChecks(source, mappingAt(dir, Some(base)))
+    // MAPPING-AWARE (logical in, logical ops, physical out): the source
+    // and the key speak logical names; new rows must pass the table's
+    // checks (survivor rows were validated by the commit that wrote
+    // them); the stats probe and the write run on physical names
+    val state = mappingAt(dir, Some(base))
+    val source1 = enforceChecks(source, state)
+    val keyP = state.physicalOf(key)
     val srcKeys = source1.select(col(key)).distinct()
-    val touchedFiles = filesContaining(spark, dir, files, srcKeys, key)
+    val touchedFiles = filesContaining(spark, dir, files,
+      srcKeys.withColumnRenamed(key, keyP), keyP)
     val rewritten =
       if (touchedFiles.isEmpty) source1
       else {
-        val touchedDf = readFiles(spark, dir, touchedFiles)
+        val touchedDf = applyMapping(
+          readFiles(spark, dir, touchedFiles, !state.mappingEmpty), state)
         // restore the file schema order (using-join puts the key first)
         touchedDf.join(srcKeys, Seq(key), "left_anti")
           .select(touchedDf.columns.map(col): _*)
           .unionByName(source1)
       }
     val v = base + 1
-    val adds = writeData(spark, dir, rewritten, statsCols, v)
+    val adds = writeData(spark, dir, toPhysical(rewritten, state),
+      statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
         GvtCommit(v, "merge", adds, touchedFiles.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
@@ -1125,14 +1117,17 @@ object Gvt {
     * lists) and stays distributed end to end. */
   def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
       key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
-    requireNoMapping(dir, "deleteKeys")
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     if (keys.isEmpty) return base
+    val state = mappingAt(dir, Some(base))
+    val keyP = state.physicalOf(key)
     val srcKeys = keys.select(col(key)).distinct()
-    val touchedFiles = filesContaining(spark, dir, files, srcKeys, key)
+    val touchedFiles = filesContaining(spark, dir, files,
+      srcKeys.withColumnRenamed(key, keyP), keyP)
     if (touchedFiles.isEmpty) return base
-    val touchedDf = readFiles(spark, dir, touchedFiles)
+    val touchedDf = applyMapping(
+      readFiles(spark, dir, touchedFiles, !state.mappingEmpty), state)
     // using-join reorders the key column first; restore the file schema
     // order so rewritten files stay column-order-stable
     val kept = touchedDf.join(srcKeys, Seq(key), "left_anti")
@@ -1140,7 +1135,8 @@ object Gvt {
     val v = base + 1
     val adds =
       if (kept.isEmpty) Nil
-      else writeData(spark, dir, kept, statsCols, v)
+      else writeData(spark, dir, toPhysical(kept, state),
+        statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
         GvtCommit(v, "delete", adds, touchedFiles.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
@@ -1153,10 +1149,13 @@ object Gvt {
     * predicate's columns). Aborts on concurrent commit. */
   def delete(spark: SparkSession, dir: String, predicate: Column,
       statsCols: Seq[String]): Int = rmwRetry(spark) {
-    requireNoMapping(dir, "delete")
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
-    val touched: Set[String] = readFilesWithId(spark, dir, files)
+    // the predicate speaks LOGICAL names; the row-identity metadata
+    // columns pass through applyMapping untouched
+    val state = mappingAt(dir, Some(base))
+    val touched: Set[String] = applyMapping(
+      readFilesWithId(spark, dir, files, !state.mappingEmpty), state)
       .filter(predicate)
       .select("_gvt_file").distinct()
       .collect().map(r => r.getString(0)).toSet
@@ -1166,12 +1165,14 @@ object Gvt {
     // KEEP rows where it is false OR NULL. A bare !predicate would turn
     // null into null and silently drop non-matching rows of any
     // nullable column — coalesce to false before negating.
-    val kept = readFiles(spark, dir, touchedFiles)
+    val kept = applyMapping(
+      readFiles(spark, dir, touchedFiles, !state.mappingEmpty), state)
       .filter(!coalesce(predicate, lit(false)))
     val v = base + 1
     val adds =
       if (kept.isEmpty) Nil
-      else writeData(spark, dir, kept, statsCols, v)
+      else writeData(spark, dir, toPhysical(kept, state),
+        statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
         GvtCommit(v, "delete", adds, touchedFiles.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
@@ -1198,11 +1199,14 @@ object Gvt {
     * commit (read-modify-write, same as merge/delete). */
   def deleteWhereDV(spark: SparkSession, dir: String, predicate: Column)
       : Int = rmwRetry(spark) {
-    requireNoMapping(dir, "deleteWhereDV")
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     val v = base + 1
-    val matches = readFilesWithId(spark, dir, files)
+    // predicate on logical names; the sidecar stores (file, pos) only,
+    // so the mapping never touches what gets written
+    val state = mappingAt(dir, Some(base))
+    val matches = applyMapping(
+      readFilesWithId(spark, dir, files, !state.mappingEmpty), state)
       .filter(predicate)
       .select(col("_gvt_file"), col("_gvt_pos"))
     val sub = f"data/dv$v%d-${UUID.randomUUID().toString.take(8)}"
@@ -1232,16 +1236,19 @@ object Gvt {
   def absorbDeletes(spark: SparkSession, dir: String,
       minDeletedFraction: Double, statsCols: Seq[String]): Int =
       rmwRetry(spark) {
-    requireNoMapping(dir, "absorbDeletes")
     val base = latestVersion(dir)
     val files = snapshot(dir, Some(base))
     val doomed = files.filter(f =>
       dvOf(f).nonEmpty && f.dvRows >= f.rows * minDeletedFraction)
     if (doomed.isEmpty) return base
-    val live = readFiles(spark, dir, doomed)
+    // content-preserving rewrite: stays PHYSICAL end to end (no alias
+    // round-trip); only the caller's stats column names translate
+    val state = mappingAt(dir, Some(base))
+    val live = readFiles(spark, dir, doomed, !state.mappingEmpty)
     val v = base + 1
     val adds =
-      if (live.isEmpty) Nil else writeData(spark, dir, live, statsCols, v)
+      if (live.isEmpty) Nil
+      else writeData(spark, dir, live, statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
         GvtCommit(v, "absorb", adds, doomed.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
@@ -1259,17 +1266,20 @@ object Gvt {
     val small = files.filter(_.rows < smallRows)
     if (small.size <= targetFiles) return base // nothing to gain
     // DV-aware: compaction ABSORBS deletion vectors — the rewritten
-    // files carry no dv entries, so the vectors die with the removes
-    val smallDf = readFiles(spark, dir, small)
+    // files carry no dv entries, so the vectors die with the removes.
+    // Physical end to end; caller stats names translate.
+    val state = mappingAt(dir, Some(base))
+    val statsP = statsCols.map(state.physicalOf)
+    val smallDf = readFiles(spark, dir, small, !state.mappingEmpty)
     // explicit file-count control, range-clustered when stats exist so
     // compaction REPAIRS zone-map locality rather than destroying it
     val packed =
-      if (statsCols.nonEmpty)
-        smallDf.repartitionByRange(targetFiles, statsCols.map(col): _*)
-          .sortWithinPartitions(statsCols.map(col): _*)
+      if (statsP.nonEmpty)
+        smallDf.repartitionByRange(targetFiles, statsP.map(col): _*)
+          .sortWithinPartitions(statsP.map(col): _*)
       else smallDf.repartition(targetFiles)
     val v = base + 1
-    val adds = writeData(spark, dir, packed, statsCols, v, cluster = false)
+    val adds = writeData(spark, dir, packed, statsP, v, cluster = false)
     if (!tryPublish(dir, GvtCommit(v, "compact", adds, small.map(_.path)), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; compact read set stale")

@@ -99,27 +99,51 @@ class GvtColMapSpec extends GraftSuite {
       "mapping lost with the vacuumed schema commit — checkpoint must carry it")
   }
 
-  test("everything not mapping-aware refuses loudly") {
+  test("rewrite ops speak logical names on a mapped table") {
     val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
     Gvt.append(spark, dir, slab(0, 100), Seq("k"))
     Gvt.renameColumn(spark, dir, "v", "value")
     Gvt.dropColumn(spark, dir, "tag")
-    // rewrite ops
-    val e1 = intercept[IllegalArgumentException] {
-      Gvt.delete(spark, dir, col("value") > 10L, Seq("k"))
-    }
-    assert(e1.getMessage.contains("column mapping"))
-    intercept[IllegalArgumentException] {
-      Gvt.merge(spark, dir, slab(0, 1), "k", Seq("k"))
-    }
-    intercept[IllegalArgumentException] {
-      Gvt.deleteWhereDV(spark, dir, col("k") === 1L)
-    }
+    // CoW delete by logical predicate
+    Gvt.delete(spark, dir, col("value") > 900L, Seq("k"))
+    assert(Gvt.read(spark, dir).count() == 91)
+    // MoR delete (DV) by logical predicate, then absorb
+    Gvt.deleteWhereDV(spark, dir, col("value") === 0L)
+    assert(Gvt.read(spark, dir).count() == 90)
+    Gvt.absorbDeletes(spark, dir, 0.0, Seq("k"))
+    assert(Gvt.read(spark, dir).count() == 90)
+    assert(Gvt.snapshot(dir).forall(f => Option(f.dv).forall(_.isEmpty)))
+    // merge by logical key with a logical-schema source; the rewritten
+    // files must STAY physically named (v on disk, value at the face)
+    import spark.implicits._
+    Gvt.merge(spark, dir,
+      Seq((5L, 5000L), (200L, 2000L)).toDF("k", "value"), "k", Seq("k"))
+    val head = Gvt.read(spark, dir)
+    assert(head.columns.toSeq == Seq("k", "value"))
+    assert(head.filter(col("k") === 5L).head.getLong(1) == 5000L)
+    assert(head.count() == 91) // 90 + 1 insert
+    assert(Gvt.snapshot(dir).forall(_.min.keySet.forall(_ == "k")),
+      "manifest stats keyed logically after a mapped rewrite")
+    // deleteKeys by logical key column
+    Gvt.deleteKeys(spark, dir, Seq(200L).toDF("k"), "k", Seq("k"))
+    assert(Gvt.read(spark, dir).count() == 90)
+    // compact survives the mapping too
+    Gvt.compact(spark, dir, smallRows = 1000L, targetFiles = 1, Seq("value"))
+    assert(Gvt.read(spark, dir).count() == 90)
+    assert(Gvt.read(spark, dir).columns.toSeq == Seq("k", "value"))
+  }
+
+  test("what STAYS refused on a mapped table refuses loudly") {
+    val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 100), Seq("k"))
+    Gvt.renameColumn(spark, dir, "v", "value")
+    Gvt.dropColumn(spark, dir, "tag")
     // the DSv2 connector (stock parquet scan would serve physical names)
     val e2 = intercept[Exception] {
       spark.read.format("gvt").option("path", dir).load().count()
     }
     assert(e2.getMessage.contains("column mapping"))
+    import spark.implicits._
     // appends that would corrupt the mapping
     intercept[IllegalArgumentException] { // dropped column resurrected
       Gvt.append(spark, dir,
