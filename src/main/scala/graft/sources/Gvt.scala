@@ -394,6 +394,10 @@ object Gvt {
           s"${logicals.mkString(", ")})")
       require(!logicals.contains(newName),
         s"GVT at $dir already has a column '$newName'")
+      require(!newName.startsWith("_gvt_"),
+        s"GVT at $dir: '_gvt_' names are reserved for row identity " +
+          "(a rename onto them would collide with the metadata columns " +
+          "every rewrite op injects)")
       requireUnreferenced(state, oldName, "rename")
       val p = state.physicalOf(oldName)
       // a logical name equal to ANOTHER column's PHYSICAL storage slot
@@ -1077,13 +1081,12 @@ object Gvt {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
-    val files = snapshot(dir, Some(base))
+    val (files, state) = resolveManifest(dir, Some(base))
     if (source.isEmpty) return base // no-op: nothing to upsert
     // MAPPING-AWARE (logical in, logical ops, physical out): the source
     // and the key speak logical names; new rows must pass the table's
     // checks (survivor rows were validated by the commit that wrote
     // them); the stats probe and the write run on physical names
-    val state = mappingAt(dir, Some(base))
     val source1 = enforceChecks(source, state)
     val keyP = state.physicalOf(key)
     val srcKeys = source1.select(col(key)).distinct()
@@ -1092,8 +1095,14 @@ object Gvt {
     val rewritten =
       if (touchedFiles.isEmpty) source1
       else {
+        // REWRITE reads always merge footers (bounded by the touched
+        // set, never the table): schema-evolved files sampled wrong
+        // would silently drop an evolved column from the survivors
+        // (r11 second-review finding — pre-existing for unmapped
+        // evolved tables). Production pins the unified schema in table
+        // metadata instead of re-merging.
         val touchedDf = applyMapping(
-          readFiles(spark, dir, touchedFiles, !state.mappingEmpty), state)
+          readFiles(spark, dir, touchedFiles, mergeSchema = true), state)
         // restore the file schema order (using-join puts the key first)
         touchedDf.join(srcKeys, Seq(key), "left_anti")
           .select(touchedDf.columns.map(col): _*)
@@ -1118,16 +1127,16 @@ object Gvt {
   def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
       key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
-    val files = snapshot(dir, Some(base))
+    val (files, state) = resolveManifest(dir, Some(base))
     if (keys.isEmpty) return base
-    val state = mappingAt(dir, Some(base))
     val keyP = state.physicalOf(key)
     val srcKeys = keys.select(col(key)).distinct()
     val touchedFiles = filesContaining(spark, dir, files,
       srcKeys.withColumnRenamed(key, keyP), keyP)
     if (touchedFiles.isEmpty) return base
+    // rewrite read: always merge footers (see merge)
     val touchedDf = applyMapping(
-      readFiles(spark, dir, touchedFiles, !state.mappingEmpty), state)
+      readFiles(spark, dir, touchedFiles, mergeSchema = true), state)
     // using-join reorders the key column first; restore the file schema
     // order so rewritten files stay column-order-stable
     val kept = touchedDf.join(srcKeys, Seq(key), "left_anti")
@@ -1150,10 +1159,9 @@ object Gvt {
   def delete(spark: SparkSession, dir: String, predicate: Column,
       statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
-    val files = snapshot(dir, Some(base))
+    val (files, state) = resolveManifest(dir, Some(base))
     // the predicate speaks LOGICAL names; the row-identity metadata
     // columns pass through applyMapping untouched
-    val state = mappingAt(dir, Some(base))
     val touched: Set[String] = applyMapping(
       readFilesWithId(spark, dir, files, !state.mappingEmpty), state)
       .filter(predicate)
@@ -1165,8 +1173,9 @@ object Gvt {
     // KEEP rows where it is false OR NULL. A bare !predicate would turn
     // null into null and silently drop non-matching rows of any
     // nullable column — coalesce to false before negating.
+    // rewrite read: always merge footers (see merge)
     val kept = applyMapping(
-      readFiles(spark, dir, touchedFiles, !state.mappingEmpty), state)
+      readFiles(spark, dir, touchedFiles, mergeSchema = true), state)
       .filter(!coalesce(predicate, lit(false)))
     val v = base + 1
     val adds =
@@ -1200,11 +1209,10 @@ object Gvt {
   def deleteWhereDV(spark: SparkSession, dir: String, predicate: Column)
       : Int = rmwRetry(spark) {
     val base = latestVersion(dir)
-    val files = snapshot(dir, Some(base))
+    val (files, state) = resolveManifest(dir, Some(base))
     val v = base + 1
     // predicate on logical names; the sidecar stores (file, pos) only,
     // so the mapping never touches what gets written
-    val state = mappingAt(dir, Some(base))
     val matches = applyMapping(
       readFilesWithId(spark, dir, files, !state.mappingEmpty), state)
       .filter(predicate)
@@ -1237,14 +1245,17 @@ object Gvt {
       minDeletedFraction: Double, statsCols: Seq[String]): Int =
       rmwRetry(spark) {
     val base = latestVersion(dir)
-    val files = snapshot(dir, Some(base))
+    val (files, state) = resolveManifest(dir, Some(base))
     val doomed = files.filter(f =>
       dvOf(f).nonEmpty && f.dvRows >= f.rows * minDeletedFraction)
     if (doomed.isEmpty) return base
-    // content-preserving rewrite: stays PHYSICAL end to end (no alias
-    // round-trip); only the caller's stats column names translate
-    val state = mappingAt(dir, Some(base))
-    val live = readFiles(spark, dir, doomed, !state.mappingEmpty)
+    // physical rewrite (no alias round-trip; caller stat names
+    // translate), with two invariants every rewrite op shares: footers
+    // always merge (see merge), and RETIRED physical slots are purged
+    // — a dropped column must not ride a maintenance rewrite past the
+    // vacuum horizon (the GDPR story; r11 second-review finding)
+    val live = state.drops.foldLeft(
+      readFiles(spark, dir, doomed, mergeSchema = true))(_.drop(_))
     val v = base + 1
     val adds =
       if (live.isEmpty) Nil
@@ -1262,15 +1273,16 @@ object Gvt {
   def compact(spark: SparkSession, dir: String, smallRows: Long,
       targetFiles: Int, statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
-    val files = snapshot(dir, Some(base))
+    val (files, state) = resolveManifest(dir, Some(base))
     val small = files.filter(_.rows < smallRows)
     if (small.size <= targetFiles) return base // nothing to gain
     // DV-aware: compaction ABSORBS deletion vectors — the rewritten
     // files carry no dv entries, so the vectors die with the removes.
-    // Physical end to end; caller stats names translate.
-    val state = mappingAt(dir, Some(base))
+    // Physical end to end; caller stats names translate; footers merge
+    // and retired slots purge, like every rewrite (see absorbDeletes).
     val statsP = statsCols.map(state.physicalOf)
-    val smallDf = readFiles(spark, dir, small, !state.mappingEmpty)
+    val smallDf = state.drops.foldLeft(
+      readFiles(spark, dir, small, mergeSchema = true))(_.drop(_))
     // explicit file-count control, range-clustered when stats exist so
     // compaction REPAIRS zone-map locality rather than destroying it
     val packed =

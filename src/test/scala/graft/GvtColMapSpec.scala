@@ -9,12 +9,14 @@ import graft.sources.Gvt
 
 /** Column mapping (rename/drop by stable physical name, history never
   * rewritten): schema commits move ZERO data bytes, files stay
-  * physically named forever (appends translate logical → physical on
-  * the way in), every version reads under its own names, pruning
-  * translates logical range columns to physical manifest stats, the
-  * mapping survives vacuum via the checkpoint, and everything not yet
-  * mapping-aware refuses loudly instead of matching physical names
-  * silently.
+  * physically named forever (appends AND every rewrite op translate
+  * logical → physical on the way in), every version reads under its
+  * own names, pruning translates logical range columns to physical
+  * manifest stats, the mapping survives vacuum via the checkpoint,
+  * rewrites purge retired physical slots, and the few things that
+  * cannot be served (the stock-parquet DSv2 connector, mapping-
+  * corrupting appends/renames) refuse loudly instead of matching
+  * physical names silently.
   */
 class GvtColMapSpec extends GraftSuite {
   import spark.implicits._
@@ -131,6 +133,55 @@ class GvtColMapSpec extends GraftSuite {
     Gvt.compact(spark, dir, smallRows = 1000L, targetFiles = 1, Seq("value"))
     assert(Gvt.read(spark, dir).count() == 90)
     assert(Gvt.read(spark, dir).columns.toSeq == Seq("k", "value"))
+    // the LOGICAL name must never appear as a manifest stats key —
+    // stats are physically keyed no matter which op wrote the file
+    assert(Gvt.snapshot(dir).forall(f => !f.min.keySet.contains("value")),
+      s"logical name leaked into manifest stats: ${Gvt.snapshot(dir).map(_.min)}")
+  }
+
+  test("merge on a RENAMED key: probe and stats run on the physical slot") {
+    val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 100), Seq("v"))
+    Gvt.renameColumn(spark, dir, "v", "value")
+    // key = the renamed LOGICAL name; the manifest stats (and the
+    // file-pruning probe) live under the physical slot 'v' — a
+    // regression matching logical keys against physical stats would
+    // mis-prune or crash here
+    Gvt.merge(spark, dir,
+      Seq((5L, 50L, "m"), (999000L, 999L, "m")).toDF("k", "value", "tag"),
+      "value", Seq("value"))
+    val head = Gvt.read(spark, dir)
+    assert(head.count() == 101) // 100 rows, value=50 replaced, 999 inserted
+    val upserted = head.filter(col("value") === 50L).collect()
+    assert(upserted.length == 1 && upserted.head.getString(2) == "m",
+      "renamed-key upsert did not replace the matched row")
+    assert(head.filter(col("value") === 999L).count() == 1, "insert missed")
+    assert(Gvt.snapshot(dir).forall(f => !f.min.keySet.contains("value")),
+      "manifest stats must key the PHYSICAL name after a renamed-key merge")
+    // and deleteKeys by the renamed key
+    Gvt.deleteKeys(spark, dir, Seq(999L).toDF("value"), "value", Seq("value"))
+    assert(Gvt.read(spark, dir).count() == 100)
+  }
+
+  test("dropped physical slots are PURGED by every rewrite (no ride past vacuum)") {
+    val dir = Files.createTempDirectory("gvt-cm-").toString + "/t"
+    (0 until 3).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 10, i * 10 + 10), Seq("k")))
+    Gvt.dropColumn(spark, dir, "tag")
+    Gvt.compact(spark, dir, smallRows = 1000L, targetFiles = 1, Seq("k"))
+    // the compacted FOOTER must not carry the retired slot: otherwise
+    // dropColumn + compact + vacuum would keep the data invisibly
+    // (the GDPR-erasure story)
+    val live = Gvt.snapshot(dir)
+    assert(live.size == 1)
+    assert(!spark.read.parquet(s"$dir/${live.head.path}")
+      .columns.contains("tag"),
+      "compact carried a dropped column's data into a post-drop file")
+    assert(Gvt.read(spark, dir).count() == 30)
+    // reserved names cannot enter the mapping
+    intercept[IllegalArgumentException] {
+      Gvt.renameColumn(spark, dir, "v", "_gvt_file")
+    }
   }
 
   test("what STAYS refused on a mapped table refuses loudly") {
