@@ -192,6 +192,67 @@ object DevGvtConcurrent {
           s"appends before it — ${if (racedBefore == 0) "head never " +
             "moved, rebase NOT exercised this run"
           else "rebased onto a moved head"}), 15000 rows, no loss")
+
+      // ---- cross-table txn race: two JVMs run GvtTxn transactions ----
+      // over the SAME coordinator + the same two tables — the txn-doc
+      // createLink allocation loop and the per-table MAX-MERGE must
+      // serialize across processes. Each txn tags its rows, so the
+      // exact-outcome check can demand BOTH halves of every published
+      // transaction at the final pinned view.
+      case "txn" =>
+        val writer = args(2).toInt
+        val n = args(3).toInt
+        val t1 = s"$table/t1"
+        val t2 = s"$table/t2"
+        (0 until n).foreach { i =>
+          val tag = writer * 1000 + i
+          val lo = tag.toLong * 100000L
+          graft.sources.GvtTxn.commit(spark, table, Seq(
+            (t1, spark.range(lo, lo + 1000L).toDF("k")
+              .withColumn("tag", lit(tag)), Seq("k")),
+            (t2, spark.range(lo, lo + 100L).toDF("k")
+              .withColumn("tag", lit(tag)), Seq("k"))))
+        }
+        println(s"[gvt-concurrent] txn writer $writer done ($n txns)")
+      case "checktxn" =>
+        val nWriters = args(2).toInt
+        val n = args(3).toInt
+        val t1 = s"$table/t1"
+        val t2 = s"$table/t2"
+        val head = graft.sources.GvtTxn.latestVersion(table)
+        // every commit publishes exactly one doc (losers retry with a
+        // fresh version) — a lost doc means the createLink loop raced
+        assert(head == nWriters * n - 1,
+          s"expected ${nWriters * n} txn docs, head is $head")
+        // per-table pins are MONOTONIC across doc versions (max-merge)
+        (1 to head).foreach { v =>
+          val prev = graft.sources.GvtTxn.docAt(table, v - 1).tables
+          val cur = graft.sources.GvtTxn.docAt(table, v).tables
+          prev.foreach { case (d, pv) =>
+            assert(cur.getOrElse(d, -1) >= pv,
+              s"pin regressed at doc $v: $d ${cur.get(d)} < $pv")
+          }
+        }
+        // the final pinned view holds BOTH halves of EVERY transaction
+        val v1 = graft.sources.GvtTxn.read(spark, table, t1).cache()
+        val v2 = graft.sources.GvtTxn.read(spark, table, t2).cache()
+        assert(v1.count() == nWriters.toLong * n * 1000,
+          s"t1 rows ${v1.count()} != ${nWriters * n * 1000}")
+        assert(v2.count() == nWriters.toLong * n * 100,
+          s"t2 rows ${v2.count()} != ${nWriters * n * 100}")
+        val tags1 = v1.groupBy("tag").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val tags2 = v2.groupBy("tag").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (0 until nWriters).flatMap(w => (0 until n).map(w * 1000 + _))
+          .foreach { tag =>
+            assert(tags1.get(tag).contains(1000L) &&
+              tags2.get(tag).contains(100L),
+              s"txn $tag is PARTIAL at the final view: " +
+                s"t1=${tags1.get(tag)} t2=${tags2.get(tag)}")
+          }
+        println(s"[gvt-concurrent] TXN CHECK OK: ${head + 1} docs, " +
+          "pins monotonic, every transaction whole at the final view")
     }
     spark.stop()
   }

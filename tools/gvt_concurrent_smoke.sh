@@ -61,3 +61,18 @@ wait $W0; wait $W1
 java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checkwap "$TABLE3"
 rm -rf "$(dirname "$TABLE3")"
 echo "[smoke] PASS"
+
+# Cross-table txn phase: two JVMs run GvtTxn transactions over the same
+# coordinator + two shared tables — the txn-doc createLink allocation
+# and the per-table max-merge must serialize across processes; the
+# check demands BOTH halves of every transaction at the final view.
+TABLE4="$(mktemp -d /dev/shm/gvt_xjvm.XXXXXX)/txnbase"
+echo "[smoke] txn base: $TABLE4"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent txn "$TABLE4" 0 4 &
+T0=$!
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent txn "$TABLE4" 1 4 &
+T1=$!
+wait $T0; wait $T1
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checktxn "$TABLE4" 2 4
+rm -rf "$(dirname "$TABLE4")"
+echo "[smoke] txn PASS"
