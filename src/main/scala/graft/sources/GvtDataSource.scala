@@ -63,21 +63,43 @@ object GvtDataSource {
   /** (table dir, resolved snapshot version). `versionAsOf` wins over
     * `timestampAsOf` if both are passed (Delta raises there; one option
     * is the documented contract, the precedence is belt-and-braces).
-    * Timestamps accept epoch millis or `yyyy-MM-dd HH:mm:ss[.f]`. */
+    * Timestamps accept epoch millis or `yyyy-MM-dd HH:mm:ss[.f]`.
+    *
+    * `txnDir` reads the table THROUGH the [[GvtTxn]] cross-table view:
+    * the version is whatever the coordinator's newest doc pins (or the
+    * doc at `txnVersionAsOf`) — fact and summary read through the same
+    * txnDir can never expose a half-transaction, and the scan still
+    * gets the full Catalyst zone-map pruning. Mutually exclusive with
+    * table-level time travel (two version authorities would be
+    * ambiguous). */
   private[sources] def resolve(
       options: CaseInsensitiveStringMap): (String, Option[Int]) = {
     val dir = options.get("path")
     require(dir != null, "gvt needs a path option (the table directory)")
-    val asOf = Option(options.get("versionAsOf")).map(_.toInt)
-      .orElse(Option(options.get("timestampAsOf")).map { ts =>
-        val ms =
-          if (ts.forall(_.isDigit)) ts.toLong
-          else java.sql.Timestamp.valueOf(ts).getTime
-        val v = Gvt.versionAt(dir, ms)
-        require(v >= 0,
-          s"GVT at $dir: no version existed at ts=$ts (table created later)")
-        v
-      })
+    val txnDir = Option(options.get("txnDir"))
+    val tableTravel = options.containsKey("versionAsOf") ||
+      options.containsKey("timestampAsOf")
+    require(txnDir.isEmpty || !tableTravel,
+      "gvt: txnDir pins the version through the transaction view — " +
+        "combine it with txnVersionAsOf, not versionAsOf/timestampAsOf")
+    val asOf = txnDir.map { td =>
+      val txnV = Option(options.get("txnVersionAsOf")).map(_.toInt)
+      GvtTxn.tableVersion(td, dir, txnV).getOrElse(
+        throw new IllegalArgumentException(
+          s"GvtTxn at $td pins no version of $dir" +
+            txnV.map(v => s" at txn version $v").getOrElse("")))
+    }.map(Some(_)).getOrElse {
+      Option(options.get("versionAsOf")).map(_.toInt)
+        .orElse(Option(options.get("timestampAsOf")).map { ts =>
+          val ms =
+            if (ts.forall(_.isDigit)) ts.toLong
+            else java.sql.Timestamp.valueOf(ts).getTime
+          val v = Gvt.versionAt(dir, ms)
+          require(v >= 0,
+            s"GVT at $dir: no version existed at ts=$ts (table created later)")
+          v
+        })
+    }
     (dir, asOf)
   }
 

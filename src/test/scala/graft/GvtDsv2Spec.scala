@@ -97,6 +97,36 @@ class GvtDsv2Spec extends GraftSuite {
     assert(nFilesRead(v1) == 1)
   }
 
+  test("txnDir reads through the GvtTxn view: half-transactions invisible, pruning intact") {
+    val base = Files.createTempDirectory("gvt-dsv2-txn-").toString
+    val fact = s"$base/fact"
+    import graft.sources.GvtTxn
+    GvtTxn.commit(spark, base, Seq(
+      (fact, slab(0, 400), Seq("k"))))
+    // crash: a fact append whose txn doc never landed
+    Gvt.append(spark, fact, slab(400, 800), Seq("k"))
+    def viaTxn(extra: (String, String)*): DataFrame =
+      extra.foldLeft(spark.read.format("gvt")
+        .option("path", fact).option("txnDir", base))(
+        (r, o) => r.option(o._1, o._2)).load()
+    // the orphan commit is invisible through the view...
+    assert(viaTxn().count() == 400)
+    // ...while a direct connector read of the table head sees it
+    assert(spark.read.format("gvt").option("path", fact).load()
+      .count() == 800)
+    // zone-map pruning still rides the pinned snapshot's manifest
+    val df = viaTxn().filter(col("k") >= 50L && col("k") <= 60L)
+    assert(nFilesRead(df) < nFilesRead(viaTxn()) || nFilesRead(viaTxn()) == 1)
+    assert(df.count() == 11)
+    // txnVersionAsOf addresses the COORDINATOR's version axis;
+    // combining txnDir with table-level time travel refuses
+    assert(viaTxn("txnVersionAsOf" -> "0").count() == 400)
+    intercept[Exception] {
+      spark.read.format("gvt").option("path", fact)
+        .option("txnDir", base).option("versionAsOf", "0").load()
+    }
+  }
+
   test("estimateStatistics shrinks with the prune (broadcast sizing input)") {
     val full = fileScans(readGvt()).head
       .estimateStatistics().sizeInBytes().getAsLong
