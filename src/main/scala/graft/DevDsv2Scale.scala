@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Gvt
+
+/** Dev probe: the gvt DSv2 connector's DRIVER-SIDE constant at high
+  * live-file counts. `GvtFileIndex` extends `InMemoryFileIndex`, which
+  * stats every root path at construction — the manifest already knows
+  * the paths (no directory listing), but not the byte sizes the stats
+  * need. This measures that per-file cost so the production note in the
+  * connector's scaladoc ("carry sizes in the manifest, synthesize the
+  * FileStatuses") has a number attached instead of a hunch.
+  *
+  * Usage: runMain graft.DevDsv2Scale [nFiles]
+  * Stages ONE commit holding `nFiles` parquet files (repartition before
+  * write — file count is partition count), then times: (a) a cold
+  * `spark.read.format("gvt").load()` + count, (b) a WHERE-pruned count,
+  * (c) the same pruned read via the library path (readPrunedMulti) as
+  * the no-file-stat control.
+  */
+object DevDsv2Scale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000)
+    val spark = Sessions.local("32", "ERROR")
+    val dir = java.nio.file.Files
+      .createTempDirectory("gvt-dsv2-scale-").toString + "/t"
+    val rows = 100L * n
+    // writeData range-clusters with AQE-coalesced width; pin the width
+    // so the staged table really holds n files in one commit
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try Gvt.append(spark, dir,
+      spark.range(rows).toDF("k").withColumn("v", col("k") * 10),
+      Seq("k"))
+    finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+    val files = Gvt.snapshot(dir).size
+    def time[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"DSV2SCALE files=$files $what%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val cold = time("connector_cold_count") {
+      spark.read.format("gvt").option("path", dir).load().count()
+    }
+    assert(cold == rows)
+    val pruned = time("connector_pruned") {
+      spark.read.format("gvt").option("path", dir).load()
+        .filter(col("k") >= 100L && col("k") <= 250L).count()
+    }
+    assert(pruned == 151L)
+    val warm = time("connector_pruned_warm") {
+      spark.read.format("gvt").option("path", dir).load()
+        .filter(col("k") >= 100L && col("k") <= 250L).count()
+    }
+    assert(warm == 151L)
+    val schemaCost = time("schemaOf_alone") {
+      spark.read.option("mergeSchema", "true")
+        .parquet(Gvt.snapshot(dir).map(f => s"$dir/${f.path}"): _*)
+        .schema.size
+    }
+    println(s"DSV2SCALE schema cols=$schemaCost")
+    val lib = time("library_pruned") {
+      Gvt.readPruned(spark, dir, "k", 100.0, 250.0)._1.count()
+    }
+    assert(lib == 151L)
+    spark.stop()
+  }
+}
