@@ -99,12 +99,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  /** Register `cosine_sim(a, b)` in the session's function registry. */
+  /** Register `cosine_sim(a, b)` in the session's function registry.
+    * Idempotent per session: `createOrReplaceTempFunction` logs a
+    * "replaced a previously registered function" WARN on every
+    * re-registration, and per-key callers were burying the bench
+    * artifact's JSON line under hundreds of them (r11 verdict note). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "scala_udf")
+    Registration.once(spark, "cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+}
+
+/** One guard for every graft temp-function registration: register only
+  * if the name is not already bound in THIS session's registry (a new
+  * session — cross-JVM smoke, test isolation — re-registers cleanly). */
+private[functions] object Registration {
+  def once(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
 }
 
 /** Single-pass `cosine_sim(v, v)`: the optimizer target for the

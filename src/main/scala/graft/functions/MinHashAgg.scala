@@ -88,10 +88,8 @@ case class MinHashAgg(child: Expression,
 }
 
 object MinHashAgg {
-  /** Register `minhash_agg(sh)` on the session. */
+  /** Register `minhash_agg(sh)` on the session (idempotent — see
+    * [[Registration.once]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_agg",
-      exprs => MinHashAgg(exprs(0)),
-      "scala_udf")
+    Registration.once(spark, "minhash_agg", exprs => MinHashAgg(exprs(0)))
 }

@@ -75,10 +75,9 @@ case class SlidingWindows(arr: Expression, winSize: Expression,
 }
 
 object SlidingWindows {
-  /** Register `sliding_windows(arr, size, step)` on the session. */
+  /** Register `sliding_windows(arr, size, step)` on the session
+    * (idempotent — see [[Registration.once]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sliding_windows",
-      exprs => SlidingWindows(exprs(0), exprs(1), exprs(2)),
-      "scala_udf")
+    Registration.once(spark, "sliding_windows",
+      exprs => SlidingWindows(exprs(0), exprs(1), exprs(2)))
 }

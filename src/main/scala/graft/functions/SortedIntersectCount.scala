@@ -119,10 +119,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 object SortedIntersectCount {
   /** Register `sorted_intersect_count(a, b)` as a session SQL function
-    * (callers then reach it via `expr(...)`, the cosine_sim pattern). */
+    * (callers then reach it via `expr(...)`, the cosine_sim pattern;
+    * idempotent — see [[Registration.once]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs(0), exprs(1)),
-      "scala_udf")
+    Registration.once(spark, "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)))
 }

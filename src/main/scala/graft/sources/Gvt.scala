@@ -162,11 +162,19 @@ object Gvt {
       val state = mappingAt(dir)
       require(!state.checkMap.contains(name),
         s"GVT at $dir already has a check named '$name'")
-      val bad = read(spark, dir)
-        .filter(!coalesce(expr(predicate), lit(true))).limit(1).count()
-      require(bad == 0,
-        s"GVT at $dir has existing rows violating '$predicate' — " +
-          "clean the data before declaring the check")
+      // empty snapshot (fresh table, or fully-deleted) ⇒ vacuously
+      // valid: the normal DDL order declares checks BEFORE the first
+      // load, and read()'s nonEmpty require must not forbid it (r11
+      // advisor finding) — the in-write gate enforces from load one
+      val live = if (v == 0) Nil else snapshot(dir)
+      if (live.nonEmpty) {
+        val bad = applyMapping(readFiles(spark, dir, live,
+          !state.mappingEmpty), state)
+          .filter(!coalesce(expr(predicate), lit(true))).limit(1).count()
+        require(bad == 0,
+          s"GVT at $dir has existing rows violating '$predicate' — " +
+            "clean the data before declaring the check")
+      }
       val next = state.copy(checks = state.checkMap + (name -> predicate))
       if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil, schema = next),
         spark)) return v
@@ -1308,17 +1316,35 @@ object Gvt {
     * Requires `toVersion` at or above the vacuum floor — a vacuumed
     * state is gone by design and the snapshot resolution fails loudly.
     * Aborts on concurrent commit. Returns the restore commit's version
-    * (current head if already at that state — no-op). */
+    * (current head if already at that state — no-op).
+    *
+    * TABLE METADATA RESTORES TOO: the restore commit republishes the
+    * TARGET version's schema state (column mapping + CHECK constraints)
+    * whenever it differs from the head's, so a rename/drop/constraint
+    * declared after `toVersion` is rolled back with the data — without
+    * this, restoring past an addCheck would resurrect rows the newer
+    * check forbids while the table still CLAIMED the check (the r11
+    * advisor finding), and a post-restore read would alias the old
+    * files under the NEWER mapping. Both states empty keeps the commit
+    * metadata-free (old wire shape). */
   def restore(spark: SparkSession, dir: String, toVersion: Int): Int =
       rmwRetry(spark) {
     val head = latestVersion(dir)
     require(toVersion <= head, s"restore target $toVersion beyond head $head")
-    val target = snapshot(dir, Some(toVersion))
-    val current = snapshot(dir, Some(head))
-    if (target == current) return head // already there
+    val (target, targetState) = resolveManifest(dir, Some(toVersion))
+    val (current, headState) = resolveManifest(dir, Some(head))
+    // normalize before comparing: checks=null and checks=Map.empty are
+    // the same declared state (the Jackson missing-field contract)
+    def norm(s: GvtSchemaState) = (s.renames, s.drops, s.checkMap)
+    val sameState = norm(targetState) == norm(headState)
+    if (target == current && sameState) return head // already there
+    // EmptyState republished explicitly (non-null) when the head had
+    // declared state: the newest-wins fold needs a doc to override it
+    val schemaOut = if (sameState) null else targetState
     val v = head + 1
     if (!tryPublish(dir,
-        GvtCommit(v, "restore", target, current.map(_.path)), spark))
+        GvtCommit(v, "restore", target, current.map(_.path),
+          schema = schemaOut), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; restore read set stale")
     v
@@ -1488,10 +1514,19 @@ object Gvt {
     * maintenance produces an EMPTY feed, updates surface as a
     * delete+insert pair, and cost is proportional to churn, never table
     * size (an append-only day on a 100 TB table diffs one day's files).
-    * Output carries a `change_type` column ('insert' | 'delete'). */
+    * Output carries a `change_type` column ('insert' | 'delete').
+    *
+    * MAPPING-AWARE: the feed speaks the `toV` snapshot's LOGICAL schema
+    * (the Delta CDF contract — consumers track the table's current
+    * names, so even pre-rename rows surface under the new name).
+    * Without the alias the feed served PHYSICAL column names on a
+    * renamed/dropped table, silently diverging from read()'s schema
+    * (r11 advisor finding); [[GvtStreamSource]]'s cdc mode inherits the
+    * fix. */
   def diff(spark: SparkSession, dir: String, fromV: Int, toV: Int)
       : DataFrame = {
     require(fromV <= toV, s"diff range reversed: $fromV > $toV")
+    val state = mappingAt(dir, Some(toV))
     val a = snapshot(dir, Some(fromV))
     val b = snapshot(dir, Some(toV))
     // file identity includes its deletion vectors: a DV delete leaves
@@ -1504,10 +1539,10 @@ object Gvt {
     val removed = a.filterNot(f => bIds.contains(ident(f)))
     val added = b.filterNot(f => aIds.contains(ident(f)))
     val schemaDonor = (b ++ a).head // require above + snapshot() ⇒ nonEmpty
-    def readOrEmpty(files: Seq[GvtFile]): DataFrame =
+    def readOrEmpty(files: Seq[GvtFile]): DataFrame = applyMapping(
       if (files.isEmpty)
         spark.read.parquet(s"$dir/${schemaDonor.path}").limit(0)
-      else readFiles(spark, dir, files)
+      else readFiles(spark, dir, files, !state.mappingEmpty), state)
     val oldRows = readOrEmpty(removed)
     // align column order by name: rewrites (merge/deleteKeys joins) can
     // produce files whose physical column order differs from older ones,

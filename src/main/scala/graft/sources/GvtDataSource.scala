@@ -50,11 +50,22 @@ class GvtDataSource extends TableProvider with DataSourceRegister {
     GvtDataSource.schemaOf(SparkSession.active,
       GvtDataSource.resolve(options))
 
+  /** The table PINS its version at construction: a no-version load used
+    * to resolve "latest" independently in inferSchema, here, and again
+    * at scan time — a commit landing between resolutions could hand one
+    * query a schema from version N and a file list from N+1 (r11
+    * advisor finding). Now everything downstream (schema served,
+    * GvtFileIndex snapshot, zone-map stats) reads the ONE version
+    * resolved here; the passed `schema` is ignored in favor of the
+    * pinned version's own (the Delta contract — user-supplied schemas
+    * don't override the table's). */
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val (dir, asOf) =
       GvtDataSource.resolve(new CaseInsensitiveStringMap(properties))
-    new GvtTable(dir, asOf, schema)
+    val pinned = asOf.getOrElse(Gvt.latestVersion(dir))
+    new GvtTable(dir, Some(pinned),
+      GvtDataSource.schemaOf(SparkSession.active, (dir, Some(pinned))))
   }
 }
 

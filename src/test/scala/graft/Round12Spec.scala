@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Gvt
+
+/** Round-12 regression tests for the r11 advisor findings:
+  * check-before-first-load, RESTORE's metadata reset, mapping-aware
+  * CDC, and the DSv2 connector's single version resolution.
+  */
+class Round12Spec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def slab(from: Long, until: Long): DataFrame =
+    (from until until).map(k => (k, k * 10)).toDF("k", "v")
+
+  test("addCheck on a table with no commits: declared first, enforced from load one") {
+    val dir = tmpTable("gvt-r12-fresh-")
+    val v = Gvt.addCheck(spark, dir, "k_small", "k < 1000")
+    assert(v == 0, s"first commit should be the schema commit, got $v")
+    // a violating first load fails the job with NOTHING committed
+    intercept[Exception] {
+      Gvt.append(spark, dir, slab(990, 1010), Seq("k"))
+    }
+    assert(Gvt.latestVersion(dir) == 0)
+    // a clean first load lands
+    Gvt.append(spark, dir, slab(0, 100), Seq("k"))
+    assert(Gvt.read(spark, dir).count() == 100)
+  }
+
+  test("addCheck on a fully-deleted table is vacuously valid") {
+    val dir = tmpTable("gvt-r12-empty-")
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.delete(spark, dir, lit(true), Seq("k"))
+    // snapshot is empty — validation must not require a readable frame
+    Gvt.addCheck(spark, dir, "v_pos", "v >= 0")
+    intercept[Exception] {
+      Gvt.append(spark, dir, Seq((1L, -5L)).toDF("k", "v"), Seq("k"))
+    }
+  }
+
+  test("restore resets CHECK constraints to the target version's state") {
+    val dir = tmpTable("gvt-r12-restore-ck-")
+    Gvt.append(spark, dir, slab(0, 100), Seq("k")) // v0: rows 0..99
+    Gvt.delete(spark, dir, col("k") >= 50L, Seq("k")) // v1: only 0..49
+    Gvt.addCheck(spark, dir, "k_small", "k < 50") // v2: valid NOW
+    // restoring to v0 resurrects k>=50 rows — legal ONLY because the
+    // restore also rolls the constraint back (the r11 advisor's
+    // resurrect-violating-rows scenario)
+    Gvt.restore(spark, dir, 0)
+    assert(Gvt.read(spark, dir).count() == 100)
+    assert(Gvt.mappingAt(dir).checkMap.isEmpty,
+      "restore must reset declared checks to the target version's state")
+    // and the pre-restore history still SERVES its own state: v2 keeps
+    // the check in time travel
+    assert(Gvt.mappingAt(dir, Some(2)).checkMap.contains("k_small"))
+    // the now-unconstrained table accepts rows v2 would have refused
+    Gvt.append(spark, dir, slab(100, 110), Seq("k"))
+  }
+
+  test("restore resets column mapping to the target version's state") {
+    val dir = tmpTable("gvt-r12-restore-map-")
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.renameColumn(spark, dir, "v", "value")
+    assert(Gvt.read(spark, dir).columns.toSeq == Seq("k", "value"))
+    Gvt.restore(spark, dir, 0)
+    assert(Gvt.read(spark, dir).columns.toSeq == Seq("k", "v"),
+      "restore must roll the rename back with the data")
+    assert(Gvt.mappingAt(dir).mappingEmpty)
+  }
+
+  test("restore to an identical state is a no-op (no new commit)") {
+    val dir = tmpTable("gvt-r12-restore-noop-")
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    val head = Gvt.latestVersion(dir)
+    assert(Gvt.restore(spark, dir, 0) == head)
+    assert(Gvt.latestVersion(dir) == head)
+  }
+
+  test("diff serves the toV snapshot's LOGICAL schema on a mapped table") {
+    val dir = tmpTable("gvt-r12-cdc-map-")
+    Gvt.append(spark, dir, slab(0, 10), Seq("k")) // v0
+    Gvt.renameColumn(spark, dir, "v", "value") // v1
+    Gvt.append(spark, dir, slab(10, 20)
+      .withColumnRenamed("v", "value"), Seq("k")) // v2
+    val feed = Gvt.diff(spark, dir, 0, 2)
+    assert(feed.columns.toSeq == Seq("k", "value", "change_type"),
+      s"CDC must speak logical names, got ${feed.columns.toSeq}")
+    assert(feed.filter(col("change_type") === "insert").count() == 10)
+    // diffWithUpdates inherits the mapping (keyCols speak logical names)
+    val upd = Gvt.diffWithUpdates(spark, dir, 0, 2, Seq("k"))
+    assert(upd.columns.toSeq == Seq("k", "value", "change_type"))
+  }
+
+  test("DSv2 no-version load pins ONE version for the query's lifetime") {
+    val dir = tmpTable("gvt-r12-pin-")
+    Gvt.append(spark, dir, slab(0, 100), Seq("k"))
+    val df = spark.read.format("gvt").option("path", dir).load()
+    // a commit landing between load() and the action must NOT leak into
+    // the already-resolved table (schema N + files N+1 was the hazard)
+    Gvt.append(spark, dir, slab(100, 200), Seq("k"))
+    assert(df.count() == 100, "resolved table must serve its pinned version")
+    // a FRESH load sees the new head
+    assert(spark.read.format("gvt").option("path", dir).load().count() == 200)
+  }
+
+  test("function registration is idempotent (no replace-warning churn)") {
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.CosineSimilarity.register(spark)
+    assert(spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+  }
+}
