@@ -10,6 +10,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Graft Versioned Table (GVT) — a minimal lakehouse table format:
   * immutable parquet data files plus an append-only JSON commit log,
@@ -75,10 +76,14 @@ object Gvt {
     * contract as [[GvtCommit.txn]]). `dvRows` counts the rows those
     * vectors delete, so maintenance ([[absorbDeletes]]) can rewrite
     * exactly the files whose live fraction dropped, from the manifest
-    * alone. */
+    * alone. `bytes` is the file's on-disk size, stamped at write time
+    * so planners (the DSv2 connector's `sizeInBytes`, split planning)
+    * never stat the filesystem per file — 0 on pre-r12 log docs
+    * (Jackson's missing-primitive default), where readers fall back to
+    * one local stat. */
   final case class GvtFile(path: String, rows: Long,
       min: Map[String, String], max: Map[String, String],
-      dv: Seq[String] = null, dvRows: Long = 0L)
+      dv: Seq[String] = null, dvRows: Long = 0L, bytes: Long = 0L)
 
   /** Normalized DV list (old log docs deserialize `dv` as null). */
   private def dvOf(f: GvtFile): Seq[String] = Option(f.dv).getOrElse(Nil)
@@ -203,12 +208,30 @@ object Gvt {
     -1 // unreachable
   }
 
+  /** `dataSchema` PINS the physical parquet schema of the files this
+    * commit ADDED (`StructType.json`) — a per-commit immutable fact, so
+    * it folds race-free: the table's unified schema at any version is
+    * the MERGE of the checkpoint's pin plus the tail commits' pins,
+    * and two concurrent appends evolving different columns cannot lose
+    * each other's (each doc carries only its own adds' schema; the
+    * merge happens at read time). Null on metadata-only commits, on
+    * re-add commits (`dv_delete`/`restore` — their files' schemas are
+    * already covered by older pins), and on every pre-r12 doc, where
+    * resolution falls back to the footer merge. This is what kills the
+    * connector's per-version cold footer merge (4.3 s at 2000 files,
+    * DevDsv2Scale). */
   final case class GvtCommit(version: Int, op: String,
       adds: Seq[GvtFile], removes: Seq[String], txn: String = null,
-      ts: Long = 0L, schema: GvtSchemaState = null)
+      ts: Long = 0L, schema: GvtSchemaState = null,
+      dataSchema: String = null)
 
+  /** `dataSchema` = the UNIFIED physical schema at the checkpoint
+    * version (merge over every pin ≤ it), so resolution never walks
+    * pre-checkpoint docs for the schema either. Null on pre-r12
+    * checkpoints (⇒ unified schema unresolvable from metadata alone;
+    * readers fall back to the footer merge). */
   final case class GvtCheckpoint(version: Int, files: Seq[GvtFile],
-      schema: GvtSchemaState = null)
+      schema: GvtSchemaState = null, dataSchema: String = null)
 
   val LogDir = "_gvt_log"
   /** Checkpoint cadence: snapshot resolution reads ≤ this many commit
@@ -293,14 +316,20 @@ object Gvt {
     }
   }
 
-  /** ONE anchor-plus-tail walk producing BOTH the active file list and
-    * the column-mapping/constraint state at `asOf` — [[snapshot]] and
-    * [[mappingAt]] are views of this, and the combined read paths
-    * ([[read]], [[readPrunedMulti]]) call it once: the JSON checkpoint
-    * (which at the flip threshold is ~16 MiB) is parsed a single time
-    * per resolution, not once per concern (r11 review finding). */
-  private def resolveManifest(dir: String,
-      asOf: Option[Int]): (Seq[GvtFile], GvtSchemaState) = {
+  /** ONE anchor-plus-tail walk producing the active file list, the
+    * column-mapping/constraint state, AND the unified physical data
+    * schema at `asOf` — [[snapshot]] / [[mappingAt]] / [[pinnedSchema]]
+    * are views of this, and the combined read paths ([[read]],
+    * [[readPrunedMulti]]) call it once: the JSON checkpoint (which at
+    * the flip threshold is ~16 MiB) is parsed a single time per
+    * resolution, not once per concern (r11 review finding).
+    *
+    * The schema pin is `None` (unresolvable) whenever any adds-bearing
+    * doc in the resolution path predates the pin, or two pins disagree
+    * on a column's type — callers then fall back to the footer merge,
+    * so the pin is an optimization that can never be wrong. */
+  private def resolveManifest(dir: String, asOf: Option[Int])
+      : (Seq[GvtFile], GvtSchemaState, Option[StructType]) = {
     val last = asOf.getOrElse(latestVersion(dir))
     require(last >= 0, s"GVT at $dir has no commits (asOf=$asOf)")
     val floor = vacuumFloor(dir)
@@ -319,11 +348,17 @@ object Gvt {
     }
     val active = mutable.LinkedHashMap.empty[String, GvtFile]
     var state: GvtSchemaState = EmptySchemaState
+    var pin: Option[StructType] = Some(new StructType())
     if (ckptVersion >= 0) {
       val ck = mapper.readValue(
         Files.readAllBytes(ckptPath(dir, ckptVersion)), classOf[GvtCheckpoint])
       ck.files.foreach(f => active.put(f.path, f))
       if (ck.schema != null) state = ck.schema
+      pin =
+        if (ck.dataSchema != null)
+          Some(DataType.fromJson(ck.dataSchema).asInstanceOf[StructType])
+        else if (ck.files.isEmpty) pin // empty table: vacuously pinned
+        else None // pre-r12 checkpoint: unified schema unknown
     }
     ((ckptVersion + 1) to last).foreach { v =>
       val c = mapper.readValue(
@@ -331,9 +366,42 @@ object Gvt {
       c.removes.foreach(active.remove)
       c.adds.foreach(f => active.put(f.path, f))
       if (c.schema != null) state = c.schema
+      if (c.dataSchema != null)
+        pin = pin.flatMap(mergeStruct(_,
+          DataType.fromJson(c.dataSchema).asInstanceOf[StructType]))
+      else if (c.adds.nonEmpty && !ReAddOps.contains(c.op))
+        pin = None // a pre-r12 adds doc: schemas of its files unknown
     }
-    (active.values.toSeq, state)
+    (active.values.toSeq, state, pin)
   }
+
+  /** Commits whose adds only RE-REFERENCE files older pins already
+    * cover (a DV swap re-adds the entry; restore re-adds the target
+    * snapshot) — a null dataSchema there does not break the pin. */
+  private val ReAddOps = Set("dv_delete", "restore")
+
+  /** Append-only field-union of two pinned schemas: `b`'s new fields
+    * append after `a`'s; a same-name field with a DIFFERENT type makes
+    * the union unresolvable (None — fall back to parquet's footer
+    * merge, which knows the real widening rules). */
+  private def mergeStruct(a: StructType, b: StructType)
+      : Option[StructType] = {
+    val byName = a.fields.map(f => f.name -> f).toMap
+    val conflict = b.fields.exists(f =>
+      byName.get(f.name).exists(_.dataType != f.dataType))
+    if (conflict) None
+    else Some(StructType(
+      a.fields ++ b.fields.filterNot(f => byName.contains(f.name))))
+  }
+
+  /** The unified PHYSICAL schema at `asOf`, from manifest metadata
+    * alone (no footer reads) — None when any doc in the resolution
+    * predates the r12 pin. The DSv2 connector and [[logicalColumns]]
+    * consume it; [[read]] keeps parquet's own footer-merge semantics
+    * (the two agree whenever the pin resolves — GvtDsv2Spec). */
+  def pinnedSchema(dir: String,
+      asOf: Option[Int] = None): Option[StructType] =
+    resolveManifest(dir, asOf)._3
 
   /** Active files at `asOf` (default: latest). Replays from the newest
     * checkpoint ≤ asOf; preserves add order for stable file lists. */
@@ -447,17 +515,18 @@ object Gvt {
     -1 // unreachable
   }
 
-  /** Current logical column set: the merged physical footer schema of
-    * the live files, mapped. (Production pins the unified schema in
-    * table metadata; re-merging footers is the demo-scale form — same
-    * note as [[read]]'s mergeSchema.) */
+  /** Current logical column set: the unified physical schema (the
+    * metadata pin when it resolves — no footer read; the merged footer
+    * schema on pre-pin tables), mapped. */
   private def logicalColumns(spark: SparkSession, dir: String,
       state: GvtSchemaState): Seq[String] = {
-    val files = snapshot(dir)
-    require(files.nonEmpty, s"GVT at $dir is empty")
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$dir/${f.path}"): _*)
-      .columns.toSeq.flatMap(state.logicalOf)
+    val physical = pinnedSchema(dir).map(_.fieldNames.toSeq).getOrElse {
+      val files = snapshot(dir)
+      require(files.nonEmpty, s"GVT at $dir is empty")
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$dir/${f.path}"): _*).columns.toSeq
+    }
+    physical.flatMap(state.logicalOf)
   }
 
   /** A schema change may not orphan a CHECK's column reference (the
@@ -523,7 +592,7 @@ object Gvt {
     require(Files.exists(commitPath(dir, last)),
       s"GVT at $dir has no version $last")
     val pq = newestPqCkpt(dir, last)
-    val (anchorV, base) =
+    val (anchorV, base0) =
       if (pq >= 0) (pq, spark.read.parquet(pqCkptPath(dir, pq).toString))
       else {
         val ld = logDirOf(dir)
@@ -540,6 +609,11 @@ object Gvt {
           (js, filesDF(spark, ck.files))
         } else (-1, filesDF(spark, Nil))
       }
+    // a pre-r12 parquet twin lacks the `bytes` column; backfill the
+    // missing-field default so unionByName/encoders line up
+    val base =
+      if (base0.columns.contains("bytes")) base0
+      else base0.withColumn("bytes", lit(0L))
     ((anchorV + 1) to last).foldLeft(base) { (df, v) =>
       val c = commitAt(dir, v)
       // adds UPSERT by path — the driver path's LinkedHashMap.put
@@ -679,7 +753,7 @@ object Gvt {
     * unified schema in table metadata instead of re-merging footers). */
   def read(spark: SparkSession, dir: String, asOf: Option[Int] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    val (files, state) = resolveManifest(dir, asOf)
+    val (files, state, _) = resolveManifest(dir, asOf)
     require(files.nonEmpty, s"GVT at $dir is empty at version $asOf")
     // physical scan, logical face: files store stable physical names;
     // the version's OWN mapping state aliases them (time travel below a
@@ -731,6 +805,67 @@ object Gvt {
     } else readFilesWithId(spark, dir, files, mergeSchema)
       .drop("_gvt_file", "_gvt_pos")
 
+  // --------------------------------------------------------------------
+  // ZONE-MAP STAT COMPARISON — one rule shared by every prune path (the
+  // connector's Catalyst-driven GvtFileIndex AND the caller-driven
+  // readPrunedMulti), so two paths can never disagree on a survivor.
+  // The manifest stats are STRING-encoded (cast at write time); bounds
+  // compare in one of three kinds, and any unparsable side keeps the
+  // file — pruning is never load-bearing for correctness.
+  // --------------------------------------------------------------------
+
+  /** Bound-value kinds over the string-encoded stats. */
+  private[sources] object ZKind {
+    /** Parse both sides as Double (the pre-r12 numeric rule). */
+    val Num = 0
+    /** Fixed-format `yyyy-MM-dd[ HH:mm:ss[.f]]` date/timestamp strings:
+      * zero-padded UTC-rendered text compares lexicographically ≡
+      * chronologically (fractions trim trailing zeros on BOTH sides —
+      * the Spark cast contract — so digit-wise comparison is numeric).
+      * Guarded by [[ChronoRe]] on both sides; exotic encodings
+      * (negative years) contribute no constraint. */
+    val Chrono = 1
+    /** Raw strings: UTF8 binary order — exactly the order Spark's
+      * min/max used to produce the stat, so the comparison is the
+      * stat's own. */
+    val Str = 2
+  }
+
+  /** One pruning constraint: files whose [min,max] box on `column`
+    * provably misses [lo,hi] (open side = unbounded) are skipped. */
+  private[sources] final case class ZBound(column: String,
+      lo: Option[String], hi: Option[String], kind: Int)
+
+  private[sources] val ChronoRe =
+    raw"\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2}(\.\d+)?)?".r
+
+  private def binCmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Compare a stat string against a bound in the kind's order; None =
+    * not comparable (the caller keeps the file). */
+  private def zCompare(stat: String, bound: String, kind: Int): Option[Int] =
+    kind match {
+      case ZKind.Num =>
+        try Some(java.lang.Double.compare(stat.toDouble, bound.toDouble))
+        catch { case _: NumberFormatException => None }
+      case ZKind.Chrono =>
+        if (ChronoRe.matches(stat)) Some(binCmp(stat, bound)) else None
+      case _ => Some(binCmp(stat, bound))
+    }
+
+  /** The survivor rule: a file lives unless a bound PROVABLY excludes
+    * its [min,max] box (missing stat / unparsable side ⇒ keep). */
+  private[sources] def zSurvives(f: GvtFile, bounds: Seq[ZBound]): Boolean =
+    bounds.forall { b =>
+      val mnOk = b.hi.forall(h => f.min.get(b.column).forall(mn =>
+        zCompare(mn, h, b.kind).forall(_ <= 0)))
+      val mxOk = b.lo.forall(l => f.max.get(b.column).forall(mx =>
+        zCompare(mx, l, b.kind).forall(_ >= 0)))
+      mnOk && mxOk
+    }
+
   /** Manifest-stats file pruning for a numeric range predicate: a file
     * survives iff its [min,max] on `column` can intersect [lo,hi]
     * (missing stats ⇒ keep — pruning must never be load-bearing for
@@ -752,19 +887,15 @@ object Gvt {
       ranges: Seq[(String, Double, Double)], asOf: Option[Int] = None)
       : (DataFrame, Int, Int) = {
     // one walk for files + state; range columns are LOGICAL, manifest
-    // stats key PHYSICAL names
-    val (files, state) = resolveManifest(dir, asOf)
-    val kept = files.filter { f =>
-      ranges.forall { case (column, lo, hi) =>
-        val physical = state.physicalOf(column)
-        (f.min.get(physical), f.max.get(physical)) match {
-          case (Some(mn), Some(mx)) =>
-            try !(mx.toDouble < lo || mn.toDouble > hi)
-            catch { case _: NumberFormatException => true }
-          case _ => true
-        }
-      }
+    // stats key PHYSICAL names; the survivor rule is the SHARED
+    // [[zSurvives]] (Double round-trips through toString exactly, so
+    // the numeric semantics are unchanged)
+    val (files, state, _) = resolveManifest(dir, asOf)
+    val bounds = ranges.map { case (column, lo, hi) =>
+      ZBound(state.physicalOf(column),
+        Some(lo.toString), Some(hi.toString), ZKind.Num)
     }
+    val kept = files.filter(f => zSurvives(f, bounds))
     val df =
       if (kept.isEmpty)
         // all files pruned: preserve schema from any file, return empty
@@ -789,9 +920,16 @@ object Gvt {
     * the write path keeps the manifest's min/max tight through appends,
     * merges, and deletes alike; the extra exchange is bounded by the
     * commit's own data, never the table. */
+  /** A staged commit directory: the manifest entries (bytes stamped
+    * from one local stat each — commit-churn-bounded, never table
+    * size) plus the written files' physical parquet schema, which the
+    * commit doc pins so readers resolve the unified schema from
+    * metadata alone. */
+  private final case class Written(adds: Seq[GvtFile], dataSchema: String)
+
   private def writeData(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String], version: Int,
-      cluster: Boolean = true): Seq[GvtFile] = {
+      cluster: Boolean = true): Written = {
     val sub = f"data/c$version%d-${UUID.randomUUID().toString.take(8)}"
     val cdir = s"$dir/$sub"
     val shaped =
@@ -806,7 +944,7 @@ object Gvt {
       statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"_gvt_min_$c"),
         max(col(c)).cast("string").as(s"_gvt_max_$c")))
-    written.groupBy(fname).agg(aggs.head, aggs.tail: _*)
+    val adds = written.groupBy(fname).agg(aggs.head, aggs.tail: _*)
       .collect()
       .toSeq
       .map { r =>
@@ -814,9 +952,11 @@ object Gvt {
           statsCols.zipWithIndex.flatMap { case (c, i) =>
             Option(r.getString(2 + 2 * i)).map(c -> _) }.toMap,
           statsCols.zipWithIndex.flatMap { case (c, i) =>
-            Option(r.getString(3 + 2 * i)).map(c -> _) }.toMap)
+            Option(r.getString(3 + 2 * i)).map(c -> _) }.toMap,
+          bytes = Files.size(Paths.get(cdir, r.getString(0))))
       }
       .sortBy(_.path)
+    Written(adds, written.schema.json)
   }
 
   /** Atomically publish `commit` at its version; returns false if the
@@ -879,16 +1019,15 @@ object Gvt {
         }
       }
       if (!parquetOnly) {
-        val files = snapshot(dir, Some(commit.version))
-        // the checkpoint carries the column-mapping state too: vacuum
-        // deletes pre-floor schema commits, so the anchor must be able
-        // to serve the mapping on its own (null when no mapping — old
-        // readers and unmapped tables see the pre-mapping shape)
-        val st = mappingAt(dir, Some(commit.version))
+        // the checkpoint carries the column-mapping state AND the
+        // unified data-schema pin: vacuum deletes pre-floor schema and
+        // data commits, so the anchor must serve both on its own (null
+        // when absent — old readers see the pre-pin shape)
+        val (files, st, pin) = resolveManifest(dir, Some(commit.version))
         val ctmp = Files.createTempFile(ld, ".tmp-", ".ckpt")
         Files.write(ctmp,
           mapper.writeValueAsBytes(GvtCheckpoint(commit.version, files,
-            if (st.isEmpty) null else st)))
+            if (st.isEmpty) null else st, pin.map(_.json).orNull)))
         try Files.createLink(ckptPath(dir, commit.version), ctmp)
         catch { case _: FileAlreadyExistsException => () }
         Files.delete(ctmp)
@@ -910,16 +1049,17 @@ object Gvt {
     // logical in, checks enforced in-write, physical on disk (all
     // no-ops without active mapping/constraints)
     val state = mappingAt(dir)
-    val adds = writeData(spark, dir,
+    val w = writeData(spark, dir,
       toPhysical(enforceChecks(df, state), state),
       statsCols.map(state.physicalOf), v)
-    while (!tryPublish(dir, GvtCommit(v, "append", adds, Nil), spark)) {
+    while (!tryPublish(dir, GvtCommit(v, "append", w.adds, Nil,
+        dataSchema = w.dataSchema), spark)) {
       v = latestVersion(dir) + 1
       // losing the publish race means SOMETHING committed since our
       // state snapshot — if it declared a check our in-write gate never
       // saw, the staged files must pass it before we may land (r11
       // review finding: the addCheck/append TOCTOU)
-      validateLateChecks(spark, dir, adds, state)
+      validateLateChecks(spark, dir, w.adds, state)
     }
     v
   }
@@ -996,7 +1136,7 @@ object Gvt {
     if (alreadyCommitted) return None
     var v = latestVersion(dir) + 1
     val txnState = mappingAt(dir)
-    val adds = writeData(spark, dir,
+    val w = writeData(spark, dir,
       toPhysical(enforceChecks(df, txnState), txnState),
       statsCols.map(txnState.physicalOf), v)
     while (true) {
@@ -1004,12 +1144,13 @@ object Gvt {
       // twin committing between a pre-read check and our publish would
       // hand us a fresh slot ABOVE its commit and we'd land twice
       if (alreadyCommitted) return None // our twin won; files are orphans
-      if (tryPublish(dir, GvtCommit(v, "append", adds, Nil, txnId), spark))
+      if (tryPublish(dir, GvtCommit(v, "append", w.adds, Nil, txnId,
+          dataSchema = w.dataSchema), spark))
         return Some(v)
       v = latestVersion(dir) + 1
       // same TOCTOU gate as append: a check declared since our state
       // snapshot must pass against the staged files before we land
-      validateLateChecks(spark, dir, adds, txnState)
+      validateLateChecks(spark, dir, w.adds, txnState)
     }
     None // unreachable
   }
@@ -1038,14 +1179,10 @@ object Gvt {
     val bounds = srcKeys.agg(min(col(key)).cast("string"),
       max(col(key)).cast("string")).head
     val (srcLo, srcHi) = (bounds.getString(0), bounds.getString(1))
-    val candidates = files.filter { f =>
-      (f.min.get(key), f.max.get(key)) match {
-        case (Some(mn), Some(mx)) if srcLo != null =>
-          try !(mx.toDouble < srcLo.toDouble || mn.toDouble > srcHi.toDouble)
-          catch { case _: NumberFormatException => true }
-        case _ => true
-      }
-    }
+    val candidates =
+      if (srcLo == null) files
+      else files.filter(f => zSurvives(f,
+        Seq(ZBound(key, Some(srcLo), Some(srcHi), ZKind.Num))))
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else {
@@ -1089,7 +1226,7 @@ object Gvt {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
-    val (files, state) = resolveManifest(dir, Some(base))
+    val (files, state, _) = resolveManifest(dir, Some(base))
     if (source.isEmpty) return base // no-op: nothing to upsert
     // MAPPING-AWARE (logical in, logical ops, physical out): the source
     // and the key speak logical names; new rows must pass the table's
@@ -1117,10 +1254,11 @@ object Gvt {
           .unionByName(source1)
       }
     val v = base + 1
-    val adds = writeData(spark, dir, toPhysical(rewritten, state),
+    val w = writeData(spark, dir, toPhysical(rewritten, state),
       statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
-        GvtCommit(v, "merge", adds, touchedFiles.map(_.path)), spark))
+        GvtCommit(v, "merge", w.adds, touchedFiles.map(_.path),
+          dataSchema = w.dataSchema), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; merge read set stale")
     v
@@ -1135,7 +1273,7 @@ object Gvt {
   def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
       key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
-    val (files, state) = resolveManifest(dir, Some(base))
+    val (files, state, _) = resolveManifest(dir, Some(base))
     if (keys.isEmpty) return base
     val keyP = state.physicalOf(key)
     val srcKeys = keys.select(col(key)).distinct()
@@ -1150,12 +1288,13 @@ object Gvt {
     val kept = touchedDf.join(srcKeys, Seq(key), "left_anti")
       .select(touchedDf.columns.map(col): _*)
     val v = base + 1
-    val adds =
-      if (kept.isEmpty) Nil
+    val w =
+      if (kept.isEmpty) Written(Nil, null)
       else writeData(spark, dir, toPhysical(kept, state),
         statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
-        GvtCommit(v, "delete", adds, touchedFiles.map(_.path)), spark))
+        GvtCommit(v, "delete", w.adds, touchedFiles.map(_.path),
+          dataSchema = w.dataSchema), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; delete read set stale")
     v
@@ -1167,7 +1306,7 @@ object Gvt {
   def delete(spark: SparkSession, dir: String, predicate: Column,
       statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
-    val (files, state) = resolveManifest(dir, Some(base))
+    val (files, state, _) = resolveManifest(dir, Some(base))
     // the predicate speaks LOGICAL names; the row-identity metadata
     // columns pass through applyMapping untouched
     val touched: Set[String] = applyMapping(
@@ -1186,12 +1325,13 @@ object Gvt {
       readFiles(spark, dir, touchedFiles, mergeSchema = true), state)
       .filter(!coalesce(predicate, lit(false)))
     val v = base + 1
-    val adds =
-      if (kept.isEmpty) Nil
+    val w =
+      if (kept.isEmpty) Written(Nil, null)
       else writeData(spark, dir, toPhysical(kept, state),
         statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
-        GvtCommit(v, "delete", adds, touchedFiles.map(_.path)), spark))
+        GvtCommit(v, "delete", w.adds, touchedFiles.map(_.path),
+          dataSchema = w.dataSchema), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; delete read set stale")
     v
@@ -1217,7 +1357,7 @@ object Gvt {
   def deleteWhereDV(spark: SparkSession, dir: String, predicate: Column)
       : Int = rmwRetry(spark) {
     val base = latestVersion(dir)
-    val (files, state) = resolveManifest(dir, Some(base))
+    val (files, state, _) = resolveManifest(dir, Some(base))
     val v = base + 1
     // predicate on logical names; the sidecar stores (file, pos) only,
     // so the mapping never touches what gets written
@@ -1253,7 +1393,7 @@ object Gvt {
       minDeletedFraction: Double, statsCols: Seq[String]): Int =
       rmwRetry(spark) {
     val base = latestVersion(dir)
-    val (files, state) = resolveManifest(dir, Some(base))
+    val (files, state, _) = resolveManifest(dir, Some(base))
     val doomed = files.filter(f =>
       dvOf(f).nonEmpty && f.dvRows >= f.rows * minDeletedFraction)
     if (doomed.isEmpty) return base
@@ -1265,11 +1405,12 @@ object Gvt {
     val live = state.drops.foldLeft(
       readFiles(spark, dir, doomed, mergeSchema = true))(_.drop(_))
     val v = base + 1
-    val adds =
-      if (live.isEmpty) Nil
+    val w =
+      if (live.isEmpty) Written(Nil, null)
       else writeData(spark, dir, live, statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
-        GvtCommit(v, "absorb", adds, doomed.map(_.path)), spark))
+        GvtCommit(v, "absorb", w.adds, doomed.map(_.path),
+          dataSchema = w.dataSchema), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; absorb read set stale")
     v
@@ -1281,7 +1422,7 @@ object Gvt {
   def compact(spark: SparkSession, dir: String, smallRows: Long,
       targetFiles: Int, statsCols: Seq[String]): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
-    val (files, state) = resolveManifest(dir, Some(base))
+    val (files, state, _) = resolveManifest(dir, Some(base))
     val small = files.filter(_.rows < smallRows)
     if (small.size <= targetFiles) return base // nothing to gain
     // DV-aware: compaction ABSORBS deletion vectors — the rewritten
@@ -1299,8 +1440,9 @@ object Gvt {
           .sortWithinPartitions(statsP.map(col): _*)
       else smallDf.repartition(targetFiles)
     val v = base + 1
-    val adds = writeData(spark, dir, packed, statsP, v, cluster = false)
-    if (!tryPublish(dir, GvtCommit(v, "compact", adds, small.map(_.path)), spark))
+    val w = writeData(spark, dir, packed, statsP, v, cluster = false)
+    if (!tryPublish(dir, GvtCommit(v, "compact", w.adds, small.map(_.path),
+        dataSchema = w.dataSchema), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; compact read set stale")
     v
@@ -1331,8 +1473,8 @@ object Gvt {
       rmwRetry(spark) {
     val head = latestVersion(dir)
     require(toVersion <= head, s"restore target $toVersion beyond head $head")
-    val (target, targetState) = resolveManifest(dir, Some(toVersion))
-    val (current, headState) = resolveManifest(dir, Some(head))
+    val (target, targetState, _) = resolveManifest(dir, Some(toVersion))
+    val (current, headState, _) = resolveManifest(dir, Some(head))
     // normalize before comparing: checks=null and checks=Map.empty are
     // the same declared state (the Jackson missing-field contract)
     def norm(s: GvtSchemaState) = (s.renames, s.drops, s.checkMap)
@@ -1389,14 +1531,14 @@ object Gvt {
     if (retainFrom < vacuumFloor(dir)) return (0, 0)
     val ld = logDirOf(dir)
     // (1) anchor: a checkpoint AT retainFrom (idempotent; carries the
-    // mapping state — the pre-floor schema commits are about to go)
+    // mapping state and the data-schema pin — the pre-floor schema and
+    // data commits are about to go)
     if (!Files.exists(ckptPath(dir, retainFrom))) {
-      val files = snapshot(dir, Some(retainFrom))
-      val st = mappingAt(dir, Some(retainFrom))
+      val (files, st, pin) = resolveManifest(dir, Some(retainFrom))
       val ctmp = Files.createTempFile(ld, ".tmp-", ".ckpt")
       Files.write(ctmp,
         mapper.writeValueAsBytes(GvtCheckpoint(retainFrom, files,
-          if (st.isEmpty) null else st)))
+          if (st.isEmpty) null else st, pin.map(_.json).orNull)))
       try Files.createLink(ckptPath(dir, retainFrom), ctmp)
       catch { case _: FileAlreadyExistsException => () }
       Files.delete(ctmp)
@@ -1863,7 +2005,16 @@ object Gvt {
         }
       }
       val v = head + 1
-      if (!tryPublish(dir, GvtCommit(v, "publish", adds, removes), spark))
+      // the squash's adds are files born on the BRANCH; their schemas
+      // live in branch commit docs the parent never sees, so the
+      // publish doc pins the branch's own unified schema (a superset of
+      // the adds' — the merge fold is monotone, so over-pinning is
+      // harmless; an unresolvable branch pin leaves null and the parent
+      // falls back to footer merges)
+      val branchPin = if (adds.isEmpty) null
+        else pinnedSchema(bdir).map(_.json).orNull
+      if (!tryPublish(dir, GvtCommit(v, "publish", adds, removes,
+          dataSchema = branchPin), spark))
         throw new java.util.ConcurrentModificationException(
           s"GVT $dir: version $v committed concurrently; publish read set stale")
       v

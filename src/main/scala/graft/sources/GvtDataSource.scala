@@ -114,14 +114,15 @@ object GvtDataSource {
     (dir, asOf)
   }
 
-  /** Snapshot schema: merged across live files' footers so
-    * schema-evolved tables (added columns) surface the union, with
-    * pre-evolution files back-filling null — same merge-on-read
-    * contract as [[Gvt.read]](mergeSchema = true). MEMOIZED per
+  /** Snapshot schema: the version's UNIFIED schema — served from the
+    * manifest's metadata pin when it resolves ([[Gvt.pinnedSchema]]:
+    * zero footer reads, the r12 fix for the 4.3 s cold footer merge at
+    * 2000 files, DevDsv2Scale), falling back to the merged-footer read
+    * for pre-pin tables (same merge-on-read contract as
+    * [[Gvt.read]](mergeSchema = true) — added columns surface the
+    * union, pre-evolution files back-fill null). MEMOIZED per
     * (dir, resolved version): a version's file set is immutable, and
-    * `DataFrameReader.load` calls inferSchema on EVERY query — at
-    * 2000 live files the footer merge alone measured 4.1 s/query
-    * (DevDsv2Scale) before the cache. */
+    * `DataFrameReader.load` calls inferSchema on EVERY query. */
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), StructType]()
 
@@ -129,12 +130,13 @@ object GvtDataSource {
       resolved: (String, Option[Int])): StructType = {
     val (dir, asOf) = resolved
     val version = asOf.getOrElse(Gvt.latestVersion(dir))
-    schemaMemo.computeIfAbsent((dir, version), _ => {
-      val files = Gvt.snapshot(dir, Some(version))
-      require(files.nonEmpty, s"GVT at $dir is empty at version $version")
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$dir/${f.path}"): _*).schema
-    })
+    schemaMemo.computeIfAbsent((dir, version), _ =>
+      Gvt.pinnedSchema(dir, Some(version)).filter(_.nonEmpty).getOrElse {
+        val files = Gvt.snapshot(dir, Some(version))
+        require(files.nonEmpty, s"GVT at $dir is empty at version $version")
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$dir/${f.path}"): _*).schema
+      })
   }
 }
 
@@ -199,15 +201,21 @@ class GvtFileIndex(spark: SparkSession, dir: String, asOf: Option[Int],
 
   // paths must be QUALIFIED (file:/...): PartitioningAwareFileIndex's
   // allFiles() qualifies each root before the leafDirToChildrenFiles
-  // lookup, and an unqualified key silently matches nothing
+  // lookup, and an unqualified key silently matches nothing.
+  // Byte sizes come from the manifest (stamped at write time, r12);
+  // only pre-r12 entries (bytes=0) pay one local stat each. mtime is a
+  // constant: a GVT file is immutable, nothing downstream keys on it.
   private val liveStatuses: Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = spark.sessionState.newHadoopConf()
-    GvtFileIndex.livePaths(dir, asOf).map { p0 =>
+    GvtFileIndex.liveFiles(dir, asOf).map { f =>
+      val p0 = new Path(s"$dir/${f.path}")
       val p = p0.getFileSystem(conf).makeQualified(p0)
-      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      val size =
+        if (f.bytes > 0) f.bytes
+        else java.nio.file.Files.size(
+          java.nio.file.Paths.get(p.toUri.getPath))
       new org.apache.hadoop.fs.FileStatus(
-        java.nio.file.Files.size(local), false, 1, 128L * 1024 * 1024,
-        java.nio.file.Files.getLastModifiedTime(local).toMillis, p)
+        size, false, 1, 128L * 1024 * 1024, 0L, p)
     }
   }
 
@@ -242,21 +250,27 @@ class GvtFileIndex(spark: SparkSession, dir: String, asOf: Option[Int],
     * [[sizeInBytes]] can report prune-aware totals. */
   @volatile private[sources] var statsFilters: Seq[Expression] = Nil
 
+  /** Timestamp literals render in the SESSION's zone — the same zone
+    * the write-side `cast(string)` used under a consistent session
+    * config (graft pins UTC everywhere; see [[graft.Sessions]]). */
+  private val zoneId =
+    java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+
   override def sizeInBytes: Long = {
-    val ranges = GvtFileIndex.rangesOf(statsFilters)
+    val ranges = GvtFileIndex.rangesOf(statsFilters, zoneId)
     if (ranges.isEmpty) super.sizeInBytes
     else allFiles().filter { f =>
       val suffix = f.getPath.toUri.getPath
         .split('/').takeRight(3).mkString("/")
       statsBySuffix.get(suffix)
-        .forall(gf => GvtFileIndex.survives(gf, ranges))
+        .forall(gf => Gvt.zSurvives(gf, ranges))
     }.map(_.getLen).sum
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    val ranges = GvtFileIndex.rangesOf(dataFilters)
+    val ranges = GvtFileIndex.rangesOf(dataFilters, zoneId)
     val total = base.map(_.files.size).sum
     if (ranges.isEmpty) { lastPrune = (total, total); return base }
     val pruned = base.map { pd =>
@@ -264,7 +278,7 @@ class GvtFileIndex(spark: SparkSession, dir: String, asOf: Option[Int],
         val suffix = f.getPath.toUri.getPath
           .split('/').takeRight(3).mkString("/")
         statsBySuffix.get(suffix)
-          .forall(gf => GvtFileIndex.survives(gf, ranges))
+          .forall(gf => Gvt.zSurvives(gf, ranges))
       })
     }
     lastPrune = (pruned.map(_.files.size).sum, total)
@@ -274,7 +288,8 @@ class GvtFileIndex(spark: SparkSession, dir: String, asOf: Option[Int],
 
 object GvtFileIndex {
 
-  private[sources] def livePaths(dir: String, asOf: Option[Int]): Seq[Path] = {
+  private[sources] def liveFiles(dir: String,
+      asOf: Option[Int]): Seq[Gvt.GvtFile] = {
     val files = Gvt.snapshot(dir, asOf)
     require(files.nonEmpty, s"GVT at $dir is empty at version $asOf")
     require(files.forall(f => Option(f.dv).forall(_.isEmpty)),
@@ -286,67 +301,100 @@ object GvtFileIndex {
         "columns) — the connector's stock parquet scan would serve " +
         "PHYSICAL names; read via Gvt.read until the mapping is wired " +
         "into the scan output")
-    files.map(f => new Path(s"$dir/${f.path}"))
+    files
   }
 
-  /** Zone-map constraints extracted from pushed data filters: numeric
-    * one-sided ranges from {>=, >, <=, <, =} between a column and a
-    * literal (either operand order), conjunctions flattened. Anything
-    * else contributes no constraint (its files all survive; the
-    * row-level predicate still runs in the scan). Bounds stay DOUBLE to
-    * match the manifest's string-encoded stats — same arithmetic as
-    * [[Gvt.readPrunedMulti]], so the two prune paths can never
-    * disagree on a survivor. */
-  private[sources] def rangesOf(
-      filters: Seq[Expression]): Seq[(String, Option[Double], Option[Double])] =
-    filters.flatMap(constraintsOf)
+  /** Zone-map constraints extracted from pushed data filters: one-sided
+    * ranges from {>=, >, <=, <, =} between a column and a literal
+    * (either operand order), conjunctions flattened. Typed rendering
+    * into the manifest's string-stat domain (r12): numerics compare as
+    * Double, TIMESTAMP/DATE literals render to the same
+    * `yyyy-MM-dd[ HH:mm:ss[.f]]` text the write-side `cast(string)`
+    * produced (session zone for TIMESTAMP, UTC wall-clock for NTZ,
+    * trailing fraction zeros trimmed) and compare lexicographically ≡
+    * chronologically, strings compare in UTF8 binary order — the very
+    * order that produced the stat. Anything else contributes no
+    * constraint (its files all survive; the row-level predicate still
+    * runs in the scan). The survivor rule itself is [[Gvt.zSurvives]],
+    * shared with `readPrunedMulti` so the prune paths cannot disagree. */
+  private[sources] def rangesOf(filters: Seq[Expression],
+      zone: java.time.ZoneId): Seq[Gvt.ZBound] =
+    filters.flatMap(constraintsOf(_, zone))
 
-  private def constraintsOf(
-      e: Expression): Seq[(String, Option[Double], Option[Double])] = e match {
-    case And(l, r) => constraintsOf(l) ++ constraintsOf(r)
-    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
-      num(v).map(d => (a.name, Some(d), None)).toSeq
-    case GreaterThan(a: Attribute, Literal(v, _)) =>
-      num(v).map(d => (a.name, Some(d), None)).toSeq
-    case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
-      num(v).map(d => (a.name, None, Some(d))).toSeq
-    case LessThan(a: Attribute, Literal(v, _)) =>
-      num(v).map(d => (a.name, None, Some(d))).toSeq
-    case EqualTo(a: Attribute, Literal(v, _)) =>
-      num(v).map(d => (a.name, Some(d), Some(d))).toSeq
-    case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
-      num(v).map(d => (a.name, None, Some(d))).toSeq
-    case GreaterThan(Literal(v, _), a: Attribute) =>
-      num(v).map(d => (a.name, None, Some(d))).toSeq
-    case LessThanOrEqual(Literal(v, _), a: Attribute) =>
-      num(v).map(d => (a.name, Some(d), None)).toSeq
-    case LessThan(Literal(v, _), a: Attribute) =>
-      num(v).map(d => (a.name, Some(d), None)).toSeq
-    case EqualTo(Literal(v, _), a: Attribute) =>
-      num(v).map(d => (a.name, Some(d), Some(d))).toSeq
-    case _ => Seq.empty
-  }
-
-  private def num(v: Any): Option[Double] = v match {
-    case null => None
-    case n: java.lang.Number => Some(n.doubleValue())
-    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-    case _ => None
-  }
-
-  private[sources] def survives(f: Gvt.GvtFile,
-      ranges: Seq[(String, Option[Double], Option[Double])]): Boolean =
-    ranges.forall { case (column, lo, hi) =>
-      val mnOk = hi.forall { h =>
-        f.min.get(column).forall { mn =>
-          try mn.toDouble <= h catch { case _: NumberFormatException => true }
-        }
-      }
-      val mxOk = lo.forall { l =>
-        f.max.get(column).forall { mx =>
-          try mx.toDouble >= l catch { case _: NumberFormatException => true }
-        }
-      }
-      mnOk && mxOk
+  private def constraintsOf(e: Expression,
+      zone: java.time.ZoneId): Seq[Gvt.ZBound] = {
+    def bound(a: Attribute, v: Any, dt: org.apache.spark.sql.types.DataType,
+        lo: Boolean, hi: Boolean): Seq[Gvt.ZBound] =
+      render(v, dt, zone).map { case (s, kind) =>
+        Gvt.ZBound(a.name, if (lo) Some(s) else None,
+          if (hi) Some(s) else None, kind)
+      }.toSeq
+    e match {
+      case And(l, r) => constraintsOf(l, zone) ++ constraintsOf(r, zone)
+      case GreaterThanOrEqual(a: Attribute, Literal(v, t)) =>
+        bound(a, v, t, lo = true, hi = false)
+      case GreaterThan(a: Attribute, Literal(v, t)) =>
+        bound(a, v, t, lo = true, hi = false)
+      case LessThanOrEqual(a: Attribute, Literal(v, t)) =>
+        bound(a, v, t, lo = false, hi = true)
+      case LessThan(a: Attribute, Literal(v, t)) =>
+        bound(a, v, t, lo = false, hi = true)
+      case EqualTo(a: Attribute, Literal(v, t)) =>
+        bound(a, v, t, lo = true, hi = true)
+      case GreaterThanOrEqual(Literal(v, t), a: Attribute) =>
+        bound(a, v, t, lo = false, hi = true)
+      case GreaterThan(Literal(v, t), a: Attribute) =>
+        bound(a, v, t, lo = false, hi = true)
+      case LessThanOrEqual(Literal(v, t), a: Attribute) =>
+        bound(a, v, t, lo = true, hi = false)
+      case LessThan(Literal(v, t), a: Attribute) =>
+        bound(a, v, t, lo = true, hi = false)
+      case EqualTo(Literal(v, t), a: Attribute) =>
+        bound(a, v, t, lo = true, hi = true)
+      case _ => Seq.empty
     }
+  }
+
+  /** Literal → (stat-domain string, comparison kind); None = this
+    * literal contributes no constraint. */
+  private def render(v: Any, dt: org.apache.spark.sql.types.DataType,
+      zone: java.time.ZoneId): Option[(String, Int)] = {
+    import org.apache.spark.sql.types._
+    v match {
+      case null => None
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some((u.toString, Gvt.ZKind.Str))
+      case d: Decimal => Some((d.toDouble.toString, Gvt.ZKind.Num))
+      case n: java.lang.Number => dt match {
+        case TimestampType =>
+          chrono(formatMicros(n.longValue(), zone))
+        case TimestampNTZType => // wall-clock micros: zone-independent
+          chrono(formatMicros(n.longValue(), java.time.ZoneOffset.UTC))
+        case DateType =>
+          chrono(java.time.LocalDate.ofEpochDay(n.longValue()).toString)
+        case _ => Some((n.toString, Gvt.ZKind.Num))
+      }
+      case _ => None
+    }
+  }
+
+  /** Only well-formed zero-padded renderings constrain — a negative or
+    * five-digit year would break the lexicographic ≡ chronological
+    * equivalence, so it keeps every file instead. */
+  private def chrono(s: String): Option[(String, Int)] =
+    if (Gvt.ChronoRe.matches(s)) Some((s, Gvt.ZKind.Chrono)) else None
+
+  /** Micros → the exact text of Spark's timestamp→string cast in
+    * `zone`: `yyyy-MM-dd HH:mm:ss` plus the fraction with trailing
+    * zeros trimmed (never a trailing dot). */
+  private def formatMicros(us: Long, zone: java.time.ZoneId): String = {
+    val instant = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    val t = java.time.LocalDateTime.ofInstant(instant, zone)
+    val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d " +
+      f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+    val micros = t.getNano / 1000
+    if (micros == 0) base
+    else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+  }
 }

@@ -221,6 +221,39 @@ object GvtOps {
       .orderBy("l_returnflag")
   }
 
+  /** TIMESTAMP zone-map pruning fixture: orders committed as per-year
+    * `o_orderdate` tiles (1995..2001 — the fixture's date span — one
+    * file per year, stats on the TIMESTAMP column as the write-side
+    * cast strings). The production shape of every time-partitioned
+    * fact table: date ranges are the #1 pruning predicate at 100 TB. */
+  private def tsTilesGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_tstiles", dir) { tmp =>
+      val o = graft.Tables(spark, dir, "orders")
+      (1995 to 2001).foreach { y =>
+        Gvt.append(spark, tmp,
+          o.filter(year(col("o_orderdate")) === y).repartition(1),
+          Seq("o_orderdate"))
+      }
+    }
+
+  /** TIMESTAMP-predicate pruning through the connector: a plain WHERE
+    * on `o_orderdate` — no hand-passed ranges — prunes to the 1996
+    * tile plus its right boundary file from the CHRONO zone-map rule
+    * (lexicographic over the fixed-format stat strings ≡
+    * chronological; GvtDsv2Spec asserts ≤2-of-7 files read). The
+    * pre-r12 numeric-only rule kept all 7 (`"1996-…".toDouble` threw →
+    * file kept). Correctness never rides the prune — the row filter
+    * reapplies in the scan, and the oracle restates the range over the
+    * original table. */
+  def gvtPruneTs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("gvt").option("path", tsTilesGvt(spark, dir)).load()
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+
   /** The SAME pruned read through the DATAFRAME manifest path
     * ([[Gvt.readPrunedMultiDF]]): snapshot resolution and zone-map
     * pruning run as a Spark job over the parquet-checkpoint manifest,
@@ -910,6 +943,7 @@ object GvtOps {
     "scan_manifest_prune" -> manifestPrune,
     "scan_manifest_df" -> manifestDf,
     "scan_gvt_dsv2" -> gvtDsv2,
+    "scan_gvt_prune_ts" -> gvtPruneTs,
     "sink_compaction" -> compaction
   )
 
@@ -1128,6 +1162,15 @@ object GvtOps {
         "round(sum(l_quantity),2) AS sum_qty FROM lineitem, r " +
         "WHERE l_orderkey >= qlo AND l_orderkey <= qhi " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the timestamp-tiled table holds every order exactly once (year
+    // tiles partition the fixture's 1995..2001 span), so the pruned
+    // range read restates as a plain WHERE over the original table
+    "scan_gvt_prune_ts" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "sink_compaction" ->
       ("SELECT o_orderpriority, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +

@@ -147,6 +147,83 @@ class GvtDsv2Spec extends GraftSuite {
       s"wrong refusal: ${e.getMessage}")
   }
 
+  test("timestamp WHERE prunes date-tiled files via the chrono zone-map rule") {
+    val dir = Files.createTempDirectory("gvt-dsv2-ts-").toString + "/t"
+    // 8 day-tiles of a timestamp column; stats are cast strings.
+    // Values built via to_timestamp so creation, stats, and the query
+    // literal all resolve under the SESSION zone (UTC)
+    (0 until 8).foreach { d =>
+      val df = (0 until 24).map { h =>
+        (f"2026-01-0${d + 1}%d $h%02d:00:00", d * 24L + h)
+      }.toDF("tss", "v")
+        .select(to_timestamp(col("tss")).as("ts"), col("v"))
+      Gvt.append(spark, dir, df.repartition(1), Seq("ts"))
+    }
+    val df = spark.read.format("gvt").option("path", dir).load()
+      .filter(col("ts") >= lit("2026-01-04 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2026-01-05 00:00:00").cast("timestamp"))
+    val n = nFilesRead(df)
+    assert(n <= 2, s"timestamp prune read $n of 8 files (want ≤2)")
+    assert(df.count() == 24)
+    // strict correctness: sum over exactly day 4's rows
+    assert(df.agg(sum("v")).head.getLong(0) == (72L until 96L).sum)
+    // and an out-of-range query prunes everything it can
+    val none = spark.read.format("gvt").option("path", dir).load()
+      .filter(col("ts") >= lit("2027-01-01 00:00:00").cast("timestamp"))
+    assert(nFilesRead(none) == 0 && none.count() == 0)
+  }
+
+  test("string WHERE prunes via UTF8-binary zone maps") {
+    val dir = Files.createTempDirectory("gvt-dsv2-str-").toString + "/t"
+    ('a' to 'h').foreach { c =>
+      val df = (0 until 50).map(i => (f"$c$i%03d", i.toLong)).toDF("s", "v")
+      Gvt.append(spark, dir, df.repartition(1), Seq("s"))
+    }
+    val df = spark.read.format("gvt").option("path", dir).load()
+      .filter(col("s") >= "c" && col("s") < "d")
+    assert(nFilesRead(df) <= 2, "string range must prune by stat order")
+    assert(df.count() == 50)
+  }
+
+  test("manifest bytes are stamped at write time and serve sizeInBytes") {
+    val files = Gvt.snapshot(tiles)
+    assert(files.forall(_.bytes > 0), "r12 writes must stamp bytes")
+    files.foreach { f =>
+      assert(f.bytes == java.nio.file.Files.size(
+        java.nio.file.Paths.get(tiles, f.path)),
+        s"${f.path}: manifest bytes ${f.bytes} != on-disk size")
+    }
+  }
+
+  test("unified schema resolves from the metadata pin (no footer merge)") {
+    val dir = Files.createTempDirectory("gvt-dsv2-pin-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.append(spark, dir,
+      (10L until 20L).map(k => (k, k * 10, s"w$k")).toDF("k", "v", "w"),
+      Seq("k"))
+    val pin = Gvt.pinnedSchema(dir)
+    assert(pin.isDefined, "pin must resolve on an all-r12 log")
+    assert(pin.get.fieldNames.toSeq == Seq("k", "v", "w"))
+    // the pin agrees with parquet's own footer merge
+    val footer = spark.read.option("mergeSchema", "true")
+      .parquet(Gvt.snapshot(dir).map(f => s"$dir/${f.path}"): _*).schema
+    assert(pin.get.fieldNames.toSeq == footer.fieldNames.toSeq)
+    // a PRE-PIN doc in the resolution path degrades to None (fallback),
+    // never to a wrong pin: strip dataSchema from commit 1's doc
+    val doc = java.nio.file.Paths.get(dir, "_gvt_log", "00000001.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(java.nio.file.Files.readAllBytes(doc))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("dataSchema")
+    java.nio.file.Files.delete(doc)
+    java.nio.file.Files.write(doc, om.writeValueAsBytes(node))
+    assert(Gvt.pinnedSchema(dir).isEmpty,
+      "a pre-pin adds doc must make the unified schema unresolvable")
+    // and the connector still serves the right schema via footer merge
+    val df = spark.read.format("gvt").option("path", dir).load()
+    assert(df.columns.toSeq == Seq("k", "v", "w") && df.count() == 20)
+  }
+
   test("schema evolution reads merged: pre-evolution files backfill null") {
     val dir = Files.createTempDirectory("gvt-dsv2-evo-").toString + "/t"
     Gvt.append(spark, dir, slab(0, 10), Seq("k"))

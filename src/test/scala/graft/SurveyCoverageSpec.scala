@@ -241,7 +241,11 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-11: BPE training driven to a target vocab — 8 chained
     // merge rounds, winner-pinned and corpus-lineage-truncated per
     // round (the pagerank-iter pattern)
-    "llm_bpe_train_k")
+    "llm_bpe_train_k",
+    // round-12: zone-map pruning past numerics — TIMESTAMP/DATE/STRING
+    // predicates prune via the chrono/UTF8-binary rules over the
+    // string-encoded stats (date ranges: the #1 fact-table predicate)
+    "scan_gvt_prune_ts")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
