@@ -44,11 +44,10 @@ object DevDsv2Scale {
       println(f"DSV2SCALE files=$files $what%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val cold = time("connector_cold_count") {
-      spark.read.format("gvt").option("path", dir).load().count()
-    }
-    assert(cold == rows)
-    val pruned = time("connector_pruned") {
+    // r12 ordering: the PRUNED query goes FIRST, so "cold" measures the
+    // metadata path (schema pin + manifest resolution + index build)
+    // with no full-scan cost mixed in — the criterion is cold ≈ warm
+    val pruned = time("connector_pruned_cold") {
       spark.read.format("gvt").option("path", dir).load()
         .filter(col("k") >= 100L && col("k") <= 250L).count()
     }
@@ -58,12 +57,22 @@ object DevDsv2Scale {
         .filter(col("k") >= 100L && col("k") <= 250L).count()
     }
     assert(warm == 151L)
-    val schemaCost = time("schemaOf_alone") {
+    val cold = time("connector_full_count") {
+      spark.read.format("gvt").option("path", dir).load().count()
+    }
+    assert(cold == rows)
+    // CONTROL: the raw footer merge the r12 schema pin took off the
+    // query path (pre-r12, every cold version resolution paid this)
+    val schemaCost = time("footer_merge_control") {
       spark.read.option("mergeSchema", "true")
         .parquet(Gvt.snapshot(dir).map(f => s"$dir/${f.path}"): _*)
         .schema.size
     }
     println(s"DSV2SCALE schema cols=$schemaCost")
+    val pinCost = time("pinned_schema_alone") {
+      Gvt.pinnedSchema(dir).map(_.size).getOrElse(-1)
+    }
+    println(s"DSV2SCALE pin cols=$pinCost")
     val lib = time("library_pruned") {
       Gvt.readPruned(spark, dir, "k", 100.0, 250.0)._1.count()
     }
