@@ -253,6 +253,117 @@ object DevGvtConcurrent {
           }
         println(s"[gvt-concurrent] TXN CHECK OK: ${head + 1} docs, " +
           "pins monotonic, every transaction whole at the final view")
+
+      // ---- DISJOINT-table txn race: each writer owns its own table ----
+      // pair through the SHARED coordinator. The narrowed r12 isolation
+      // contract promises disjoint transactions are isolated at EVERY
+      // doc, not just the final view — the check walks every
+      // intermediate doc and demands each writer's pair pins matched
+      // tag sets (a one-sided or mismatched pin = half-exposure).
+      case "txnd" =>
+        val writer = args(2).toInt
+        val n = args(3).toInt
+        val a = s"$table/w${writer}a"
+        val b = s"$table/w${writer}b"
+        (0 until n).foreach { i =>
+          val tag = writer * 1000 + i
+          graft.sources.GvtTxn.commit(spark, table, Seq(
+            (a, spark.range(tag * 10L, tag * 10L + 10L).toDF("k")
+              .withColumn("tag", lit(tag)), Seq("k")),
+            (b, spark.range(tag * 5L, tag * 5L + 5L).toDF("k")
+              .withColumn("tag", lit(tag)), Seq("k"))))
+        }
+        println(s"[gvt-concurrent] txnd writer $writer done ($n txns)")
+      case "checktxnd" =>
+        val nWriters = args(2).toInt
+        val head = graft.sources.GvtTxn.latestVersion(table)
+        def tagsAt(dir: String, v: Int): Set[Int] =
+          Gvt.read(spark, dir, Some(v)).select("tag").distinct()
+            .collect().map(_.getInt(0)).toSet
+        (0 to head).foreach { v =>
+          val doc = graft.sources.GvtTxn.docAt(table, v).tables
+          (0 until nWriters).foreach { w =>
+            val a = s"$table/w${w}a"
+            val b = s"$table/w${w}b"
+            (doc.get(a), doc.get(b)) match {
+              case (Some(va), Some(vb)) =>
+                val (ta, tb) = (tagsAt(a, va), tagsAt(b, vb))
+                assert(ta == tb,
+                  s"writer $w HALF-EXPOSED at doc $v: a=$ta b=$tb")
+              case (None, None) => () // not yet published — fine
+              case other => assert(false,
+                s"one-sided pin for writer $w at doc $v: $other")
+            }
+          }
+        }
+        println(s"[gvt-concurrent] TXND CHECK OK: ${head + 1} docs, " +
+          "every disjoint transaction isolated at EVERY intermediate doc")
+
+      // ---- cross-table WAP racing a parent writer: one JVM stages the ----
+      // audited drop on branches of BOTH tables and publishes them +
+      // one txn doc (GvtTxn.publishBranches); the other JVM keeps
+      // landing plain cross-table txns on the same parents throughout.
+      case "seedwapx" =>
+        graft.sources.GvtTxn.commit(spark, table, Seq(
+          (s"$table/t1", spark.range(0L, 1000L).toDF("k")
+            .withColumn("tag", lit(1)), Seq("k")),
+          (s"$table/t2", spark.range(0L, 200L).toDF("k")
+            .withColumn("tag", lit(1)), Seq("k"))))
+        println("[gvt-concurrent] wapx seeded")
+      case "wapx" =>
+        val t1 = s"$table/t1"
+        val t2 = s"$table/t2"
+        // APPEND-ONLY branches: the shape that publishes onto ANY
+        // advanced parent head (a rewrite-holding branch correctly
+        // aborts against a racing parent writer — GvtSpec covers that
+        // single-JVM; the cross-JVM question is the publish+doc race).
+        // The audit runs ON the staged branches (only the pre-audited
+        // 900-row slice is staged; the check demands exactly it).
+        val b1 = Gvt.createBranch(spark, t1, "xwap")
+        val b2 = Gvt.createBranch(spark, t2, "xwap")
+        Gvt.append(spark, b1, spark.range(100000L, 100900L).toDF("k")
+          .withColumn("tag", lit(2)), Seq("k"))
+        Gvt.append(spark, b2, spark.range(100000L, 100200L).toDF("k")
+          .withColumn("tag", lit(2)), Seq("k"))
+        require(Gvt.read(spark, b1).filter(col("tag") === 2).count() == 900,
+          "branch audit read wrong")
+        graft.sources.GvtTxn.publishBranches(spark, table,
+          Seq((t1, "xwap"), (t2, "xwap")))
+        Gvt.dropBranch(t1, "xwap")
+        Gvt.dropBranch(t2, "xwap")
+        println("[gvt-concurrent] wapx published")
+      case "racerx" =>
+        val n = args(2).toInt
+        (0 until n).foreach { i =>
+          val tag = 100 + i
+          graft.sources.GvtTxn.commit(spark, table, Seq(
+            (s"$table/t1", spark.range(tag * 10000L, tag * 10000L + 500L)
+              .toDF("k").withColumn("tag", lit(tag)), Seq("k")),
+            (s"$table/t2", spark.range(tag * 10000L, tag * 10000L + 50L)
+              .toDF("k").withColumn("tag", lit(tag)), Seq("k"))))
+        }
+        println(s"[gvt-concurrent] racerx done ($n txns)")
+      case "checkwapx" =>
+        val n = args(2).toInt
+        val t1 = graft.sources.GvtTxn.read(spark, table, s"$table/t1").cache()
+        val t2 = graft.sources.GvtTxn.read(spark, table, s"$table/t2").cache()
+        def tagCounts(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+          df.groupBy("tag").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val (c1, c2) = (tagCounts(t1), tagCounts(t2))
+        // the seed, the AUDITED wap drop (900 of 1000 on t1 — the
+        // audit's casualties must never surface), and every racer txn
+        // are all WHOLE at the final view
+        assert(c1.get(1).contains(1000L) && c2.get(1).contains(200L),
+          s"seed mangled: ${c1.get(1)} / ${c2.get(1)}")
+        assert(c1.get(2).contains(900L) && c2.get(2).contains(200L),
+          s"wap halves wrong (audit leaked?): ${c1.get(2)} / ${c2.get(2)}")
+        (0 until n).map(100 + _).foreach { tag =>
+          assert(c1.get(tag).contains(500L) && c2.get(tag).contains(50L),
+            s"racer txn $tag partial: ${c1.get(tag)} / ${c2.get(tag)}")
+        }
+        println(s"[gvt-concurrent] WAPX CHECK OK: seed + audited WAP + " +
+          s"$n racer txns all whole at the final view")
     }
     spark.stop()
   }

@@ -35,6 +35,11 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // the GVT SQL catalog: CREATE TABLE gvt.t / INSERT INTO gvt.t /
+      // SELECT ... FROM gvt.`/abs/path` (r12)
+      .config("spark.sql.catalog.gvt", "graft.sources.GvtCatalog")
+      .config("spark.sql.catalog.gvt.warehouse",
+        s"${System.getProperty("java.io.tmpdir")}/gvt-warehouse")
 
   /** Build + log level + graft optimizer rules installed ONCE at
     * construction, so no query key mutates the shared session mid-run

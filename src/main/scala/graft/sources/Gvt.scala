@@ -108,7 +108,8 @@ object Gvt {
     * rewritten, which is the entire point. Null on every pre-mapping
     * doc (the [[GvtCommit.txn]] Jackson contract). */
   final case class GvtSchemaState(renames: Map[String, String],
-      drops: Seq[String], checks: Map[String, String] = null) {
+      drops: Seq[String], checks: Map[String, String] = null,
+      stats: Seq[String] = null) {
     // Jackson sees a no-arg def as a bean property; keep it out of the
     // serialized doc (fixed wire contract, like GvtFile/GvtCommit)
     /** FULLY empty — nothing worth persisting. Checkpoint writers key
@@ -116,7 +117,14 @@ object Gvt {
       * every constraint at the next checkpoint (r11 review finding). */
     @com.fasterxml.jackson.annotation.JsonIgnore
     def isEmpty: Boolean =
-      renames.isEmpty && drops.isEmpty && checkMap.isEmpty
+      renames.isEmpty && drops.isEmpty && checkMap.isEmpty &&
+        statsList.isEmpty
+    /** Declared clustering/stats columns (LOGICAL names — the SQL
+      * catalog's `stats` table property, [[create]]); null on every
+      * pre-r12 doc. SQL INSERTs cluster and stat on these the way API
+      * callers pass statsCols explicitly. */
+    @com.fasterxml.jackson.annotation.JsonIgnore
+    def statsList: Seq[String] = Option(stats).getOrElse(Nil)
     /** No RENAME/DROP state — constraints alone don't gate reads or
       * rewrite ops; only the mapping does. */
     @com.fasterxml.jackson.annotation.JsonIgnore
@@ -433,6 +441,16 @@ object Gvt {
       }
     }
 
+  /** [[applyMapping]] at the SCHEMA level (the DSv2 connector's form:
+    * it aliases positionally-read rows by re-reporting the schema, so
+    * the DataFrame-level alias never runs). Dropped physical slots
+    * vanish; renamed ones surface under their logical names. */
+  private[sources] def mapSchema(physical: StructType,
+      state: GvtSchemaState): StructType =
+    if (state.mappingEmpty) physical
+    else StructType(physical.fields.flatMap(f =>
+      state.logicalOf(f.name).map(l => f.copy(name = l))))
+
   /** Translate a LOGICAL-schema DataFrame (an append's input) back to
     * physical names for the write path, so data files stay physically
     * named forever. Refuses input that resurrects a dropped column or
@@ -655,7 +673,7 @@ object Gvt {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[sources] def deleteRecursively(p: java.nio.file.Path): Unit = {
     // NOFOLLOW: a symlinked directory (a branch's shared `data` link)
     // must be unlinked as an entry, never descended into — following it
     // would delete the parent table's data pool
@@ -1038,6 +1056,47 @@ object Gvt {
       }
     }
     won
+  }
+
+  /** CREATE an empty table: version 0 is a metadata commit pinning the
+    * declared schema (connector/catalog reads serve it with zero data
+    * files) and the clustering/stats columns every subsequent SQL
+    * INSERT uses. The createLink publish makes creation atomic — a
+    * concurrent creator of the same dir loses loudly. */
+  def create(spark: SparkSession, dir: String, schema: StructType,
+      statsCols: Seq[String] = Nil): Int = {
+    require(latestVersion(dir) < 0, s"GVT at $dir already exists")
+    schema.fieldNames.foreach(n => require(!n.startsWith("_gvt_"),
+      s"GVT at $dir: '_gvt_' names are reserved for row identity"))
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"GVT at $dir: stats column '$c' is not in the declared schema"))
+    val state =
+      if (statsCols.isEmpty) null
+      else EmptySchemaState.copy(stats = statsCols)
+    if (!tryPublish(dir, GvtCommit(0, "create", Nil, Nil, schema = state,
+        dataSchema = schema.json), spark))
+      throw new IllegalStateException(s"GVT at $dir already exists")
+    0
+  }
+
+  /** OVERWRITE the table's full contents in one atomic commit (the SQL
+    * `INSERT OVERWRITE` / truncate-and-load shape): removes = every
+    * current file, adds = the new data. Readers see the old state or
+    * the new, never empty-in-between. */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String]): Int = rmwRetry(spark) {
+    val base = latestVersion(dir)
+    require(base >= 0, s"GVT at $dir does not exist (create it first)")
+    val (files, state, _) = resolveManifest(dir, Some(base))
+    val v = base + 1
+    val w = writeData(spark, dir,
+      toPhysical(enforceChecks(df, state), state),
+      statsCols.map(state.physicalOf), v)
+    if (!tryPublish(dir, GvtCommit(v, "overwrite", w.adds,
+        files.map(_.path), dataSchema = w.dataSchema), spark))
+      throw new java.util.ConcurrentModificationException(
+        s"GVT $dir: version $v committed concurrently; overwrite stale")
+    v
   }
 
   /** Append `df` as a new version. Safe to retry on conflict: an

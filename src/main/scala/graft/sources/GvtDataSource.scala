@@ -39,9 +39,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Spark gives lakehouse formats: the index decides WHICH files exist,
   * the parquet scan decides how to read them.
   *
-  * MoR snapshots (deletion vectors present) refuse loudly — a plain
-  * parquet scan would resurrect deleted rows; [[Gvt.read]] serves those
-  * until the DV anti-join is wired in as a scan-level row filter. */
+  * The connector serves EVERY table state (r12 — the two r11 refusals
+  * removed):
+  *  - COLUMN MAPPING: the table reports the version's LOGICAL schema;
+  *    pushed filters and pruned columns translate logical→physical on
+  *    the way into the stock builder, and [[GvtScan]] re-reports the
+  *    scan's output under logical names (rows are positional — no
+  *    per-row work). Time travel below a rename serves that version's
+  *    own names, same as [[Gvt.read]].
+  *  - MoR (deletion vectors): [[GvtScan]] appends Spark's temporary
+  *    row-index column (`_tmp_metadata_row_index` — the same mechanism
+  *    `_metadata.row_index` rides) to the delegate's read schema, and a
+  *    wrapping reader drops rows whose (file, row_index) the snapshot's
+  *    vectors delete — a sorted-array binary search per row against a
+  *    BROADCAST per-file position map, then an unsafe projection strips
+  *    the index column. Zone-map pruning still applies (vectors only
+  *    remove rows; stats stay truthful). The position map is bounded by
+  *    `dvRows` (manifest-known, and [[Gvt.absorbDeletes]] exists to
+  *    bound it); the production form is per-file roaring-bitmap
+  *    sidecars fetched per task, as Delta does.
+  * Tables in NEITHER state keep the untouched stock `ParquetScan`. */
 class GvtDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "gvt"
@@ -65,7 +82,8 @@ class GvtDataSource extends TableProvider with DataSourceRegister {
       GvtDataSource.resolve(new CaseInsensitiveStringMap(properties))
     val pinned = asOf.getOrElse(Gvt.latestVersion(dir))
     new GvtTable(dir, Some(pinned),
-      GvtDataSource.schemaOf(SparkSession.active, (dir, Some(pinned))))
+      GvtDataSource.schemaOf(SparkSession.active, (dir, Some(pinned))),
+      writable = asOf.isEmpty) // pinned loads (travel/txn) are read-only
   }
 }
 
@@ -126,54 +144,348 @@ object GvtDataSource {
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), StructType]()
 
+  /** The version's LOGICAL schema: unified physical (pin or footer
+    * merge), aliased under the version's OWN mapping state — time
+    * travel below a rename shows the old name, like [[Gvt.read]]. */
   private[sources] def schemaOf(spark: SparkSession,
       resolved: (String, Option[Int])): StructType = {
     val (dir, asOf) = resolved
     val version = asOf.getOrElse(Gvt.latestVersion(dir))
-    schemaMemo.computeIfAbsent((dir, version), _ =>
-      Gvt.pinnedSchema(dir, Some(version)).filter(_.nonEmpty).getOrElse {
-        val files = Gvt.snapshot(dir, Some(version))
-        require(files.nonEmpty, s"GVT at $dir is empty at version $version")
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$dir/${f.path}"): _*).schema
-      })
+    schemaMemo.computeIfAbsent((dir, version), _ => {
+      val physical = Gvt.pinnedSchema(dir, Some(version))
+        .filter(_.nonEmpty).getOrElse {
+          val files = Gvt.snapshot(dir, Some(version))
+          require(files.nonEmpty, s"GVT at $dir is empty at version $version")
+          spark.read.option("mergeSchema", "true")
+            .parquet(files.map(f => s"$dir/${f.path}"): _*).schema
+        }
+      Gvt.mapSchema(physical, Gvt.mappingAt(dir, Some(version)))
+    })
   }
+
+  /** Per-file deleted-row positions of a version's deletion vectors,
+    * sorted for binary search, BROADCAST once per (session, version) —
+    * every scan of that immutable snapshot reuses the torrent blocks.
+    * Built by one Spark job over the sidecar parquet (collect is
+    * bounded by `dvRows`, which the manifest knows and
+    * [[Gvt.absorbDeletes]] bounds by rewriting heavily-deleted files). */
+  private val dvMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Int),
+    org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
+
+  private[sources] def dvBroadcast(spark: SparkSession, dir: String,
+      version: Int, dvDirs: Seq[String])
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] =
+    dvMemo.computeIfAbsent(
+      (System.identityHashCode(spark.sparkContext), dir, version), _ => {
+        val m = spark.read.parquet(dvDirs.map(d => s"$dir/$d"): _*)
+          .groupBy("_gvt_file")
+          .agg(org.apache.spark.sql.functions.sort_array(
+            org.apache.spark.sql.functions.collect_list("_gvt_pos")).as("pos"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+          .toMap
+        spark.sparkContext.broadcast(m)
+      })
 }
 
-class GvtTable(dir: String, asOf: Option[Int], tableSchema: StructType)
-    extends Table with SupportsRead {
+/** `writable` is false for explicitly version-pinned loads (time
+  * travel, txnDir): writing "at a version" that is not the head is not
+  * a meaningful operation, so it refuses at write-builder time. */
+class GvtTable(dir: String, asOf: Option[Int], tableSchema: StructType,
+    writable: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     s"gvt.`$dir`" + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
 
   override def schema(): StructType = tableSchema
 
+  // BATCH_WRITE rides along with V1_BATCH_WRITE: DataFrameWriter.save's
+  // own dispatch tests BATCH_WRITE before planning, while the planner
+  // picks the V1 exec the moment build() returns a V1Write — declaring
+  // both is the standard connector shape
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  /** The write path (SQL `INSERT INTO` / `INSERT OVERWRITE` /
+    * DataFrameWriter): a [[org.apache.spark.sql.connector.write.V1Write]]
+    * delegating to [[Gvt.append]]/[[Gvt.overwrite]] — so SQL writes get
+    * the IDENTICAL pipeline API writers get (range-clustering + stats
+    * on the table's declared `stats` columns, in-write CHECK
+    * enforcement, logical→physical mapping, atomic createLink publish
+    * with the same retry gates). A distributed `BatchWrite` would
+    * re-implement writeData's clustering/stats commit protocol for no
+    * new capability — the V1 seam hands us the exact DataFrame the
+    * analyzer already aligned to the table schema. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(writable,
+      s"GVT at $dir: cannot write through a version-pinned load " +
+        "(time travel / txnDir) — write at the table head")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  ignored: Boolean): Unit = {
+                val spark = data.sparkSession
+                val stats = Gvt.mappingAt(dir).statsList
+                if (overwrite) Gvt.overwrite(spark, dir, data, stats)
+                else Gvt.append(spark, dir, data, stats)
+                ()
+              }
+            }
+        }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
+    val state = Gvt.mappingAt(dir, asOf)
+    // PHYSICAL schema for the parquet machinery: the logical face with
+    // stable storage names restored (drops are already absent from the
+    // logical schema, so this is a pure positional rename)
+    val physSchema = StructType(tableSchema.fields.map(f =>
+      f.copy(name = state.physicalOf(f.name))))
+    val dvDirs = Gvt.snapshot(dir, asOf)
+      .flatMap(f => Option(f.dv).getOrElse(Nil)).distinct
+    val dv =
+      if (dvDirs.isEmpty) None
+      else Some(GvtDataSource.dvBroadcast(spark, dir,
+        asOf.getOrElse(Gvt.latestVersion(dir)), dvDirs))
     new GvtScanBuilder(spark,
-      new GvtFileIndex(spark, dir, asOf, tableSchema),
-      tableSchema, options)
+      new GvtFileIndex(spark, dir, asOf, physSchema),
+      physSchema, state, dv, options)
   }
 }
 
-/** [[ParquetScanBuilder]] with one addition: `build()` hands the final
-  * pushed data filters to the index BEFORE the scan is constructed, so
-  * the scan's `estimateStatistics` (stock [[FileScan]] code computing
-  * from `fileIndex.sizeInBytes`) reports the ZONE-MAP-PRUNED byte
-  * total, not the whole table — a `WHERE`-bounded gvt side of a join
-  * sizes (and broadcasts) by what it will actually scan. Scoped safely:
-  * every `newScanBuilder` call constructs a fresh index, so the filter
-  * handoff never leaks across queries. */
+/** [[ParquetScanBuilder]] with three additions: `build()` hands the
+  * final pushed data filters to the index BEFORE the scan is
+  * constructed, so the scan's `estimateStatistics` (stock [[FileScan]]
+  * code computing from `fileIndex.sizeInBytes`) reports the
+  * ZONE-MAP-PRUNED byte total, not the whole table — a `WHERE`-bounded
+  * gvt side of a join sizes (and broadcasts) by what it will actually
+  * scan. Under COLUMN MAPPING, pushed filters and pruned columns
+  * translate logical→physical on the way in (Catalyst binds by exprId,
+  * so returning the original leftovers is sound), and the built scan is
+  * wrapped to re-report logical names. Under DELETION VECTORS, the
+  * wrap adds the row-index column and the DV-filtering reader; both
+  * states also refuse parquet AGGREGATE pushdown (a pushed MAX over
+  * deleted rows would resurrect them into the aggregate). Scoped
+  * safely: every `newScanBuilder` call constructs a fresh index, so
+  * the filter handoff never leaks across queries. */
 class GvtScanBuilder(spark: SparkSession, index: GvtFileIndex,
-    tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ParquetScanBuilder(spark, index, tableSchema, tableSchema,
-      options) {
-  override def build(): org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
-    index.statsFilters = dataFilters
-    super.build()
+    physSchema: StructType, state: Gvt.GvtSchemaState,
+    dv: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]],
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  // COMPOSITION, not inheritance: ParquetScanBuilder.build() is typed
+  // to return ParquetScan, so a subclass cannot return the wrapper —
+  // the stock builder does all the pushdown bookkeeping behind the
+  // same three capability traits Catalyst probes for
+  private val inner =
+    new ParquetScanBuilder(spark, index, physSchema, physSchema, options)
+
+  private def stock: Boolean = state.mappingEmpty && dv.isEmpty
+
+  private def toPhys(e: Expression): Expression = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if state.physicalOf(a.name) != a.name =>
+      a.withName(state.physicalOf(a.name))
+  }
+
+  /** The PHYSICAL filters handed to the stock builder (whose own
+    * `dataFilters` is protected) — what [[GvtFileIndex.statsFilters]]
+    * needs for prune-aware statistics. */
+  private var pushedPhys: Seq[Expression] = Nil
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    if (state.mappingEmpty) {
+      pushedPhys = filters.filter(_.deterministic)
+      inner.pushFilters(filters)
+    } else {
+      // push the PHYSICAL rendering (parquet row groups + zone maps
+      // speak storage names); return the ORIGINAL logical expressions
+      // as post-scan leftovers — a superset re-evaluation is always
+      // sound, and they carry the exprIds the plan binds by
+      val phys = filters.map(toPhys)
+      pushedPhys = phys.filter(_.deterministic)
+      inner.pushFilters(phys)
+      filters
+    }
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(
+      if (state.mappingEmpty) requiredSchema
+      else StructType(requiredSchema.fields.map(f =>
+        f.copy(name = state.physicalOf(f.name)))))
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    stock && inner.pushAggregation(aggregation)
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    stock && inner.supportCompletePushDown(aggregation)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    index.statsFilters = pushedPhys
+    val base = inner.build()
+    if (stock) base
+    else {
+      val logicalOut = StructType(base.readDataSchema.fields.map(f =>
+        f.copy(name = state.logicalOf(f.name).getOrElse(f.name))))
+      GvtScan(base, logicalOut, dv)
+    }
+  }
+}
+
+/** The non-stock scan: a stock [[org.apache.spark.sql.execution
+  * .datasources.v2.parquet.ParquetScan]] delegate doing ALL the reading
+  * (physical names, vectorized decode, row-group pushdown, zone-map
+  * pruned file index), re-faced with the version's LOGICAL schema
+  * (rows are positional; renaming the reported schema IS the alias),
+  * and — when the snapshot holds deletion vectors — batch-wrapped so
+  * every emitted row survived the DV anti-filter. Equality rides the
+  * case class (delegate equality covers files/filters/schema; the dv
+  * broadcast is memoized per version, so same-version scans stay equal
+  * for exchange reuse). */
+case class GvtScan(
+    delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    logicalOutput: StructType,
+    dv: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = logicalOutput
+
+  override def description(): String =
+    s"GvtScan(mapped=${logicalOutput != delegate.readDataSchema}, " +
+      s"dv=${dv.isDefined}) " + delegate.description()
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    delegate.estimateStatistics()
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = dv match {
+    case None => delegate.toBatch
+    case Some(bc) =>
+      // widen the delegate's read schema by Spark's temporary row-index
+      // column: both parquet reader paths (vectorized + parquet-mr)
+      // fill it with FILE-ABSOLUTE row positions — exactly the identity
+      // deleteWhereDV recorded via _metadata.row_index
+      val rowIdx = org.apache.spark.sql.types.StructField(
+        org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      val widened = delegate.copy(
+        readDataSchema = delegate.readDataSchema.add(rowIdx))
+      new GvtDvBatch(widened.toBatch, bc, delegate.readDataSchema)
+  }
+}
+
+/** [[GvtScan]]'s MoR batch: stock partition planning, DV-filtering
+  * readers. */
+class GvtDvBatch(delegate: org.apache.spark.sql.connector.read.Batch,
+    dv: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]],
+    outSchema: StructType)
+    extends org.apache.spark.sql.connector.read.Batch {
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    delegate.planInputPartitions()
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    GvtDvReaderFactory(
+      delegate.createReaderFactory().asInstanceOf[
+        org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory],
+      dv, outSchema)
+}
+
+/** Per-file DV filtering around the stock parquet readers: each file of
+  * the partition gets its own delegate reader (so the file identity is
+  * known), rows whose appended row index binary-searches into the
+  * file's sorted deleted-position array are dropped, and an unsafe
+  * projection strips the index column. Work per surviving row: one
+  * branchless O(log d) search + one codegen'd projection. */
+case class GvtDvReaderFactory(
+    delegate: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
+    dv: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]],
+    outSchema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val files =
+      p.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+        .files
+    val nOut = outSchema.length // row-index column sits at ordinal nOut
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(outSchema.fields.zipWithIndex.map {
+          case (f, i) => org.apache.spark.sql.catalyst.expressions
+            .BoundReference(i, f.dataType, f.nullable)
+        }.toIndexedSeq)
+      private var i = -1
+      private var cur: org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = null
+      private var curDv: Array[Long] = Array.emptyLongArray
+      private var row: org.apache.spark.sql.catalyst.InternalRow = null
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            i += 1
+            if (i >= files.length) return false
+            val f = files(i)
+            cur = delegate.buildReader(f)
+            val suffix = f.filePath.toPath.toUri.getPath
+              .split('/').takeRight(3).mkString("/")
+            curDv = dv.value.getOrElse(suffix, Array.emptyLongArray)
+          }
+          while (cur.next()) {
+            val r = cur.get()
+            if (curDv.isEmpty ||
+                java.util.Arrays.binarySearch(curDv, r.getLong(nOut)) < 0) {
+              row = proj(r)
+              return true
+            }
+          }
+          cur.close(); cur = null
+        }
+        false // unreachable
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = row
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
   }
 }
 
@@ -288,21 +600,15 @@ class GvtFileIndex(spark: SparkSession, dir: String, asOf: Option[Int],
 
 object GvtFileIndex {
 
+  /** Live data files of the snapshot (DV sidecars are NOT data files —
+    * [[GvtScan]] consumes them through the broadcast position map; the
+    * r11 MoR/mapping refusals are gone, the connector serves every
+    * table state). */
   private[sources] def liveFiles(dir: String,
-      asOf: Option[Int]): Seq[Gvt.GvtFile] = {
-    val files = Gvt.snapshot(dir, asOf)
-    require(files.nonEmpty, s"GVT at $dir is empty at version $asOf")
-    require(files.forall(f => Option(f.dv).forall(_.isEmpty)),
-      s"GVT at $dir holds deletion vectors (MoR snapshot) — the gvt " +
-        "connector's plain parquet scan would resurrect deleted rows; " +
-        "read via Gvt.read (DV anti-join) or absorbDeletes first")
-    require(Gvt.mappingAt(dir, asOf).mappingEmpty,
-      s"GVT at $dir has active column mapping (renamed/dropped " +
-        "columns) — the connector's stock parquet scan would serve " +
-        "PHYSICAL names; read via Gvt.read until the mapping is wired " +
-        "into the scan output")
-    files
-  }
+      asOf: Option[Int]): Seq[Gvt.GvtFile] =
+    // an EMPTY list is legal since r12 (a created-but-unloaded or
+    // fully-deleted table serves its pinned schema over zero files)
+    Gvt.snapshot(dir, asOf)
 
   /** Zone-map constraints extracted from pushed data filters: one-sided
     * ranges from {>=, >, <=, <, =} between a column and a literal

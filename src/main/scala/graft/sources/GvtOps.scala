@@ -221,6 +221,44 @@ object GvtOps {
       .orderBy("l_returnflag")
   }
 
+  /** SQL-SURFACE SINK fixture ([[GvtCatalog]]): the orders aggregate
+    * table built through PURE SQL — `CREATE TABLE gvt.\`dir\`` with a
+    * declared `stats` clustering property, three `INSERT INTO ...
+    * SELECT` loads (keys ≡1,≡2,≡0 mod 3) and one SQL `DELETE`-shaped
+    * maintenance pass via the API (the ordersGvt history, re-expressed
+    * through the catalog where SQL can express it). GvtCatalogSpec
+    * proves SQL-written ≡ API-written byte-for-byte; this key proves
+    * the END STATE against the DuckDB oracle at 3 SFs. */
+  private def sqlSinkGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_sqlsink", dir) { tmp =>
+      val t = s"gvt.`$tmp/t`"
+      graft.Tables(spark, dir, "orders").createOrReplaceTempView(
+        "orders_sqlsink_src")
+      spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE, " +
+        "o_orderpriority STRING) TBLPROPERTIES ('stats'='o_orderkey')")
+      Seq(1, 2, 0).foreach { m =>
+        spark.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderstatus, " +
+          "o_totalprice, o_orderpriority FROM orders_sqlsink_src " +
+          s"WHERE o_orderkey % 3 = $m")
+      }
+      Gvt.delete(spark, s"$tmp/t",
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0,
+        Seq("o_orderkey"))
+    }
+
+  /** The SQL-built table read back through SQL — shares
+    * `sink_versioned_log`'s oracle restatement (the same 4-step
+    * history), so hash equality proves the whole SQL write path
+    * (create → analyzed inserts → clustered+statted commits → CoW
+    * delete) lands the identical state. */
+  def gvtSqlSink(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = sqlSinkGvt(spark, dir)
+    spark.sql(s"SELECT o_orderstatus, count(*) AS n_orders, " +
+      s"round(sum(o_totalprice), 2) AS total_price FROM gvt.`$tmp/t` " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
   /** TIMESTAMP zone-map pruning fixture: orders committed as per-year
     * `o_orderdate` tiles (1995..2001 — the fixture's date span — one
     * file per year, stats on the TIMESTAMP column as the write-side
@@ -559,6 +597,34 @@ object GvtOps {
     v0.unionByName(head).orderBy("era", "o_orderstatus")
   }
 
+  /** The SAME two-era mapped read through the DSv2 connector (r12 —
+    * the r11 refusal removed): the head load serves LOGICAL names
+    * (price_usd; o_orderpriority gone) by re-reporting the stock
+    * scan's schema, `versionAsOf 0` serves that version's OWN
+    * pre-rename names — both from the same physically-named files.
+    * Shares `scan_gvt_colmap`'s oracle, hash-exact. */
+  def gvtDsv2ColMap(spark: SparkSession, dir: String): DataFrame = {
+    val t = colMapGvt(spark, dir)
+    def load(v: Option[Int]): DataFrame = {
+      val r = spark.read.format("gvt").option("path", t)
+      v.map(x => r.option("versionAsOf", x.toString)).getOrElse(r).load()
+    }
+    val v0 = load(Some(0))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"),
+        countDistinct("o_orderpriority").as("n_prios"))
+      .select(lit("v0").as("era"), col("o_orderstatus"), col("n_orders"),
+        col("total_price"), col("n_prios"))
+    val head = load(None)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("price_usd"), 2).as("total_price"))
+      .select(lit("head").as("era"), col("o_orderstatus"), col("n_orders"),
+        col("total_price"), lit(0L).as("n_prios"))
+    v0.unionByName(head).orderBy("era", "o_orderstatus")
+  }
+
   /** CROSS-TABLE ATOMIC PUBLISH fixture: a fact table and its summary
     * table updated through [[GvtTxn]] — txn 0 lands the base fact AND
     * its aggregate in ONE atomic pin; txn 1 lands a fact delta + the
@@ -607,6 +673,80 @@ object GvtOps {
     val summary = s"$tmp/summary"
     val sides = (0 to 1).flatMap { v =>
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val f = GvtTxn.read(spark, tmp, fact, Some(v))
+        .select(col("o_orderstatus"), cents.as("c"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum("c").cast("double") / 100).as("total_price"))
+        .select(lit(v).as("txn_version"), lit("fact_agg").as("side"),
+          col("o_orderstatus"), col("n_orders"), col("total_price"))
+      val s = GvtTxn.read(spark, tmp, summary, Some(v))
+        .select(lit(v).as("txn_version"), lit("summary").as("side"),
+          col("o_orderstatus"), col("n_orders"),
+          (col("sum_cents").cast("double") / 100).as("total_price"))
+      Seq(f, s)
+    }
+    sides.reduce(_.unionByName(_))
+      .orderBy("txn_version", "side", "o_orderstatus")
+  }
+
+  /** CROSS-TABLE WAP fixture ([[GvtTxn.publishBranches]]): txn 0 lands
+    * base fact (keys ≢0 mod 4) + its summary atomically; the quarterly
+    * drop then lands on BRANCHES of both tables — fact branch gets the
+    * ≡0 mod 4 keys and the audit deletes the ≡0 mod 20 casualties,
+    * summary branch is OVERWRITTEN with the recompute of the branch
+    * fact state — and ONE call squashes both branches into their
+    * parents and links txn doc 1. A crash is then simulated the other
+    * way: a THIRD branch cycle publishes to the fact parent but its
+    * txn doc never lands (the writer died after the squash) — that
+    * parent version is invisible through the view. */
+  private def txnWapGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_txnwap", dir) { tmp =>
+      val fact = s"$tmp/fact"
+      val summary = s"$tmp/summary"
+      val orders = graft.Tables(spark, dir, "orders")
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      def stateOf(df: DataFrame): DataFrame = df
+        .select(col("o_orderstatus"), lit(1L).as("w"), cents.as("c"))
+        .groupBy("o_orderstatus")
+        .agg(sum("w").as("n_orders"), sum("c").as("sum_cents"))
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      GvtTxn.commit(spark, tmp, Seq(
+        (fact, base, Seq("o_orderkey")),
+        (summary, stateOf(base), Seq("o_orderstatus"))))
+      // the audited drop, staged on branches of BOTH tables
+      val fb = Gvt.createBranch(spark, fact, "drop_q")
+      val sb = Gvt.createBranch(spark, summary, "drop_q")
+      Gvt.append(spark, fb, orders.filter(col("o_orderkey") % 4 === 0),
+        Seq("o_orderkey"))
+      Gvt.delete(spark, fb, col("o_orderkey") % 20 === 0, Seq("o_orderkey"))
+      Gvt.overwrite(spark, sb, stateOf(Gvt.read(spark, fb)),
+        Seq("o_orderstatus"))
+      GvtTxn.publishBranches(spark, tmp,
+        Seq((fact, "drop_q"), (summary, "drop_q")))
+      Gvt.dropBranch(fact, "drop_q")
+      Gvt.dropBranch(summary, "drop_q")
+      // the crash: a fact-only branch squash whose txn doc never lands
+      val fb2 = Gvt.createBranch(spark, fact, "poison")
+      Gvt.append(spark, fb2,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)),
+        Seq("o_orderkey"))
+      Gvt.publishBranch(spark, fact, "poison")
+      Gvt.dropBranch(fact, "poison")
+    }
+
+  /** Both sides of the invariant at both txn versions (the
+    * [[gvtTxnMulti]] shape): summary-through-view ≡
+    * fact-aggregate-through-view at v0 (base) and v1 (base + audited
+    * drop), with the unpinned poison publish invisible — the oracle
+    * restates all four quadrants from the original rows. */
+  def gvtTxnWap(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = txnWapGvt(spark, dir)
+    val fact = s"$tmp/fact"
+    val summary = s"$tmp/summary"
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val sides = (0 to 1).flatMap { v =>
       val f = GvtTxn.read(spark, tmp, fact, Some(v))
         .select(col("o_orderstatus"), cents.as("c"))
         .groupBy("o_orderstatus")
@@ -681,6 +821,17 @@ object GvtOps {
 
   def gvtDvDelete(spark: SparkSession, dir: String): DataFrame =
     Gvt.read(spark, dvGvt(spark, dir))
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** The SAME MoR snapshot through the DSv2 connector (r12 — the r11
+    * refusal removed): [[GvtScan]] rides the stock parquet scan plus
+    * the row-index column, and the per-file broadcast position map
+    * drops the vectors' rows at the reader. Shares
+    * `etl_gvt_dv_delete`'s oracle — connector ≡ library DV anti-join,
+    * hash-exact. */
+  def gvtDsv2Dv(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("gvt").option("path", dvGvt(spark, dir)).load()
       .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       .orderBy("c_custkey")
 
@@ -940,10 +1091,14 @@ object GvtOps {
     "etl_merge_into" -> mergeInto,
     "etl_gvt_cdc_upd" -> cdcUpdates,
     "etl_gvt_txn_multi" -> gvtTxnMulti,
+    "etl_gvt_txn_wap" -> gvtTxnWap,
     "scan_manifest_prune" -> manifestPrune,
     "scan_manifest_df" -> manifestDf,
     "scan_gvt_dsv2" -> gvtDsv2,
+    "scan_gvt_dsv2_dv" -> gvtDsv2Dv,
+    "scan_gvt_dsv2_colmap" -> gvtDsv2ColMap,
     "scan_gvt_prune_ts" -> gvtPruneTs,
+    "sink_gvt_dsv2" -> gvtSqlSink,
     "sink_compaction" -> compaction
   )
 
@@ -1152,6 +1307,22 @@ object GvtOps {
         "UNION ALL SELECT 1, 'fact_agg', * FROM v1 " +
         "UNION ALL SELECT 1, 'summary', * FROM v1 " +
         "ORDER BY txn_version, side, o_orderstatus"),
+    // cross-table WAP: fact ≡ summary at every txn version; v0 = the
+    // base (keys ≢0 mod 4), v1 = base + the AUDITED drop (the ≡0 mod
+    // 20 casualties never reach a parent reader), and the unpinned
+    // poison publish (keys shifted +1e9) appears in neither
+    "etl_gvt_txn_wap" ->
+      ("WITH v0 AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders WHERE o_orderkey % 4 <> 0 GROUP BY 1), " +
+        "v1 AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders WHERE o_orderkey % 20 <> 0 GROUP BY 1) " +
+        "SELECT 0 AS txn_version, 'fact_agg' AS side, * FROM v0 " +
+        "UNION ALL SELECT 0, 'summary', * FROM v0 " +
+        "UNION ALL SELECT 1, 'fact_agg', * FROM v1 " +
+        "UNION ALL SELECT 1, 'summary', * FROM v1 " +
+        "ORDER BY txn_version, side, o_orderstatus"),
     // the connector path must agree with both manifest-prune paths
     "scan_gvt_dsv2" ->
       ("WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi " +
@@ -1162,6 +1333,29 @@ object GvtOps {
         "round(sum(l_quantity),2) AS sum_qty FROM lineitem, r " +
         "WHERE l_orderkey >= qlo AND l_orderkey <= qhi " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the SQL-built table's end state ≡ the API-built history's (the
+    // sink_versioned_log restatement)
+    "sink_gvt_dsv2" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // connector MoR read ≡ library DV anti-join ≡ plain predicate
+    "scan_gvt_dsv2_dv" ->
+      ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
+        "WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING') " +
+        "ORDER BY c_custkey"),
+    // connector mapped read ≡ library mapped read, both eras
+    "scan_gvt_dsv2_colmap" ->
+      ("WITH v0 AS (SELECT 'v0' AS era, o_orderstatus, " +
+        "count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price, " +
+        "count(DISTINCT o_orderpriority) AS n_prios FROM orders " +
+        "WHERE o_orderkey % 3 = 1 GROUP BY 2), " +
+        "hd AS (SELECT 'head' AS era, o_orderstatus, " +
+        "count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price, " +
+        "0 AS n_prios FROM orders GROUP BY 2) " +
+        "SELECT * FROM v0 UNION ALL SELECT * FROM hd " +
+        "ORDER BY era, o_orderstatus"),
     // the timestamp-tiled table holds every order exactly once (year
     // tiles partition the fixture's 1995..2001 span), so the pruned
     // range read restates as a plain WHERE over the original table

@@ -31,6 +31,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Idempotence for retried pipelines rides the per-table
   * [[Gvt.appendTxn]] token exactly as in the exactly-once sink.
   *
+  * ISOLATION, precisely (r11 advisor finding — the contract is
+  * narrowed, not over-claimed): crash atomicity is FULL (a transaction
+  * whose doc never linked is invisible at every txn version, forever),
+  * DISJOINT-table concurrent transactions are isolated at EVERY doc
+  * (the max-merge only ever carries each table's pins forward), and
+  * the view CONVERGES — once both racing transactions' docs land, the
+  * head pins every table at a version containing both (per-table logs
+  * are linear, so max-merge supersets both). What an INTERMEDIATE doc
+  * of two concurrent transactions over OVERLAPPING tables does NOT
+  * guarantee is mutual snapshot isolation: if txn A and B both write
+  * {fact, summary} and their per-table appends interleave opposite to
+  * their doc order, A's doc can pin a summary version that already
+  * contains B's summary rows while pinning a fact version that lacks
+  * B's — B is half-visible for the window until B's own doc lands
+  * (DevGvtConcurrent's checktxn phase races exactly this and asserts
+  * the final-view convergence plus full isolation for the
+  * disjoint-table race). Transactions over overlapping table sets
+  * must serialize at the pipeline layer (or ride ONE transaction) —
+  * the same rule every catalog-pointer system without a global commit
+  * log imposes; the production fix is coordinator-serialized commits
+  * (the Nessie shape), a pointer-service concern, not a table-format
+  * one.
+  *
   * Scale: the coordinator doc is O(tables in the txn) — a few hundred
   * bytes; resolution is one doc read (newest doc id), never a data or
   * manifest read. The table-side cost is unchanged GVT.
@@ -98,6 +121,25 @@ object GvtTxn {
         Gvt.versionOfTxn(dir, txnId).getOrElse(throw new IllegalStateException(
           s"txn $txnId marked duplicate in $dir but no commit carries it " +
             "(vacuumed past the retry horizon?)")))
+    }.toMap
+    publish(txnDir, pins)
+  }
+
+  /** CROSS-TABLE WRITE-AUDIT-PUBLISH — [[Gvt.createBranch]] composed
+    * with the coordinator (r12): each `(tableDir, branchName)` branch
+    * is squashed into its parent ([[Gvt.publishBranch]] — the per-table
+    * WAP gate re-validates net adds against the parent's CURRENT
+    * checks), then ONE txn doc pins every new parent version. Readers
+    * through the view flip from "none of the drop anywhere" to "all of
+    * it everywhere" at the doc link; a crash between table publishes
+    * leaves parent commits the view never pins (the [[commit]] orphan
+    * story — harmless history, vacuum-safe). Branches are left in
+    * place for the caller to [[Gvt.dropBranch]] after inspection. */
+  def publishBranches(spark: SparkSession, txnDir: String,
+      branches: Seq[(String, String)]): Int = {
+    require(branches.nonEmpty, "a cross-table WAP needs at least one branch")
+    val pins = branches.map { case (dir, name) =>
+      dir -> Gvt.publishBranch(spark, dir, name)
     }.toMap
     publish(txnDir, pins)
   }

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Gvt
+
+/** The GVT SQL surface ([[graft.sources.GvtCatalog]]): CREATE TABLE /
+  * INSERT INTO / INSERT OVERWRITE / CTAS / DROP resolve to the same
+  * pipeline the API uses — the central claim is SQL-written ≡
+  * API-written, byte-for-byte through the oracle-grade read path.
+  */
+class GvtCatalogSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def pathTable(): (String, String) = {
+    val dir = Files.createTempDirectory("gvt-cat-").toString + "/t"
+    (dir, s"gvt.`$dir`")
+  }
+
+  test("CREATE TABLE + INSERT INTO ≡ the API-written twin, exactly") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('stats'='k')")
+    // empty created table SELECTs as zero rows with the declared schema
+    val empty = spark.sql(s"SELECT * FROM $t")
+    assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0)
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $t SELECT id AS k, id * 10 AS v " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    // the API twin: same three commits through Gvt.append
+    val twin = Files.createTempDirectory("gvt-cat-twin-").toString + "/t"
+    (0 until 3).foreach { i =>
+      Gvt.append(spark, twin,
+        (i * 100L until i * 100L + 100L).map(k => (k, k * 10))
+          .toDF("k", "v"), Seq("k"))
+    }
+    assert(spark.sql(s"SELECT * FROM $t ORDER BY k").collect().toSeq ==
+      Gvt.read(spark, twin).orderBy("k").collect().toSeq)
+    // both histories have the same version count (create is v0)
+    assert(Gvt.latestVersion(dir) == 3 && Gvt.latestVersion(twin) == 2)
+    // SQL inserts cluster + stat on the declared 'stats' property: a
+    // WHERE through the catalog read prunes files like the API path
+    val pruned = spark.sql(s"SELECT sum(v) FROM $t WHERE k >= 110 AND k <= 120")
+    assert(pruned.head.getLong(0) == (110L to 120L).map(_ * 10).sum)
+    val snap = Gvt.snapshot(dir)
+    assert(snap.forall(_.min.contains("k")),
+      "SQL inserts must produce zone-map stats on the declared columns")
+  }
+
+  test("INSERT OVERWRITE is one atomic truncate-and-load commit") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('stats'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 100)")
+    spark.sql(s"INSERT OVERWRITE $t SELECT id, id * 2 FROM range(0, 10)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head.getLong(0) ==
+      (0L until 10L).map(_ * 2).sum)
+    // one commit: old state time-travels back
+    assert(Gvt.read(spark, dir, Some(1)).count() == 100)
+  }
+
+  test("CTAS creates and loads in one statement") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES ('stats'='k') AS " +
+      "SELECT id AS k, id * 3 AS v FROM range(0, 50)")
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $t").head.toSeq ==
+      Seq(50L, (0L until 50L).map(_ * 3).sum))
+    assert(Gvt.snapshot(dir).forall(_.min.contains("k")),
+      "CTAS must inherit the stats property for its initial load")
+  }
+
+  test("CHECK constraints gate SQL inserts identically to API appends") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    Gvt.addCheck(spark, dir, "v_pos", "v >= 0")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $t SELECT id, id - 50 FROM range(0, 100)")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 0,
+      "a violating SQL insert must commit NOTHING")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 10)
+  }
+
+  test("column mapping holds through the SQL surface") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('stats'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    Gvt.renameColumn(spark, dir, "v", "value")
+    // the SQL read serves the logical name; inserts speak it too
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq == Seq("k", "value"))
+    spark.sql(s"INSERT INTO $t (k, value) SELECT id, id FROM range(10, 20)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 20)
+    // physically the files still store the stable original name
+    val live = Gvt.snapshot(dir)
+    assert(spark.read.parquet(s"$dir/${live.last.path}")
+      .columns.contains("v"))
+  }
+
+  test("warehouse-named tables: create, list, drop") {
+    val wh = spark.conf.get("spark.sql.catalog.gvt.warehouse")
+    val name = s"cat_spec_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE gvt.$name (k BIGINT) ")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$wh/$name/${Gvt.LogDir}")))
+    spark.sql(s"INSERT INTO gvt.$name SELECT id FROM range(0, 5)")
+    assert(spark.sql(s"SELECT count(*) FROM gvt.$name").head.getLong(0) == 5)
+    assert(spark.sql(s"SHOW TABLES IN gvt").collect()
+      .map(_.getString(1)).contains(name))
+    spark.sql(s"DROP TABLE gvt.$name")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/$name")))
+    intercept[Exception] { spark.sql(s"SELECT * FROM gvt.$name").collect() }
+  }
+
+  test("creation is atomic; duplicate CREATE refuses") {
+    val (_, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    intercept[Exception] { spark.sql(s"CREATE TABLE $t (k BIGINT)") }
+  }
+
+  test("writes refuse through a version-pinned load") {
+    val (dir, _) = pathTable()
+    Gvt.append(spark, dir, Seq((1L, 2L)).toDF("k", "v"), Seq("k"))
+    Gvt.append(spark, dir, Seq((2L, 3L)).toDF("k", "v"), Seq("k"))
+    val e = intercept[Exception] {
+      Seq((9L, 9L)).toDF("k", "v").write.format("gvt")
+        .option("path", dir).option("versionAsOf", "0")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("version-pinned"))
+    // and the plain head write path works
+    Seq((9L, 9L)).toDF("k", "v").write.format("gvt")
+      .option("path", dir).mode("append").save()
+    assert(Gvt.read(spark, dir).count() == 3)
+  }
+}

@@ -189,11 +189,12 @@ class GvtColMapSpec extends GraftSuite {
     Gvt.append(spark, dir, slab(0, 100), Seq("k"))
     Gvt.renameColumn(spark, dir, "v", "value")
     Gvt.dropColumn(spark, dir, "tag")
-    // the DSv2 connector (stock parquet scan would serve physical names)
-    val e2 = intercept[Exception] {
-      spark.read.format("gvt").option("path", dir).load().count()
-    }
-    assert(e2.getMessage.contains("column mapping"))
+    // the DSv2 connector serves mapped tables since r12: LOGICAL names,
+    // dropped slot gone, data identical to Gvt.read
+    val viaConnector =
+      spark.read.format("gvt").option("path", dir).load()
+    assert(viaConnector.columns.toSeq == Seq("k", "value"))
+    assert(viaConnector.count() == 100)
     import spark.implicits._
     // appends that would corrupt the mapping
     intercept[IllegalArgumentException] { // dropped column resurrected

@@ -48,7 +48,10 @@ class GvtDsv2Spec extends GraftSuite {
     }
     nodes(df.queryExecution.executedPlan)
       .collect { case b: BatchScanExec => b.scan }
-      .collect { case f: FileScan => f }
+      .collect {
+        case f: FileScan => f
+        case g: graft.sources.GvtScan => g.delegate // mapped/DV wrapper
+      }
   }
 
   private def nFiles(f: FileScan): Int =
@@ -136,15 +139,68 @@ class GvtDsv2Spec extends GraftSuite {
       s"stats did not shrink with the prune: full=$full pruned=$pruned")
   }
 
-  test("MoR snapshot (deletion vectors) refuses loudly") {
+  test("MoR snapshot (deletion vectors) serves correct rows through the connector") {
     val dir = Files.createTempDirectory("gvt-dsv2-dv-").toString + "/t"
-    Gvt.append(spark, dir, slab(0, 100), Seq("k"))
-    Gvt.deleteWhereDV(spark, dir, col("k") === 7L)
-    val e = intercept[Exception] {
-      spark.read.format("gvt").option("path", dir).load().count()
-    }
-    assert(e.getMessage.contains("deletion vectors"),
-      s"wrong refusal: ${e.getMessage}")
+    (0 until 4).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 100, i * 100 + 100), Seq("k")))
+    Gvt.deleteWhereDV(spark, dir, col("k") % 7 === 0L)
+    Gvt.deleteWhereDV(spark, dir, col("k") === 201L) // second vector pass
+    def connector = spark.read.format("gvt").option("path", dir).load()
+    val expected = (0L until 400L).filter(k => k % 7 != 0 && k != 201L)
+    assert(connector.count() == expected.size)
+    assert(connector.agg(sum("v")).head.getLong(0) == expected.map(_ * 10).sum)
+    // row-for-row identical to the library's DV anti-join read
+    assert(connector.orderBy("k").collect().toSeq ==
+      Gvt.read(spark, dir).orderBy("k").collect().toSeq)
+    // zone-map pruning still rides the DV snapshot's manifest
+    val pruned = connector.filter(col("k") >= 150L && col("k") <= 160L)
+    assert(nFilesRead(pruned) == 1,
+      "DV snapshot must still prune files from the manifest")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      (150L to 160L).filterNot(_ % 7 == 0))
+    // time travel: the pre-delete version reads DV-free (stock path)
+    assert(spark.read.format("gvt").option("path", dir)
+      .option("versionAsOf", "3").load().count() == 400)
+  }
+
+  test("column-mapped snapshot serves logical names through the connector, filters prune") {
+    val dir = Files.createTempDirectory("gvt-dsv2-cm-").toString + "/t"
+    (0 until 4).foreach(i =>
+      Gvt.append(spark, dir, slab(i * 100, i * 100 + 100), Seq("k")))
+    Gvt.renameColumn(spark, dir, "k", "key")
+    Gvt.append(spark, dir,
+      (400L until 500L).map(k => (k, k * 10)).toDF("key", "v")
+        .repartition(1), Seq("key"))
+    def connector = spark.read.format("gvt").option("path", dir).load()
+    assert(connector.columns.toSeq == Seq("key", "v"))
+    assert(connector.count() == 500)
+    // a LOGICAL-name WHERE prunes via the PHYSICAL-name zone maps
+    val pruned = connector.filter(col("key") >= 250L && col("key") <= 340L)
+    assert(nFilesRead(pruned) == 2,
+      "logical filter must reach the physical stats maps")
+    assert(pruned.agg(sum("v")).head.getLong(0) ==
+      (250L to 340L).map(_ * 10).sum)
+    // row-identical to the library read; projection prunes to one column
+    assert(connector.select("key").orderBy("key").collect().toSeq ==
+      Gvt.read(spark, dir).select("key").orderBy("key").collect().toSeq)
+    // time travel BELOW the rename serves the old name (stock path)
+    val v3 = spark.read.format("gvt").option("path", dir)
+      .option("versionAsOf", "3").load()
+    assert(v3.columns.toSeq == Seq("k", "v") && v3.count() == 400)
+  }
+
+  test("DV + column mapping COMPOSED through the connector") {
+    val dir = Files.createTempDirectory("gvt-dsv2-dvcm-").toString + "/t"
+    Gvt.append(spark, dir, slab(0, 300), Seq("k"))
+    Gvt.renameColumn(spark, dir, "v", "value")
+    Gvt.deleteWhereDV(spark, dir, col("value") >= 2000L) // logical name
+    val df = spark.read.format("gvt").option("path", dir).load()
+    assert(df.columns.toSeq == Seq("k", "value"))
+    assert(df.count() == 200)
+    assert(df.orderBy("k").collect().toSeq ==
+      Gvt.read(spark, dir).orderBy("k").collect().toSeq)
+    // logical-name filter on the DV+mapped scan stays correct
+    assert(df.filter(col("value") < 500L).count() == 50)
   }
 
   test("timestamp WHERE prunes date-tiled files via the chrono zone-map rule") {

@@ -245,7 +245,23 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-12: zone-map pruning past numerics — TIMESTAMP/DATE/STRING
     // predicates prune via the chrono/UTF8-binary rules over the
     // string-encoded stats (date ranges: the #1 fact-table predicate)
-    "scan_gvt_prune_ts")
+    "scan_gvt_prune_ts",
+    // round-12: the connector serves MoR snapshots — GvtScan appends
+    // the temporary row-index column and a broadcast per-file position
+    // map drops the vectors' rows at the reader
+    "scan_gvt_dsv2_dv",
+    // round-12: the connector serves column-mapped tables — logical
+    // names re-reported over the physically-named stock scan, filters
+    // and pruned columns translated on the way in
+    "scan_gvt_dsv2_colmap",
+    // round-12: the SQL write surface — GvtCatalog CREATE TABLE /
+    // INSERT INTO / INSERT OVERWRITE / CTAS delegating to the same
+    // clustered+statted+checked append pipeline the API uses
+    "sink_gvt_dsv2",
+    // round-12: cross-table WAP — branch fact AND summary, audit both
+    // in isolation, squash both + link ONE coordinator doc; the view
+    // flips atomically and an unpinned squash stays invisible
+    "etl_gvt_txn_wap")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

@@ -76,3 +76,33 @@ wait $T0; wait $T1
 java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checktxn "$TABLE4" 2 4
 rm -rf "$(dirname "$TABLE4")"
 echo "[smoke] txn PASS"
+
+# Disjoint-table txn race: each writer owns its own table pair through
+# the SAME coordinator — the narrowed r12 contract promises isolation
+# at EVERY intermediate doc for disjoint transactions; the check walks
+# every doc and demands matched tag sets per writer pair.
+TABLE5="$(mktemp -d /dev/shm/gvt_xjvm.XXXXXX)/txnd"
+echo "[smoke] txnd base: $TABLE5"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent txnd "$TABLE5" 0 3 &
+D0=$!
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent txnd "$TABLE5" 1 3 &
+D1=$!
+wait $D0; wait $D1
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checktxnd "$TABLE5" 2
+rm -rf "$(dirname "$TABLE5")"
+echo "[smoke] txnd PASS"
+
+# Cross-table WAP racing a parent writer: one JVM branches BOTH tables,
+# audits, and publishes branches + one coordinator doc while the other
+# JVM keeps landing plain cross-table txns on the same parents.
+TABLE6="$(mktemp -d /dev/shm/gvt_xjvm.XXXXXX)/wapx"
+echo "[smoke] wapx base: $TABLE6"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent seedwapx "$TABLE6"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent wapx "$TABLE6" &
+X0=$!
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent racerx "$TABLE6" 3 &
+X1=$!
+wait $X0; wait $X1
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checkwapx "$TABLE6" 3
+rm -rf "$(dirname "$TABLE6")"
+echo "[smoke] wapx PASS"
