@@ -636,11 +636,22 @@ object Gvt {
       val c = commitAt(dir, v)
       // adds UPSERT by path — the driver path's LinkedHashMap.put
       // contract. A commit may re-add a surviving path with a new DV
-      // and no matching remove (publishBranch's DV-audit squash does),
-      // so the anti-join must drop removed AND re-added paths before
-      // the union, or the fold yields duplicate manifest rows and the
+      // and no matching remove (publishBranch's DV-audit squash does;
+      // dv_delete and restore re-add by design), so for THOSE ops the
+      // anti-join must drop removed AND re-added paths before the
+      // union, or the fold yields duplicate manifest rows and the
       // dv-less twin resurrects deleted rows on the DF read path.
-      val gone = c.removes ++ c.adds.map(_.path)
+      // Every other op's adds are freshly-written `c<version>-<uuid>`
+      // dirs that cannot pre-exist in the manifest — and narrowing the
+      // anti-join to actual removes lets an APPEND commit skip the
+      // join entirely (r12: the r10 blanket `removes ++ adds` put one
+      // anti-join per append into this fold and cost scan_manifest_df
+      // +0.27 s/query on an 8-append table — the r9→r10 'ambient'
+      // residue the r12 A/B pinned to code).
+      val mayReAdd =
+        ReAddOps.contains(c.op) || c.op == "publish"
+      val gone =
+        if (mayReAdd) c.removes ++ c.adds.map(_.path) else c.removes
       val afterRemoves =
         if (gone.isEmpty) df
         else df.join(
