@@ -77,6 +77,29 @@ object DevDsv2Scale {
       Gvt.readPruned(spark, dir, "k", 100.0, 250.0)._1.count()
     }
     assert(lib == 151L)
+    // r12: the connector's MoR path at file-count scale — DV-delete 1%
+    // of rows (touches EVERY file), then read through the connector
+    // (per-file readers + broadcast position map) vs the library's
+    // anti-join. Also asserts the two agree on the count.
+    Gvt.deleteWhereDV(spark, dir, col("k") % 100L === 0L)
+    val live = rows - rows / 100
+    val dvConn = time("connector_dv_count") {
+      spark.read.format("gvt").option("path", dir).load().count()
+    }
+    assert(dvConn == live, s"connector DV count $dvConn != $live")
+    val dvConnWarm = time("connector_dv_warm") {
+      spark.read.format("gvt").option("path", dir).load().count()
+    }
+    assert(dvConnWarm == live)
+    val dvLib = time("library_dv_count") {
+      Gvt.read(spark, dir).count()
+    }
+    assert(dvLib == live)
+    val dvPruned = time("connector_dv_pruned") {
+      spark.read.format("gvt").option("path", dir).load()
+        .filter(col("k") >= 101L && col("k") <= 250L).count()
+    }
+    assert(dvPruned == 149L, s"dv pruned $dvPruned")
     spark.stop()
   }
 }

@@ -51,7 +51,12 @@ object Plans {
     "llm_dedup_paragraph" -> "sub-document dedup: 16-byte digest keys every exchange; winner election is ONE chunk-keyed aggregate (no corpus window)",
     "etl_gvt_txn_multi" -> "cross-table txn view: both reads are plain snapshot scans at doc-pinned versions — the coordinator adds zero data plan",
     "scan_gvt_colmap" -> "column mapping: physical vectorized scan with an alias-only projection to the version's logical names; schema commits moved no data",
-    "etl_gvt_constraints" -> "constrained WAP publish: the post-publish read is a plain snapshot scan; checks ran inside the branch writes, the gate read only the net adds")
+    "etl_gvt_constraints" -> "constrained WAP publish: the post-publish read is a plain snapshot scan; checks ran inside the branch writes, the gate read only the net adds",
+    "scan_gvt_prune_ts" -> "timestamp zone-map prune through the connector: CHRONO stat comparison keeps 2-of-7 year tiles; the row filter still rides the vectorized scan",
+    "scan_gvt_dsv2_dv" -> "connector MoR read: GvtScan over the stock parquet scan + row-index column; DV rows die at the reader (broadcast sorted-position search) — the plan's only exchange is the key's own orderBy",
+    "scan_gvt_dsv2_colmap" -> "connector mapped read: the stock physical scan re-faced with logical names — rows are positional, the alias is free; filters pushed under physical names",
+    "sink_gvt_dsv2" -> "SQL-written table read back through the catalog: plain snapshot scan of clustered+statted files — the write path left the same layout the API leaves",
+    "etl_gvt_txn_wap" -> "cross-table WAP view: both sides are snapshot scans at versions one coordinator doc pinned; branch squashes moved metadata only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
