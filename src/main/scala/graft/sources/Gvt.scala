@@ -318,7 +318,8 @@ object Gvt {
   }
 
   // tiny shim: Files.list gives a Java stream; keep usage in one place
-  implicit private class JIter[A](private val it: java.util.Iterator[A]) {
+  // (private[sources]: GvtCatalog imports it rather than owning a twin)
+  implicit private[sources] class JIter[A](private val it: java.util.Iterator[A]) {
     def asScala(): Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()
     }
@@ -375,8 +376,18 @@ object Gvt {
       c.adds.foreach(f => active.put(f.path, f))
       if (c.schema != null) state = c.schema
       if (c.dataSchema != null)
-        pin = pin.flatMap(mergeStruct(_,
-          DataType.fromJson(c.dataSchema).asInstanceOf[StructType]))
+        pin =
+          // RESTORE RESETS the pin to the target version's (r12 review
+          // fix: the merge fold is monotone, so without the reset a
+          // restore below a schema evolution left phantom columns the
+          // live files don't have — connector and read() would
+          // disagree); every other op's pin merges in
+          if (c.op == "restore")
+            Some(DataType.fromJson(c.dataSchema).asInstanceOf[StructType])
+          else pin.flatMap(mergeStruct(_,
+            DataType.fromJson(c.dataSchema).asInstanceOf[StructType]))
+      else if (c.op == "restore")
+        pin = None // pre-r12 restore: its reset target is unknown
       else if (c.adds.nonEmpty && !ReAddOps.contains(c.op))
         pin = None // a pre-r12 adds doc: schemas of its files unknown
     }
@@ -410,6 +421,14 @@ object Gvt {
   def pinnedSchema(dir: String,
       asOf: Option[Int] = None): Option[StructType] =
     resolveManifest(dir, asOf)._3
+
+  /** The full (files, state, pin) resolution in ONE walk — the DSv2
+    * connector's planning entry (r12 review fix: newScanBuilder used to
+    * re-resolve the manifest once per concern, 4-5x the planning I/O of
+    * the library read paths at checkpoint-sized manifests). */
+  private[sources] def resolveAll(dir: String, asOf: Option[Int])
+      : (Seq[GvtFile], GvtSchemaState, Option[StructType]) =
+    resolveManifest(dir, asOf)
 
   /** Active files at `asOf` (default: latest). Replays from the newest
     * checkpoint ≤ asOf; preserves add order for stable file lists. */
@@ -1543,7 +1562,8 @@ object Gvt {
       rmwRetry(spark) {
     val head = latestVersion(dir)
     require(toVersion <= head, s"restore target $toVersion beyond head $head")
-    val (target, targetState, _) = resolveManifest(dir, Some(toVersion))
+    val (target, targetState, targetPin) =
+      resolveManifest(dir, Some(toVersion))
     val (current, headState, _) = resolveManifest(dir, Some(head))
     // normalize before comparing: checks=null and checks=Map.empty are
     // the same declared state (the Jackson missing-field contract)
@@ -1554,9 +1574,13 @@ object Gvt {
     // declared state: the newest-wins fold needs a doc to override it
     val schemaOut = if (sameState) null else targetState
     val v = head + 1
+    // the restore doc carries the TARGET's unified-schema pin so the
+    // fold resets to it (null when the target's pin is unresolvable —
+    // readers then fall back to footer merges, never to a stale union)
     if (!tryPublish(dir,
         GvtCommit(v, "restore", target, current.map(_.path),
-          schema = schemaOut), spark))
+          schema = schemaOut,
+          dataSchema = targetPin.map(_.json).orNull), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; restore read set stale")
     v
@@ -2093,7 +2117,11 @@ object Gvt {
   /** Delete the branch (its unique data files become unreferenced and
     * the parent's next aged [[vacuum]] reaps them). The shared-data
     * symlink is unlinked as an entry, never followed. */
-  def dropBranch(dir: String, name: String): Unit =
+  def dropBranch(dir: String, name: String): Unit = {
     deleteRecursively(branchPath(dir, name))
+    // a re-created branch of the same name restarts version numbering
+    // in the same dir — stale connector memos must not survive it
+    GvtDataSource.invalidate(branchDir(dir, name))
+  }
 
 }

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -36,6 +37,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * zero footer reads), and listTables is one directory listing of the
   * warehouse root, not of any data. */
 class GvtCatalog extends TableCatalog {
+  import Gvt.JIter
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -60,18 +62,11 @@ class GvtCatalog extends TableCatalog {
     val base = Paths.get((warehouse +: namespace).mkString("/"))
     if (!Files.isDirectory(base)) return Array.empty
     val it = Files.list(base)
-    try it.iterator().asScala
+    try it.iterator().asScala()
       .filter(p => Files.isDirectory(p.resolve(Gvt.LogDir)))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
     finally it.close()
-  }
-
-  // tiny shim (the Gvt.JIter twin — java streams, one usage site here)
-  implicit private class JIter[A](private val it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext = it.hasNext; def next() = it.next()
-    }
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -112,6 +107,9 @@ class GvtCatalog extends TableCatalog {
     val dir = dirOf(ident)
     if (!exists(dir)) return false
     Gvt.deleteRecursively(Paths.get(dir))
+    // a re-created table at this path must never serve the dead
+    // table's memoized schema or DV broadcasts (r12 review fix)
+    GvtDataSource.invalidate(dir)
     true
   }
 

@@ -173,9 +173,25 @@ object GvtDataSource {
     (Int, String, Int),
     org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
 
+  /** BOUNDED (r12 review fix): a long-lived maintenance loop reading
+    * version after version must not accumulate one broadcast per
+    * version forever. Past the cap the oldest-version entries of the
+    * same context drop out of the MEMO only — no explicit unpersist,
+    * so an in-flight query planned against an evicted version keeps
+    * its broadcast handle alive and the ContextCleaner reclaims blocks
+    * when the driver reference is gone. */
+  private val DvMemoCap = 64
+
   private[sources] def dvBroadcast(spark: SparkSession, dir: String,
       version: Int, dvDirs: Seq[String])
-      : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] =
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] = {
+    if (dvMemo.size() >= DvMemoCap) {
+      val doomed = dvMemo.keySet().iterator()
+      var dropped = 0
+      while (doomed.hasNext && dropped < DvMemoCap / 4) {
+        doomed.next(); doomed.remove(); dropped += 1
+      }
+    }
     dvMemo.computeIfAbsent(
       (System.identityHashCode(spark.sparkContext), dir, version), _ => {
         val m = spark.read.parquet(dvDirs.map(d => s"$dir/$d"): _*)
@@ -187,6 +203,18 @@ object GvtDataSource {
           .toMap
         spark.sparkContext.broadcast(m)
       })
+  }
+
+  /** Drop every memoized schema/DV entry for `dir` — the hook DROP
+    * TABLE and dropBranch call (r12 review fix: a re-created table at
+    * the same path reaching the same version numbers must not serve
+    * the dead table's cached schema or deletion vectors). */
+  private[sources] def invalidate(dir: String): Unit = {
+    schemaMemo.keySet.removeIf(
+      (k: (String, Int)) => k._1 == dir)
+    dvMemo.keySet.removeIf(
+      (k: (Int, String, Int)) => k._2 == dir)
+  }
 }
 
 /** `writable` is false for explicitly version-pinned loads (time
@@ -253,20 +281,24 @@ class GvtTable(dir: String, asOf: Option[Int], tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
-    val state = Gvt.mappingAt(dir, asOf)
+    // ONE manifest walk plans the whole scan (r12 review fix: the
+    // mapping, the file list, and the stats map used to re-resolve
+    // independently — 4-5x the planning I/O at checkpoint-sized
+    // manifests); the files thread into the index, the state into the
+    // builder, the DV dirs into the broadcast memo
+    val (files, state, _) = Gvt.resolveAll(dir, asOf)
     // PHYSICAL schema for the parquet machinery: the logical face with
     // stable storage names restored (drops are already absent from the
     // logical schema, so this is a pure positional rename)
     val physSchema = StructType(tableSchema.fields.map(f =>
       f.copy(name = state.physicalOf(f.name))))
-    val dvDirs = Gvt.snapshot(dir, asOf)
-      .flatMap(f => Option(f.dv).getOrElse(Nil)).distinct
+    val dvDirs = files.flatMap(f => Option(f.dv).getOrElse(Nil)).distinct
     val dv =
       if (dvDirs.isEmpty) None
       else Some(GvtDataSource.dvBroadcast(spark, dir,
         asOf.getOrElse(Gvt.latestVersion(dir)), dvDirs))
     new GvtScanBuilder(spark,
-      new GvtFileIndex(spark, dir, asOf, physSchema),
+      new GvtFileIndex(spark, dir, files, physSchema),
       physSchema, state, dv, options)
   }
 }
@@ -505,8 +537,8 @@ case class GvtDvReaderFactory(
   * the row-level filter still runs inside the parquet scan, pushed
   * into row groups). `lastPrune` exposes (kept, total) for plan
   * tests. */
-class GvtFileIndex(spark: SparkSession, dir: String, asOf: Option[Int],
-    schema: StructType)
+class GvtFileIndex(spark: SparkSession, dir: String,
+    files: Seq[Gvt.GvtFile], schema: StructType)
     extends org.apache.spark.sql.execution.datasources
       .PartitioningAwareFileIndex(spark, Map.empty, Some(schema),
         FileStatusCache.getOrCreate(spark)) {
@@ -517,9 +549,11 @@ class GvtFileIndex(spark: SparkSession, dir: String, asOf: Option[Int],
   // Byte sizes come from the manifest (stamped at write time, r12);
   // only pre-r12 entries (bytes=0) pay one local stat each. mtime is a
   // constant: a GVT file is immutable, nothing downstream keys on it.
+  // An EMPTY `files` is legal since r12 (a created-but-unloaded or
+  // fully-deleted table serves its pinned schema over zero files).
   private val liveStatuses: Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = spark.sessionState.newHadoopConf()
-    GvtFileIndex.liveFiles(dir, asOf).map { f =>
+    files.map { f =>
       val p0 = new Path(s"$dir/${f.path}")
       val p = p0.getFileSystem(conf).makeQualified(p0)
       val size =
@@ -553,8 +587,7 @@ class GvtFileIndex(spark: SparkSession, dir: String, asOf: Option[Int],
   // `data/cN-uuid/part-x.parquet` (the fixed 3-deep layout) -> manifest
   // entry; keyed on the relative suffix so file:/ URI prefixes drop out
   private val statsBySuffix: Map[String, Gvt.GvtFile] =
-    Gvt.snapshot(dir, asOf)
-      .map(f => f.path.split('/').takeRight(3).mkString("/") -> f).toMap
+    files.map(f => f.path.split('/').takeRight(3).mkString("/") -> f).toMap
 
   @volatile private[sources] var lastPrune: (Int, Int) = (-1, -1)
 
@@ -599,16 +632,6 @@ class GvtFileIndex(spark: SparkSession, dir: String, asOf: Option[Int],
 }
 
 object GvtFileIndex {
-
-  /** Live data files of the snapshot (DV sidecars are NOT data files —
-    * [[GvtScan]] consumes them through the broadcast position map; the
-    * r11 MoR/mapping refusals are gone, the connector serves every
-    * table state). */
-  private[sources] def liveFiles(dir: String,
-      asOf: Option[Int]): Seq[Gvt.GvtFile] =
-    // an EMPTY list is legal since r12 (a created-but-unloaded or
-    // fully-deleted table serves its pinned schema over zero files)
-    Gvt.snapshot(dir, asOf)
 
   /** Zone-map constraints extracted from pushed data filters: one-sided
     * ranges from {>=, >, <=, <, =} between a column and a literal

@@ -69,11 +69,19 @@ class GvtStreamSource extends StreamSourceProvider with DataSourceRegister {
 
   private def dataSchema(spark: org.apache.spark.sql.SparkSession,
       dir: String): StructType = {
-    val files = Gvt.snapshot(dir)
-    require(files.nonEmpty, s"gvt-stream: $dir is empty")
-    // one footer read; commits never change a file, so any live file
-    // carries the current write schema
-    spark.read.parquet(s"$dir/${files.last.path}").schema
+    // LOGICAL schema (r12 review fix): the unified physical schema
+    // (metadata pin when it resolves; one footer read otherwise —
+    // commits never change a file, so any live file carries the
+    // current write schema) aliased under the table's mapping state.
+    // Without the alias, a cdc stream on a renamed table declared
+    // PHYSICAL names while diff() serves logical ones — the first
+    // post-rename batch crashed the stream.
+    val physical = Gvt.pinnedSchema(dir).filter(_.nonEmpty).getOrElse {
+      val files = Gvt.snapshot(dir)
+      require(files.nonEmpty, s"gvt-stream: $dir is empty")
+      spark.read.parquet(s"$dir/${files.last.path}").schema
+    }
+    Gvt.mapSchema(physical, Gvt.mappingAt(dir))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -283,12 +291,39 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
   private def ordered(df: DataFrame): DataFrame =
     df.select(schema.fieldNames.map(col).toSeq: _*)
 
+  /** The stream's schema is FIXED at start (`base`, logical names as of
+    * construction); data files are PHYSICALLY named forever. These two
+    * bridge the gap in both directions, keyed on the PHYSICAL identity
+    * captured at construction — so a rename landing mid-stream neither
+    * changes what the stream emits nor crashes it (the Delta rule:
+    * restart the stream to pick up new names; a mid-stream DROP of a
+    * streamed column still fails loudly, as it must — a fixed-schema
+    * stream cannot serve a column that no longer exists). */
+  private val basePhys: StructType = {
+    val state0 = Gvt.mappingAt(dir)
+    StructType(base.fields.map(f => f.copy(name = state0.physicalOf(f.name))))
+  }
+
+  /** Align a frame speaking version `atV`'s OWN logical names
+    * ([[Gvt.read]]/[[Gvt.diff]] serve version-local schemas) to the
+    * stream's start-time names, via the shared physical identity. */
+  private def aligned(df: DataFrame, atV: Long): DataFrame = {
+    val st = Gvt.mappingAt(dir, Some(atV.toInt))
+    val renames = basePhys.fields.zip(base.fields).flatMap {
+      case (p, l) => st.logicalOf(p.name).filter(_ != l.name)
+        .map(_ -> l.name)
+    }
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
+  }
+
   private def emptyBatch(): DataFrame =
     ordered(spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
 
   private def initialBatch(endV: Long): DataFrame = {
-    val snap = Gvt.read(spark, dir, Some(endV.toInt))
+    val snap = aligned(Gvt.read(spark, dir, Some(endV.toInt)), endV)
     if (mode == "cdc")
       ordered(snap.withColumn("change_type", lit("insert"))
         .withColumn("_commit_version", lit(endV)))
@@ -327,7 +362,14 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
       }
     }
     if (paths.isEmpty) emptyBatch()
-    else ordered(spark.read.schema(base).parquet(paths: _*))
+    else {
+      // files store PHYSICAL names: read under them, emit the stream's
+      // start-time names (positional rename — pure metadata)
+      val df = spark.read.schema(basePhys).parquet(paths: _*)
+      ordered(basePhys.fieldNames.zip(base.fieldNames).foldLeft(df) {
+        case (d, (p, l)) => if (p == l) d else d.withColumnRenamed(p, l)
+      })
+    }
   }
 
   /** One [[Gvt.diff]] per commit in `(u, endV]`, each stamped with ITS
@@ -344,7 +386,9 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
     // column ORDER across versions (schema evolution adds columns at
     // different positions) — positional union would silently misbind
     ordered(((u + 1) to endV).map { v =>
-      Gvt.diff(spark, dir, (v - 1).toInt, v.toInt)
+      // each per-version diff speaks ITS version's logical names;
+      // align each to the stream's fixed names before the union
+      aligned(Gvt.diff(spark, dir, (v - 1).toInt, v.toInt), v)
         .withColumn("_commit_version", lit(v))
     }.reduce(_ unionByName _))
 

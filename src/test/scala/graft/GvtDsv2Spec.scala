@@ -280,6 +280,16 @@ class GvtDsv2Spec extends GraftSuite {
     assert(df.columns.toSeq == Seq("k", "v", "w") && df.count() == 20)
   }
 
+  test("_metadata is not a connector surface (FileTable-only column)") {
+    // GvtTable is not a FileTable and does not implement
+    // SupportsMetadataColumns, so the hidden _metadata struct (whose
+    // file_modification_time the index's synthetic statuses could not
+    // serve truthfully) must not resolve — documented, not accidental
+    intercept[org.apache.spark.sql.AnalysisException] {
+      readGvt().select(col("_metadata")).collect()
+    }
+  }
+
   test("schema evolution reads merged: pre-evolution files backfill null") {
     val dir = Files.createTempDirectory("gvt-dsv2-evo-").toString + "/t"
     Gvt.append(spark, dir, slab(0, 10), Seq("k"))

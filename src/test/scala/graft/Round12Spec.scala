@@ -110,6 +110,77 @@ class Round12Spec extends GraftSuite {
     assert(spark.read.format("gvt").option("path", dir).load().count() == 200)
   }
 
+  test("restore RESETS the unified-schema pin (no phantom columns)") {
+    val dir = tmpTable("gvt-r12-pinreset-")
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.append(spark, dir,
+      (10L until 20L).map(k => (k, k * 10, s"w$k")).toDF("k", "v", "w"),
+      Seq("k"))
+    Gvt.restore(spark, dir, 0)
+    assert(Gvt.pinnedSchema(dir).map(_.fieldNames.toSeq)
+      .contains(Seq("k", "v")),
+      "the evolved column must not haunt the restored pin")
+    // connector and library agree on the restored shape
+    val viaConnector = spark.read.format("gvt").option("path", dir).load()
+    assert(viaConnector.columns.toSeq == Seq("k", "v"))
+    assert(viaConnector.collect().toSeq.sortBy(_.getLong(0)) ==
+      Gvt.read(spark, dir).collect().toSeq.sortBy(_.getLong(0)))
+    // and the pre-restore history still pins the union
+    assert(Gvt.pinnedSchema(dir, Some(1)).map(_.fieldNames.toSeq)
+      .contains(Seq("k", "v", "w")))
+  }
+
+  test("DROP TABLE invalidates connector memos: a re-created table serves its own schema") {
+    val dir = tmpTable("gvt-r12-recreate-")
+    val t = s"gvt.`$dir`"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 5)")
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq == Seq("k", "v"))
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"CREATE TABLE $t (a STRING, b INT, c INT)")
+    spark.sql(s"INSERT INTO $t VALUES ('x', 1, 2)")
+    // same dir, same version numbers — the memo must have been dropped
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq ==
+      Seq("a", "b", "c"))
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 1)
+  }
+
+  test("cdc stream survives a mid-stream rename; schemas speak logical names") {
+    val dir = tmpTable("gvt-r12-streammap-")
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.renameColumn(spark, dir, "v", "value") // mapping ACTIVE at start
+    Gvt.append(spark, dir, slab(10, 20)
+      .withColumnRenamed("v", "value"), Seq("k"))
+    val q = spark.readStream.format("graft.sources.GvtStreamSource")
+      .option("mode", "cdc").load(dir)
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .writeStream
+      .option("checkpointLocation", graft.Staging.fastTempDir("r12_cdc_map"))
+      .format("memory").queryName("r12_cdc_map_result")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      Gvt.drainBounded(q)
+      // the stream's declared schema spoke the LOGICAL name (the r12
+      // review fix — it used to be the physical footer name and the
+      // first cdc batch crashed)
+      assert(spark.table("r12_cdc_map_result")
+        .filter(col("change_type") === "insert").head.getLong(1) == 20)
+      // a SECOND rename lands MID-STREAM; the physical identity bridge
+      // keeps serving the stream's start-time names
+      Gvt.renameColumn(spark, dir, "value", "cost")
+      Gvt.append(spark, dir, slab(20, 30)
+        .withColumnRenamed("v", "cost"), Seq("k"))
+      Gvt.drainBounded(q)
+      val after = spark.table("r12_cdc_map_result")
+        .filter(col("change_type") === "insert").head
+      assert(after.getLong(1) == 30, s"post-rename batch lost: $after")
+      assert(after.getLong(2) == (0L until 30L).map(_ * 10).sum)
+    } finally q.stop()
+  }
+
   test("function registration is idempotent (no replace-warning churn)") {
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.CosineSimilarity.register(spark)
