@@ -377,17 +377,21 @@ object Gvt {
       if (c.schema != null) state = c.schema
       if (c.dataSchema != null)
         pin =
-          // RESTORE RESETS the pin to the target version's (r12 review
-          // fix: the merge fold is monotone, so without the reset a
-          // restore below a schema evolution left phantom columns the
-          // live files don't have — connector and read() would
-          // disagree); every other op's pin merges in
-          if (c.op == "restore")
+          // ops that REPLACE the full file set RESET the pin (r12
+          // review fixes, both passes: the merge fold is monotone, so
+          // without the reset a restore below a schema evolution — or
+          // an overwrite narrower than the history — left phantom
+          // columns the live files don't have, and connector and
+          // read() disagreed); every other op's pin merges in. A
+          // DML delete that merely removes the last file carrying a
+          // column intentionally keeps the union — schema never
+          // shrinks through DML, the industry contract.
+          if (PinResetOps.contains(c.op))
             Some(DataType.fromJson(c.dataSchema).asInstanceOf[StructType])
           else pin.flatMap(mergeStruct(_,
             DataType.fromJson(c.dataSchema).asInstanceOf[StructType]))
-      else if (c.op == "restore")
-        pin = None // pre-r12 restore: its reset target is unknown
+      else if (PinResetOps.contains(c.op))
+        pin = None // a pre-r12 reset op: its reset target is unknown
       else if (c.adds.nonEmpty && !ReAddOps.contains(c.op))
         pin = None // a pre-r12 adds doc: schemas of its files unknown
     }
@@ -398,6 +402,11 @@ object Gvt {
     * cover (a DV swap re-adds the entry; restore re-adds the target
     * snapshot) — a null dataSchema there does not break the pin. */
   private val ReAddOps = Set("dv_delete", "restore")
+
+  /** Commits that REPLACE the whole file set: their dataSchema resets
+    * the pin instead of merging (restore to a pre-evolution state,
+    * truncate-and-load overwrite). */
+  private val PinResetOps = Set("restore", "overwrite")
 
   /** Append-only field-union of two pinned schemas: `b`'s new fields
     * append after `a`'s; a same-name field with a DIFFERENT type makes
@@ -523,7 +532,12 @@ object Gvt {
           s"logical '${state.renames(newName)}' — pick another name")
       val renames =
         if (newName == p) state.renames - p else state.renames + (p -> newName)
-      val next = state.copy(renames = renames)
+      // the stats/clustering declaration speaks LOGICAL names: it must
+      // follow the rename or every subsequent SQL INSERT would cluster
+      // on a name that no longer exists (r12 second-review finding)
+      val next = state.copy(renames = renames,
+        stats = Option(state.stats)
+          .map(_.map(s => if (s == oldName) newName else s)).orNull)
       if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil, schema = next),
         spark)) return v
       v = latestVersion(dir) + 1
@@ -543,8 +557,13 @@ object Gvt {
         s"GVT at $dir has no column '$name' to drop")
       requireUnreferenced(state, name, "drop")
       val p = state.physicalOf(name)
+      // dropping a declared clustering column degrades the clustering
+      // gracefully (SQL INSERTs keep working on the remaining columns)
+      // rather than leaving a dangling reference that fails every
+      // write forever (r12 second-review finding)
       val next = state.copy(renames = state.renames - p,
-        drops = state.drops :+ p)
+        drops = state.drops :+ p,
+        stats = Option(state.stats).map(_.filterNot(_ == name)).orNull)
       if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil, schema = next),
         spark)) return v
       v = latestVersion(dir) + 1
@@ -1100,11 +1119,23 @@ object Gvt {
       s"GVT at $dir: '_gvt_' names are reserved for row identity"))
     statsCols.foreach(c => require(schema.fieldNames.contains(c),
       s"GVT at $dir: stats column '$c' is not in the declared schema"))
+    // NOT NULL is enforced, not just recorded: a non-nullable field in
+    // the PIN with no write-side gate would let the API append nulls
+    // that Catalyst then optimizes against (IsNull folded to false —
+    // silently wrong results; r12 second-review finding). The pin
+    // stores the all-nullable shape (what parquet reads produce) and
+    // each declared NOT NULL becomes a CHECK constraint riding the
+    // existing in-write assert_true gate — SQL and API writes alike.
+    val notNull = schema.fields.filterNot(_.nullable)
+      .map(f => s"${f.name}_not_null" -> s"${f.name} IS NOT NULL").toMap
     val state =
-      if (statsCols.isEmpty) null
-      else EmptySchemaState.copy(stats = statsCols)
+      if (statsCols.isEmpty && notNull.isEmpty) null
+      else EmptySchemaState.copy(
+        checks = if (notNull.isEmpty) null else notNull,
+        stats = if (statsCols.isEmpty) null else statsCols)
     if (!tryPublish(dir, GvtCommit(0, "create", Nil, Nil, schema = state,
-        dataSchema = schema.json), spark))
+        dataSchema = StructType(
+          schema.fields.map(_.copy(nullable = true))).json), spark))
       throw new IllegalStateException(s"GVT at $dir already exists")
     0
   }
@@ -2101,12 +2132,28 @@ object Gvt {
       val v = head + 1
       // the squash's adds are files born on the BRANCH; their schemas
       // live in branch commit docs the parent never sees, so the
-      // publish doc pins the branch's own unified schema (a superset of
-      // the adds' — the merge fold is monotone, so over-pinning is
-      // harmless; an unresolvable branch pin leaves null and the parent
-      // falls back to footer merges)
-      val branchPin = if (adds.isEmpty) null
-        else pinnedSchema(bdir).map(_.json).orNull
+      // publish doc pins the merge of EXACTLY the branch commits that
+      // created the published files — not the branch's full unified
+      // schema, which could carry a column the branch once wrote and
+      // then deleted every file of (the phantom-column class the r12
+      // restore/overwrite resets fixed; second-review finding). An
+      // unresolvable pin leaves null and the parent falls back to
+      // footer merges.
+      val branchPin: String = if (adds.isEmpty) null
+        else {
+          val addPaths = adds.map(_.path).toSet
+          var pinOpt: Option[StructType] = Some(new StructType())
+          ((base + 1) to bHead).foreach { bv =>
+            val c = commitAt(bdir, bv)
+            if (c.adds.exists(f => addPaths.contains(f.path))) {
+              if (c.dataSchema != null)
+                pinOpt = pinOpt.flatMap(mergeStruct(_,
+                  DataType.fromJson(c.dataSchema).asInstanceOf[StructType]))
+              else if (!ReAddOps.contains(c.op)) pinOpt = None
+            }
+          }
+          pinOpt.filter(_.nonEmpty).map(_.json).orNull
+        }
       if (!tryPublish(dir, GvtCommit(v, "publish", adds, removes,
           dataSchema = branchPin), spark))
         throw new java.util.ConcurrentModificationException(

@@ -169,31 +169,36 @@ object GvtDataSource {
     * Built by one Spark job over the sidecar parquet (collect is
     * bounded by `dvRows`, which the manifest knows and
     * [[Gvt.absorbDeletes]] bounds by rewriting heavily-deleted files). */
-  private val dvMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int),
-    org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
-
-  /** BOUNDED (r12 review fix): a long-lived maintenance loop reading
-    * version after version must not accumulate one broadcast per
-    * version forever. Past the cap the oldest-version entries of the
-    * same context drop out of the MEMO only — no explicit unpersist,
-    * so an in-flight query planned against an evicted version keeps
-    * its broadcast handle alive and the ContextCleaner reclaims blocks
-    * when the driver reference is gone. */
+  /** BOUNDED LRU (r12 review fixes, both passes): a long-lived
+    * maintenance loop reading version after version must not
+    * accumulate one broadcast per version forever, and eviction must
+    * target the LEAST-RECENTLY-USED entry, never the hot current
+    * version (arbitrary hash-order eviction would re-run the DV
+    * Spark job + re-broadcast on the very next scan and break GvtScan
+    * equality for exchange reuse). Eviction drops the MEMO entry only
+    * — no explicit unpersist, so an in-flight query planned against
+    * an evicted version keeps its broadcast handle alive and the
+    * ContextCleaner reclaims blocks once the driver reference is
+    * gone. */
   private val DvMemoCap = 64
+  private val dvMemo = new java.util.LinkedHashMap[
+      (Int, String, Int),
+      org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]](
+      16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (Int, String, Int),
+        org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]])
+        : Boolean = size() > DvMemoCap
+  }
 
   private[sources] def dvBroadcast(spark: SparkSession, dir: String,
       version: Int, dvDirs: Seq[String])
-      : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] = {
-    if (dvMemo.size() >= DvMemoCap) {
-      val doomed = dvMemo.keySet().iterator()
-      var dropped = 0
-      while (doomed.hasNext && dropped < DvMemoCap / 4) {
-        doomed.next(); doomed.remove(); dropped += 1
-      }
-    }
-    dvMemo.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), dir, version), _ => {
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] =
+    dvMemo.synchronized {
+      val key = (System.identityHashCode(spark.sparkContext), dir, version)
+      val hit = dvMemo.get(key)
+      if (hit != null) hit
+      else {
         val m = spark.read.parquet(dvDirs.map(d => s"$dir/$d"): _*)
           .groupBy("_gvt_file")
           .agg(org.apache.spark.sql.functions.sort_array(
@@ -201,9 +206,11 @@ object GvtDataSource {
           .collect()
           .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
           .toMap
-        spark.sparkContext.broadcast(m)
-      })
-  }
+        val bc = spark.sparkContext.broadcast(m)
+        dvMemo.put(key, bc)
+        bc
+      }
+    }
 
   /** Drop every memoized schema/DV entry for `dir` — the hook DROP
     * TABLE and dropBranch call (r12 review fix: a re-created table at
@@ -212,8 +219,10 @@ object GvtDataSource {
   private[sources] def invalidate(dir: String): Unit = {
     schemaMemo.keySet.removeIf(
       (k: (String, Int)) => k._1 == dir)
-    dvMemo.keySet.removeIf(
-      (k: (Int, String, Int)) => k._2 == dir)
+    dvMemo.synchronized {
+      dvMemo.keySet.removeIf(
+        (k: (Int, String, Int)) => k._2 == dir)
+    }
   }
 }
 
@@ -405,6 +414,11 @@ class GvtScanBuilder(spark: SparkSession, index: GvtFileIndex,
   * case class (delegate equality covers files/filters/schema; the dv
   * broadcast is memoized per version, so same-version scans stay equal
   * for exchange reuse). */
+/** (Runtime V2 filtering is deliberately NOT delegated: FileScan's
+  * implementation applies runtime filters to PARTITION columns only,
+  * and gvt tables have an empty partition schema — the stock path's
+  * `SupportsRuntimeV2Filtering` is a no-op for this format, so the
+  * wrapper forfeits nothing.) */
 case class GvtScan(
     delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     logicalOutput: StructType,

@@ -181,6 +181,76 @@ class Round12Spec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("INSERT OVERWRITE resets the unified-schema pin (no phantom columns)") {
+    val dir = tmpTable("gvt-r12-owpin-")
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    Gvt.append(spark, dir,
+      (10L until 20L).map(k => (k, k * 10, s"w$k")).toDF("k", "v", "w"),
+      Seq("k"))
+    Gvt.overwrite(spark, dir, slab(0, 5), Seq("k"))
+    assert(Gvt.pinnedSchema(dir).map(_.fieldNames.toSeq)
+      .contains(Seq("k", "v")),
+      "overwrite must reset the pin to what it wrote")
+    assert(spark.read.format("gvt").option("path", dir).load()
+      .columns.toSeq == Seq("k", "v"))
+  }
+
+  test("the stats declaration follows renames and survives drops") {
+    val dir = tmpTable("gvt-r12-stats-")
+    val t = s"gvt.`$dir`"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('stats'='k,v')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    Gvt.renameColumn(spark, dir, "k", "key")
+    assert(Gvt.mappingAt(dir).statsList == Seq("key", "v"))
+    // SQL inserts keep clustering+statting (physical slot unchanged)
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(10, 20)")
+    assert(Gvt.snapshot(dir).last.min.contains("k"),
+      "post-rename insert must stat the stable physical slot")
+    // dropping a clustering column degrades gracefully
+    Gvt.dropColumn(spark, dir, "v")
+    assert(Gvt.mappingAt(dir).statsList == Seq("key"))
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(20, 30)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 30)
+  }
+
+  test("NOT NULL declarations are enforced as checks, not just recorded") {
+    val dir = tmpTable("gvt-r12-notnull-")
+    val t = s"gvt.`$dir`"
+    spark.sql(s"CREATE TABLE $t (k BIGINT NOT NULL, v BIGINT)")
+    assert(Gvt.mappingAt(dir).checkMap.contains("k_not_null"))
+    // the API path cannot smuggle nulls past the declaration
+    intercept[Exception] {
+      Gvt.append(spark, dir,
+        Seq((Some(1L), 1L), (None, 2L)).toDF("k", "v"), Seq())
+    }
+    assert(Gvt.latestVersion(dir) == 0, "violating append committed")
+    // the pin stays all-nullable, so IS NULL is never folded away
+    assert(Gvt.pinnedSchema(dir).forall(_.fields.forall(_.nullable)))
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 5)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE k IS NULL")
+      .head.getLong(0) == 0)
+  }
+
+  test("publishBranch pins only the PUBLISHED adds' schemas") {
+    val dir = tmpTable("gvt-r12-brpin-")
+    Gvt.append(spark, dir, slab(0, 10), Seq("k"))
+    val b = Gvt.createBranch(spark, dir, "evo")
+    // the branch writes an evolved column, then deletes every row of it
+    Gvt.append(spark, b,
+      (100L until 110L).map(k => (k, k, s"w$k")).toDF("k", "v", "w"),
+      Seq("k"))
+    Gvt.delete(spark, b, col("k") >= 100L, Seq("k"))
+    Gvt.append(spark, b, slab(200, 210), Seq("k"))
+    Gvt.publishBranch(spark, dir, "evo")
+    Gvt.dropBranch(dir, "evo")
+    assert(Gvt.pinnedSchema(dir).map(_.fieldNames.toSeq)
+      .contains(Seq("k", "v")),
+      "a column the branch wrote and fully deleted must not haunt the parent pin")
+    assert(spark.read.format("gvt").option("path", dir).load()
+      .columns.toSeq == Seq("k", "v"))
+  }
+
   test("function registration is idempotent (no replace-warning churn)") {
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.CosineSimilarity.register(spark)
