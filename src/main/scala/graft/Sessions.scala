@@ -119,5 +119,11 @@ object Sessions {
     plans.RewriteExistsOther.install(spark)
     plans.MaterializedViews.install(spark)
     plans.RewriteCohortScalar.install(spark)
+    // SQL UPDATE / MERGE INTO on gvt tables: DataSourceV2Strategy only
+    // refuses these at PHYSICAL planning, so this optimizer-slot
+    // rewrite lowers them onto the Gvt API first (r12)
+    val ex = spark.experimental
+    if (!ex.extraOptimizations.exists(_ eq sources.RewriteGvtDml))
+      ex.extraOptimizations = ex.extraOptimizations :+ sources.RewriteGvtDml
   }
 }

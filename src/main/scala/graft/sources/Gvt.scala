@@ -201,6 +201,68 @@ object Gvt {
   def addNotNull(spark: SparkSession, dir: String, column: String): Int =
     addCheck(spark, dir, s"${column}_not_null", s"$column IS NOT NULL")
 
+  /** Re-declare the clustering/stats columns (metadata-only — the SQL
+    * `ALTER TABLE ... SET TBLPROPERTIES('stats'=...)` surface). Takes
+    * effect from the next write; existing files keep whatever stats
+    * they were born with (zone maps are per-file facts). */
+  def setStats(spark: SparkSession, dir: String,
+      statsCols: Seq[String]): Int = {
+    var v = latestVersion(dir) + 1
+    while (true) {
+      val state = mappingAt(dir)
+      val logicals = logicalColumns(spark, dir, state)
+      statsCols.foreach(c => require(logicals.contains(c),
+        s"GVT at $dir has no column '$c' to cluster on " +
+          s"(logical schema: ${logicals.mkString(", ")})"))
+      val next = state.copy(
+        stats = if (statsCols.isEmpty) null else statsCols)
+      if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil, schema = next),
+        spark)) return v
+      v = latestVersion(dir) + 1
+    }
+    -1 // unreachable
+  }
+
+  /** ADD COLUMN (metadata-only — the SQL `ALTER TABLE ... ADD COLUMN`
+    * surface): extends the unified-schema PIN by one nullable field,
+    * so pin-driven readers (the connector / SQL catalog — where ALTER
+    * lives) serve the new column null-backfilled immediately, and
+    * writers may populate it from the next commit — no file is
+    * rewritten. [[read]]'s footer-merge path shows the column once the
+    * first data carrying it lands (the same schema-evolution contract
+    * organically-evolved tables get); in the declared-but-never-
+    * written window the SQL surface is the authority. Requires the pin
+    * to resolve (on a pre-pin table the declaration would be
+    * invisible — fail loudly rather than no-op). */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      dataType: DataType): Int = {
+    require(!name.startsWith("_gvt_"),
+      s"GVT at $dir: '_gvt_' names are reserved for row identity")
+    var v = latestVersion(dir) + 1
+    while (true) {
+      val state = mappingAt(dir)
+      val logicals = logicalColumns(spark, dir, state)
+      require(!logicals.contains(name),
+        s"GVT at $dir already has a column '$name'")
+      require(!state.renames.contains(name),
+        s"GVT at $dir: '$name' is the physical storage slot of " +
+          s"logical '${state.renames.get(name).orNull}' — pick another")
+      require(!state.drops.contains(name),
+        s"GVT at $dir: '$name' is a retired physical slot — history " +
+          "keeps it; pick another name")
+      require(pinnedSchema(dir).isDefined,
+        s"GVT at $dir predates the schema pin — ADD COLUMN would be " +
+          "invisible; write data carrying the column instead")
+      val add = StructType(Seq(
+        org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true)))
+      if (tryPublish(dir, GvtCommit(v, "schema", Nil, Nil,
+        dataSchema = add.json), spark)) return v
+      v = latestVersion(dir) + 1
+    }
+    -1 // unreachable
+  }
+
   /** Drop a CHECK constraint by name (metadata-only). */
   def dropCheck(spark: SparkSession, dir: String, name: String): Int = {
     var v = latestVersion(dir) + 1
@@ -1454,6 +1516,58 @@ object Gvt {
           dataSchema = w.dataSchema), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; delete read set stale")
+    v
+  }
+
+  /** UPDATE rows matching `predicate`: SET-style `assignments`
+    * (logical column name → replacement expression over the OLD row —
+    * all assignments evaluate against pre-update values, the SQL
+    * UPDATE contract) applied in ONE atomic copy-on-write commit.
+    * Same file-granular shape as [[delete]]: a column-pruned probe
+    * finds the files containing matches, only those rewrite, and
+    * non-matching rows in touched files carry over byte-equal (so the
+    * change feed pairs exactly the updated keys). Updated rows re-run
+    * the table's CHECK constraints in-write. Aborts on concurrent
+    * commit. */
+  def updateWhere(spark: SparkSession, dir: String, predicate: Column,
+      assignments: Seq[(String, Column)], statsCols: Seq[String]): Int =
+      rmwRetry(spark) {
+    require(assignments.nonEmpty, "updateWhere needs at least one SET")
+    val base = latestVersion(dir)
+    val (files, state, _) = resolveManifest(dir, Some(base))
+    val touched: Set[String] = applyMapping(
+      readFilesWithId(spark, dir, files, !state.mappingEmpty), state)
+      .filter(predicate)
+      .select("_gvt_file").distinct()
+      .collect().map(r => r.getString(0)).toSet
+    if (touched.isEmpty) return base // no-op: nothing matched
+    val touchedFiles = files.filter(f => touched.contains(f.path))
+    val touchedDf = applyMapping(
+      readFiles(spark, dir, touchedFiles, mergeSchema = true), state)
+    val byName = assignments.toMap
+    byName.keys.foreach(c => require(touchedDf.columns.contains(c),
+      s"GVT at $dir has no column '$c' to SET"))
+    // SIMULTANEOUS assignment: every replacement reads the original
+    // frame (a sequential withColumn chain would leak new values into
+    // later assignments); rows where the predicate is false or NULL
+    // keep their old values — SQL semantics exactly
+    val updated = touchedDf.select(touchedDf.columns.map { c =>
+      byName.get(c) match {
+        case Some(value) =>
+          when(coalesce(predicate, lit(false)), value)
+            .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+    val v = base + 1
+    val w = writeData(spark, dir,
+      toPhysical(enforceChecks(updated, state), state),
+      statsCols.map(state.physicalOf), v)
+    if (!tryPublish(dir,
+        GvtCommit(v, "update", w.adds, touchedFiles.map(_.path),
+          dataSchema = w.dataSchema), spark))
+      throw new java.util.ConcurrentModificationException(
+        s"GVT $dir: version $v committed concurrently; update read set stale")
     v
   }
 

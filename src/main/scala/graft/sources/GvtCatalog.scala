@@ -97,11 +97,56 @@ class GvtCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** SQL DDL over the metadata-commit ops — every change is one atomic
+    * schema commit through the same createLink publish as any write:
+    *  - `ALTER TABLE ... RENAME COLUMN a TO b` → [[Gvt.renameColumn]]
+    *  - `ALTER TABLE ... DROP COLUMN a` → [[Gvt.dropColumn]]
+    *  - `ALTER TABLE ... ADD COLUMN c TYPE` → [[Gvt.addColumn]]
+    *  - `SET TBLPROPERTIES ('stats'='k,v')` → [[Gvt.setStats]]
+    *  - `SET TBLPROPERTIES ('check.<name>'='<pred>')` → [[Gvt.addCheck]]
+    *  - `UNSET TBLPROPERTIES ('check.<name>')` → [[Gvt.dropCheck]]
+    * Anything else (type changes, nested fields, comments) refuses
+    * loudly — GVT's physical-name contract has no story for them. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "gvt: ALTER TABLE via SQL is not wired; use the Gvt API " +
-        "(renameColumn/dropColumn/addCheck) — metadata-only commits")
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val spark = SparkSession.active
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames.length == 1,
+          "gvt: nested column changes are not supported")
+        Gvt.renameColumn(spark, dir, c.fieldNames.head, c.newName)
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames.length == 1,
+          "gvt: nested column changes are not supported")
+        try Gvt.dropColumn(spark, dir, c.fieldNames.head)
+        catch {
+          case e: IllegalArgumentException
+              if c.ifExists && e.getMessage.contains("no column") => ()
+        }
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames.length == 1,
+          "gvt: nested column changes are not supported")
+        require(c.isNullable,
+          "gvt: added columns are nullable (existing rows backfill " +
+            "null); declare NOT NULL via a check.<name> property")
+        Gvt.addColumn(spark, dir, c.fieldNames.head, c.dataType)
+      case c: TableChange.SetProperty if c.property == "stats" =>
+        Gvt.setStats(spark, dir,
+          c.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      case c: TableChange.SetProperty
+          if c.property.startsWith("check.") =>
+        Gvt.addCheck(spark, dir, c.property.stripPrefix("check."), c.value)
+      case c: TableChange.RemoveProperty
+          if c.property.startsWith("check.") =>
+        Gvt.dropCheck(spark, dir, c.property.stripPrefix("check."))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"gvt: unsupported ALTER TABLE change $other")
+    }
+    GvtDataSource.invalidate(dir) // schema memos are per-version; cheap
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

@@ -212,6 +212,43 @@ object GvtDataSource {
       }
     }
 
+  /** Translate pushed V1 filters to ONE conjunctive Column over
+    * LOGICAL names (what [[Gvt.delete]] speaks) — None when any leaf
+    * is untranslatable, so `canDeleteWhere` declines the whole delete
+    * rather than deleting a superset or subset. Semantics mirror the
+    * Filter contract exactly: null-safe EqualNullSafe, SQL
+    * three-valued everything else. */
+  private[sources] def filtersToColumn(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.{sources => sf}
+    def one(f: sf.Filter): Option[Column] = f match {
+      case sf.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sf.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sf.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sf.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sf.LessThan(a, v) => Some(col(a) < lit(v))
+      case sf.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sf.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sf.IsNull(a) => Some(col(a).isNull)
+      case sf.IsNotNull(a) => Some(col(a).isNotNull)
+      case sf.And(l, r) => for { lc <- one(l); rc <- one(r) } yield lc && rc
+      case sf.Or(l, r) => for { lc <- one(l); rc <- one(r) } yield lc || rc
+      case sf.Not(c) => one(c).map(!_)
+      case sf.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sf.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sf.StringContains(a, v) => Some(col(a).contains(v))
+      case _: sf.AlwaysTrue => Some(lit(true))
+      case _: sf.AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+    filters.foldLeft(Option(lit(true))) { (acc, f) =>
+      for { a <- acc; c <- one(f) } yield a && c
+    }
+  }
+
   /** Drop every memoized schema/DV entry for `dir` — the hook DROP
     * TABLE and dropBranch call (r12 review fix: a re-created table at
     * the same path reaching the same version numbers must not serve
@@ -232,7 +269,36 @@ object GvtDataSource {
 class GvtTable(dir: String, asOf: Option[Int], tableSchema: StructType,
     writable: Boolean = false)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** The table directory — [[RewriteGvtDml]]'s handle back to the Gvt
+    * API when it rewrites SQL UPDATE/MERGE onto this table. */
+  private[sources] def location: String = dir
+  private[sources] def isWritable: Boolean = writable
+
+  /** SQL `DELETE FROM` / `TRUNCATE TABLE`: the pushed condition
+    * translates to a Column and rides [[Gvt.delete]] — the SAME
+    * copy-on-write pipeline API callers get (column-pruned touch
+    * probe, only matching files rewritten, mapping/checks/clustering
+    * preserved, atomic publish with RMW abort). `canDeleteWhere`
+    * declines untranslatable conditions so Spark errors loudly
+    * instead of half-deleting. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writable && GvtDataSource.filtersToColumn(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(writable,
+      s"GVT at $dir: cannot delete through a version-pinned load")
+    val cond = GvtDataSource.filtersToColumn(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"gvt: cannot translate ${filters.mkString(", ")} to a predicate"))
+    val spark = SparkSession.active
+    Gvt.delete(spark, dir, cond, Gvt.mappingAt(dir).statsList)
+    ()
+  }
 
   override def name(): String =
     s"gvt.`$dir`" + asOf.map(v => s" VERSION AS OF $v").getOrElse("")

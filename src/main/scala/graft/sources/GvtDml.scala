@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+
+/** SQL `UPDATE` / `MERGE INTO` for GVT tables — the custom
+  * `Rule[LogicalPlan]` + `RunnableCommand` route (SURVEY §7.3 option c):
+  * Spark's native path for these commands is `SupportsRowLevelOperations`,
+  * whose group-replacement write REQUIRES a distributed `BatchWrite` —
+  * re-implementing writeData's clustering/stats/commit protocol inside
+  * DataWriters for zero new capability. Instead, `DataSourceV2Strategy`
+  * throws for unsupported tables only at PHYSICAL PLANNING, so an
+  * optimizer-stage rewrite (the same `experimental.extraOptimizations`
+  * slot every graft rule rides — [[graft.Sessions.install]]) intercepts
+  * the resolved command first and lowers it onto the Gvt API:
+  *
+  *  - `UPDATE gvt.t SET ... WHERE ...` → [[GvtUpdateCommand]] →
+  *    [[Gvt.updateWhere]]: ONE atomic copy-on-write commit, only files
+  *    containing matches rewritten, simultaneous-assignment SQL
+  *    semantics, CHECK constraints re-run in-write.
+  *  - the canonical upsert `MERGE INTO t USING s ON t.k = <expr(s)>
+  *    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *    (star or explicit column lists, as long as the matched and
+  *    not-matched images agree and the ON key round-trips) →
+  *    [[GvtMergeCommand]] → [[Gvt.merge]]: the file-granular
+  *    prune-probe-rewrite upsert.
+  *
+  * Anything non-canonical (conditional actions, differing
+  * matched/not-matched images, DELETE actions, not-matched-by-source
+  * clauses, subqueries in conditions) is left for the stock strategy's
+  * LOUD `does not support UPDATE/MERGE` error — never a silent
+  * approximation. */
+object RewriteGvtDml extends Rule[LogicalPlan] {
+
+  private def gvtOf(p: LogicalPlan): Option[GvtTable] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GvtTable if t.isWritable => Some(t)
+      case _ => None
+    }
+    // by the user-rule optimizer slot, V2ScanRelationPushDown has
+    // already turned the relation into a scan relation
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      gvtOf(r.relation)
+    case s: SubqueryAlias => gvtOf(s.child)
+    case _ => None
+  }
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[PlanExpression[_]])
+
+  /** Re-key an expression from the relation's resolved attributes to
+    * plain names, so it resolves against the fresh frame the Gvt op
+    * reads (logical names — the relation output IS the logical face). */
+  private[sources] def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val dbg = sys.env.contains("GVT_DML_DEBUG") &&
+      plan.exists(p => p.isInstanceOf[UpdateTable] ||
+        p.isInstanceOf[MergeIntoTable])
+    if (dbg) plan match {
+      case u: UpdateTable => println(s"GVT_DML guards: resolved=${u.resolved} gvt=${gvtOf(u.table).isDefined} table=${u.table.getClass.getSimpleName}")
+      case _ => ()
+    }
+    val out = plan.transform {
+    case u @ UpdateTable(target, assignments, condition)
+        if gvtOf(target).isDefined && u.resolved &&
+          condition.forall(!hasSubquery(_)) &&
+          assignments.forall(a => !hasSubquery(a.value) &&
+            a.key.isInstanceOf[AttributeReference]) =>
+      val t = gvtOf(target).get
+      // pass-through assignments (SET c = c, the resolved form of an
+      // untouched column) drop out — only real SETs reach the rewrite
+      val real = assignments.collect {
+        case Assignment(k: AttributeReference, v)
+            if !v.semanticEquals(k) =>
+          k.name -> byName(v)
+      }
+      if (real.isEmpty) GvtNoopCommand()
+      else GvtUpdateCommand(t.location, real,
+        condition.map(byName))
+
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched,
+        notMatchedBySource, withSchemaEvolution)
+        if gvtOf(target).isDefined && m.resolved && !withSchemaEvolution &&
+          notMatchedBySource.isEmpty && !hasSubquery(cond) =>
+      canonicalUpsert(gvtOf(target).get, target, source, cond,
+        matched, notMatched).getOrElse(m)
+    }
+    if (dbg) println(s"GVT_DML out root: ${out.getClass.getSimpleName}")
+    out
+  }
+
+  /** Recognize the canonical whole-row upsert; None leaves the plan
+    * for the stock loud refusal. */
+  private def canonicalUpsert(t: GvtTable, target: LogicalPlan,
+      source: LogicalPlan, cond: Expression,
+      matched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      notMatched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction])
+      : Option[LogicalPlan] = {
+    val targetAttrs = target.output
+    (matched, notMatched) match {
+      case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)))
+          if up.forall(a => a.key.isInstanceOf[AttributeReference] &&
+              !hasSubquery(a.value)) &&
+            ins.forall(a => a.key.isInstanceOf[AttributeReference] &&
+              !hasSubquery(a.value)) =>
+        def asMap(as: Seq[Assignment]): Map[String, Expression] =
+          as.map(a =>
+            a.key.asInstanceOf[AttributeReference].name -> a.value).toMap
+        val (upM, insM) = (asMap(up), asMap(ins))
+        val names = targetAttrs.map(_.name)
+        // both images must cover every target column and AGREE — the
+        // Gvt.merge contract is replace-matched-with-the-source-row
+        val whole = names.forall(n => upM.contains(n) && insM.contains(n) &&
+          upM(n).semanticEquals(insM(n)))
+        // ON condition: target.k = <source expr>, and the image writes
+        // that same expr into k (the key survives the upsert)
+        val key = cond match {
+          case EqualTo(l: AttributeReference, r)
+              if targetAttrs.exists(_.exprId == l.exprId) &&
+                insM.get(l.name).exists(_.semanticEquals(r)) => Some(l.name)
+          case EqualTo(l, r: AttributeReference)
+              if targetAttrs.exists(_.exprId == r.exprId) &&
+                insM.get(r.name).exists(_.semanticEquals(l)) => Some(r.name)
+          case _ => None
+        }
+        if (!whole) None
+        else key.map(k =>
+          GvtMergeCommand(t.location, source, names, names.map(insM), k))
+      case _ => None
+    }
+  }
+}
+
+/** UPDATE lowered onto [[Gvt.updateWhere]]. */
+case class GvtUpdateCommand(dir: String,
+    assignments: Seq[(String, Expression)],
+    condition: Option[Expression]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val col = org.apache.spark.sql.graft.DmlShim.column _
+    Gvt.updateWhere(spark, dir,
+      condition.map(col).getOrElse(lit(true)),
+      assignments.map { case (n, e) => n -> col(e) },
+      Gvt.mappingAt(dir).statsList)
+    Nil
+  }
+}
+
+/** The canonical MERGE upsert lowered onto [[Gvt.merge]]: the SOURCE
+  * plan executes as-is (its own resolved attributes — no re-keying
+  * needed), projected to the target's column names through the agreed
+  * insert image. */
+case class GvtMergeCommand(dir: String, source: LogicalPlan,
+    targetCols: Seq[String], image: Seq[Expression], key: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val col = org.apache.spark.sql.graft.DmlShim.column _
+    val src = org.apache.spark.sql.graft.DmlShim.ofRows(spark, source)
+    val projected = src.select(targetCols.zip(image).map {
+      case (n, e) => col(e).as(n)
+    }.toIndexedSeq: _*)
+    Gvt.merge(spark, dir, projected, key, Gvt.mappingAt(dir).statsList)
+    Nil
+  }
+}
+
+/** UPDATE whose every SET is the identity: nothing to do, succeed. */
+case class GvtNoopCommand() extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = Nil
+}

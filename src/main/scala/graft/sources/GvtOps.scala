@@ -259,6 +259,78 @@ object GvtOps {
       "GROUP BY o_orderstatus ORDER BY o_orderstatus")
   }
 
+  /** SQL DML fixture: the DV-delete key's curation, through pure SQL —
+    * CTAS from customer, then two `DELETE FROM ... WHERE` statements
+    * riding [[GvtTable]]'s `SupportsDelete` (the same copy-on-write
+    * [[Gvt.delete]] pipeline, file-granular rewrite, atomic publish).
+    * Shares `etl_gvt_dv_delete`'s oracle: SQL CoW delete ≡ API MoR
+    * delete ≡ the plain predicate — three delete mechanisms, one
+    * hash. */
+  private def sqlDeleteGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_sqldel", dir) { tmp =>
+      val t = s"gvt.`$tmp/t`"
+      graft.Tables(spark, dir, "customer")
+        .createOrReplaceTempView("customer_sqldel_src")
+      spark.sql(s"CREATE TABLE $t TBLPROPERTIES ('stats'='c_custkey') " +
+        "AS SELECT * FROM customer_sqldel_src")
+      spark.sql(s"DELETE FROM $t WHERE c_acctbal < 0")
+      spark.sql(s"DELETE FROM $t WHERE c_mktsegment = 'BUILDING'")
+    }
+
+  def gvtSqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = sqlDeleteGvt(spark, dir)
+    spark.sql("SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+      s"FROM gvt.`$tmp/t` ORDER BY c_custkey")
+  }
+
+  /** SQL DDL fixture: the column-mapping history, through pure SQL —
+    * `ALTER TABLE ... RENAME COLUMN` / `DROP COLUMN` between SQL
+    * INSERTs ([[GvtCatalog.alterTable]] → the same metadata-only
+    * schema commits; no data file rewritten). Reads both eras via the
+    * connector's time travel and shares `scan_gvt_colmap`'s oracle —
+    * the SQL DDL surface must land the identical version-local-schema
+    * history the API does. */
+  private def sqlDdlGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_sqlddl", dir) { tmp =>
+      val t = s"gvt.`$tmp/t`"
+      graft.Tables(spark, dir, "orders")
+        .createOrReplaceTempView("orders_sqlddl_src")
+      spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE, " +
+        "o_orderpriority STRING) TBLPROPERTIES ('stats'='o_orderkey')")
+      def insert(m: Int, price: String): Unit =
+        spark.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderstatus, " +
+          s"o_totalprice AS $price, o_orderpriority FROM " +
+          s"orders_sqlddl_src WHERE o_orderkey % 3 = $m")
+      insert(1, "o_totalprice") // v1
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN o_totalprice TO price_usd")
+      insert(2, "price_usd") // v3
+      spark.sql(s"ALTER TABLE $t DROP COLUMN o_orderpriority")
+      spark.sql(s"INSERT INTO $t SELECT o_orderkey, o_orderstatus, " +
+        "o_totalprice AS price_usd FROM orders_sqlddl_src " +
+        "WHERE o_orderkey % 3 = 0") // v5
+    }
+
+  def gvtSqlDdl(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"${sqlDdlGvt(spark, dir)}/t"
+    // era v1: the first insert under the ORIGINAL names
+    val v0 = spark.read.format("gvt").option("path", t)
+      .option("versionAsOf", "1").load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"),
+        countDistinct("o_orderpriority").as("n_prios"))
+      .select(lit("v0").as("era"), col("o_orderstatus"), col("n_orders"),
+        col("total_price"), col("n_prios"))
+    val head = spark.read.format("gvt").option("path", t).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("price_usd"), 2).as("total_price"))
+      .select(lit("head").as("era"), col("o_orderstatus"), col("n_orders"),
+        col("total_price"), lit(0L).as("n_prios"))
+    v0.unionByName(head).orderBy("era", "o_orderstatus")
+  }
+
   /** TIMESTAMP zone-map pruning fixture: orders committed as per-year
     * `o_orderdate` tiles (1995..2001 — the fixture's date span — one
     * file per year, stats on the TIMESTAMP column as the write-side
@@ -1099,6 +1171,8 @@ object GvtOps {
     "scan_gvt_dsv2_colmap" -> gvtDsv2ColMap,
     "scan_gvt_prune_ts" -> gvtPruneTs,
     "sink_gvt_dsv2" -> gvtSqlSink,
+    "etl_gvt_sql_delete" -> gvtSqlDelete,
+    "scan_gvt_sql_ddl" -> gvtSqlDdl,
     "sink_compaction" -> compaction
   )
 
@@ -1340,6 +1414,23 @@ object GvtOps {
         "round(sum(o_totalprice),2) AS total_price FROM orders " +
         "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // SQL CoW delete ≡ API MoR delete ≡ the plain predicate
+    "etl_gvt_sql_delete" ->
+      ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
+        "WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING') " +
+        "ORDER BY c_custkey"),
+    // SQL ALTER TABLE replay of the column-mapping history: both eras
+    // restated from the original rows (the scan_gvt_colmap statement)
+    "scan_gvt_sql_ddl" ->
+      ("WITH v0 AS (SELECT 'v0' AS era, o_orderstatus, " +
+        "count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price, " +
+        "count(DISTINCT o_orderpriority) AS n_prios FROM orders " +
+        "WHERE o_orderkey % 3 = 1 GROUP BY 2), " +
+        "hd AS (SELECT 'head' AS era, o_orderstatus, " +
+        "count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price, " +
+        "0 AS n_prios FROM orders GROUP BY 2) " +
+        "SELECT * FROM v0 UNION ALL SELECT * FROM hd " +
+        "ORDER BY era, o_orderstatus"),
     // connector MoR read ≡ library DV anti-join ≡ plain predicate
     "scan_gvt_dsv2_dv" ->
       ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +

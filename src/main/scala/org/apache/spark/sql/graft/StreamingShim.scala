@@ -34,3 +34,21 @@ object StreamingShim {
       df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = true)
   }
 }
+
+/** Second door into `private[sql]` for the SQL DML lowering
+  * ([[graft.sources.RewriteGvtDml]]): wrapping a resolved catalyst
+  * Expression into a user-facing Column, and executing a captured
+  * LogicalPlan (a MERGE's source side) as a DataFrame. Both are
+  * one-line delegations to `org.apache.spark.sql.classic` internals —
+  * same isolation rationale as [[StreamingShim]]. */
+object DmlShim {
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

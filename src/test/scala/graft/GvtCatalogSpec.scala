@@ -118,6 +118,61 @@ class GvtCatalogSpec extends GraftSuite {
     intercept[Exception] { spark.sql(s"SELECT * FROM gvt.$name").collect() }
   }
 
+  test("DELETE FROM rides the CoW pipeline; TRUNCATE is one commit") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('stats'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $t WHERE k >= 50 AND k < 70")
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $t").head.toSeq ==
+      Seq(80L, ((0L until 50L) ++ (70L until 100L)).map(_ * 10).sum))
+    // the delete is ONE commit; the old state time travels
+    assert(Gvt.read(spark, dir, Some(1)).count() == 100)
+    // file-granular CoW: only files containing matches were touched
+    val head = Gvt.latestVersion(dir)
+    assert(Gvt.commitAt(dir, head).removes.nonEmpty)
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 0)
+    assert(Gvt.read(spark, dir, Some(head)).count() == 80,
+      "truncate must be a commit, not an erasure")
+    // the emptied table accepts fresh loads
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 7)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 7)
+  }
+
+  test("ALTER TABLE: rename, drop, add column, check properties") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('stats'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO value")
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq ==
+      Seq("k", "value"))
+    spark.sql(s"ALTER TABLE $t ADD COLUMN note STRING")
+    // declared-but-unwritten column serves null through the catalog
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE note IS NULL")
+      .head.getLong(0) == 10)
+    spark.sql(s"INSERT INTO $t VALUES (100, 100, 'tagged')")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE note = 'tagged'")
+      .head.getLong(0) == 1)
+    spark.sql(s"ALTER TABLE $t DROP COLUMN note")
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq ==
+      Seq("k", "value"))
+    // constraints through TBLPROPERTIES
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('check.v_small'='value < 1000')")
+    assert(Gvt.mappingAt(dir).checkMap.contains("v_small"))
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VALUES (1, 5000)")
+    }
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('check.v_small')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 5000)")
+    // unsupported shapes refuse loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE STRING")
+    }
+  }
+
   test("creation is atomic; duplicate CREATE refuses") {
     val (_, t) = pathTable()
     spark.sql(s"CREATE TABLE $t (k BIGINT)")

@@ -261,7 +261,15 @@ class SurveyCoverageSpec extends GraftSuite {
     // round-12: cross-table WAP — branch fact AND summary, audit both
     // in isolation, squash both + link ONE coordinator doc; the view
     // flips atomically and an unpinned squash stays invisible
-    "etl_gvt_txn_wap")
+    "etl_gvt_txn_wap",
+    // round-12: SQL DELETE FROM / TRUNCATE — SupportsDelete translates
+    // the pushed condition and rides the same copy-on-write delete
+    // pipeline the API uses
+    "etl_gvt_sql_delete",
+    // round-12: SQL DDL — ALTER TABLE RENAME/DROP/ADD COLUMN and
+    // check./stats TBLPROPERTIES land the same metadata-only schema
+    // commits the API ops publish
+    "scan_gvt_sql_ddl")
 
   test("every SURVEY §2 key is declared in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
