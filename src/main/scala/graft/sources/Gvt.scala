@@ -83,7 +83,8 @@ object Gvt {
     * one local stat. */
   final case class GvtFile(path: String, rows: Long,
       min: Map[String, String], max: Map[String, String],
-      dv: Seq[String] = null, dvRows: Long = 0L, bytes: Long = 0L)
+      dv: Seq[String] = null, dvRows: Long = 0L, bytes: Long = 0L,
+      tz: String = null)
 
   /** Normalized DV list (old log docs deserialize `dv` as null). */
   private def dvOf(f: GvtFile): Seq[String] = Option(f.dv).getOrElse(Nil)
@@ -727,11 +728,14 @@ object Gvt {
           (js, filesDF(spark, ck.files))
         } else (-1, filesDF(spark, Nil))
       }
-    // a pre-r12 parquet twin lacks the `bytes` column; backfill the
-    // missing-field default so unionByName/encoders line up
-    val base =
+    // pre-r12 parquet twins lack `bytes`, pre-r13 twins lack `tz`;
+    // backfill the missing-field defaults so unionByName/encoders line up
+    val base1 =
       if (base0.columns.contains("bytes")) base0
       else base0.withColumn("bytes", lit(0L))
+    val base =
+      if (base1.columns.contains("tz")) base1
+      else base1.withColumn("tz", lit(null).cast("string"))
     ((anchorV + 1) to last).foldLeft(base) { (df, v) =>
       val c = commitAt(dir, v)
       // adds UPSERT by path — the driver path's LinkedHashMap.put
@@ -961,9 +965,25 @@ object Gvt {
   }
 
   /** One pruning constraint: files whose [min,max] box on `column`
-    * provably misses [lo,hi] (open side = unbounded) are skipped. */
+    * provably misses [lo,hi] (open side = unbounded) are skipped.
+    * `zoned` marks bounds whose string rendering depends on the session
+    * timezone (TIMESTAMP literals — the write-side `cast(string)` that
+    * produced the stat rendered in the WRITER's zone): such a bound may
+    * only constrain a file whose recorded write zone ([[GvtFile.tz]])
+    * provably matches the scan's rendering zone; otherwise the file is
+    * kept (pruning is never load-bearing). DATE / TIMESTAMP_NTZ render
+    * zone-free on both sides and stay unguarded. */
   private[sources] final case class ZBound(column: String,
-      lo: Option[String], hi: Option[String], kind: Int)
+      lo: Option[String], hi: Option[String], kind: Int,
+      zoned: Boolean = false)
+
+  /** Two zone ids denote the same rendering iff their rules agree
+    * (catches aliases like UTC ≡ Etc/UTC); null / unparsable ⇒ not
+    * provably equivalent ⇒ the caller keeps the file. */
+  private[sources] def zoneEquiv(a: String, b: String): Boolean =
+    a != null && b != null && (a == b ||
+      (try java.time.ZoneId.of(a).getRules == java.time.ZoneId.of(b).getRules
+       catch { case _: Exception => false }))
 
   private[sources] val ChronoRe =
     raw"\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2}(\.\d+)?)?".r
@@ -985,14 +1005,23 @@ object Gvt {
     }
 
   /** The survivor rule: a file lives unless a bound PROVABLY excludes
-    * its [min,max] box (missing stat / unparsable side ⇒ keep). */
-  private[sources] def zSurvives(f: GvtFile, bounds: Seq[ZBound]): Boolean =
+    * its [min,max] box (missing stat / unparsable side ⇒ keep). A
+    * zone-sensitive bound (TIMESTAMP literal) additionally requires the
+    * file's recorded write zone to provably match `scanZone` — a file
+    * statted under a different (or unrecorded) zone is never pruned by
+    * it (the r12 advisor's silent-wrong-results hole: literal rendered
+    * in the READ zone vs stats cast in the WRITE zone). */
+  private[sources] def zSurvives(f: GvtFile, bounds: Seq[ZBound],
+      scanZone: String = null): Boolean =
     bounds.forall { b =>
-      val mnOk = b.hi.forall(h => f.min.get(b.column).forall(mn =>
-        zCompare(mn, h, b.kind).forall(_ <= 0)))
-      val mxOk = b.lo.forall(l => f.max.get(b.column).forall(mx =>
-        zCompare(mx, l, b.kind).forall(_ >= 0)))
-      mnOk && mxOk
+      if (b.zoned && !zoneEquiv(f.tz, scanZone)) true
+      else {
+        val mnOk = b.hi.forall(h => f.min.get(b.column).forall(mn =>
+          zCompare(mn, h, b.kind).forall(_ <= 0)))
+        val mxOk = b.lo.forall(l => f.max.get(b.column).forall(mx =>
+          zCompare(mx, l, b.kind).forall(_ >= 0)))
+        mnOk && mxOk
+      }
     }
 
   /** Manifest-stats file pruning for a numeric range predicate: a file
@@ -1073,6 +1102,16 @@ object Gvt {
       statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"_gvt_min_$c"),
         max(col(c)).cast("string").as(s"_gvt_max_$c")))
+    // record the zone the stat strings were rendered under — only
+    // TIMESTAMP casts are zone-dependent, so the stamp is omitted when
+    // no statted column is one (keeps non-temporal manifests byte-
+    // identical and the zone guard obviously inapplicable)
+    val statTz =
+      if (statsCols.exists(c => written.schema.fields.exists(f =>
+          f.name == c &&
+            f.dataType == org.apache.spark.sql.types.TimestampType)))
+        spark.sessionState.conf.sessionLocalTimeZone
+      else null
     val adds = written.groupBy(fname).agg(aggs.head, aggs.tail: _*)
       .collect()
       .toSeq
@@ -1082,7 +1121,8 @@ object Gvt {
             Option(r.getString(2 + 2 * i)).map(c -> _) }.toMap,
           statsCols.zipWithIndex.flatMap { case (c, i) =>
             Option(r.getString(3 + 2 * i)).map(c -> _) }.toMap,
-          bytes = Files.size(Paths.get(cdir, r.getString(0))))
+          bytes = Files.size(Paths.get(cdir, r.getString(0))),
+          tz = statTz)
       }
       .sortBy(_.path)
     Written(adds, written.schema.json)
@@ -1416,7 +1456,18 @@ object Gvt {
     // them); the stats probe and the write run on physical names
     val source1 = enforceChecks(source, state)
     val keyP = state.physicalOf(key)
-    val srcKeys = source1.select(col(key)).distinct()
+    // SQL MERGE cardinality: a source key matching a target row more
+    // than once is a violation everywhere (Spark/Delta/standard raise
+    // it), and merge's rewrite (anti-join survivors ∪ ALL source rows)
+    // would otherwise INSERT the duplicates silently. One bounded
+    // aggregate probe over the source; refuse loudly on violation.
+    val keyCounts = source1.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val dup = keyCounts.filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty, s"GVT $dir: merge source has duplicate values " +
+      s"of key '$key' (e.g. ${dup.headOption.map(_.get(0)).orNull}, " +
+      s"×${dup.headOption.map(_.get(1)).orNull}) — SQL MERGE cardinality " +
+      "violation; deduplicate the source first")
+    val srcKeys = keyCounts.select(col(key))
     val touchedFiles = filesContaining(spark, dir, files,
       srcKeys.withColumnRenamed(key, keyP), keyP)
     val rewritten =
@@ -1710,9 +1761,13 @@ object Gvt {
     val (target, targetState, targetPin) =
       resolveManifest(dir, Some(toVersion))
     val (current, headState, _) = resolveManifest(dir, Some(head))
-    // normalize before comparing: checks=null and checks=Map.empty are
-    // the same declared state (the Jackson missing-field contract)
-    def norm(s: GvtSchemaState) = (s.renames, s.drops, s.checkMap)
+    // normalize before comparing: checks/stats null and empty are the
+    // same declared state (the Jackson missing-field contract); the
+    // stats clustering declaration restores WITH the rest of the
+    // metadata — restoring past a setStats must not keep the head's
+    // declaration while everything else rolls back (r12 advisor)
+    def norm(s: GvtSchemaState) =
+      (s.renames, s.drops, s.checkMap, s.statsList)
     val sameState = norm(targetState) == norm(headState)
     if (target == current && sameState) return head // already there
     // EmptyState republished explicitly (non-null) when the head had

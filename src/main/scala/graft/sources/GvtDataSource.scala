@@ -675,11 +675,15 @@ class GvtFileIndex(spark: SparkSession, dir: String,
     * [[sizeInBytes]] can report prune-aware totals. */
   @volatile private[sources] var statsFilters: Seq[Expression] = Nil
 
-  /** Timestamp literals render in the SESSION's zone — the same zone
-    * the write-side `cast(string)` used under a consistent session
-    * config (graft pins UTC everywhere; see [[graft.Sessions]]). */
-  private val zoneId =
-    java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+  /** Timestamp literals render in the SCAN session's zone; the stat
+    * strings rendered in the WRITE session's zone recorded per file
+    * ([[Gvt.GvtFile.tz]]). [[Gvt.zSurvives]] applies a TIMESTAMP bound
+    * only to files whose recorded zone provably matches this one — a
+    * cross-zone (or pre-r13 unrecorded) file is never pruned by it, so
+    * a reader session with any `spark.sql.session.timeZone` gets
+    * correct results, just less pruning. */
+  private val scanTz = spark.sessionState.conf.sessionLocalTimeZone
+  private val zoneId = java.time.ZoneId.of(scanTz)
 
   override def sizeInBytes: Long = {
     val ranges = GvtFileIndex.rangesOf(statsFilters, zoneId)
@@ -688,7 +692,7 @@ class GvtFileIndex(spark: SparkSession, dir: String,
       val suffix = f.getPath.toUri.getPath
         .split('/').takeRight(3).mkString("/")
       statsBySuffix.get(suffix)
-        .forall(gf => Gvt.zSurvives(gf, ranges))
+        .forall(gf => Gvt.zSurvives(gf, ranges, scanTz))
     }.map(_.getLen).sum
   }
 
@@ -703,7 +707,7 @@ class GvtFileIndex(spark: SparkSession, dir: String,
         val suffix = f.getPath.toUri.getPath
           .split('/').takeRight(3).mkString("/")
         statsBySuffix.get(suffix)
-          .forall(gf => Gvt.zSurvives(gf, ranges))
+          .forall(gf => Gvt.zSurvives(gf, ranges, scanTz))
       })
     }
     lastPrune = (pruned.map(_.files.size).sum, total)
@@ -734,9 +738,9 @@ object GvtFileIndex {
       zone: java.time.ZoneId): Seq[Gvt.ZBound] = {
     def bound(a: Attribute, v: Any, dt: org.apache.spark.sql.types.DataType,
         lo: Boolean, hi: Boolean): Seq[Gvt.ZBound] =
-      render(v, dt, zone).map { case (s, kind) =>
+      render(v, dt, zone).map { case (s, kind, zoned) =>
         Gvt.ZBound(a.name, if (lo) Some(s) else None,
-          if (hi) Some(s) else None, kind)
+          if (hi) Some(s) else None, kind, zoned)
       }.toSeq
     e match {
       case And(l, r) => constraintsOf(l, zone) ++ constraintsOf(r, zone)
@@ -764,24 +768,26 @@ object GvtFileIndex {
     }
   }
 
-  /** Literal → (stat-domain string, comparison kind); None = this
-    * literal contributes no constraint. */
+  /** Literal → (stat-domain string, comparison kind, zone-sensitive);
+    * None = this literal contributes no constraint. Only TIMESTAMP
+    * renderings are zone-sensitive (DATE and NTZ text is the same in
+    * every session). */
   private def render(v: Any, dt: org.apache.spark.sql.types.DataType,
-      zone: java.time.ZoneId): Option[(String, Int)] = {
+      zone: java.time.ZoneId): Option[(String, Int, Boolean)] = {
     import org.apache.spark.sql.types._
     v match {
       case null => None
       case u: org.apache.spark.unsafe.types.UTF8String =>
-        Some((u.toString, Gvt.ZKind.Str))
-      case d: Decimal => Some((d.toDouble.toString, Gvt.ZKind.Num))
+        Some((u.toString, Gvt.ZKind.Str, false))
+      case d: Decimal => Some((d.toDouble.toString, Gvt.ZKind.Num, false))
       case n: java.lang.Number => dt match {
         case TimestampType =>
-          chrono(formatMicros(n.longValue(), zone))
+          chrono(formatMicros(n.longValue(), zone), zoned = true)
         case TimestampNTZType => // wall-clock micros: zone-independent
           chrono(formatMicros(n.longValue(), java.time.ZoneOffset.UTC))
         case DateType =>
           chrono(java.time.LocalDate.ofEpochDay(n.longValue()).toString)
-        case _ => Some((n.toString, Gvt.ZKind.Num))
+        case _ => Some((n.toString, Gvt.ZKind.Num, false))
       }
       case _ => None
     }
@@ -790,8 +796,9 @@ object GvtFileIndex {
   /** Only well-formed zero-padded renderings constrain — a negative or
     * five-digit year would break the lexicographic ≡ chronological
     * equivalence, so it keeps every file instead. */
-  private def chrono(s: String): Option[(String, Int)] =
-    if (Gvt.ChronoRe.matches(s)) Some((s, Gvt.ZKind.Chrono)) else None
+  private def chrono(s: String, zoned: Boolean = false)
+      : Option[(String, Int, Boolean)] =
+    if (Gvt.ChronoRe.matches(s)) Some((s, Gvt.ZKind.Chrono, zoned)) else None
 
   /** Micros → the exact text of Spark's timestamp→string cast in
     * `zone`: `yyyy-MM-dd HH:mm:ss` plus the fraction with trailing

@@ -331,6 +331,68 @@ object GvtOps {
     v0.unionByName(head).orderBy("era", "o_orderstatus")
   }
 
+  /** SQL DML fixture: UPDATE through the catalog — CTAS from customer,
+    * then two `UPDATE ... SET ... WHERE` statements lowered by
+    * [[RewriteGvtDml]] onto [[Gvt.updateWhere]] (one atomic CoW commit
+    * each, only matched files rewritten, simultaneous-assignment SQL
+    * semantics, CHECK constraints re-run in-write). The second UPDATE's
+    * WHERE reads a column the first one wrote — commit ordering is
+    * load-bearing, so the oracle's CASE restatement proves both commits
+    * landed in sequence. */
+  private def sqlUpdateGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_sqlupd", dir) { tmp =>
+      val t = s"gvt.`$tmp/t`"
+      graft.Tables(spark, dir, "customer")
+        .createOrReplaceTempView("customer_sqlupd_src")
+      spark.sql(s"CREATE TABLE $t TBLPROPERTIES ('stats'='c_custkey') " +
+        "AS SELECT * FROM customer_sqlupd_src")
+      spark.sql(s"UPDATE $t SET c_acctbal = c_acctbal + 1000, " +
+        "c_mktsegment = 'UPDATED' WHERE c_custkey % 10 = 0")
+      spark.sql(s"UPDATE $t SET c_acctbal = -c_acctbal " +
+        "WHERE c_mktsegment = 'BUILDING'")
+    }
+
+  def gvtSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = sqlUpdateGvt(spark, dir)
+    spark.sql("SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+      s"FROM gvt.`$tmp/t` ORDER BY c_custkey")
+  }
+
+  /** SQL DML fixture: the canonical MERGE upsert through pure SQL —
+    * the `etl_merge_into` history (updates ≡0 mod 10, shifted inserts
+    * ≡0 mod 100) re-expressed as `MERGE INTO ... WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, lowered by
+    * [[RewriteGvtDml]] onto [[Gvt.merge]] (file-granular
+    * prune-probe-rewrite, duplicate-source-key cardinality refusal).
+    * Shares `etl_merge_into`'s oracle: SQL MERGE ≡ API merge, one
+    * hash. */
+  private def sqlMergeGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_sqlmerge", dir) { tmp =>
+      val t = s"gvt.`$tmp/t`"
+      graft.Tables(spark, dir, "customer")
+        .createOrReplaceTempView("customer_sqlmerge_src")
+      spark.sql(s"CREATE TABLE $t TBLPROPERTIES ('stats'='c_custkey') " +
+        "AS SELECT * FROM customer_sqlmerge_src")
+      spark.sql(s"MERGE INTO $t t USING (" +
+        "SELECT c_custkey, c_name, c_nationkey, " +
+        "c_acctbal + 1000 AS c_acctbal, 'UPDATED' AS c_mktsegment " +
+        "FROM customer_sqlmerge_src WHERE c_custkey % 10 = 0 " +
+        "UNION ALL " +
+        "SELECT c_custkey + 1000000 AS c_custkey, " +
+        "concat('new#', CAST(c_custkey + 1000000 AS STRING)) AS c_name, " +
+        "c_nationkey, c_acctbal, c_mktsegment " +
+        "FROM customer_sqlmerge_src WHERE c_custkey % 100 = 0) s " +
+        "ON t.c_custkey = s.c_custkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+
+  def gvtSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = sqlMergeGvt(spark, dir)
+    spark.sql("SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+      s"FROM gvt.`$tmp/t` ORDER BY c_custkey")
+  }
+
   /** TIMESTAMP zone-map pruning fixture: orders committed as per-year
     * `o_orderdate` tiles (1995..2001 — the fixture's date span — one
     * file per year, stats on the TIMESTAMP column as the write-side
@@ -1172,6 +1234,8 @@ object GvtOps {
     "scan_gvt_prune_ts" -> gvtPruneTs,
     "sink_gvt_dsv2" -> gvtSqlSink,
     "etl_gvt_sql_delete" -> gvtSqlDelete,
+    "etl_gvt_sql_update" -> gvtSqlUpdate,
+    "etl_gvt_sql_merge" -> gvtSqlMerge,
     "scan_gvt_sql_ddl" -> gvtSqlDdl,
     "sink_compaction" -> compaction
   )
@@ -1419,6 +1483,33 @@ object GvtOps {
       ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
         "WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING') " +
         "ORDER BY c_custkey"),
+    // two sequential SQL UPDATE commits restated as nested CASE over
+    // the original rows (the second WHERE reads the first's pre-image
+    // survivors: a key ≡0 mod 10 became 'UPDATED' before the BUILDING
+    // pass, so it never negates)
+    "etl_gvt_sql_update" ->
+      ("SELECT c_custkey, c_name, " +
+        "CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000 " +
+        "WHEN c_mktsegment = 'BUILDING' THEN -c_acctbal " +
+        "ELSE c_acctbal END AS c_acctbal, " +
+        "CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' " +
+        "ELSE c_mktsegment END AS c_mktsegment " +
+        "FROM customer ORDER BY c_custkey"),
+    // SQL MERGE ≡ API merge: the etl_merge_into restatement
+    "etl_gvt_sql_merge" ->
+      ("WITH src AS (" +
+        "SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, " +
+        "'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0 " +
+        "UNION ALL " +
+        "SELECT c_custkey + 1000000, " +
+        "'new#' || CAST(c_custkey + 1000000 AS VARCHAR), " +
+        "c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 100 = 0) " +
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM (" +
+        "SELECT * FROM src " +
+        "UNION ALL " +
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)" +
+        ") ORDER BY c_custkey"),
     // SQL ALTER TABLE replay of the column-mapping history: both eras
     // restated from the original rows (the scan_gvt_colmap statement)
     "scan_gvt_sql_ddl" ->

@@ -309,13 +309,19 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
     * stream's start-time names, via the shared physical identity. */
   private def aligned(df: DataFrame, atV: Long): DataFrame = {
     val st = Gvt.mappingAt(dir, Some(atV.toInt))
-    val renames = basePhys.fields.zip(base.fields).flatMap {
-      case (p, l) => st.logicalOf(p.name).filter(_ != l.name)
-        .map(_ -> l.name)
-    }
-    renames.foldLeft(df) { case (d, (from, to)) =>
-      d.withColumnRenamed(from, to)
-    }
+    // atV-logical name → stream-start name, for every streamed column
+    // still live at atV (a dropped column stays unmapped, so ordered()
+    // fails loudly downstream — the fixed-schema-stream contract)
+    val toStart: Map[String, String] = basePhys.fields.zip(base.fields)
+      .flatMap { case (p, l) => st.logicalOf(p.name).map(_ -> l.name) }
+      .toMap
+    // ONE simultaneous positional select, NOT a withColumnRenamed fold:
+    // a rename CYCLE between the start state and atV (a→b while b→a)
+    // would have the first chained rename capture both columns and
+    // mis-bind data; extra columns (diff's change_type) pass through
+    df.select(df.columns.map(c =>
+      toStart.get(c).map(n => col(c).as(n)).getOrElse(col(c)))
+      .toIndexedSeq: _*)
   }
 
   private def emptyBatch(): DataFrame =
@@ -363,12 +369,13 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
     }
     if (paths.isEmpty) emptyBatch()
     else {
-      // files store PHYSICAL names: read under them, emit the stream's
-      // start-time names (positional rename — pure metadata)
+      // files store PHYSICAL names: read under them (the explicit
+      // schema fixes column order), emit the stream's start-time names
+      // as ONE positional rename — a chained withColumnRenamed fold
+      // would mis-bind under a rename cycle between the physical and
+      // start-time names (same hazard as [[aligned]])
       val df = spark.read.schema(basePhys).parquet(paths: _*)
-      ordered(basePhys.fieldNames.zip(base.fieldNames).foldLeft(df) {
-        case (d, (p, l)) => if (p == l) d else d.withColumnRenamed(p, l)
-      })
+      ordered(df.toDF(base.fieldNames.toIndexedSeq: _*))
     }
   }
 

@@ -179,6 +179,141 @@ class GvtCatalogSpec extends GraftSuite {
     intercept[Exception] { spark.sql(s"CREATE TABLE $t (k BIGINT)") }
   }
 
+  test("UPDATE lowers onto updateWhere: one CoW commit, SQL semantics") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('stats'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM range(0, 100)")
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE k < 5")
+    assert(spark.sql(s"SELECT sum(v) FROM $t").head.getLong(0) ==
+      (0L until 100L).map(_ * 10).sum + 5)
+    // ONE commit; the pre-update state time travels
+    assert(Gvt.latestVersion(dir) == 2 &&
+      Gvt.read(spark, dir, Some(1)).agg(sum("v")).head.getLong(0) ==
+        (0L until 100L).map(_ * 10).sum)
+    // SIMULTANEOUS assignment: the swap reads both originals
+    spark.sql(s"UPDATE $t SET k = v, v = k WHERE k = 99")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 990").head.getLong(0) == 99)
+    // identity SETs and empty matches commit NOTHING
+    val head = Gvt.latestVersion(dir)
+    spark.sql(s"UPDATE $t SET v = v WHERE k < 5")
+    spark.sql(s"UPDATE $t SET v = 0 WHERE k = -1")
+    assert(Gvt.latestVersion(dir) == head,
+      "no-op UPDATEs must not produce commits")
+  }
+
+  test("UPDATE speaks logical names on a column-mapped table") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('stats'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    Gvt.renameColumn(spark, dir, "v", "value")
+    spark.sql(s"UPDATE $t SET value = value * 2 WHERE k >= 5")
+    assert(spark.sql(s"SELECT sum(value) FROM $t").head.getLong(0) ==
+      (0L until 5L).sum + (5L until 10L).map(_ * 2).sum)
+  }
+
+  test("UPDATE refusals stay loud and commit nothing") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    val head = Gvt.latestVersion(dir)
+    // subquery in WHERE and in SET: left for the stock loud error
+    intercept[Exception] {
+      spark.sql(s"UPDATE $t SET v = 0 " +
+        s"WHERE k IN (SELECT id FROM range(0, 3))")
+    }
+    intercept[Exception] {
+      spark.sql(s"UPDATE $t SET v = (SELECT max(id) FROM range(0, 3))")
+    }
+    assert(Gvt.latestVersion(dir) == head &&
+      spark.sql(s"SELECT sum(v) FROM $t").head.getLong(0) ==
+        (0L until 10L).sum,
+      "refused UPDATEs must leave the table untouched")
+    // CHECK constraints re-run against the updated rows
+    Gvt.addCheck(spark, dir, "v_small", "v < 1000")
+    intercept[Exception] { spark.sql(s"UPDATE $t SET v = 5000 WHERE k = 1") }
+    assert(spark.sql(s"SELECT max(v) FROM $t").head.getLong(0) < 1000,
+      "a constraint-violating UPDATE must commit NOTHING")
+  }
+
+  test("MERGE INTO lowers the canonical upsert onto Gvt.merge") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('stats'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    spark.sql(s"MERGE INTO $t t USING " +
+      "(SELECT id AS k, id * 100 AS v FROM range(5, 15)) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val rows = spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r =>
+      if (r.getLong(0) < 5) r.getLong(1) == r.getLong(0)
+      else r.getLong(1) == r.getLong(0) * 100))
+    // ONE commit for the whole upsert
+    assert(Gvt.latestVersion(dir) == 2)
+    // explicit column lists with agreeing images lower too
+    spark.sql(s"MERGE INTO $t t USING " +
+      "(SELECT id AS k, id AS v FROM range(20, 22)) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 17)
+  }
+
+  test("MERGE refuses duplicate source keys (cardinality violation)") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    val head = Gvt.latestVersion(dir)
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO $t t USING " +
+        "(SELECT id % 3 AS k, id AS v FROM range(0, 9)) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("duplicate"),
+      s"expected the cardinality refusal, got: ${e.getMessage.take(200)}")
+    assert(Gvt.latestVersion(dir) == head,
+      "a refused MERGE must commit nothing")
+  }
+
+  test("non-canonical MERGE shapes refuse loudly and commit nothing") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 10)")
+    val head = Gvt.latestVersion(dir)
+    // conditional matched action
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $t t USING " +
+        "(SELECT id AS k, id AS v FROM range(0, 5)) s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v > 2 THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    // DELETE action
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $t t USING " +
+        "(SELECT id AS k, id AS v FROM range(0, 5)) s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    // differing matched/not-matched images
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $t t USING " +
+        "(SELECT id AS k, id AS v FROM range(0, 5)) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v + 1 " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    }
+    // non-equi ON condition
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $t t USING " +
+        "(SELECT id AS k, id AS v FROM range(0, 5)) s ON t.k >= s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(Gvt.latestVersion(dir) == head &&
+      spark.sql(s"SELECT sum(v) FROM $t").head.getLong(0) ==
+        (0L until 10L).sum,
+      "refused MERGEs must leave the table untouched")
+  }
+
   test("writes refuse through a version-pinned load") {
     val (dir, _) = pathTable()
     Gvt.append(spark, dir, Seq((1L, 2L)).toDF("k", "v"), Seq("k"))

@@ -266,6 +266,11 @@ class SurveyCoverageSpec extends GraftSuite {
     // the pushed condition and rides the same copy-on-write delete
     // pipeline the API uses
     "etl_gvt_sql_delete",
+    // round-13: SQL UPDATE / MERGE INTO — RewriteGvtDml lowers the
+    // resolved commands onto Gvt.updateWhere / Gvt.merge (SQL-text
+    // command fields keep the plan resolved; non-canonical shapes
+    // refuse loudly through the stock strategy error)
+    "etl_gvt_sql_update", "etl_gvt_sql_merge",
     // round-12: SQL DDL — ALTER TABLE RENAME/DROP/ADD COLUMN and
     // check./stats TBLPROPERTIES land the same metadata-only schema
     // commits the API ops publish

@@ -1,0 +1,214 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{GraftSuite, Staging, Tables}
+
+/** Round-13 regression tests — one per advisor/verdict finding fixed
+  * this round:
+  *
+  *  - TIMESTAMP zone-map pruning must not prune files whose stats were
+  *    rendered under a DIFFERENT session timezone than the scan's
+  *    literal rendering (r12 ADVICE, medium): the write zone is now
+  *    recorded per manifest entry ([[Gvt.GvtFile.tz]]) and
+  *    [[Gvt.zSurvives]] applies zone-sensitive bounds only on a
+  *    provable match.
+  *  - Stream alignment must survive a column-rename CYCLE between the
+  *    stream's start state and a served version (r12 ADVICE, low): both
+  *    rename folds are now single positional selects.
+  *  - restore() must roll back the stats clustering declaration with
+  *    the rest of the metadata (r12 ADVICE, low).
+  */
+class Round13Spec extends GraftSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // zone guard — unit level (package access to the private rule)
+  // ------------------------------------------------------------------
+
+  private def tsFile(tz: String) = Gvt.GvtFile("data/c1-x/f.parquet", 1L,
+    min = Map("ts" -> "1995-01-01 00:00:00"),
+    max = Map("ts" -> "1995-12-31 23:59:59"), tz = tz)
+
+  // a bound that provably misses the file's 1995 box
+  private val missBound = Gvt.ZBound("ts",
+    lo = Some("1996-01-01 00:00:00"), hi = None,
+    kind = Gvt.ZKind.Chrono, zoned = true)
+
+  test("zoned bounds prune only files with a provably matching write zone") {
+    // matching zone (exact and alias-equivalent): the miss prunes
+    assert(!Gvt.zSurvives(tsFile("UTC"), Seq(missBound), "UTC"))
+    assert(!Gvt.zSurvives(tsFile("Etc/UTC"), Seq(missBound), "UTC"))
+    // cross-zone: NEVER pruned by a zoned bound, however hard the miss
+    assert(Gvt.zSurvives(tsFile("America/New_York"), Seq(missBound), "UTC"))
+    // unrecorded write zone (pre-r13 manifest): kept
+    assert(Gvt.zSurvives(tsFile(null), Seq(missBound), "UTC"))
+    // unknown scan zone: kept
+    assert(Gvt.zSurvives(tsFile("UTC"), Seq(missBound), null))
+    // an UNzoned chrono bound (DATE/NTZ rendering — zone-free on both
+    // sides) prunes regardless of the recorded zone
+    val dateBound = missBound.copy(zoned = false)
+    assert(!Gvt.zSurvives(tsFile("America/New_York"), Seq(dateBound), "UTC"))
+  }
+
+  test("writeData records the session zone only for TIMESTAMP stats") {
+    // the fixture's o_orderdate reads as TimestampNTZ (zone-free —
+    // correctly unstamped); a genuine TimestampType column stamps
+    val tsDir = Staging.tempDir("r13_tzstamp_ts")
+    Gvt.append(spark, tsDir,
+      Tables(spark, sf0001, "orders").limit(100)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
+      Seq("o_orderdate"))
+    assert(Gvt.snapshot(tsDir).forall(_.tz ==
+      spark.sessionState.conf.sessionLocalTimeZone),
+      "timestamp-statted files must carry the write session zone")
+    val numDir = Staging.tempDir("r13_tzstamp_num")
+    Gvt.append(spark, numDir,
+      Tables(spark, sf0001, "orders").limit(100), Seq("o_orderkey"))
+    assert(Gvt.snapshot(numDir).forall(_.tz == null),
+      "zone-independent stats (numeric / NTZ) must not carry a zone stamp")
+  }
+
+  test("connector TIMESTAMP read stays correct under a shifted scan zone") {
+    // two hourly tiles straddling 1996-01-01 UTC, statted as a genuine
+    // TimestampType column under the UTC write session
+    val dir = Staging.tempDir("r13_tzshift")
+    def tile(day: String): Unit = Gvt.append(spark, dir,
+      (0 until 24).map(h => f"$day $h%02d:00:00").toDF("s")
+        .select(col("s").cast("timestamp").as("ts")).repartition(1),
+      Seq("ts"))
+    tile("1995-12-31")
+    tile("1996-01-01")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // scan from UTC+5:30: the literal's instant is 1995-12-31 18:30Z,
+      // so the 1995-12-31 tile CONTAINS matches (19:00Z..23:00Z) while
+      // its UTC-rendered stat box ("...23:00:00" < "1996-01-01
+      // 00:00:00") looks like a miss against the Kolkata-rendered
+      // literal — the exact silent-wrong-results shape the zone guard
+      // closes (pre-fix: connector returned 24 rows, not 29)
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      def cnt(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("ts") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .count()
+      val viaConnector = cnt(spark.read.format("gvt")
+        .option("path", dir).load())
+      val viaLibrary = cnt(Gvt.read(spark, dir))
+      assert(viaConnector == 29L && viaLibrary == 29L,
+        s"cross-zone scan diverged: connector=$viaConnector " +
+          s"library=$viaLibrary (expected 29)")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  // ------------------------------------------------------------------
+  // rename-cycle stream alignment
+  // ------------------------------------------------------------------
+
+  /** A strict a↔b cycle is unconstructible (renameColumn refuses a
+    * logical name that is another column's PHYSICAL slot — verified
+    * below), but the chained-rename collision the r12 advisor flagged
+    * is still reachable: start the stream under a renamed state, then
+    * move the start name onto a DIFFERENT column. The version-local →
+    * start-name map then contains m→x AND x→y, and a fold order that
+    * applies m→x first captures both columns. */
+
+  test("renameColumn refuses a name that is another column's physical slot") {
+    val dir = Staging.tempDir("r13_noswap")
+    Gvt.append(spark, dir, Seq((1L, 10L, 1000L)).toDF("k", "a", "b"), Seq("k"))
+    Gvt.renameColumn(spark, dir, "a", "tmp_swap")
+    val e = intercept[IllegalArgumentException] {
+      Gvt.renameColumn(spark, dir, "b", "a") // 'a' = tmp_swap's phys slot
+    }
+    assert(e.getMessage.contains("physical"))
+  }
+
+  test("append stream binds data correctly through colliding mid-stream renames") {
+    val dir = Staging.tempDir("r13_cycle")
+    Gvt.append(spark, dir,
+      Seq((1L, 10L, 1000L)).toDF("k", "a", "b"), Seq("k"))
+    Gvt.renameColumn(spark, dir, "a", "m") // stream start state: (k, m, b)
+    val q = spark.readStream.format("graft.sources.GvtStreamSource")
+      .option("skipChangeCommits", "true") // renames are schema commits
+      .load(dir)
+      .agg(sum("m").as("sm"), sum("b").as("sb"))
+      .writeStream
+      .option("checkpointLocation", Staging.fastTempDir("r13_cycle_ckpt"))
+      .format("memory").queryName("r13_cycle_sink").outputMode("complete")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      Gvt.drainBounded(q)
+      // mid-stream: free the start name m, then move it onto column b
+      Gvt.renameColumn(spark, dir, "m", "n") // phys a: logical n
+      Gvt.renameColumn(spark, dir, "b", "m") // phys b: logical m
+      // head-logical (k, n, m) = physical (k, a, b): this row stores
+      // 20 in physical a and 2000 in physical b
+      Gvt.append(spark, dir,
+        Seq((2L, 20L, 2000L)).toDF("k", "n", "m"), Seq("k"))
+      Gvt.drainBounded(q)
+      val r = spark.table("r13_cycle_sink").head
+      // the stream's fixed names bind by PHYSICAL identity: stream-m is
+      // physical a (10 + 20), stream-b physical b (1000 + 2000). The
+      // pre-fix chained rename (n→m, then m→b) captured BOTH columns
+      // named m on the second hop.
+      assert((r.getLong(0), r.getLong(1)) == ((30L, 3000L)),
+        s"colliding renames mis-bound the stream: $r")
+    } finally q.stop()
+  }
+
+  test("cdc alignment survives colliding renames (diff path)") {
+    val dir = Staging.tempDir("r13_cycle_cdc")
+    Gvt.append(spark, dir,
+      Seq((1L, 10L, 1000L)).toDF("k", "a", "b"), Seq("k")) // v0
+    Gvt.renameColumn(spark, dir, "a", "m")                 // v1
+    // stream fixed at (k, m, b): m = phys a, b = phys b
+    val q = spark.readStream.format("graft.sources.GvtStreamSource")
+      .option("mode", "cdc").option("startingVersion", "1")
+      .option("maxVersionsPerBatch", "16")
+      .load(dir)
+      .groupBy("change_type")
+      .agg(sum("m").as("sm"), sum("b").as("sb"))
+      .writeStream
+      .option("checkpointLocation", Staging.fastTempDir("r13_cyclecdc_ckpt"))
+      .format("memory").queryName("r13_cyclecdc_sink").outputMode("complete")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      Gvt.drainBounded(q)
+      // mid-stream: free the start name m, then move it onto column b
+      Gvt.renameColumn(spark, dir, "m", "n")               // v2
+      Gvt.renameColumn(spark, dir, "b", "m")               // v3
+      Gvt.append(spark, dir,
+        Seq((2L, 20L, 2000L)).toDF("k", "n", "m"), Seq("k")) // v4
+      Gvt.drainBounded(q)
+      // the v4 diff speaks (k, n, m); its alignment map is n→m AND
+      // m→b — the exact capture shape: the pre-fix fold's first hop
+      // (n→m) created a duplicate m that the second hop renamed
+      // wholesale. stream-m sums physical-a values (10 + 20),
+      // stream-b physical-b (1000 + 2000).
+      val r = spark.table("r13_cyclecdc_sink")
+        .filter(col("change_type") === "insert").head
+      assert((r.getLong(1), r.getLong(2)) == ((30L, 3000L)),
+        s"cdc colliding renames mis-bound: $r")
+    } finally q.stop()
+  }
+
+  // ------------------------------------------------------------------
+  // restore rolls back the stats declaration
+  // ------------------------------------------------------------------
+
+  test("restore rolls the stats clustering declaration back with the data") {
+    val dir = Staging.tempDir("r13_restore_stats")
+    Gvt.append(spark, dir, Seq((1L, 2L)).toDF("k", "v"), Seq("k")) // v0
+    Gvt.setStats(spark, dir, Seq("v"))                             // v1
+    assert(Gvt.mappingAt(dir).statsList == Seq("v"))
+    val v = Gvt.restore(spark, dir, 0)
+    assert(v > 1, "a stats-only divergence must still be a restore commit")
+    assert(Gvt.mappingAt(dir).statsList.isEmpty,
+      "restore must roll back the stats declaration (r12 advisor)")
+    // and restoring forward again reinstates it
+    Gvt.restore(spark, dir, 1)
+    assert(Gvt.mappingAt(dir).statsList == Seq("v"))
+  }
+}
