@@ -299,6 +299,60 @@ object DevGvtConcurrent {
         println(s"[gvt-concurrent] TXND CHECK OK: ${head + 1} docs, " +
           "every disjoint transaction isolated at EVERY intermediate doc")
 
+      // ---- SERIALIZED overlapping-table txn race (r13): two JVMs ----
+      // drive commitSerialized over the SAME {fact, summary} pair; the
+      // check demands whole transactions at EVERY intermediate doc —
+      // the guarantee plain commit() explicitly does not make for
+      // overlapping writers.
+      case "txns" =>
+        val writer = args(2).toInt
+        val n = args(3).toInt
+        val fact = s"$table/fact"
+        val sum = s"$table/summary"
+        (0 until n).foreach { i =>
+          val tag = writer * 1000 + i
+          graft.sources.GvtTxn.commitSerialized(spark, table,
+            Seq(fact, sum),
+            _ => Seq(
+              (fact, spark.range(tag * 10L, tag * 10L + 10L).toDF("k")
+                .withColumn("tag", lit(tag)), Seq("k")),
+              (sum, spark.range(tag.toLong, tag + 1L).toDF("tag")
+                .select(col("tag").cast("int").as("tag")), Seq("tag"))),
+            staleMs = 3000L, maxRetries = 40)
+        }
+        println(s"[gvt-concurrent] txns writer $writer done ($n serialized)")
+      case "checktxns" =>
+        val nWriters = args(2).toInt
+        val n = args(3).toInt
+        val fact = s"$table/fact"
+        val sum = s"$table/summary"
+        val head = graft.sources.GvtTxn.latestVersion(table)
+        (0 to head).foreach { v =>
+          val doc = graft.sources.GvtTxn.docAt(table, v).tables
+          if (doc.contains(fact) || doc.contains(sum)) {
+            assert(doc.contains(fact) && doc.contains(sum),
+              s"one-sided pin at doc $v: $doc")
+            val f = Gvt.read(spark, fact, doc.get(fact))
+            val s = Gvt.read(spark, sum, doc.get(sum))
+            val fTags = f.select("tag").distinct().collect()
+              .map(_.getInt(0)).toSet
+            val sTags = s.collect().map(_.getInt(0)).toSet
+            assert(fTags == sTags,
+              s"HALF-EXPOSED txn at doc $v: fact=$fTags summary=$sTags")
+            assert(f.count() == 10L * s.count(),
+              s"doc $v inconsistent: ${f.count()} fact rows for " +
+                s"${s.count()} txns")
+          }
+        }
+        // convergence: every writer's every txn whole at the head
+        val tags = graft.sources.GvtTxn.read(spark, table, sum)
+          .collect().map(_.getInt(0)).toSet
+        val want = (0 until nWriters)
+          .flatMap(w => (0 until n).map(w * 1000 + _)).toSet
+        assert(tags == want, s"missing txns at head: ${want -- tags}")
+        println(s"[gvt-concurrent] TXNS CHECK OK: ${head + 1} docs, " +
+          "every overlapping serialized txn whole at EVERY doc")
+
       // ---- cross-table WAP racing a parent writer: one JVM stages the ----
       // audited drop on branches of BOTH tables and publishes them +
       // one txn doc (GvtTxn.publishBranches); the other JVM keeps

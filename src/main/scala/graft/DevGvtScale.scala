@@ -31,6 +31,9 @@ object DevGvtScale {
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("branch")) {
       branchProbe(spark, 1000000); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("dv")) {
+      dvProbe(spark); spark.stop(); return
+    }
 
     def timed[A](what: String)(body: => A): A = {
       val t0 = System.nanoTime()
@@ -298,6 +301,72 @@ object DevGvtScale {
     require(c.removes.isEmpty && c.adds.nonEmpty && c.adds.size < 100,
       s"publish delta not churn-sized: ${c.adds.size}/${c.removes.size}")
     timed("dropBranch") { Gvt.dropBranch(mTable, "wap") }
+  }
+
+  /** r13 claim: a DV load far above driver-heap comfort reads through
+    * the connector with a FLAT driver heap. 1.25×10⁷ rows in 16 files,
+    * 10⁷ positions deleted (80%) in one MoR commit — far past the
+    * 4×10⁶ broadcast threshold, so `dvAccessFor` routes to
+    * [[graft.sources.GvtDvTaskFetch]] by itself: each task point-reads
+    * ITS file's slice of the sorted sidecar; no position array is ever
+    * driver-resident. The broadcast regime is then FORCED on the same
+    * snapshot as the control — its driver heap grows by the whole
+    * position map, its answer must match exactly. */
+  private def dvProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[gvt-scale] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    def heapMB(): Double = {
+      System.gc(); Thread.sleep(100); System.gc()
+      val r = Runtime.getRuntime
+      (r.totalMemory() - r.freeMemory()) / 1e6
+    }
+    val n = 12500000L
+    val t = Staging.tempDir("gvt_dvprobe")
+    timed(f"build: $n%d rows / 16 files") {
+      (0 until 16).foreach { i =>
+        Gvt.append(spark, t,
+          spark.range(i * n / 16, (i + 1) * n / 16)
+            .select(col("id").as("k"), (col("id") * 3).as("v"))
+            .repartition(1),
+          Seq("k"))
+      }
+    }
+    timed("deleteWhereDV: 80% of rows (10^7 positions, sorted sidecar)") {
+      Gvt.deleteWhereDV(spark, t, col("k") % 5 =!= 0)
+    }
+    val live = Gvt.snapshot(t)
+    println(s"[gvt-scale] dv probe: ${live.map(_.dvRows).sum} deleted " +
+      s"positions across ${live.size} files")
+    val expected = (n / 5, (0L until n).filter(_ % 5 == 0).map(_ * 3).sum)
+    def readAgg() = {
+      val r = spark.read.format("gvt").option("path", t).load()
+        .agg(count(lit(1)), sum("v")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val h0 = heapMB()
+    val viaFetch = timed("connector count+sum, PER-TASK FETCH (auto: " +
+      "10^7 > threshold)") { readAgg() }
+    val h1 = heapMB()
+    val viaFetch2 = timed("per-task fetch, warm (executor slice cache)") {
+      readAgg()
+    }
+    val h2 = heapMB()
+    require(viaFetch == expected && viaFetch2 == expected,
+      s"per-task fetch wrong: $viaFetch vs $expected")
+    spark.conf.set("spark.graft.gvt.dvBroadcastMaxRows", "20000000")
+    val viaBc = timed("connector count+sum, FORCED BROADCAST (control)") {
+      readAgg()
+    }
+    val h3 = heapMB()
+    spark.conf.unset("spark.graft.gvt.dvBroadcastMaxRows")
+    require(viaBc == expected, s"broadcast control wrong: $viaBc")
+    println(f"[gvt-scale] driver heap: before $h0%.0f MB, after per-task " +
+      f"reads $h1%.0f/$h2%.0f MB (FLAT), after broadcast build $h3%.0f MB " +
+      f"(+${h3 - h2}%.0f MB = the position map the scale path never builds)")
   }
 
   private def manifestProbe(spark: org.apache.spark.sql.SparkSession,

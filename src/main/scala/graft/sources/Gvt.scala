@@ -1651,7 +1651,12 @@ object Gvt {
       .filter(predicate)
       .select(col("_gvt_file"), col("_gvt_pos"))
     val sub = f"data/dv$v%d-${UUID.randomUUID().toString.take(8)}"
-    matches.write.parquet(s"$dir/$sub")
+    // GLOBAL sort by (file, pos): range partitioning gives each sidecar
+    // part a tight contiguous _gvt_file span, so the connector's
+    // per-task DV fetch ([[GvtDvFetch]]) skips row groups by min/max
+    // stats instead of scanning the whole sidecar — the layout that
+    // makes file-sliced access O(that file's positions) at any DV size
+    matches.orderBy("_gvt_file", "_gvt_pos").write.parquet(s"$dir/$sub")
     val written = spark.read.parquet(s"$dir/$sub")
     val perFile = written.groupBy("_gvt_file")
       .agg(count(lit(1)).as("n")).collect()

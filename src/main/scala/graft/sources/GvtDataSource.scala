@@ -191,6 +191,30 @@ object GvtDataSource {
         : Boolean = size() > DvMemoCap
   }
 
+  /** Pick the DV access regime for a scan from manifest metadata alone:
+    * the broadcast map while the version's total deleted positions fit
+    * driver comfort (`spark.graft.gvt.dvBroadcastMaxRows`, default
+    * 4×10⁶ ≈ tens of MB of Long[]), per-task sidecar fetch beyond it —
+    * a table carrying 10⁹ undeleted-vector rows must never build its
+    * position map on the driver (the r12 verdict's scale rung). 0
+    * forces per-task fetch everywhere (the scale path is testable at
+    * any size). */
+  private[sources] def dvAccessFor(spark: SparkSession, dir: String,
+      asOf: Option[Int], files: Seq[Gvt.GvtFile]): Option[GvtDvAccess] = {
+    val dvDirs = files.flatMap(f => Option(f.dv).getOrElse(Nil)).distinct
+    if (dvDirs.isEmpty) None
+    else {
+      val maxRows = spark.conf
+        .getOption("spark.graft.gvt.dvBroadcastMaxRows")
+        .map(_.toLong).getOrElse(4000000L)
+      val totalDv = files.map(_.dvRows).sum
+      if (totalDv <= maxRows)
+        Some(GvtDvBroadcast(dvBroadcast(spark, dir,
+          asOf.getOrElse(Gvt.latestVersion(dir)), dvDirs)))
+      else Some(GvtDvTaskFetch(dir, dvDirs.sorted))
+    }
+  }
+
   private[sources] def dvBroadcast(spark: SparkSession, dir: String,
       version: Int, dvDirs: Seq[String])
       : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] =
@@ -367,11 +391,7 @@ class GvtTable(dir: String, asOf: Option[Int], tableSchema: StructType,
     // logical schema, so this is a pure positional rename)
     val physSchema = StructType(tableSchema.fields.map(f =>
       f.copy(name = state.physicalOf(f.name))))
-    val dvDirs = files.flatMap(f => Option(f.dv).getOrElse(Nil)).distinct
-    val dv =
-      if (dvDirs.isEmpty) None
-      else Some(GvtDataSource.dvBroadcast(spark, dir,
-        asOf.getOrElse(Gvt.latestVersion(dir)), dvDirs))
+    val dv = GvtDataSource.dvAccessFor(spark, dir, asOf, files)
     new GvtScanBuilder(spark,
       new GvtFileIndex(spark, dir, files, physSchema),
       physSchema, state, dv, options)
@@ -395,7 +415,7 @@ class GvtTable(dir: String, asOf: Option[Int], tableSchema: StructType,
   * the filter handoff never leaks across queries. */
 class GvtScanBuilder(spark: SparkSession, index: GvtFileIndex,
     physSchema: StructType, state: Gvt.GvtSchemaState,
-    dv: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]],
+    dv: Option[GvtDvAccess],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -488,7 +508,7 @@ class GvtScanBuilder(spark: SparkSession, index: GvtFileIndex,
 case class GvtScan(
     delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     logicalOutput: StructType,
-    dv: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]])
+    dv: Option[GvtDvAccess])
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -504,7 +524,7 @@ case class GvtScan(
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = dv match {
     case None => delegate.toBatch
-    case Some(bc) =>
+    case Some(access) =>
       // widen the delegate's read schema by Spark's temporary row-index
       // column: both parquet reader paths (vectorized + parquet-mr)
       // fill it with FILE-ABSOLUTE row positions — exactly the identity
@@ -515,15 +535,124 @@ case class GvtScan(
         org.apache.spark.sql.types.LongType, nullable = true)
       val widened = delegate.copy(
         readDataSchema = delegate.readDataSchema.add(rowIdx))
-      new GvtDvBatch(widened.toBatch, bc, delegate.readDataSchema)
+      new GvtDvBatch(widened.toBatch, access, delegate.readDataSchema)
+  }
+}
+
+/** How a scan's readers obtain each file's deleted-row positions — the
+  * two regimes [[GvtDataSource.dvAccessFor]] picks between on the
+  * manifest's total `dvRows` (a metadata-only decision):
+  *
+  *  - [[GvtDvBroadcast]]: the full (file → sorted positions) map built
+  *    by ONE Spark job and broadcast, memoized per version. Optimal
+  *    while the map fits driver comfort (every task gets O(1) lookup,
+  *    zero per-task I/O), which maintenance keeps true on healthy
+  *    tables ([[Gvt.absorbDeletes]]).
+  *  - [[GvtDvTaskFetch]]: NOTHING position-shaped ever touches the
+  *    driver — each task fetches ITS files' position slices from the
+  *    sidecar parquet directly ([[GvtDvFetch]]), which the write-side
+  *    (file, pos) global sort makes a row-group-skipped point read.
+  *    The Delta-DV production shape for tables carrying more deleted
+  *    positions than a driver heap should hold. The payload here is
+  *    O(dv COMMITS) dir names, never O(files).
+  *
+  * Both are case classes so [[GvtScan]] equality (exchange reuse)
+  * stays structural. */
+sealed trait GvtDvAccess extends Serializable
+case class GvtDvBroadcast(
+    bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
+    extends GvtDvAccess
+case class GvtDvTaskFetch(dir: String, dvDirs: Seq[String])
+    extends GvtDvAccess
+
+/** Executor-side sidecar access for [[GvtDvTaskFetch]]: read one file's
+  * deleted positions from the DV sidecar parquet with a pushed
+  * `_gvt_file = <suffix>` predicate (parquet-mr applies it at row-group
+  * granularity first — the sidecar's global (file, pos) sort makes the
+  * matching groups contiguous — then per record). Results are memoized
+  * in a JVM-wide access-order LRU so every task of a stage after the
+  * first gets its file's slice for free; the cap bounds executor memory
+  * regardless of how many versions a long-lived executor serves. */
+object GvtDvFetch {
+  /** Entry cap AND a total-positions budget (~256 MB of Long[]): a
+    * wide executor serving many heavily-deleted files must not let the
+    * slice cache grow into the working memory the scan itself needs. */
+  private val Cap = 4096
+  private val PosBudget = 32L * 1024 * 1024
+  private var cachedPos = 0L
+  private val cache = new java.util.LinkedHashMap[
+      (String, Seq[String], String), Array[Long]](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Seq[String], String), Array[Long]])
+        : Boolean = false // eviction is the position-budget loop below
+  }
+  private def putBounded(key: (String, Seq[String], String),
+      arr: Array[Long]): Unit = {
+    if (cache.containsKey(key)) return
+    cache.put(key, arr)
+    cachedPos += arr.length
+    val it = cache.entrySet().iterator()
+    while ((cachedPos > PosBudget || cache.size() > Cap) && it.hasNext) {
+      val eldest = it.next()
+      if (!(eldest.getKey eq key)) { // never evict the entry just added
+        cachedPos -= eldest.getValue.length
+        it.remove()
+      }
+    }
+  }
+
+  /** Sidecar part files of one DV dir (memoized — the dir is immutable
+    * once its commit published). Local listing here; production pins
+    * the part list in the manifest like data files. */
+  private val parts = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[String]]()
+  private def partsOf(absDvDir: String): Seq[String] =
+    parts.computeIfAbsent(absDvDir, d => {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      try s.iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    })
+
+  def positions(dir: String, dvDirs: Seq[String], suffix: String)
+      : Array[Long] = {
+    val key = (dir, dvDirs, suffix)
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val pred = FilterApi.eq(FilterApi.binaryColumn("_gvt_file"),
+      org.apache.parquet.io.api.Binary.fromString(suffix))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (d <- dvDirs; part <- partsOf(s"$dir/$d")) {
+      val rd = org.apache.parquet.hadoop.ParquetReader.builder(
+          new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(part))
+        .withFilter(FilterCompat.get(pred)).build()
+      try {
+        var g = rd.read()
+        while (g != null) {
+          buf += g.getLong("_gvt_pos", 0)
+          g = rd.read()
+        }
+      } finally rd.close()
+    }
+    // sidecars are sorted per dir but positions for one file may span
+    // dirs (repeated DV deletes): one sort keeps the reader's binary
+    // search contract
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr)
+    cache.synchronized { putBounded(key, arr) }
+    arr
   }
 }
 
 /** [[GvtScan]]'s MoR batch: stock partition planning, DV-filtering
   * readers. */
 class GvtDvBatch(delegate: org.apache.spark.sql.connector.read.Batch,
-    dv: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]],
-    outSchema: StructType)
+    dv: GvtDvAccess, outSchema: StructType)
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
@@ -544,7 +673,7 @@ class GvtDvBatch(delegate: org.apache.spark.sql.connector.read.Batch,
   * branchless O(log d) search + one codegen'd projection. */
 case class GvtDvReaderFactory(
     delegate: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
-    dv: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]],
+    dv: GvtDvAccess,
     outSchema: StructType)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
@@ -581,7 +710,12 @@ case class GvtDvReaderFactory(
             cur = delegate.buildReader(f)
             val suffix = f.filePath.toPath.toUri.getPath
               .split('/').takeRight(3).mkString("/")
-            curDv = dv.value.getOrElse(suffix, Array.emptyLongArray)
+            curDv = dv match {
+              case GvtDvBroadcast(bc) =>
+                bc.value.getOrElse(suffix, Array.emptyLongArray)
+              case GvtDvTaskFetch(tableDir, dvDirs) =>
+                GvtDvFetch.positions(tableDir, dvDirs, suffix)
+            }
           }
           while (cur.next()) {
             val r = cur.get()

@@ -39,7 +39,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the view CONVERGES — once both racing transactions' docs land, the
   * head pins every table at a version containing both (per-table logs
   * are linear, so max-merge supersets both). What an INTERMEDIATE doc
-  * of two concurrent transactions over OVERLAPPING tables does NOT
+  * of two concurrent [[commit]]s over OVERLAPPING tables does NOT
   * guarantee is mutual snapshot isolation: if txn A and B both write
   * {fact, summary} and their per-table appends interleave opposite to
   * their doc order, A's doc can pin a summary version that already
@@ -47,12 +47,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * B's — B is half-visible for the window until B's own doc lands
   * (DevGvtConcurrent's checktxn phase races exactly this and asserts
   * the final-view convergence plus full isolation for the
-  * disjoint-table race). Transactions over overlapping table sets
-  * must serialize at the pipeline layer (or ride ONE transaction) —
-  * the same rule every catalog-pointer system without a global commit
-  * log imposes; the production fix is coordinator-serialized commits
-  * (the Nessie shape), a pointer-service concern, not a table-format
-  * one.
+  * disjoint-table race). Overlapping-table transactions that need
+  * per-doc snapshot isolation use [[commitSerialized]] — the
+  * coordinator-serialized CAS loop (the Nessie shape): every attempt
+  * re-executes the transaction body against the head doc's pinned
+  * snapshot, appends must land CONTIGUOUSLY on that snapshot, the doc
+  * link CASes on the head, and any conflict (an interleaved foreign
+  * commit, a lost doc race over shared tables) aborts the attempt and
+  * re-runs the whole body later — so every doc a serialized writer
+  * links pins only whole-transaction states. Within the serialized
+  * regime, an UNPINNED table advance older than `staleMs` is a crashed
+  * half-transaction and is rolled back ([[Gvt.restore]] to the pinned
+  * floor — history preserved, the poison state never enters any new
+  * pin). Mixing [[commit]] and [[commitSerialized]] writers on the
+  * same tables forfeits the serialized guarantees, exactly as in any
+  * catalog that offers both fast and serialized commit modes.
   *
   * Scale: the coordinator doc is O(tables in the txn) — a few hundred
   * bytes; resolution is one doc read (newest doc id), never a data or
@@ -142,6 +151,141 @@ object GvtTxn {
       dir -> Gvt.publishBranch(spark, dir, name)
     }.toMap
     publish(txnDir, pins)
+  }
+
+  /** COORDINATOR-SERIALIZED commit (the Nessie shape): snapshot
+    * isolation at EVERY doc for transactions over OVERLAPPING table
+    * sets — see the isolation scaladoc above. `tables` declares the
+    * transaction's table set upfront; `body` receives the head doc's
+    * pins (dir → pinned version; absent = unborn at this doc) and
+    * returns the writes, RECOMPUTED against that snapshot on every
+    * attempt (read inputs via `Gvt.read(dir, Some(pin))` — a retried
+    * transaction is exactly the transaction started later, the
+    * [[Gvt]] rmwRetry contract lifted to the coordinator).
+    *
+    * Per attempt: (1) validate each table sits exactly at its pinned
+    * state — an unpinned advance younger than `staleMs` is a peer's
+    * in-flight commit (wait for its doc, then retry), older is a
+    * crashed half-transaction (roll it back to the pinned floor with
+    * [[Gvt.restore]] — a metadata commit, history preserved); (2) run
+    * `body`, append, and require every append landed CONTIGUOUSLY on
+    * the validated state (an interleaved foreign commit aborts the
+    * attempt — the abandoned appends are the NEXT attempt's stale
+    * advance and get rolled back the same way); (3) CAS the doc at
+    * head+1 — losing to a doc that touches this transaction's tables
+    * aborts (the body must see the new state), losing to a disjoint
+    * doc just re-merges and re-links. */
+  def commitSerialized(spark: SparkSession, txnDir: String,
+      tables: Seq[String],
+      body: Map[String, Int] => Seq[(String, DataFrame, Seq[String])],
+      staleMs: Long = 10000L, maxRetries: Int = 20): Int = {
+    require(tables.nonEmpty, "a serialized txn must declare its tables")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      // randomized backoff: two writers aborting symmetrically must not
+      // re-collide forever
+      if (attempt > 1)
+        Thread.sleep(50L + scala.util.Random.nextInt(150 * attempt))
+      val headV = latestVersion(txnDir)
+      val base: Map[String, Int] =
+        if (headV < 0) Map.empty else docAt(txnDir, headV).tables
+      // manifest-identity check: a restore commit has a HIGHER version
+      // than the pin but the SAME state, so "at the pinned state" is
+      // file-set equality, never version equality (production compares
+      // a manifest digest instead of the driver Seq)
+      def ident(d: String, v: Int) =
+        Gvt.snapshot(d, Some(v)).map(f =>
+          (f.path, Option(f.dv).getOrElse(Nil), f.dvRows)).toSet
+      // (1) every declared table must sit at its pinned state; record
+      // the validated head as the contiguity baseline (re-reading later
+      // would let a foreign commit slip under the appends unseen)
+      val startHeads = scala.collection.mutable.Map.empty[String, Int]
+      val settled = tables.forall { d =>
+        val bv = base.getOrElse(d, -1)
+        val hv = Gvt.latestVersion(d)
+        // pinned state reached: version at/below the pin, same file set
+        // as the pin (restores bump the version, not the state), or —
+        // for a never-pinned table — the empty state
+        if (hv <= bv ||
+            (bv >= 0 && ident(d, hv) == ident(d, bv)) ||
+            (bv < 0 && ident(d, hv).isEmpty)) {
+          startHeads(d) = hv; true
+        } else {
+          // unpinned advance: a peer's doc may still be coming — wait
+          val deadline = System.currentTimeMillis() + staleMs
+          var newDoc = false
+          while (!newDoc && System.currentTimeMillis() < deadline) {
+            Thread.sleep(50)
+            newDoc = latestVersion(txnDir) > headV
+          }
+          if (!newDoc) {
+            // stale: a crashed half-transaction in the serialized
+            // regime — roll the table back to the pinned floor. A
+            // never-pinned table's floor is the EMPTY state (the
+            // bootstrap crash): one delete-everything commit, the
+            // deleteKeys empty-survivor shape; losing its publish race
+            // is fine — we re-read and retry either way.
+            if (bv >= 0) Gvt.restore(spark, d, bv)
+            else {
+              Gvt.tryPublish(d, Gvt.GvtCommit(Gvt.latestVersion(d) + 1,
+                "delete", Nil, Gvt.snapshot(d).map(_.path)), spark)
+              ()
+            }
+          }
+          false // base may have moved either way: re-read and retry
+        }
+      }
+      if (settled) {
+        val basePins = tables.flatMap(d =>
+          base.get(d).map(d -> _)).toMap
+        val writes = body(basePins)
+        require(writes.map(_._1).toSet.subsetOf(tables.toSet),
+          "body wrote a table outside the declared set")
+        val myPins = writes.map { case (d, df, statsCols) =>
+          d -> Gvt.append(spark, d, df, statsCols)
+        }.toMap
+        // (2) contiguity: nothing foreign interleaved under the appends
+        val contiguous = myPins.forall { case (d, v) =>
+          v == startHeads(d) + 1
+        }
+        if (contiguous) {
+          // (3) doc CAS on the head; disjoint losers re-merge, shared
+          // losers abort to re-execute the body
+          var v = headV + 1
+          var aborted = false
+          while (!aborted) {
+            val prev: Map[String, Int] =
+              if (v == 0) Map.empty else docAt(txnDir, v - 1).tables
+            val merged = (prev.keySet ++ myPins.keySet).map { d =>
+              d -> math.max(prev.getOrElse(d, -1), myPins.getOrElse(d, -1))
+            }.toMap
+            val ld = Files.createDirectories(logDir(txnDir))
+            val tmp = Files.createTempFile(ld, ".tmp-", ".json")
+            Files.write(tmp, mapper.writeValueAsBytes(
+              TxnDoc(v, merged, System.currentTimeMillis())))
+            val won =
+              try { Files.createLink(ld.resolve(f"$v%08d.json"), tmp); true }
+              catch { case _: FileAlreadyExistsException => false }
+            Files.delete(tmp)
+            if (won) return v
+            // lost: if the winner touched our tables, the body must
+            // re-execute against the new state; otherwise re-link
+            val winner = docAt(txnDir, v).tables
+            if (tables.exists(d =>
+                winner.getOrElse(d, -1) != base.getOrElse(d, -1)))
+              aborted = true
+            else v += 1
+          }
+        }
+        // non-contiguous appends / shared-table doc loss: the appends
+        // just made are abandoned — the next attempt's staleness walk
+        // rolls them back before rebuilding
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"GvtTxn at $txnDir: serialized commit lost $maxRetries attempts — " +
+        "sustained overlapping-table contention should surface, not spin")
   }
 
   /** Publish a pin set for table versions committed out-of-band (e.g.

@@ -140,6 +140,38 @@ class GvtCatalogSpec extends GraftSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 7)
   }
 
+  test("DELETE FROM translates IN-lists and date/timestamp predicates") {
+    val (dir, t) = pathTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, d DATE, ts TIMESTAMP) " +
+      "TBLPROPERTIES ('stats'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, " +
+      "date_add(DATE '1995-01-01', CAST(id AS INT)), " +
+      "timestamp_seconds(800000000 + id * 86400) FROM range(0, 100)")
+    // IN-list (the #1 real delete shape after range predicates)
+    spark.sql(s"DELETE FROM $t WHERE k IN (1, 3, 5, 7)")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 96)
+    // DATE literal comparison
+    spark.sql(s"DELETE FROM $t WHERE d < DATE '1995-01-11'")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 90,
+      "date-literal range delete must remove exactly the first 10 days' " +
+        "survivors (0..9 minus the 4 already deleted = 6)")
+    // TIMESTAMP literal comparison + foldable date arithmetic
+    spark.sql(s"DELETE FROM $t WHERE ts >= TIMESTAMP '2005-01-01 00:00:00'")
+    spark.sql(s"DELETE FROM $t WHERE d > date_add(DATE '1995-01-01', 95)")
+    // NOT / OR / null-test composition
+    spark.sql(s"DELETE FROM $t WHERE NOT (k < 90) OR k IS NULL")
+    val left = spark.sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0))
+    assert(left.forall(k => k >= 10 && k < 90 && !Set(1L,3L,5L,7L)(k)))
+    // a non-foldable column function cannot translate: refuses loudly,
+    // commits nothing
+    val head = Gvt.latestVersion(dir)
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $t WHERE year(d) = 1995")
+    }
+    assert(Gvt.latestVersion(dir) == head,
+      "an untranslatable DELETE must leave the table untouched")
+  }
+
   test("ALTER TABLE: rename, drop, add column, check properties") {
     val (dir, t) = pathTable()
     spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +

@@ -195,6 +195,119 @@ class Round13Spec extends GraftSuite {
   }
 
   // ------------------------------------------------------------------
+  // per-task DV fetch (the scale regime of the MoR connector read)
+  // ------------------------------------------------------------------
+
+  test("per-task DV fetch serves the same rows as the broadcast map") {
+    val dir = Staging.tempDir("r13_dvfetch")
+    // several files (8 range tiles), TWO dv commits so one file's
+    // positions span sidecar dirs
+    (0 until 8).foreach { i =>
+      Gvt.append(spark, dir,
+        (i * 1000L until (i + 1) * 1000L).map(k => (k, k * 3))
+          .toDF("k", "v").repartition(1), Seq("k"))
+    }
+    Gvt.deleteWhereDV(spark, dir, col("k") % 3 === 0)
+    Gvt.deleteWhereDV(spark, dir, col("k") % 5 === 0)
+    def readAll() = spark.read.format("gvt").option("path", dir).load()
+      .agg(count(lit(1)), sum("v")).head
+    val viaBroadcast = readAll()
+    try {
+      // 0 forces the per-task regime at any size — the scale path
+      // proven equal on the exact same snapshot
+      spark.conf.set("spark.graft.gvt.dvBroadcastMaxRows", "0")
+      val viaFetch = readAll()
+      assert(viaFetch == viaBroadcast,
+        s"per-task DV fetch diverged: $viaFetch vs $viaBroadcast")
+      // and a filtered read (zone-map prune composes with task fetch)
+      val filtered = spark.read.format("gvt").option("path", dir).load()
+        .filter(col("k") >= 2000 && col("k") < 3000)
+        .agg(count(lit(1))).head.getLong(0)
+      assert(filtered == (2000L until 3000L)
+        .count(k => k % 3 != 0 && k % 5 != 0).toLong)
+    } finally spark.conf.unset("spark.graft.gvt.dvBroadcastMaxRows")
+    val expected = (0L until 8000L).filter(k => k % 3 != 0 && k % 5 != 0)
+    assert(viaBroadcast.getLong(0) == expected.size.toLong &&
+      viaBroadcast.getLong(1) == expected.map(_ * 3).sum)
+  }
+
+  // ------------------------------------------------------------------
+  // coordinator-serialized overlapping transactions
+  // ------------------------------------------------------------------
+
+  test("commitSerialized: overlapping txns are whole at EVERY doc") {
+    val coord = Staging.tempDir("r13_sertxn")
+    val fact = s"$coord/fact"
+    val sum = s"$coord/summary"
+    // each txn: 10 fact rows + 1 summary row, one tag — the per-doc
+    // invariant is rows(fact) == 10 × rows(summary) and matching tag
+    // sets, which plain commit() cannot promise under an overlapping
+    // race (the narrowed r12 contract) and commitSerialized must
+    def txn(tag: Int): Unit = {
+      GvtTxn.commitSerialized(spark, coord, Seq(fact, sum),
+        _ => Seq(
+          (fact, spark.range(tag * 10L, tag * 10L + 10L).toDF("k")
+            .withColumn("tag", lit(tag)), Seq("k")),
+          (sum, Seq(tag).toDF("tag"), Seq("tag"))),
+        staleMs = 2000L)
+      ()
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until 3).foreach(i => txn(w * 100 + i))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"serialized writers failed: ${errs.peek()}")
+    val head = GvtTxn.latestVersion(coord)
+    assert(head >= 5, s"expected ≥6 docs, head=$head")
+    (0 to head).foreach { v =>
+      val f = GvtTxn.read(spark, coord, fact, Some(v))
+      val s = GvtTxn.read(spark, coord, sum, Some(v))
+      val fTags = f.select("tag").distinct().collect()
+        .map(_.getInt(0)).toSet
+      val sTags = s.collect().map(_.getInt(0)).toSet
+      assert(fTags == sTags,
+        s"doc $v HALF-EXPOSED a txn: fact=$fTags summary=$sTags")
+      assert(f.count() == 10L * s.count(),
+        s"doc $v inconsistent: ${f.count()} fact rows, ${s.count()} txns")
+    }
+    // the head doc holds all six whole transactions
+    assert(GvtTxn.read(spark, coord, sum).count() == 6)
+  }
+
+  test("commitSerialized rolls back a crashed half-transaction") {
+    val coord = Staging.tempDir("r13_sertxn_crash")
+    val fact = s"$coord/fact"
+    val sum = s"$coord/summary"
+    GvtTxn.commitSerialized(spark, coord, Seq(fact, sum),
+      _ => Seq(
+        (fact, spark.range(0L, 10L).toDF("k").withColumn("tag", lit(1)),
+          Seq("k")),
+        (sum, Seq(1).toDF("tag"), Seq("tag"))), staleMs = 500L)
+    // the crash: a fact append lands, its doc never links
+    Gvt.append(spark, fact,
+      spark.range(100L, 110L).toDF("k").withColumn("tag", lit(99)),
+      Seq("k"))
+    // the next serialized txn must restore the poison away and land
+    GvtTxn.commitSerialized(spark, coord, Seq(fact, sum),
+      _ => Seq(
+        (fact, spark.range(10L, 20L).toDF("k").withColumn("tag", lit(2)),
+          Seq("k")),
+        (sum, Seq(2).toDF("tag"), Seq("tag"))), staleMs = 500L)
+    val tags = GvtTxn.read(spark, coord, fact)
+      .select("tag").distinct().collect().map(_.getInt(0)).toSet
+    assert(tags == Set(1, 2),
+      s"poison half-txn leaked into the serialized view: $tags")
+    assert(GvtTxn.read(spark, coord, fact).count() == 20)
+    // history preserved: the poison version still time-travels
+    assert(Gvt.read(spark, fact, Some(1)).filter(col("tag") === 99)
+      .count() == 10)
+  }
+
+  // ------------------------------------------------------------------
   // restore rolls back the stats declaration
   // ------------------------------------------------------------------
 

@@ -106,3 +106,19 @@ wait $X0; wait $X1
 java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checkwapx "$TABLE6" 3
 rm -rf "$(dirname "$TABLE6")"
 echo "[smoke] wapx PASS"
+
+# Serialized overlapping-table txn race (r13): two JVMs drive
+# GvtTxn.commitSerialized over the SAME {fact, summary} pair — the
+# coordinator CAS loop must deliver whole transactions at EVERY
+# intermediate doc, the guarantee plain commit() does not make for
+# overlapping writers.
+TABLE7="$(mktemp -d /dev/shm/gvt_xjvm.XXXXXX)/txns"
+echo "[smoke] txns base: $TABLE7"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent txns "$TABLE7" 0 3 &
+S0=$!
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent txns "$TABLE7" 1 3 &
+S1=$!
+wait $S0; wait $S1
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checktxns "$TABLE7" 2 3
+rm -rf "$(dirname "$TABLE7")"
+echo "[smoke] txns PASS"
