@@ -196,22 +196,32 @@ object GvtDataSource {
     * driver comfort (`spark.graft.gvt.dvBroadcastMaxRows`, default
     * 4×10⁶ ≈ tens of MB of Long[]), per-task sidecar fetch beyond it —
     * a table carrying 10⁹ undeleted-vector rows must never build its
-    * position map on the driver (the r12 verdict's scale rung). 0
-    * forces per-task fetch everywhere (the scale path is testable at
-    * any size). */
+    * position map on the driver (the r12 verdict's scale rung). The
+    * threshold conf set to 0 forces per-task fetch session-wide; the
+    * per-read `dvMode` option (`broadcast` | `fetch` | default `auto`)
+    * pins ONE scan's regime — option over conf because the regime is
+    * resolved lazily at scan-build time, so a conf toggled around a
+    * DataFrame construction races the action that plans it. */
   private[sources] def dvAccessFor(spark: SparkSession, dir: String,
-      asOf: Option[Int], files: Seq[Gvt.GvtFile]): Option[GvtDvAccess] = {
+      asOf: Option[Int], files: Seq[Gvt.GvtFile],
+      mode: String = "auto"): Option[GvtDvAccess] = {
     val dvDirs = files.flatMap(f => Option(f.dv).getOrElse(Nil)).distinct
     if (dvDirs.isEmpty) None
     else {
-      val maxRows = spark.conf
-        .getOption("spark.graft.gvt.dvBroadcastMaxRows")
-        .map(_.toLong).getOrElse(4000000L)
-      val totalDv = files.map(_.dvRows).sum
-      if (totalDv <= maxRows)
-        Some(GvtDvBroadcast(dvBroadcast(spark, dir,
-          asOf.getOrElse(Gvt.latestVersion(dir)), dvDirs)))
-      else Some(GvtDvTaskFetch(dir, dvDirs.sorted))
+      def broadcastAccess = GvtDvBroadcast(dvBroadcast(spark, dir,
+        asOf.getOrElse(Gvt.latestVersion(dir)), dvDirs))
+      mode match {
+        case "broadcast" => Some(broadcastAccess)
+        case "fetch" => Some(GvtDvTaskFetch(dir, dvDirs.sorted))
+        case "auto" =>
+          val maxRows = spark.conf
+            .getOption("spark.graft.gvt.dvBroadcastMaxRows")
+            .map(_.toLong).getOrElse(4000000L)
+          if (files.map(_.dvRows).sum <= maxRows) Some(broadcastAccess)
+          else Some(GvtDvTaskFetch(dir, dvDirs.sorted))
+        case other => throw new IllegalArgumentException(
+          s"gvt: unknown dvMode '$other' (broadcast | fetch | auto)")
+      }
     }
   }
 
@@ -391,7 +401,8 @@ class GvtTable(dir: String, asOf: Option[Int], tableSchema: StructType,
     // logical schema, so this is a pure positional rename)
     val physSchema = StructType(tableSchema.fields.map(f =>
       f.copy(name = state.physicalOf(f.name))))
-    val dv = GvtDataSource.dvAccessFor(spark, dir, asOf, files)
+    val dv = GvtDataSource.dvAccessFor(spark, dir, asOf, files,
+      Option(options.get("dvMode")).getOrElse("auto"))
     new GvtScanBuilder(spark,
       new GvtFileIndex(spark, dir, files, physSchema),
       physSchema, state, dv, options)

@@ -969,6 +969,78 @@ object GvtOps {
       .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       .orderBy("c_custkey")
 
+  /** The SAME MoR snapshot forced onto the PER-TASK sidecar-fetch
+    * regime (`dvMode=fetch` — the 10⁷-position scale path, r13): each
+    * scan task point-reads its files' position slices from the sorted
+    * sidecar parquet; no position map is ever driver-resident. Shares
+    * the same oracle as the broadcast-regime and library keys — three
+    * DV mechanisms, one hash. */
+  def gvtDsv2DvFetch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("gvt").option("path", dvGvt(spark, dir))
+      .option("dvMode", "fetch").load()
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** SERIALIZED cross-table transactions fixture
+    * ([[GvtTxn.commitSerialized]], r13): three serialized txns land the
+    * orders slices (keys ≡1, ≡2, ≡0 mod 3) on a fact table, each with
+    * its per-status aggregate delta on a summary table — then a CRASH
+    * is simulated mid-history (a fact append whose doc never links)
+    * BEFORE the last txn, which must roll the poison back to the
+    * pinned floor and land cleanly. The oracle restates the full
+    * orders aggregate twice (fact side ≡ summary side): a leaked
+    * poison row, a lost slice, or a half-visible txn all split the
+    * hash. */
+  private def txnSerialGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_txns", dir) { tmp =>
+      val fact = s"$tmp/fact"
+      val summary = s"$tmp/summary"
+      val orders = graft.Tables(spark, dir, "orders")
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      def deltaOf(df: DataFrame): DataFrame = df
+        .select(col("o_orderstatus"), lit(1L).as("w"), cents.as("c"))
+        .groupBy("o_orderstatus")
+        .agg(sum("w").as("n_orders"), sum("c").as("sum_cents"))
+      def txn(m: Int): Unit = {
+        val slice = orders.filter(col("o_orderkey") % 3 === m)
+        GvtTxn.commitSerialized(spark, tmp, Seq(fact, summary),
+          _ => Seq(
+            (fact, slice, Seq("o_orderkey")),
+            (summary, deltaOf(slice), Seq("o_orderstatus"))),
+          staleMs = 1000L)
+        ()
+      }
+      txn(1); txn(2)
+      // the crash: a poison fact append lands, its doc never links
+      Gvt.append(spark, fact,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)),
+        Seq("o_orderkey"))
+      txn(0) // must restore the poison away, then land
+    }
+
+  /** Fact aggregate ≡ summary fold at the head doc — both sides must
+    * equal the direct orders restatement (so the rolled-back poison
+    * rows appear in NEITHER, and all three serialized txns are whole). */
+  def gvtTxnSerial(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = txnSerialGvt(spark, dir)
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val f = GvtTxn.read(spark, tmp, s"$tmp/fact")
+      .select(col("o_orderstatus"), cents.as("c"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum("c").cast("double") / 100).as("total_price"))
+      .select(lit("fact_agg").as("side"), col("o_orderstatus"),
+        col("n_orders"), col("total_price"))
+    val s = GvtTxn.read(spark, tmp, s"$tmp/summary")
+      .groupBy("o_orderstatus")
+      .agg(sum("n_orders").as("n_orders"),
+        (sum("sum_cents").cast("double") / 100).as("total_price"))
+      .select(lit("summary").as("side"), col("o_orderstatus"),
+        col("n_orders"), col("total_price"))
+    f.unionByName(s).orderBy("side", "o_orderstatus")
+  }
+
   /** DV ABSORPTION: the same two-vector history, then
     * [[Gvt.absorbDeletes]] rewrites every file carrying vectors (live
     * rows only) and drops the vectors — the maintenance op that bounds
@@ -1230,6 +1302,8 @@ object GvtOps {
     "scan_manifest_df" -> manifestDf,
     "scan_gvt_dsv2" -> gvtDsv2,
     "scan_gvt_dsv2_dv" -> gvtDsv2Dv,
+    "scan_gvt_dsv2_dvf" -> gvtDsv2DvFetch,
+    "etl_gvt_txn_serial" -> gvtTxnSerial,
     "scan_gvt_dsv2_colmap" -> gvtDsv2ColMap,
     "scan_gvt_prune_ts" -> gvtPruneTs,
     "sink_gvt_dsv2" -> gvtSqlSink,
@@ -1527,6 +1601,20 @@ object GvtOps {
       ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
         "WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING') " +
         "ORDER BY c_custkey"),
+    // per-task sidecar-fetch regime ≡ broadcast regime ≡ library, one hash
+    "scan_gvt_dsv2_dvf" ->
+      ("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer " +
+        "WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING') " +
+        "ORDER BY c_custkey"),
+    // three serialized txns = the whole orders table on both sides;
+    // the rolled-back poison (keys shifted +1e9) appears in neither
+    "etl_gvt_txn_serial" ->
+      ("WITH a AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders GROUP BY 1) " +
+        "SELECT 'fact_agg' AS side, * FROM a " +
+        "UNION ALL SELECT 'summary', * FROM a " +
+        "ORDER BY side, o_orderstatus"),
     // connector mapped read ≡ library mapped read, both eras
     "scan_gvt_dsv2_colmap" ->
       ("WITH v0 AS (SELECT 'v0' AS era, o_orderstatus, " +

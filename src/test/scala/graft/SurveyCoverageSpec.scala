@@ -271,6 +271,10 @@ class SurveyCoverageSpec extends GraftSuite {
     // command fields keep the plan resolved; non-canonical shapes
     // refuse loudly through the stock strategy error)
     "etl_gvt_sql_update", "etl_gvt_sql_merge",
+    // round-13: the MoR scale regime (per-task DV sidecar fetch) and
+    // coordinator-serialized overlapping transactions, each sharing its
+    // twin's oracle restatement
+    "scan_gvt_dsv2_dvf", "etl_gvt_txn_serial",
     // round-12: SQL DDL — ALTER TABLE RENAME/DROP/ADD COLUMN and
     // check./stats TBLPROPERTIES land the same metadata-only schema
     // commits the API ops publish
