@@ -977,13 +977,22 @@ object Gvt {
       lo: Option[String], hi: Option[String], kind: Int,
       zoned: Boolean = false)
 
-  /** Two zone ids denote the same rendering iff their rules agree
-    * (catches aliases like UTC ≡ Etc/UTC); null / unparsable ⇒ not
-    * provably equivalent ⇒ the caller keeps the file. */
+  /** Two zone ids admit zone-sensitive pruning iff their rules agree
+    * (catches aliases like UTC ≡ Etc/UTC) AND the shared zone is a
+    * FIXED offset: in a DST zone the wall-clock rendering is
+    * non-monotonic across a fall-back transition (01:30 EDT sorts
+    * after 01:15 EST while the instants order the other way), so the
+    * min/max stat strings do not bound the file's renderings even with
+    * writer ≡ reader zone — only transition-free zones keep
+    * lexicographic ≡ instant order (r13 review finding). null /
+    * unparsable ⇒ not provably safe ⇒ the caller keeps the file. */
   private[sources] def zoneEquiv(a: String, b: String): Boolean =
-    a != null && b != null && (a == b ||
-      (try java.time.ZoneId.of(a).getRules == java.time.ZoneId.of(b).getRules
-       catch { case _: Exception => false }))
+    a != null && b != null &&
+      (try {
+        val (ra, rb) = (java.time.ZoneId.of(a).getRules,
+          java.time.ZoneId.of(b).getRules)
+        ra == rb && ra.isFixedOffset
+      } catch { case _: Exception => false })
 
   private[sources] val ChronoRe =
     raw"\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2}(\.\d+)?)?".r
@@ -1461,40 +1470,46 @@ object Gvt {
     // it), and merge's rewrite (anti-join survivors ∪ ALL source rows)
     // would otherwise INSERT the duplicates silently. One bounded
     // aggregate probe over the source; refuse loudly on violation.
+    // PERSISTED: srcKeys feeds the probe here plus the bounds agg and
+    // semi-join inside filesContaining — without the persist the
+    // source lineage re-aggregates once per action (r13 review).
     val keyCounts = source1.groupBy(col(key)).agg(count(lit(1)).as("n"))
-    val dup = keyCounts.filter(col("n") > 1).limit(1).collect()
-    require(dup.isEmpty, s"GVT $dir: merge source has duplicate values " +
-      s"of key '$key' (e.g. ${dup.headOption.map(_.get(0)).orNull}, " +
-      s"×${dup.headOption.map(_.get(1)).orNull}) — SQL MERGE cardinality " +
-      "violation; deduplicate the source first")
-    val srcKeys = keyCounts.select(col(key))
-    val touchedFiles = filesContaining(spark, dir, files,
-      srcKeys.withColumnRenamed(key, keyP), keyP)
-    val rewritten =
-      if (touchedFiles.isEmpty) source1
-      else {
-        // REWRITE reads always merge footers (bounded by the touched
-        // set, never the table): schema-evolved files sampled wrong
-        // would silently drop an evolved column from the survivors
-        // (r11 second-review finding — pre-existing for unmapped
-        // evolved tables). Production pins the unified schema in table
-        // metadata instead of re-merging.
-        val touchedDf = applyMapping(
-          readFiles(spark, dir, touchedFiles, mergeSchema = true), state)
-        // restore the file schema order (using-join puts the key first)
-        touchedDf.join(srcKeys, Seq(key), "left_anti")
-          .select(touchedDf.columns.map(col): _*)
-          .unionByName(source1)
-      }
-    val v = base + 1
-    val w = writeData(spark, dir, toPhysical(rewritten, state),
-      statsCols.map(state.physicalOf), v)
-    if (!tryPublish(dir,
-        GvtCommit(v, "merge", w.adds, touchedFiles.map(_.path),
-          dataSchema = w.dataSchema), spark))
-      throw new java.util.ConcurrentModificationException(
-        s"GVT $dir: version $v committed concurrently; merge read set stale")
-    v
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = keyCounts.filter(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty, s"GVT $dir: merge source has duplicate values " +
+        s"of key '$key' (e.g. ${dup.headOption.map(_.get(0)).orNull}, " +
+        s"×${dup.headOption.map(_.get(1)).orNull}) — SQL MERGE cardinality " +
+        "violation; deduplicate the source first")
+      val srcKeys = keyCounts.select(col(key))
+      val touchedFiles = filesContaining(spark, dir, files,
+        srcKeys.withColumnRenamed(key, keyP), keyP)
+      val rewritten =
+        if (touchedFiles.isEmpty) source1
+        else {
+          // REWRITE reads always merge footers (bounded by the touched
+          // set, never the table): schema-evolved files sampled wrong
+          // would silently drop an evolved column from the survivors
+          // (r11 second-review finding — pre-existing for unmapped
+          // evolved tables). Production pins the unified schema in table
+          // metadata instead of re-merging.
+          val touchedDf = applyMapping(
+            readFiles(spark, dir, touchedFiles, mergeSchema = true), state)
+          // restore the file schema order (using-join puts the key first)
+          touchedDf.join(srcKeys, Seq(key), "left_anti")
+            .select(touchedDf.columns.map(col): _*)
+            .unionByName(source1)
+        }
+      val v = base + 1
+      val w = writeData(spark, dir, toPhysical(rewritten, state),
+        statsCols.map(state.physicalOf), v)
+      if (!tryPublish(dir,
+          GvtCommit(v, "merge", w.adds, touchedFiles.map(_.path),
+            dataSchema = w.dataSchema), spark))
+        throw new java.util.ConcurrentModificationException(
+          s"GVT $dir: version $v committed concurrently; merge read set stale")
+      v
+    } finally keyCounts.unpersist(blocking = false)
   }
 
   /** DELETE BY JOIN: remove every row whose `key` appears in `keys`

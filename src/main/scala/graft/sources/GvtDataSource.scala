@@ -612,17 +612,60 @@ object GvtDvFetch {
     }
   }
 
-  /** Sidecar part files of one DV dir (memoized — the dir is immutable
-    * once its commit published). Local listing here; production pins
-    * the part list in the manifest like data files. */
+  /** Sidecar part files of one DV dir, each with its `_gvt_file`
+    * min/max span from the footer (memoized — the dir is immutable
+    * once its commit published; one footer read per part per JVM).
+    * The write-side global (file, pos) sort gives each part a tight
+    * contiguous span, so a per-file fetch opens readers only on the
+    * one-or-two parts whose span covers it — without this, a scan of
+    * F files × D dirs × P parts opened F×D×P readers including for
+    * files carrying no vectors at all (r13 review finding). A part
+    * with unreadable stats gets an unbounded span (never skipped).
+    * Local listing here; production pins part lists + spans in the
+    * manifest like data files. */
   private val parts = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[String]]()
-  private def partsOf(absDvDir: String): Seq[String] =
+    String, Seq[(String, String, String)]]()
+  private def partsOf(absDvDir: String): Seq[(String, String, String)] =
     parts.computeIfAbsent(absDvDir, d => {
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(d))
-      try s.iterator().asScala
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-      finally s.close()
+      val names =
+        try s.iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+        finally s.close()
+      names.map { p =>
+        val span =
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(p),
+                new org.apache.hadoop.conf.Configuration())
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val blocks = rd.getFooter.getBlocks
+              var (mn, mx): (String, String) = (null, null)
+              blocks.forEach { b =>
+                b.getColumns.forEach { c =>
+                  if (c.getPath.toDotString == "_gvt_file" &&
+                      c.getStatistics != null &&
+                      c.getStatistics.hasNonNullValue) {
+                    val lo = c.getStatistics.genericGetMin
+                      .asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .toStringUsingUTF8
+                    val hi = c.getStatistics.genericGetMax
+                      .asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .toStringUsingUTF8
+                    if (mn == null || lo < mn) mn = lo
+                    if (mx == null || hi > mx) mx = hi
+                  }
+                }
+              }
+              if (mn == null) None else Some((mn, mx))
+            } finally rd.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        span match {
+          case Some((mn, mx)) => (p, mn, mx)
+          case None => (p, null, null) // unknown span: never skipped
+        }
+      }
     })
 
   def positions(dir: String, dvDirs: Seq[String], suffix: String)
@@ -637,7 +680,8 @@ object GvtDvFetch {
     val pred = FilterApi.eq(FilterApi.binaryColumn("_gvt_file"),
       org.apache.parquet.io.api.Binary.fromString(suffix))
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-    for (d <- dvDirs; part <- partsOf(s"$dir/$d")) {
+    for (d <- dvDirs; (part, mn, mx) <- partsOf(s"$dir/$d")
+        if mn == null || (mn <= suffix && suffix <= mx)) {
       val rd = org.apache.parquet.hadoop.ParquetReader.builder(
           new org.apache.parquet.hadoop.example.GroupReadSupport(),
           new org.apache.hadoop.fs.Path(part))

@@ -64,6 +64,20 @@ object RewriteGvtDml extends Rule[LogicalPlan] {
   private def hasSubquery(e: Expression): Boolean =
     e.exists(_.isInstanceOf[PlanExpression[_]])
 
+  /** Resolved lambda nodes (higher-order functions: `transform(arr,
+    * x -> ...)`) have no parseable `.sql` rendering — they print as
+    * `lambdafunction(..., namedlambdavariable())`, which parses but
+    * can never re-resolve — so an UPDATE carrying one must fall
+    * through to the stock loud refusal instead of crashing at run()
+    * (r13 review finding). */
+  private def hasLambda(e: Expression): Boolean =
+    e.exists(x =>
+      x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.LambdaFunction] ||
+      x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable])
+
+  private def sqlSafe(e: Expression): Boolean =
+    !hasSubquery(e) && !hasLambda(e)
+
   /** Render a target-resolved expression as qualifier-free SQL text, so
     * `expr()` re-resolves it by NAME against the fresh frame the Gvt op
     * reads (logical names — the relation output IS the logical face).
@@ -77,8 +91,8 @@ object RewriteGvtDml extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case u @ UpdateTable(target, assignments, condition)
         if gvtOf(target).isDefined && u.resolved &&
-          condition.forall(!hasSubquery(_)) &&
-          assignments.forall(a => !hasSubquery(a.value) &&
+          condition.forall(sqlSafe) &&
+          assignments.forall(a => sqlSafe(a.value) &&
             a.key.isInstanceOf[AttributeReference]) =>
       val t = gvtOf(target).get
       // pass-through assignments (SET c = c, the resolved form of an

@@ -212,10 +212,15 @@ object GvtTxn {
             (bv < 0 && ident(d, hv).isEmpty)) {
           startHeads(d) = hv; true
         } else {
-          // unpinned advance: a peer's doc may still be coming — wait
-          val deadline = System.currentTimeMillis() + staleMs
+          // unpinned advance: a peer's doc may still be coming.
+          // Staleness is the ADVANCING COMMIT's own age (its publish
+          // ts), never coordinator-wide doc traffic — disjoint-table
+          // writers linking docs must not reset the window and starve
+          // the rollback (r13 review finding). A doc for THIS table
+          // raises the pin on the next attempt either way.
+          def ageMs = System.currentTimeMillis() - Gvt.commitAt(d, hv).ts
           var newDoc = false
-          while (!newDoc && System.currentTimeMillis() < deadline) {
+          while (!newDoc && ageMs < staleMs) {
             Thread.sleep(50)
             newDoc = latestVersion(txnDir) > headV
           }
@@ -242,6 +247,12 @@ object GvtTxn {
         val writes = body(basePins)
         require(writes.map(_._1).toSet.subsetOf(tables.toSet),
           "body wrote a table outside the declared set")
+        // one write per table: a second append to the same table would
+        // land at startHead+2 and fail contiguity on EVERY attempt —
+        // refuse upfront instead of spinning to maxRetries (r13 review)
+        require(writes.map(_._1).distinct.size == writes.size,
+          "a serialized txn writes each table at most once — union the " +
+            "frames instead")
         val myPins = writes.map { case (d, df, statsCols) =>
           d -> Gvt.append(spark, d, df, statsCols)
         }.toMap

@@ -50,6 +50,39 @@ class Round13Spec extends GraftSuite {
     // sides) prunes regardless of the recorded zone
     val dateBound = missBound.copy(zoned = false)
     assert(!Gvt.zSurvives(tsFile("America/New_York"), Seq(dateBound), "UTC"))
+    // a DST zone never admits zoned pruning even when writer ≡ reader:
+    // wall-clock renderings are non-monotonic across a fall-back
+    // transition, so the stat strings do not bound the file (r13
+    // review finding)
+    assert(Gvt.zSurvives(tsFile("America/New_York"), Seq(missBound),
+      "America/New_York"))
+  }
+
+  test("UPDATE with a higher-order function falls to the stock refusal") {
+    val dir = Staging.tempDir("r13_hof")
+    val t = s"gvt.`$dir`"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, arr ARRAY<BIGINT>)")
+    spark.sql(s"INSERT INTO $t SELECT id, array(id, id + 1) FROM range(0, 5)")
+    val head = Gvt.latestVersion(dir)
+    // a resolved LambdaFunction has no parseable .sql rendering — the
+    // rule must leave it for the stock loud error, not crash at run()
+    intercept[Exception] {
+      spark.sql(s"UPDATE $t SET arr = transform(arr, x -> x + 1) WHERE k = 1")
+    }
+    assert(Gvt.latestVersion(dir) == head,
+      "a refused HOF UPDATE must leave the table untouched")
+  }
+
+  test("a serialized txn writing one table twice refuses upfront") {
+    val coord = Staging.tempDir("r13_sertxn_dup")
+    val fact = s"$coord/fact"
+    val e = intercept[IllegalArgumentException] {
+      GvtTxn.commitSerialized(spark, coord, Seq(fact),
+        _ => Seq(
+          (fact, Seq(1L).toDF("k"), Seq("k")),
+          (fact, Seq(2L).toDF("k"), Seq("k"))), staleMs = 500L)
+    }
+    assert(e.getMessage.contains("at most once"))
   }
 
   test("writeData records the session zone only for TIMESTAMP stats") {
