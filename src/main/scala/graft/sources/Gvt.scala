@@ -1465,22 +1465,28 @@ object Gvt {
     // them); the stats probe and the write run on physical names
     val source1 = enforceChecks(source, state)
     val keyP = state.physicalOf(key)
-    // SQL MERGE cardinality: a source key matching a target row more
-    // than once is a violation everywhere (Spark/Delta/standard raise
-    // it), and merge's rewrite (anti-join survivors ∪ ALL source rows)
-    // would otherwise INSERT the duplicates silently. One bounded
-    // aggregate probe over the source; refuse loudly on violation.
+    // UNIQUE-SOURCE-KEY contract: merge's rewrite (anti-join survivors
+    // ∪ ALL source rows) would INSERT duplicate-keyed source rows
+    // silently, so they refuse loudly. Deliberately STRICTER than SQL
+    // MERGE cardinality (which rejects only multiply-MATCHED target
+    // rows and allows duplicate unmatched keys): this op's contract is
+    // replace-matched-with-THE-source-row, which has no meaning for a
+    // duplicated key anywhere in the source. One bounded aggregate
+    // probe; the count column uses the reserved _gvt_ namespace so a
+    // merge key literally named "n" cannot collide (r13 review).
     // PERSISTED: srcKeys feeds the probe here plus the bounds agg and
     // semi-join inside filesContaining — without the persist the
     // source lineage re-aggregates once per action (r13 review).
-    val keyCounts = source1.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val keyCounts = source1.groupBy(col(key))
+      .agg(count(lit(1)).as("_gvt_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dup = keyCounts.filter(col("n") > 1).limit(1).collect()
+      val dup = keyCounts.filter(col("_gvt_n") > 1).limit(1).collect()
       require(dup.isEmpty, s"GVT $dir: merge source has duplicate values " +
         s"of key '$key' (e.g. ${dup.headOption.map(_.get(0)).orNull}, " +
-        s"×${dup.headOption.map(_.get(1)).orNull}) — SQL MERGE cardinality " +
-        "violation; deduplicate the source first")
+        s"×${dup.headOption.map(_.get(1)).orNull}) — the upsert key must " +
+        "be unique in the source (stricter than SQL MERGE cardinality); " +
+        "deduplicate the source first")
       val srcKeys = keyCounts.select(col(key))
       val touchedFiles = filesContaining(spark, dir, files,
         srcKeys.withColumnRenamed(key, keyP), keyP)

@@ -622,9 +622,17 @@ object GvtDvFetch {
     * files carrying no vectors at all (r13 review finding). A part
     * with unreadable stats gets an unbounded span (never skipped).
     * Local listing here; production pins part lists + spans in the
-    * manifest like data files. */
-  private val parts = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(String, String, String)]]()
+    * manifest like data files. BOUNDED like the positions cache: a
+    * long-lived executor must not retain part lists for every
+    * vacuumed/absorbed/dropped DV dir it ever scanned (r13 review). */
+  private val PartsCap = 512
+  private val parts = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[(String, String, String)]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(String, String, String)]])
+          : Boolean = size() > PartsCap
+    })
   private def partsOf(absDvDir: String): Seq[(String, String, String)] =
     parts.computeIfAbsent(absDvDir, d => {
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(d))

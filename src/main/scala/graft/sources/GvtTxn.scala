@@ -214,30 +214,24 @@ object GvtTxn {
         } else {
           // unpinned advance: a peer's doc may still be coming.
           // Staleness is the ADVANCING COMMIT's own age (its publish
-          // ts), never coordinator-wide doc traffic — disjoint-table
-          // writers linking docs must not reset the window and starve
-          // the rollback (r13 review finding). A doc for THIS table
-          // raises the pin on the next attempt either way.
+          // ts), and only a doc RAISING THIS TABLE'S PIN ends the wait
+          // early — coordinator-wide doc traffic from disjoint-table
+          // writers must neither reset the window nor burn retry
+          // attempts (r13 review findings, both passes).
           def ageMs = System.currentTimeMillis() - Gvt.commitAt(d, hv).ts
-          var newDoc = false
-          while (!newDoc && ageMs < staleMs) {
+          var headSeen = headV
+          var pinRaised = false
+          while (!pinRaised && ageMs < staleMs) {
             Thread.sleep(50)
-            newDoc = latestVersion(txnDir) > headV
-          }
-          if (!newDoc) {
-            // stale: a crashed half-transaction in the serialized
-            // regime — roll the table back to the pinned floor. A
-            // never-pinned table's floor is the EMPTY state (the
-            // bootstrap crash): one delete-everything commit, the
-            // deleteKeys empty-survivor shape; losing its publish race
-            // is fine — we re-read and retry either way.
-            if (bv >= 0) Gvt.restore(spark, d, bv)
-            else {
-              Gvt.tryPublish(d, Gvt.GvtCommit(Gvt.latestVersion(d) + 1,
-                "delete", Nil, Gvt.snapshot(d).map(_.path)), spark)
-              ()
+            val h2 = latestVersion(txnDir)
+            if (h2 > headSeen) {
+              headSeen = h2
+              pinRaised = docAt(txnDir, h2).tables.getOrElse(d, -1) > bv
             }
           }
+          // stale: a crashed half-transaction in the serialized
+          // regime — roll the table back to the pinned floor
+          if (!pinRaised) rollBack(spark, d, bv)
           false // base may have moved either way: re-read and retry
         }
       }
@@ -260,26 +254,18 @@ object GvtTxn {
         val contiguous = myPins.forall { case (d, v) =>
           v == startHeads(d) + 1
         }
+        var aborted = !contiguous
         if (contiguous) {
           // (3) doc CAS on the head; disjoint losers re-merge, shared
           // losers abort to re-execute the body
           var v = headV + 1
-          var aborted = false
           while (!aborted) {
             val prev: Map[String, Int] =
               if (v == 0) Map.empty else docAt(txnDir, v - 1).tables
             val merged = (prev.keySet ++ myPins.keySet).map { d =>
               d -> math.max(prev.getOrElse(d, -1), myPins.getOrElse(d, -1))
             }.toMap
-            val ld = Files.createDirectories(logDir(txnDir))
-            val tmp = Files.createTempFile(ld, ".tmp-", ".json")
-            Files.write(tmp, mapper.writeValueAsBytes(
-              TxnDoc(v, merged, System.currentTimeMillis())))
-            val won =
-              try { Files.createLink(ld.resolve(f"$v%08d.json"), tmp); true }
-              catch { case _: FileAlreadyExistsException => false }
-            Files.delete(tmp)
-            if (won) return v
+            if (tryLinkDoc(txnDir, v, merged)) return v
             // lost: if the winner touched our tables, the body must
             // re-execute against the new state; otherwise re-link
             val winner = docAt(txnDir, v).tables
@@ -289,9 +275,17 @@ object GvtTxn {
             else v += 1
           }
         }
-        // non-contiguous appends / shared-table doc loss: the appends
-        // just made are abandoned — the next attempt's staleness walk
-        // rolls them back before rebuilding
+        if (aborted) {
+          // best-effort IMMEDIATE rollback of our own abandoned
+          // appends: waiting for the staleness walk to rediscover them
+          // would cost a full staleMs per collision (r13 review). Only
+          // a table whose head is still our own append rolls back here
+          // (rolling to just below it preserves any peer commit
+          // underneath); anything racier is the walk's job.
+          myPins.foreach { case (d, v) =>
+            if (Gvt.latestVersion(d) == v) rollBack(spark, d, v - 1)
+          }
+        }
       }
     }
     throw new java.util.ConcurrentModificationException(
@@ -299,12 +293,47 @@ object GvtTxn {
         "sustained overlapping-table contention should surface, not spin")
   }
 
+  /** Roll `d` back to `floor` (the pinned state) — or, for a
+    * never-pinned table (floor < 0, the bootstrap crash), to the EMPTY
+    * state via one delete-everything commit (the deleteKeys
+    * empty-survivor shape). Best-effort: losing a publish race or a
+    * restore conflict just fails this ATTEMPT (the caller re-reads and
+    * retries), never the whole serialized commit (r13 review). */
+  private def rollBack(spark: SparkSession, d: String, floor: Int): Unit =
+    try {
+      if (floor >= 0) { Gvt.restore(spark, d, floor); () }
+      else {
+        Gvt.tryPublish(d, Gvt.GvtCommit(Gvt.latestVersion(d) + 1,
+          "delete", Nil, Gvt.snapshot(d).map(_.path)), spark)
+        ()
+      }
+    } catch {
+      case _: java.util.ConcurrentModificationException => ()
+    }
+
+  /** The coordinator's atomic doc-link primitive — ONE definition of
+    * the tmp-file + createLink + FileAlreadyExistsException wire
+    * protocol, shared by [[publish]] and [[commitSerialized]] so the
+    * two commit paths cannot diverge (r13 review; the
+    * createLink-vs-rename rationale lives at [[Gvt.tryPublish]]). */
+  private def tryLinkDoc(txnDir: String, v: Int,
+      pins: Map[String, Int]): Boolean = {
+    val ld = Files.createDirectories(logDir(txnDir))
+    val tmp = Files.createTempFile(ld, ".tmp-", ".json")
+    Files.write(tmp, mapper.writeValueAsBytes(
+      TxnDoc(v, pins, System.currentTimeMillis())))
+    val won =
+      try { Files.createLink(ld.resolve(f"$v%08d.json"), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    Files.delete(tmp)
+    won
+  }
+
   /** Publish a pin set for table versions committed out-of-band (e.g.
     * a [[Gvt.merge]]/[[Gvt.delete]] pair, or a branch publish) — the
     * same atomic doc, caller-supplied versions. */
   def publish(txnDir: String, pins: Map[String, Int]): Int = {
     require(pins.nonEmpty, "a transaction must pin at least one table")
-    val ld = Files.createDirectories(logDir(txnDir))
     var v = latestVersion(txnDir) + 1
     while (true) {
       val merged = if (v == 0) pins else {
@@ -315,14 +344,7 @@ object GvtTxn {
           d -> math.max(prev.getOrElse(d, -1), pins.getOrElse(d, -1))
         }.toMap
       }
-      val ts = System.currentTimeMillis()
-      val tmp = Files.createTempFile(ld, ".tmp-", ".json")
-      Files.write(tmp, mapper.writeValueAsBytes(TxnDoc(v, merged, ts)))
-      val won =
-        try { Files.createLink(ld.resolve(f"$v%08d.json"), tmp); true }
-        catch { case _: FileAlreadyExistsException => false }
-      Files.delete(tmp)
-      if (won) return v
+      if (tryLinkDoc(txnDir, v, merged)) return v
       v = latestVersion(txnDir) + 1
     }
     -1 // unreachable
