@@ -56,7 +56,11 @@ object Plans {
     "scan_gvt_dsv2_dv" -> "connector MoR read: GvtScan over the stock parquet scan + row-index column; DV rows die at the reader (broadcast sorted-position search) — the plan's only exchange is the key's own orderBy",
     "scan_gvt_dsv2_colmap" -> "connector mapped read: the stock physical scan re-faced with logical names — rows are positional, the alias is free; filters pushed under physical names",
     "sink_gvt_dsv2" -> "SQL-written table read back through the catalog: plain snapshot scan of clustered+statted files — the write path left the same layout the API leaves",
-    "etl_gvt_txn_wap" -> "cross-table WAP view: both sides are snapshot scans at versions one coordinator doc pinned; branch squashes moved metadata only")
+    "etl_gvt_txn_wap" -> "cross-table WAP view: both sides are snapshot scans at versions one coordinator doc pinned; branch squashes moved metadata only",
+    "etl_gvt_sql_update" -> "SQL UPDATE read-back: the CoW commits already landed — the read is a plain clustered snapshot scan, the DML left no plan residue",
+    "etl_gvt_sql_merge" -> "SQL MERGE read-back: plain snapshot scan of the upserted state — RewriteGvtDml lowered the command, the scan is stock",
+    "scan_gvt_dsv2_dvf" -> "connector MoR read, PER-TASK fetch regime: same stock scan + row-index plan as the broadcast twin — the regime differs only inside the reader (sidecar slice fetch vs broadcast lookup)",
+    "etl_gvt_txn_serial" -> "serialized-txn view: fact and summary are plain snapshot scans at one doc's pins — serialization is coordinator-side, zero data-plan cost")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
