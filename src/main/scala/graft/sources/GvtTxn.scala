@@ -178,6 +178,25 @@ object GvtTxn {
   def commitSerialized(spark: SparkSession, txnDir: String,
       tables: Seq[String],
       body: Map[String, Int] => Seq[(String, DataFrame, Seq[String])],
+      staleMs: Long = 10000L, maxRetries: Int = 20): Int =
+    commitSerializedOps(spark, txnDir, tables,
+      pins => body(pins).map { case (d, df, statsCols) =>
+        d -> (() => Gvt.append(spark, d, df, statsCols))
+      }, staleMs, maxRetries)
+
+  /** The GENERAL serialized form: each table contributes ONE arbitrary
+    * single-commit Gvt op — merge, delete, updateWhere, overwrite,
+    * append — returned as a thunk yielding its committed version. The
+    * settled-walk guarantees the table HEAD state ≡ the pinned state
+    * when the op runs, so ops that read the head (merge's probe,
+    * delete's touch scan) are reading the snapshot; a no-op commit
+    * (e.g. a delete matching nothing returns the unchanged head) is
+    * accepted as contiguous. Everything else — re-execution per
+    * attempt, contiguity, CAS, rollback — is the [[commitSerialized]]
+    * contract verbatim. */
+  def commitSerializedOps(spark: SparkSession, txnDir: String,
+      tables: Seq[String],
+      body: Map[String, Int] => Seq[(String, () => Int)],
       staleMs: Long = 10000L, maxRetries: Int = 20): Int = {
     require(tables.nonEmpty, "a serialized txn must declare its tables")
     var attempt = 0
@@ -241,18 +260,18 @@ object GvtTxn {
         val writes = body(basePins)
         require(writes.map(_._1).toSet.subsetOf(tables.toSet),
           "body wrote a table outside the declared set")
-        // one write per table: a second append to the same table would
+        // one write per table: a second commit on the same table would
         // land at startHead+2 and fail contiguity on EVERY attempt —
         // refuse upfront instead of spinning to maxRetries (r13 review)
         require(writes.map(_._1).distinct.size == writes.size,
           "a serialized txn writes each table at most once — union the " +
             "frames instead")
-        val myPins = writes.map { case (d, df, statsCols) =>
-          d -> Gvt.append(spark, d, df, statsCols)
-        }.toMap
-        // (2) contiguity: nothing foreign interleaved under the appends
+        val myPins = writes.map { case (d, op) => d -> op() }.toMap
+        // (2) contiguity: nothing foreign interleaved under the ops
+        // (== startHeads is a legitimate NO-OP commit, e.g. a delete
+        // that matched nothing)
         val contiguous = myPins.forall { case (d, v) =>
-          v == startHeads(d) + 1
+          v == startHeads(d) + 1 || v == startHeads(d)
         }
         var aborted = !contiguous
         if (contiguous) {
@@ -277,13 +296,16 @@ object GvtTxn {
         }
         if (aborted) {
           // best-effort IMMEDIATE rollback of our own abandoned
-          // appends: waiting for the staleness walk to rediscover them
+          // commits: waiting for the staleness walk to rediscover them
           // would cost a full staleMs per collision (r13 review). Only
-          // a table whose head is still our own append rolls back here
+          // a table whose head is still our own commit rolls back here
           // (rolling to just below it preserves any peer commit
-          // underneath); anything racier is the walk's job.
+          // underneath), and a NO-OP op (v == startHead — it committed
+          // nothing) must not roll back a pre-existing commit;
+          // anything racier is the walk's job.
           myPins.foreach { case (d, v) =>
-            if (Gvt.latestVersion(d) == v) rollBack(spark, d, v - 1)
+            if (v > startHeads(d) && Gvt.latestVersion(d) == v)
+              rollBack(spark, d, v - 1)
           }
         }
       }

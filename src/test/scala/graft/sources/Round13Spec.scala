@@ -311,6 +311,43 @@ class Round13Spec extends GraftSuite {
     assert(GvtTxn.read(spark, coord, sum).count() == 6)
   }
 
+  test("commitSerializedOps: merge + delete land as ONE serialized txn") {
+    val coord = Staging.tempDir("r13_serops")
+    val fact = s"$coord/fact"
+    val sum = s"$coord/summary"
+    GvtTxn.commitSerialized(spark, coord, Seq(fact, sum),
+      _ => Seq(
+        (fact, (0L until 10L).map(k => (k, k)).toDF("k", "v"), Seq("k")),
+        (sum, Seq(1, 2, 3).toDF("tag"), Seq("tag"))), staleMs = 500L)
+    // a general op txn: upsert the fact, delete from the summary —
+    // two different single-commit ops under one doc
+    GvtTxn.commitSerializedOps(spark, coord, Seq(fact, sum),
+      _ => Seq(
+        fact -> (() => Gvt.merge(spark, fact,
+          (5L until 15L).map(k => (k, k * 100)).toDF("k", "v"),
+          "k", Seq("k"))),
+        sum -> (() => Gvt.delete(spark, sum, col("tag") === 2,
+          Seq("tag")))), staleMs = 500L)
+    val f = GvtTxn.read(spark, coord, fact).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f.size == 15 &&
+      (0L until 5L).forall(k => f(k) == k) &&
+      (5L until 15L).forall(k => f(k) == k * 100),
+      s"ops txn mis-applied: $f")
+    assert(GvtTxn.read(spark, coord, sum).collect()
+      .map(_.getInt(0)).toSet == Set(1, 3))
+    // a NO-OP op (delete matching nothing commits no version) is
+    // contiguous: the txn still links, the other side still lands
+    GvtTxn.commitSerializedOps(spark, coord, Seq(fact, sum),
+      _ => Seq(
+        fact -> (() => Gvt.delete(spark, fact, col("k") < 0, Seq("k"))),
+        sum -> (() => Gvt.append(spark, sum, Seq(4).toDF("tag"),
+          Seq("tag")))), staleMs = 500L)
+    assert(GvtTxn.read(spark, coord, fact).count() == 15)
+    assert(GvtTxn.read(spark, coord, sum).collect()
+      .map(_.getInt(0)).toSet == Set(1, 3, 4))
+  }
+
   test("commitSerialized rolls back a crashed half-transaction") {
     val coord = Staging.tempDir("r13_sertxn_crash")
     val fact = s"$coord/fact"
