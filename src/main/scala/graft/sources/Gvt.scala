@@ -1256,7 +1256,7 @@ object Gvt {
     * current file, adds = the new data. Readers see the old state or
     * the new, never empty-in-between. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
-      statsCols: Seq[String]): Int = rmwRetry(spark) {
+      statsCols: Seq[String], txn: String = null): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
     require(base >= 0, s"GVT at $dir does not exist (create it first)")
     val (files, state, _) = resolveManifest(dir, Some(base))
@@ -1265,7 +1265,7 @@ object Gvt {
       toPhysical(enforceChecks(df, state), state),
       statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir, GvtCommit(v, "overwrite", w.adds,
-        files.map(_.path), dataSchema = w.dataSchema), spark))
+        files.map(_.path), txn = txn, dataSchema = w.dataSchema), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; overwrite stale")
     v
@@ -1455,7 +1455,8 @@ object Gvt {
   }
 
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-      key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
+      key: String, statsCols: Seq[String],
+      txn: String = null): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
     val (files, state, _) = resolveManifest(dir, Some(base))
     if (source.isEmpty) return base // no-op: nothing to upsert
@@ -1511,7 +1512,7 @@ object Gvt {
         statsCols.map(state.physicalOf), v)
       if (!tryPublish(dir,
           GvtCommit(v, "merge", w.adds, touchedFiles.map(_.path),
-            dataSchema = w.dataSchema), spark))
+            txn = txn, dataSchema = w.dataSchema), spark))
         throw new java.util.ConcurrentModificationException(
           s"GVT $dir: version $v committed concurrently; merge read set stale")
       v
@@ -1525,7 +1526,8 @@ object Gvt {
     * by any Spark job (dedup losers, policy violations, GDPR erasure
     * lists) and stays distributed end to end. */
   def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
-      key: String, statsCols: Seq[String]): Int = rmwRetry(spark) {
+      key: String, statsCols: Seq[String],
+      txn: String = null): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
     val (files, state, _) = resolveManifest(dir, Some(base))
     if (keys.isEmpty) return base
@@ -1548,7 +1550,7 @@ object Gvt {
         statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
         GvtCommit(v, "delete", w.adds, touchedFiles.map(_.path),
-          dataSchema = w.dataSchema), spark))
+          txn = txn, dataSchema = w.dataSchema), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; delete read set stale")
     v
@@ -1558,7 +1560,7 @@ object Gvt {
     * at least one matching row (found by a column-pruned probe over the
     * predicate's columns). Aborts on concurrent commit. */
   def delete(spark: SparkSession, dir: String, predicate: Column,
-      statsCols: Seq[String]): Int = rmwRetry(spark) {
+      statsCols: Seq[String], txn: String = null): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
     val (files, state, _) = resolveManifest(dir, Some(base))
     // the predicate speaks LOGICAL names; the row-identity metadata
@@ -1585,7 +1587,7 @@ object Gvt {
         statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
         GvtCommit(v, "delete", w.adds, touchedFiles.map(_.path),
-          dataSchema = w.dataSchema), spark))
+          txn = txn, dataSchema = w.dataSchema), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; delete read set stale")
     v
@@ -1602,8 +1604,8 @@ object Gvt {
     * the table's CHECK constraints in-write. Aborts on concurrent
     * commit. */
   def updateWhere(spark: SparkSession, dir: String, predicate: Column,
-      assignments: Seq[(String, Column)], statsCols: Seq[String]): Int =
-      rmwRetry(spark) {
+      assignments: Seq[(String, Column)], statsCols: Seq[String],
+      txn: String = null): Int = rmwRetry(spark) {
     require(assignments.nonEmpty, "updateWhere needs at least one SET")
     val base = latestVersion(dir)
     val (files, state, _) = resolveManifest(dir, Some(base))
@@ -1637,7 +1639,7 @@ object Gvt {
       statsCols.map(state.physicalOf), v)
     if (!tryPublish(dir,
         GvtCommit(v, "update", w.adds, touchedFiles.map(_.path),
-          dataSchema = w.dataSchema), spark))
+          txn = txn, dataSchema = w.dataSchema), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; update read set stale")
     v
@@ -1660,8 +1662,8 @@ object Gvt {
     * Existing vectors are applied BEFORE matching, so a vector never
     * double-counts a row and `dvRows` stays exact. Aborts on concurrent
     * commit (read-modify-write, same as merge/delete). */
-  def deleteWhereDV(spark: SparkSession, dir: String, predicate: Column)
-      : Int = rmwRetry(spark) {
+  def deleteWhereDV(spark: SparkSession, dir: String, predicate: Column,
+      txn: String = null): Int = rmwRetry(spark) {
     val base = latestVersion(dir)
     val (files, state, _) = resolveManifest(dir, Some(base))
     val v = base + 1
@@ -1687,7 +1689,8 @@ object Gvt {
     val adds = touched.map(f =>
       f.copy(dv = dvOf(f) :+ sub, dvRows = f.dvRows + perFile(f.path)))
     if (!tryPublish(dir,
-        GvtCommit(v, "dv_delete", adds, touched.map(_.path)), spark))
+        GvtCommit(v, "dv_delete", adds, touched.map(_.path),
+          txn = txn), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; DV read set stale")
     v

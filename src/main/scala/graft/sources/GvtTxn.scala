@@ -180,23 +180,34 @@ object GvtTxn {
       body: Map[String, Int] => Seq[(String, DataFrame, Seq[String])],
       staleMs: Long = 10000L, maxRetries: Int = 20): Int =
     commitSerializedOps(spark, txnDir, tables,
-      pins => body(pins).map { case (d, df, statsCols) =>
-        d -> (() => Gvt.append(spark, d, df, statsCols))
+      (pins, token) => body(pins).map { case (d, df, statsCols) =>
+        // token-carrying append: the attempt token is fresh, so the
+        // idempotence scan never fires and Some(v) is guaranteed
+        d -> (() => Gvt.appendTxn(spark, d, df, statsCols, token).get)
       }, staleMs, maxRetries)
 
   /** The GENERAL serialized form: each table contributes ONE arbitrary
     * single-commit Gvt op — merge, delete, updateWhere, overwrite,
-    * append — returned as a thunk yielding its committed version. The
-    * settled-walk guarantees the table HEAD state ≡ the pinned state
-    * when the op runs, so ops that read the head (merge's probe,
-    * delete's touch scan) are reading the snapshot; a no-op commit
-    * (e.g. a delete matching nothing returns the unchanged head) is
-    * accepted as contiguous. Everything else — re-execution per
-    * attempt, contiguity, CAS, rollback — is the [[commitSerialized]]
-    * contract verbatim. */
+    * appendTxn — returned as a thunk yielding its committed version.
+    * The settled-walk guarantees the table HEAD state ≡ the pinned
+    * state when the op runs, so ops that read the head (merge's probe,
+    * delete's touch scan) are reading the snapshot.
+    *
+    * AUTHORSHIP TOKEN (the hole a version number alone cannot close):
+    * `body` receives a per-attempt token that every op MUST pass as
+    * its `txn` argument. Without it, a foreign commit landing between
+    * the settled walk and the op makes a NO-OP op (a delete matching
+    * nothing returns the current head — the foreign version) look
+    * exactly like the op's own contiguous commit, and the doc would
+    * pin the peer's half-transaction. With it, contiguity is
+    * version + authorship: `v == startHead` (a true no-op — nothing
+    * can commit without bumping the version) or `v == startHead + 1`
+    * AND the commit doc at `v` carries THIS attempt's token.
+    * Everything else — re-execution per attempt, CAS, rollback — is
+    * the [[commitSerialized]] contract verbatim. */
   def commitSerializedOps(spark: SparkSession, txnDir: String,
       tables: Seq[String],
-      body: Map[String, Int] => Seq[(String, () => Int)],
+      body: (Map[String, Int], String) => Seq[(String, () => Int)],
       staleMs: Long = 10000L, maxRetries: Int = 20): Int = {
     require(tables.nonEmpty, "a serialized txn must declare its tables")
     var attempt = 0
@@ -257,7 +268,8 @@ object GvtTxn {
       if (settled) {
         val basePins = tables.flatMap(d =>
           base.get(d).map(d -> _)).toMap
-        val writes = body(basePins)
+        val token = java.util.UUID.randomUUID().toString
+        val writes = body(basePins, token)
         require(writes.map(_._1).toSet.subsetOf(tables.toSet),
           "body wrote a table outside the declared set")
         // one write per table: a second commit on the same table would
@@ -267,11 +279,12 @@ object GvtTxn {
           "a serialized txn writes each table at most once — union the " +
             "frames instead")
         val myPins = writes.map { case (d, op) => d -> op() }.toMap
-        // (2) contiguity: nothing foreign interleaved under the ops
-        // (== startHeads is a legitimate NO-OP commit, e.g. a delete
-        // that matched nothing)
+        // (2) contiguity + authorship: a true no-op (head version
+        // unchanged — nothing can commit without bumping it), or one
+        // commit that provably carries THIS attempt's token
         val contiguous = myPins.forall { case (d, v) =>
-          v == startHeads(d) + 1 || v == startHeads(d)
+          v == startHeads(d) ||
+            (v == startHeads(d) + 1 && Gvt.commitAt(d, v).txn == token)
         }
         var aborted = !contiguous
         if (contiguous) {
@@ -298,13 +311,13 @@ object GvtTxn {
           // best-effort IMMEDIATE rollback of our own abandoned
           // commits: waiting for the staleness walk to rediscover them
           // would cost a full staleMs per collision (r13 review). Only
-          // a table whose head is still our own commit rolls back here
-          // (rolling to just below it preserves any peer commit
-          // underneath), and a NO-OP op (v == startHead — it committed
-          // nothing) must not roll back a pre-existing commit;
-          // anything racier is the walk's job.
+          // a commit that provably carries OUR token and is still the
+          // head rolls back here (rolling to just below it preserves
+          // any peer commit underneath); anything racier — including a
+          // no-op that returned a foreign version — is the walk's job.
           myPins.foreach { case (d, v) =>
-            if (v > startHeads(d) && Gvt.latestVersion(d) == v)
+            if (v > startHeads(d) && Gvt.latestVersion(d) == v &&
+                Gvt.commitAt(d, v).txn == token)
               rollBack(spark, d, v - 1)
           }
         }

@@ -320,14 +320,15 @@ class Round13Spec extends GraftSuite {
         (fact, (0L until 10L).map(k => (k, k)).toDF("k", "v"), Seq("k")),
         (sum, Seq(1, 2, 3).toDF("tag"), Seq("tag"))), staleMs = 500L)
     // a general op txn: upsert the fact, delete from the summary —
-    // two different single-commit ops under one doc
+    // two different single-commit ops under one doc, each carrying the
+    // attempt's authorship token
     GvtTxn.commitSerializedOps(spark, coord, Seq(fact, sum),
-      _ => Seq(
+      (_, token) => Seq(
         fact -> (() => Gvt.merge(spark, fact,
           (5L until 15L).map(k => (k, k * 100)).toDF("k", "v"),
-          "k", Seq("k"))),
+          "k", Seq("k"), txn = token)),
         sum -> (() => Gvt.delete(spark, sum, col("tag") === 2,
-          Seq("tag")))), staleMs = 500L)
+          Seq("tag"), txn = token))), staleMs = 500L)
     val f = GvtTxn.read(spark, coord, fact).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(f.size == 15 &&
@@ -339,13 +340,58 @@ class Round13Spec extends GraftSuite {
     // a NO-OP op (delete matching nothing commits no version) is
     // contiguous: the txn still links, the other side still lands
     GvtTxn.commitSerializedOps(spark, coord, Seq(fact, sum),
-      _ => Seq(
-        fact -> (() => Gvt.delete(spark, fact, col("k") < 0, Seq("k"))),
-        sum -> (() => Gvt.append(spark, sum, Seq(4).toDF("tag"),
-          Seq("tag")))), staleMs = 500L)
+      (_, token) => Seq(
+        fact -> (() => Gvt.delete(spark, fact, col("k") < 0, Seq("k"),
+          txn = token)),
+        sum -> (() => Gvt.appendTxn(spark, sum, Seq(4).toDF("tag"),
+          Seq("tag"), token).get)), staleMs = 500L)
     assert(GvtTxn.read(spark, coord, fact).count() == 15)
     assert(GvtTxn.read(spark, coord, sum).collect()
       .map(_.getInt(0)).toSet == Set(1, 3, 4))
+  }
+
+  test("authorship: a foreign commit under a no-op op never gets pinned") {
+    val coord = Staging.tempDir("r13_serauth")
+    val fact = s"$coord/fact"
+    val sum = s"$coord/summary"
+    GvtTxn.commitSerialized(spark, coord, Seq(fact, sum),
+      _ => Seq(
+        (fact, Seq((1L, 1L)).toDF("k", "v"), Seq("k")),
+        (sum, Seq(1).toDF("tag"), Seq("tag"))), staleMs = 500L)
+    // the race shape version numbers alone cannot distinguish: a
+    // FOREIGN append (a crashed peer, simulated on the first attempt
+    // only) lands between the settled walk and this txn's op; the op
+    // itself matches nothing, so it returns the FOREIGN head version.
+    // Pre-token, contiguity (v == startHead + 1) accepted it and the
+    // doc pinned the peer's half-transaction.
+    var injected = false
+    GvtTxn.commitSerializedOps(spark, coord, Seq(fact, sum),
+      (_, token) => Seq(
+        fact -> (() => {
+          if (!injected) {
+            injected = true
+            Gvt.append(spark, fact, Seq((999L, 999L)).toDF("k", "v"),
+              Seq("k")) // the foreign half-txn (no doc will pin it)
+          }
+          Gvt.delete(spark, fact, col("k") < 0, Seq("k"), txn = token)
+        }),
+        sum -> (() => Gvt.appendTxn(spark, sum, Seq(2).toDF("tag"),
+          Seq("tag"), token).get)), staleMs = 500L)
+    // the txn landed (retried past the injected foreign commit, which
+    // the staleness walk rolled back) and NO doc version ever exposes
+    // the foreign row
+    val head = GvtTxn.latestVersion(coord)
+    (0 to head).foreach { v =>
+      val doc = GvtTxn.docAt(coord, v).tables
+      doc.get(fact).foreach { fv =>
+        assert(Gvt.read(spark, fact, Some(fv))
+          .filter(col("k") === 999L).count() == 0,
+          s"doc $v pinned the foreign half-transaction (fact@$fv)")
+      }
+    }
+    assert(GvtTxn.read(spark, coord, sum).collect()
+      .map(_.getInt(0)).toSet == Set(1, 2))
+    assert(GvtTxn.read(spark, coord, fact).count() == 1)
   }
 
   test("commitSerialized rolls back a crashed half-transaction") {
