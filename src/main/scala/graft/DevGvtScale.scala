@@ -34,6 +34,12 @@ object DevGvtScale {
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("dv")) {
       dvProbe(spark); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("txnlog")) {
+      txnlogProbe(); spark.stop(); return
+    }
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("absorb")) {
+      absorbProbe(spark); spark.stop(); return
+    }
 
     def timed[A](what: String)(body: => A): A = {
       val t0 = System.nanoTime()
@@ -335,9 +341,14 @@ object DevGvtScale {
           Seq("k"))
       }
     }
+    // this probe MEASURES the persistent-MoR fetch regime, so the r14
+    // auto-absorb policy (which would rightly rewrite an 80%-deleted
+    // table) is switched off for the fixture build
+    spark.conf.set("spark.graft.gvt.dvAbsorbRatio", "2.0")
     timed("deleteWhereDV: 80% of rows (10^7 positions, sorted sidecar)") {
       Gvt.deleteWhereDV(spark, t, col("k") % 5 =!= 0)
     }
+    spark.conf.unset("spark.graft.gvt.dvAbsorbRatio")
     val live = Gvt.snapshot(t)
     println(s"[gvt-scale] dv probe: ${live.map(_.dvRows).sum} deleted " +
       s"positions across ${live.size} files")
@@ -462,5 +473,154 @@ object DevGvtScale {
       require(Files.isDirectory(ld.resolve(f"${1}%08d.ckpt.parquet")),
         "checkpointParquet twin missing")
     }
+  }
+
+  /** r14 claim: coordinator-log resolution is O(tail) at any age, and
+    * vacuum bounds the one remaining O(docs) cost (the [[graft.sources
+    * .GvtTxn.latestVersion]] directory listing). Layout under test:
+    * 10⁵ docs over 200 tables with the live checkpoint cadence (a
+    * full-map `.ckpt.json` every 10 docs) — seeded by DIRECT doc
+    * writes byte-identical to publish()'s (seeding through publish
+    * itself would be quadratic in its own listings and measure the
+    * seed, not the reader). Measured: pins/tableVersion at head on the
+    * 10⁵-doc log (fold = 1 ckpt + ≤10 docs; the listing dominates),
+    * then vacuum to head−20 and the same resolutions on the bounded
+    * log — the table log's 0.5 ms shape. A no-checkpoint control log
+    * shows what the anchor saves (a 10⁵-doc fold). */
+  private def txnlogProbe(): Unit = {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.GvtTxn
+    def timedMs[A](what: String, reps: Int = 1)(body: => A): A = {
+      var r = null.asInstanceOf[A]
+      val t0 = System.nanoTime()
+      (0 until reps).foreach(_ => r = body)
+      println(f"[gvt-scale] $what: " +
+        f"${(System.nanoTime() - t0) / 1e6 / reps}%.2f ms" +
+        (if (reps > 1) s" (mean of $reps)" else ""))
+      r
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      .registerModule(
+        com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val nDocs = 100000
+    val nTables = 200
+    def seed(coord: String, withCkpts: Boolean): Map[String, Int] = {
+      val ld = Files.createDirectories(Paths.get(coord, "_gvt_txn"))
+      val cumulative = scala.collection.mutable.HashMap.empty[String, Int]
+      val t0 = System.nanoTime()
+      (0 until nDocs).foreach { v =>
+        val table = s"$coord/t${v % nTables}"
+        cumulative(table) = v
+        Files.write(ld.resolve(f"$v%08d.json"), mapper.writeValueAsBytes(
+          GvtTxn.TxnDoc(v, Map(table -> v), v + 1L)))
+        if (withCkpts && v > 0 && v % GvtTxn.CheckpointEvery == 0)
+          Files.write(ld.resolve(f"$v%08d.ckpt.json"),
+            mapper.writeValueAsBytes(
+              GvtTxn.TxnCheckpoint(v, cumulative.toMap)))
+      }
+      println(f"[gvt-scale] seeded $nDocs docs" +
+        (if (withCkpts) s" + ${nDocs / 10} ckpts" else " (NO ckpts)") +
+        f": ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      cumulative.toMap
+    }
+    val coord = Staging.tempDir("gvt_txnlog")
+    val expected = seed(coord, withCkpts = true)
+    val head = nDocs - 1
+    require(GvtTxn.latestVersion(coord) == head)
+    timedMs(s"latestVersion, $nDocs-doc dir (the listing)", 5) {
+      GvtTxn.latestVersion(coord)
+    }
+    val atHead = timedMs(s"pins(head), $nDocs-doc log " +
+        "(listing + 1 ckpt + ≤10-doc tail)", 5) {
+      GvtTxn.pins(coord, head)
+    }
+    require(atHead == expected, "checkpointed fold wrong at head")
+    timedMs("tableVersion(one table) at head", 5) {
+      GvtTxn.tableVersion(coord, s"$coord/t7")
+    }
+    // the no-checkpoint control: same docs, fold walks all 10⁵
+    val coordNo = Staging.tempDir("gvt_txnlog_nock")
+    val expectedNo = seed(coordNo, withCkpts = false)
+    val atHeadNo = timedMs(s"pins(head), NO checkpoints ($nDocs-doc fold)") {
+      GvtTxn.pins(coordNo, head)
+    }
+    require(atHeadNo == expectedNo, "un-anchored fold wrong at head")
+    // vacuum to head−20: resolution drops to the table log's shape
+    val reaped = timedMs(s"vacuum(head-20) — reap ~$nDocs docs+ckpts") {
+      GvtTxn.vacuum(coord, head - 20)
+    }
+    println(s"[gvt-scale] vacuum reaped $reaped docs")
+    timedMs("latestVersion, post-vacuum (21-doc dir)", 20) {
+      GvtTxn.latestVersion(coord)
+    }
+    val postVac = timedMs("pins(head), post-vacuum", 20) {
+      GvtTxn.pins(coord, head)
+    }
+    require(postVac == expected, "post-vacuum fold wrong at head")
+    // the log keeps working: publishes resume, cadence continues
+    val v2 = GvtTxn.publish(coord, Map(s"$coord/t7" -> 424242))
+    require(v2 == nDocs &&
+      GvtTxn.tableVersion(coord, s"$coord/t7").contains(424242),
+      "post-vacuum publish broken")
+    println("[gvt-scale] TXNLOG PROBE OK")
+  }
+
+  /** r14 claim: the DV auto-absorb policy bounds the MoR read tax
+    * without operator memory. Build a heavily-deleted table just UNDER
+    * the default threshold (vectors accumulate, reads stay MoR), then
+    * one more delete crosses it: the same deleteWhereDV call absorbs,
+    * the manifest carries zero vectors, and the read plan is the plain
+    * vectorized scan again (join-free — asserted structurally). */
+  private def absorbProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[gvt-scale] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val n = 4000000L
+    val t = Staging.tempDir("gvt_absorbprobe")
+    timed(s"build: $n rows / 8 files") {
+      (0 until 8).foreach { i =>
+        Gvt.append(spark, t,
+          spark.range(i * n / 8, (i + 1) * n / 8)
+            .select(col("id").as("k"), (col("id") * 3).as("v"))
+            .repartition(1),
+          Seq("k"))
+      }
+    }
+    // four uniform deletes of 10% each: 0.40 of every file deleted,
+    // still under the 0.5 default — vectors must accumulate
+    (1 to 4).foreach { m =>
+      timed(s"deleteWhereDV 10% (#$m)") {
+        Gvt.deleteWhereDV(spark, t, col("k") % 10 === m)
+      }
+      val s = Gvt.snapshot(t)
+      println(s"[gvt-scale]   dv state: ${s.map(_.dvRows).sum} deleted " +
+        s"rows, ${s.count(f => f.dv != null && f.dv.nonEmpty)}/${s.size} " +
+        "files carrying vectors")
+    }
+    require(Gvt.snapshot(t).forall(f => f.dv != null && f.dv.nonEmpty),
+      "under-threshold deletes must stay MoR")
+    // the fifth delete (20% — two residues) crosses 0.5 per file
+    // decisively (a single 10% residue can land a hair under on
+    // uneven file splits): the SAME call absorbs
+    timed("deleteWhereDV 20% (#5) — crosses 0.5, auto-absorbs") {
+      Gvt.deleteWhereDV(spark, t, col("k") % 10 === 5 || col("k") % 10 === 6)
+    }
+    val after = Gvt.snapshot(t)
+    require(after.forall(f => f.dv == null || f.dv.isEmpty),
+      "threshold crossing must absorb every vectored file")
+    require(Gvt.commitAt(t, Gvt.latestVersion(t)).op == "absorb",
+      "head commit must be the auto-absorb")
+    val plan = spark.read.format("gvt").option("path", t).load()
+      .queryExecution.executedPlan.toString
+    require(!plan.contains("Join"),
+      "post-absorb read must be the join-free vectorized scan")
+    val cnt = timed("post-absorb read (plain vectorized scan)") {
+      spark.read.format("gvt").option("path", t).load().count()
+    }
+    require(cnt == n * 4 / 10, s"post-absorb count $cnt != ${n * 4 / 10}")
+    println("[gvt-scale] ABSORB PROBE OK")
   }
 }

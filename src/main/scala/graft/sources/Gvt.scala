@@ -1107,20 +1107,32 @@ object Gvt {
     shaped.write.parquet(cdir)
     val written = spark.read.parquet(cdir)
     val fname = element_at(split(input_file_name(), "/"), -1).as("_gvt_fname")
+    // TIMESTAMP stats are recorded as UTC EPOCH MICROS (r14): a
+    // TimestampType value IS an instant, and `cast(string)` rendered
+    // it in the session zone — a zone-DEPENDENT stat that could only
+    // ever be compared under a provably-matching fixed-offset reader
+    // zone (the r13 guard's narrowing; DST zones never pruned at all
+    // because fall-back transitions make wall-clock renderings
+    // non-monotonic). `unix_micros` is zone-free and totally ordered,
+    // so these stats prune in EVERY session zone; the reader emits an
+    // epoch-micros bound alongside the legacy chrono rendering
+    // (GvtFileIndex.render) and pre-r14 string-statted files keep the
+    // zone-guarded path. DATE / TIMESTAMP_NTZ text is zone-free
+    // already and stays string-rendered; no zone stamp is needed for
+    // anything written from here on ([[GvtFile.tz]] remains for old
+    // manifests).
+    def isTsType(c: String) = written.schema.fields.exists(f =>
+      f.name == c &&
+        f.dataType == org.apache.spark.sql.types.TimestampType)
     val aggs = count(lit(1)).as("_gvt_rows") +:
-      statsCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"_gvt_min_$c"),
-        max(col(c)).cast("string").as(s"_gvt_max_$c")))
-    // record the zone the stat strings were rendered under — only
-    // TIMESTAMP casts are zone-dependent, so the stamp is omitted when
-    // no statted column is one (keeps non-temporal manifests byte-
-    // identical and the zone guard obviously inapplicable)
-    val statTz =
-      if (statsCols.exists(c => written.schema.fields.exists(f =>
-          f.name == c &&
-            f.dataType == org.apache.spark.sql.types.TimestampType)))
-        spark.sessionState.conf.sessionLocalTimeZone
-      else null
+      statsCols.flatMap { c =>
+        if (isTsType(c)) Seq(
+          unix_micros(min(col(c))).cast("string").as(s"_gvt_min_$c"),
+          unix_micros(max(col(c))).cast("string").as(s"_gvt_max_$c"))
+        else Seq(
+          min(col(c)).cast("string").as(s"_gvt_min_$c"),
+          max(col(c)).cast("string").as(s"_gvt_max_$c"))
+      }
     val adds = written.groupBy(fname).agg(aggs.head, aggs.tail: _*)
       .collect()
       .toSeq
@@ -1130,8 +1142,7 @@ object Gvt {
             Option(r.getString(2 + 2 * i)).map(c -> _) }.toMap,
           statsCols.zipWithIndex.flatMap { case (c, i) =>
             Option(r.getString(3 + 2 * i)).map(c -> _) }.toMap,
-          bytes = Files.size(Paths.get(cdir, r.getString(0))),
-          tz = statTz)
+          bytes = Files.size(Paths.get(cdir, r.getString(0))))
       }
       .sortBy(_.path)
     Written(adds, written.schema.json)
@@ -1410,10 +1421,27 @@ object Gvt {
     val bounds = srcKeys.agg(min(col(key)).cast("string"),
       max(col(key)).cast("string")).head
     val (srcLo, srcHi) = (bounds.getString(0), bounds.getString(1))
+    // the comparison kind follows the KEY'S DATA TYPE (r13 ADVICE):
+    // ZKind.Num against a STRING key whose values parse as numbers
+    // compares the lexicographic stat strings numerically — a file box
+    // ["10","9"] read as [10.0, 9.0] falsely excludes source key "5"
+    // and the merge silently duplicates instead of replacing. Strings
+    // compare in UTF8 binary order (the very order that produced the
+    // stat), numerics as Double; temporal/other keys skip the manifest
+    // prune entirely (the exact probe below is the correctness path —
+    // this prune is only ever an optimization).
+    val kind: Option[Int] = {
+      import org.apache.spark.sql.types._
+      srcKeys.schema.find(_.name == key).map(_.dataType) match {
+        case Some(_: NumericType) => Some(ZKind.Num)
+        case Some(StringType) => Some(ZKind.Str)
+        case _ => None
+      }
+    }
     val candidates =
-      if (srcLo == null) files
+      if (srcLo == null || kind.isEmpty) files
       else files.filter(f => zSurvives(f,
-        Seq(ZBound(key, Some(srcLo), Some(srcHi), ZKind.Num))))
+        Seq(ZBound(key, Some(srcLo), Some(srcHi), kind.get))))
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else {
@@ -1693,6 +1721,33 @@ object Gvt {
           txn = txn), spark))
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; DV read set stale")
+    // AUTO-ABSORB policy (r14): a file whose deleted fraction REACHES
+    // `spark.graft.gvt.dvAbsorbRatio` (default 0.5, same `>=` rule as
+    // absorbDeletes' own selection; set above 1.0 to disable) is
+    // rewritten right here by [[absorbDeletes]], so the
+    // MoR read-time anti-join debt stays bounded WITHOUT an operator
+    // remembering to schedule maintenance. The decision is the same
+    // manifest-only dvRows/rows the manual op uses; rewritten files
+    // keep their predecessors' stat columns (declared table stats
+    // when present, else the touched files' own stat keys mapped back
+    // to logical names) so the policy repairs clustering rather than
+    // degrading it. Suppressed for transactional deletes (txn != null):
+    // a serialized transaction's contiguity proof owns the version
+    // sequence, so maintenance defers to the caller. A lost absorb
+    // race is dropped — the delete itself is committed, and the policy
+    // re-fires on the next crossing.
+    if (txn == null) {
+      val ratio = spark.conf.getOption("spark.graft.gvt.dvAbsorbRatio")
+        .map(_.toDouble).getOrElse(0.5)
+      if (adds.exists(f => f.dvRows >= f.rows * ratio)) {
+        val statsL =
+          if (state.statsList.nonEmpty) state.statsList
+          else adds.flatMap(f => f.min.keys ++ f.max.keys).distinct
+            .flatMap(state.logicalOf)
+        try absorbDeletes(spark, dir, ratio, statsL)
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
     v
   }
 

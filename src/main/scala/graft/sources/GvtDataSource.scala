@@ -633,8 +633,21 @@ object GvtDvFetch {
           e: java.util.Map.Entry[String, Seq[(String, String, String)]])
           : Boolean = size() > PartsCap
     })
-  private def partsOf(absDvDir: String): Seq[(String, String, String)] =
-    parts.computeIfAbsent(absDvDir, d => {
+  /** First-touch footer I/O runs OUTSIDE the map lock (r13 ADVICE):
+    * computeIfAbsent on the synchronizedMap would serialize every task
+    * on the executor behind one lock while a cold many-part sidecar's
+    * footers are read — unrelated fetches included. Duplicate
+    * computation on a cold race is tolerated (the dir is immutable, so
+    * both compute the same value; putIfAbsent keeps one). */
+  private def partsOf(absDvDir: String): Seq[(String, String, String)] = {
+    val hit = parts.get(absDvDir)
+    if (hit != null) return hit
+    val computed = computeParts(absDvDir)
+    val prev = parts.putIfAbsent(absDvDir, computed)
+    if (prev != null) prev else computed
+  }
+
+  private def computeParts(d: String): Seq[(String, String, String)] = {
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(d))
       val names =
         try s.iterator().asScala
@@ -674,7 +687,7 @@ object GvtDvFetch {
           case None => (p, null, null) // unknown span: never skipped
         }
       }
-    })
+  }
 
   def positions(dir: String, dvDirs: Seq[String], suffix: String)
       : Array[Long] = {
@@ -938,7 +951,7 @@ object GvtFileIndex {
       render(v, dt, zone).map { case (s, kind, zoned) =>
         Gvt.ZBound(a.name, if (lo) Some(s) else None,
           if (hi) Some(s) else None, kind, zoned)
-      }.toSeq
+      }
     e match {
       case And(l, r) => constraintsOf(l, zone) ++ constraintsOf(r, zone)
       case GreaterThanOrEqual(a: Attribute, Literal(v, t)) =>
@@ -965,28 +978,35 @@ object GvtFileIndex {
     }
   }
 
-  /** Literal → (stat-domain string, comparison kind, zone-sensitive);
-    * None = this literal contributes no constraint. Only TIMESTAMP
-    * renderings are zone-sensitive (DATE and NTZ text is the same in
-    * every session). */
+  /** Literal → (stat-domain string, comparison kind, zone-sensitive)
+    * renderings; empty = this literal contributes no constraint. A
+    * TIMESTAMP literal renders TWICE (r14): as UTC epoch micros — the
+    * zone-free Num bound that prunes r14 manifests in ANY session
+    * zone, DST included — and as the session-zone chrono text for
+    * pre-r14 string-statted files (zone-sensitive, applied only under
+    * the recorded-write-zone guard). Each rendering is individually
+    * conservative against the other era's stats: micros don't match
+    * [[Gvt.ChronoRe]] and chrono text doesn't parse as Double, so a
+    * mismatched (bound, stat) pair always keeps the file. */
   private def render(v: Any, dt: org.apache.spark.sql.types.DataType,
-      zone: java.time.ZoneId): Option[(String, Int, Boolean)] = {
+      zone: java.time.ZoneId): Seq[(String, Int, Boolean)] = {
     import org.apache.spark.sql.types._
     v match {
-      case null => None
+      case null => Seq.empty
       case u: org.apache.spark.unsafe.types.UTF8String =>
-        Some((u.toString, Gvt.ZKind.Str, false))
-      case d: Decimal => Some((d.toDouble.toString, Gvt.ZKind.Num, false))
+        Seq((u.toString, Gvt.ZKind.Str, false))
+      case d: Decimal => Seq((d.toDouble.toString, Gvt.ZKind.Num, false))
       case n: java.lang.Number => dt match {
         case TimestampType =>
-          chrono(formatMicros(n.longValue(), zone), zoned = true)
+          (n.longValue().toString, Gvt.ZKind.Num, false) +:
+            chrono(formatMicros(n.longValue(), zone), zoned = true)
         case TimestampNTZType => // wall-clock micros: zone-independent
           chrono(formatMicros(n.longValue(), java.time.ZoneOffset.UTC))
         case DateType =>
           chrono(java.time.LocalDate.ofEpochDay(n.longValue()).toString)
-        case _ => Some((n.toString, Gvt.ZKind.Num, false))
+        case _ => Seq((n.toString, Gvt.ZKind.Num, false))
       }
-      case _ => None
+      case _ => Seq.empty
     }
   }
 
@@ -994,8 +1014,9 @@ object GvtFileIndex {
     * five-digit year would break the lexicographic ≡ chronological
     * equivalence, so it keeps every file instead. */
   private def chrono(s: String, zoned: Boolean = false)
-      : Option[(String, Int, Boolean)] =
-    if (Gvt.ChronoRe.matches(s)) Some((s, Gvt.ZKind.Chrono, zoned)) else None
+      : Seq[(String, Int, Boolean)] =
+    if (Gvt.ChronoRe.matches(s)) Seq((s, Gvt.ZKind.Chrono, zoned))
+    else Seq.empty
 
   /** Micros → the exact text of Spark's timestamp→string cast in
     * `zone`: `yyyy-MM-dd HH:mm:ss` plus the fraction with trailing

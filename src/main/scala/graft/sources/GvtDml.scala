@@ -88,6 +88,29 @@ object RewriteGvtDml extends Rule[LogicalPlan] {
     case a: AttributeReference => a.withQualifier(Nil)
   }.sql
 
+  /** Rewrite-time round-trip check (r13 ADVICE): the lambda/subquery
+    * guards catch the KNOWN non-renderable shapes, but any other
+    * expression whose `.sql` text doesn't parse and re-resolve (an
+    * extension Expression with a broken rendering, a function gone
+    * from the registry) would pass the rule and fail at run() with a
+    * parse error — loud, but later and less clear than the stock
+    * refusal. So the rule re-parses the rendered text and analyzes it
+    * against the relation's own output HERE, exactly the `expr()` path
+    * run() will take (parser + analyzer + function registry); failure
+    * falls through to the stock loud 'does not support UPDATE'. One
+    * tiny single-Project analysis per SET/WHERE, once per statement. */
+  private[sources] def roundTrips(text: String, target: LogicalPlan): Boolean =
+    try {
+      val spark = SparkSession.active
+      val parsed = spark.sessionState.sqlParser.parseExpression(text)
+      val probe = org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+          parsed, "_gvt_rt_probe")()),
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          target.output.map(_.toAttribute)))
+      spark.sessionState.analyzer.execute(probe).resolved
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case u @ UpdateTable(target, assignments, condition)
         if gvtOf(target).isDefined && u.resolved &&
@@ -102,8 +125,12 @@ object RewriteGvtDml extends Rule[LogicalPlan] {
             if !v.semanticEquals(k) =>
           k.name -> toSqlText(v)
       }
+      val condText = condition.map(toSqlText)
       if (real.isEmpty) GvtNoopCommand()
-      else GvtUpdateCommand(t.location, real, condition.map(toSqlText))
+      else if (!(real.map(_._2) ++ condText)
+          .forall(roundTrips(_, target)))
+        u // no round-trip ⇒ leave for the stock loud refusal
+      else GvtUpdateCommand(t.location, real, condText)
 
     case m @ MergeIntoTable(target, source, cond, matched, notMatched,
         notMatchedBySource, withSchemaEvolution)

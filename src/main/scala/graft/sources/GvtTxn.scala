@@ -23,11 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * commit).
   *
   * Concurrency: the txn doc is version-allocated with the same
-  * createLink create-if-absent loop as the table log. A loser re-pins
-  * against the new predecessor by PER-TABLE MAX-MERGE (its own version
-  * vs the predecessor's pin), so the view is monotonic per table —
-  * two racing transactions over disjoint tables both land; over the
-  * same table, last-merged-wins with no version ever going backward.
+  * createLink create-if-absent loop as the table log. Docs carry only
+  * their OWN transaction's pins (r14); the cumulative view is the
+  * read-side PER-TABLE MAX-MERGE fold ([[pins]]), so the view is
+  * monotonic per table by construction — two racing transactions over
+  * disjoint tables both land; over the same table, max-wins with no
+  * version ever going backward (a loser simply re-links one version
+  * up; nothing is carried forward that a race could regress).
   * Idempotence for retried pipelines rides the per-table
   * [[Gvt.appendTxn]] token exactly as in the exactly-once sink.
   *
@@ -64,40 +66,200 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * catalog that offers both fast and serialized commit modes.
   *
   * Scale: the coordinator doc is O(tables in the txn) — a few hundred
-  * bytes; resolution is one doc read (newest doc id), never a data or
-  * manifest read. The table-side cost is unchanged GVT.
+  * bytes, carrying ONLY the transaction's own pins (r14; pre-r14 docs
+  * carried the full max-merged map forward, making every doc O(tables
+  * ever pinned)). The cumulative view is resolved the table-log way:
+  * a full-map CHECKPOINT every [[CheckpointEvery]] docs plus a
+  * max-merge fold over the ≤[[CheckpointEvery]]-doc tail ([[pins]]),
+  * so resolution is O(tail) doc reads regardless of coordinator age,
+  * and [[vacuum]] reaps pre-checkpoint docs behind a recorded
+  * retention floor so the directory listing [[latestVersion]] stays
+  * O(retained docs). The table-side cost is unchanged GVT.
   */
 object GvtTxn {
 
   /** One atomic multi-table pin: `tables` maps table dir → the version
-    * this transaction made current. */
+    * this transaction made current. Since r14 a doc carries only ITS
+    * OWN transaction's pins (the cumulative view is [[pins]]'s fold);
+    * pre-r14 docs carried the cumulative map — the max-merge fold
+    * treats both identically (folding an already-cumulative map is a
+    * monotone no-op), so mixed-era logs resolve correctly. */
   final case class TxnDoc(version: Int, tables: Map[String, Int],
       ts: Long = 0L)
+
+  /** Full cumulative pin map at `version` — the fold anchor, exactly
+    * the table log's [[Gvt.GvtCheckpoint]] shape. */
+  final case class TxnCheckpoint(version: Int, tables: Map[String, Int])
+
+  /** Checkpoint cadence: [[pins]] reads ≤ this many docs plus one
+    * checkpoint, regardless of coordinator age (the table log's
+    * [[Gvt.CheckpointEvery]] scheme, one rung up). */
+  val CheckpointEvery = 10
 
   private lazy val mapper: ObjectMapper =
     new ObjectMapper().registerModule(DefaultScalaModule)
 
   private def logDir(txnDir: String) = Paths.get(txnDir, "_gvt_txn")
-  private val DocName = """(\d{8})\.json""".r
+  private def docPath(txnDir: String, v: Int) =
+    logDir(txnDir).resolve(f"$v%08d.json")
+  private def ckptPath(txnDir: String, v: Int) =
+    logDir(txnDir).resolve(f"$v%08d.ckpt.json")
+  private object DocName {
+    private val Re = raw"(\d{8})\.json".r
+    def unapply(name: String): Option[Int] =
+      name match { case Re(d) => Some(d.toInt); case _ => None }
+  }
+  private object CkptName {
+    private val Re = raw"(\d{8})\.ckpt\.json".r
+    def unapply(name: String): Option[Int] =
+      name match { case Re(d) => Some(d.toInt); case _ => None }
+  }
+  private object VacuumName {
+    private val Re = raw"(\d{8})\.vacuum\.json".r
+    def unapply(name: String): Option[Int] =
+      name match { case Re(d) => Some(d.toInt); case _ => None }
+  }
 
-  /** Highest committed txn version, or -1 for an empty coordinator. */
+  /** Highest committed txn version, or -1 for an empty coordinator.
+    * One directory listing, O(retained docs) — [[vacuum]] is what
+    * keeps "retained" bounded on a long-lived coordinator. */
   def latestVersion(txnDir: String): Int = {
     val ld = logDir(txnDir)
     if (!Files.isDirectory(ld)) return -1
     val it = Files.list(ld)
     try it.iterator().asScala.map(_.getFileName.toString)
-      .collect { case DocName(v) => v.toInt }
+      .collect { case DocName(v) => v }
       .foldLeft(-1)(math.max)
     finally it.close()
   }
 
+  /** Oldest txn version still resolvable (0 if never vacuumed): the
+    * max floor recorded by [[vacuum]] markers. */
+  def vacuumFloor(txnDir: String): Int = {
+    val ld = logDir(txnDir)
+    if (!Files.isDirectory(ld)) return 0
+    val it = Files.list(ld)
+    try it.iterator().asScala.map(_.getFileName.toString)
+      .collect { case VacuumName(v) => v }
+      .foldLeft(0)(math.max)
+    finally it.close()
+  }
+
   def docAt(txnDir: String, v: Int): TxnDoc =
-    mapper.readValue(Files.readAllBytes(
-      logDir(txnDir).resolve(f"$v%08d.json")), classOf[TxnDoc])
+    mapper.readValue(Files.readAllBytes(docPath(txnDir, v)),
+      classOf[TxnDoc])
 
   def latest(txnDir: String): Option[TxnDoc] = {
     val v = latestVersion(txnDir)
     if (v < 0) None else Some(docAt(txnDir, v))
+  }
+
+  /** The CUMULATIVE pin map at txn version `v` — newest checkpoint
+    * ≤ v plus a max-merge fold of the ≤[[CheckpointEvery]]-doc tail.
+    * This is THE resolution primitive ([[tableVersion]]/[[read]] are
+    * views of it): O(tail) doc reads at any coordinator age, the
+    * table log's anchor-plus-tail walk one rung up. Old (pre-r14)
+    * cumulative docs fold identically — max-merge is monotone. */
+  def pins(txnDir: String, v: Int): Map[String, Int] = {
+    require(v >= 0, s"GvtTxn at $txnDir: no pins at version $v")
+    val ld = logDir(txnDir)
+    // ONE listing serves both the retention-floor check and the
+    // checkpoint-anchor discovery — on an unvacuumed 10⁵-doc dir the
+    // listing IS the resolution cost, so it is not paid twice
+    var floor = 0
+    var ckptVersion = -1
+    val it = Files.list(ld)
+    try it.iterator().asScala.map(_.getFileName.toString).foreach {
+      case CkptName(c) if c <= v => if (c > ckptVersion) ckptVersion = c
+      case VacuumName(f) => if (f > floor) floor = f
+      case _ => ()
+    } finally it.close()
+    require(v >= floor,
+      s"GvtTxn at $txnDir: version $v was vacuumed (floor $floor) — " +
+        "time travel below the retention floor is gone by design")
+    val acc = scala.collection.mutable.HashMap.empty[String, Int]
+    if (ckptVersion >= 0)
+      mapper.readValue(Files.readAllBytes(ckptPath(txnDir, ckptVersion)),
+        classOf[TxnCheckpoint]).tables.foreach { case (d, p) =>
+        acc(d) = p
+      }
+    ((ckptVersion + 1) to v).foreach { vv =>
+      docAt(txnDir, vv).tables.foreach { case (d, p) =>
+        if (acc.getOrElse(d, -1) < p) acc(d) = p
+      }
+    }
+    acc.toMap
+  }
+
+  /** Best-effort checkpoint after the doc at `v` linked: the full
+    * [[pins]] fold at v, idempotent via createLink. A lost race or
+    * failure here only costs replay length (the next fold anchors one
+    * checkpoint earlier), never correctness — the table log's exact
+    * contract. */
+  private def maybeCheckpoint(txnDir: String, v: Int): Unit =
+    if (v > 0 && v % CheckpointEvery == 0)
+      try {
+        val merged = pins(txnDir, v)
+        val ld = logDir(txnDir)
+        val tmp = Files.createTempFile(ld, ".tmp-", ".ckpt")
+        Files.write(tmp, mapper.writeValueAsBytes(TxnCheckpoint(v, merged)))
+        try Files.createLink(ckptPath(txnDir, v), tmp)
+        catch { case _: FileAlreadyExistsException => () }
+        Files.delete(tmp)
+      } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** VACUUM the coordinator log: ensure a checkpoint AT `retainFrom`
+    * (the anchor replay never needs the doomed docs), record the new
+    * retention floor (atomic create, BEFORE any deletion — a crash
+    * mid-vacuum leaves extra docs but never a resolvable-looking
+    * version with missing pins), then delete docs, checkpoints, and
+    * older floor markers strictly below. Returns docs deleted.
+    *
+    * RETENTION CONTRACT: txn-view time travel ([[read]]/[[pins]] with
+    * `asOf < retainFrom`) is gone by design and fails loudly. The
+    * per-table [[Gvt.appendTxn]] idempotence horizon is INDEPENDENT of
+    * this vacuum — a retried [[commitIdempotent]] recovers a crashed
+    * table append from the TABLE log's token scan
+    * ([[Gvt.versionOfTxn]]), never from coordinator docs, so reaping
+    * coordinator history cannot break retry-safety; only each table's
+    * own vacuum can (and that contract is documented there). Run with
+    * `retainFrom` safely behind any in-flight reader's anchor — the
+    * same grace discipline as the table vacuum. */
+  def vacuum(txnDir: String, retainFrom: Int): Int = {
+    val head = latestVersion(txnDir)
+    require(retainFrom >= 0 && retainFrom <= head,
+      s"GvtTxn vacuum retainFrom $retainFrom outside [0, $head]")
+    if (retainFrom < vacuumFloor(txnDir)) return 0
+    val ld = logDir(txnDir)
+    if (!Files.exists(ckptPath(txnDir, retainFrom))) {
+      val merged = pins(txnDir, retainFrom)
+      val tmp = Files.createTempFile(ld, ".tmp-", ".ckpt")
+      Files.write(tmp,
+        mapper.writeValueAsBytes(TxnCheckpoint(retainFrom, merged)))
+      try Files.createLink(ckptPath(txnDir, retainFrom), tmp)
+      catch { case _: FileAlreadyExistsException => () }
+      Files.delete(tmp)
+    }
+    val mtmp = Files.createTempFile(ld, ".tmp-", ".vac")
+    Files.write(mtmp, s"""{"floor":$retainFrom}""".getBytes("UTF-8"))
+    try Files.createLink(
+      ld.resolve(f"$retainFrom%08d.vacuum.json"), mtmp)
+    catch { case _: FileAlreadyExistsException => () }
+    Files.delete(mtmp)
+    var deleted = 0
+    val it = Files.list(ld)
+    try it.iterator().asScala.foreach { p =>
+      p.getFileName.toString match {
+        case DocName(v) if v < retainFrom =>
+          Files.delete(p); deleted += 1
+        case CkptName(v) if v < retainFrom =>
+          Files.delete(p); deleted += 1
+        case VacuumName(v) if v < retainFrom =>
+          Files.delete(p); deleted += 1
+        case _ => ()
+      }
+    } finally it.close()
+    deleted
   }
 
   /** Append each `(tableDir, df, statsCols)` to its table, then publish
@@ -219,7 +381,7 @@ object GvtTxn {
         Thread.sleep(50L + scala.util.Random.nextInt(150 * attempt))
       val headV = latestVersion(txnDir)
       val base: Map[String, Int] =
-        if (headV < 0) Map.empty else docAt(txnDir, headV).tables
+        if (headV < 0) Map.empty else pins(txnDir, headV)
       // manifest-identity check: a restore commit has a HIGHER version
       // than the pin but the SAME state, so "at the pinned state" is
       // file-set equality, never version equality (production compares
@@ -254,9 +416,13 @@ object GvtTxn {
           while (!pinRaised && ageMs < staleMs) {
             Thread.sleep(50)
             val h2 = latestVersion(txnDir)
-            if (h2 > headSeen) {
-              headSeen = h2
-              pinRaised = docAt(txnDir, h2).tables.getOrElse(d, -1) > bv
+            // docs carry per-txn deltas (r14): walk each NEW doc for a
+            // pin of THIS table above the base — cumulative pre-r14
+            // docs satisfy the same test whenever the pin rose
+            while (headSeen < h2 && !pinRaised) {
+              headSeen += 1
+              pinRaised =
+                docAt(txnDir, headSeen).tables.getOrElse(d, -1) > bv
             }
           }
           // stale: a crashed half-transaction in the serialized
@@ -288,21 +454,24 @@ object GvtTxn {
         }
         var aborted = !contiguous
         if (contiguous) {
-          // (3) doc CAS on the head; disjoint losers re-merge, shared
-          // losers abort to re-execute the body
+          // (3) doc CAS on the head; disjoint losers re-link one
+          // version up, shared losers abort to re-execute the body.
+          // The doc carries ONLY this txn's pins (r14 delta docs) —
+          // the cumulative view is [[pins]]'s fold, so no prev read
+          // or merge happens on the commit path at all.
           var v = headV + 1
           while (!aborted) {
-            val prev: Map[String, Int] =
-              if (v == 0) Map.empty else docAt(txnDir, v - 1).tables
-            val merged = (prev.keySet ++ myPins.keySet).map { d =>
-              d -> math.max(prev.getOrElse(d, -1), myPins.getOrElse(d, -1))
-            }.toMap
-            if (tryLinkDoc(txnDir, v, merged)) return v
-            // lost: if the winner touched our tables, the body must
-            // re-execute against the new state; otherwise re-link
+            if (tryLinkDoc(txnDir, v, myPins)) {
+              maybeCheckpoint(txnDir, v)
+              return v
+            }
+            // lost: if the winner RAISED any of our tables' pins, the
+            // body must re-execute against the new state; otherwise
+            // re-link (a replayed idempotent doc re-carrying an old
+            // pin raises nothing and burns no attempt)
             val winner = docAt(txnDir, v).tables
             if (tables.exists(d =>
-                winner.getOrElse(d, -1) != base.getOrElse(d, -1)))
+                winner.getOrElse(d, -1) > base.getOrElse(d, -1)))
               aborted = true
             else v += 1
           }
@@ -366,20 +535,23 @@ object GvtTxn {
 
   /** Publish a pin set for table versions committed out-of-band (e.g.
     * a [[Gvt.merge]]/[[Gvt.delete]] pair, or a branch publish) — the
-    * same atomic doc, caller-supplied versions. */
+    * same atomic doc, caller-supplied versions. The doc carries ONLY
+    * this call's pins (r14 delta docs; per-table monotonicity is the
+    * read-side max-merge fold — a racing partner's advance can never
+    * be regressed because nothing is ever carried forward to regress).
+    * Lost links back off with jitter so two hot racing publishers
+    * de-synchronize instead of spinning on doc reads (r13 verdict). */
   def publish(txnDir: String, pins: Map[String, Int]): Int = {
     require(pins.nonEmpty, "a transaction must pin at least one table")
     var v = latestVersion(txnDir) + 1
+    var lost = 0
     while (true) {
-      val merged = if (v == 0) pins else {
-        val prev = docAt(txnDir, v - 1).tables
-        // per-table max-merge: carry every previously-pinned table
-        // forward, never regress one the race partner advanced
-        (prev.keySet ++ pins.keySet).map { d =>
-          d -> math.max(prev.getOrElse(d, -1), pins.getOrElse(d, -1))
-        }.toMap
+      if (tryLinkDoc(txnDir, v, pins)) {
+        maybeCheckpoint(txnDir, v)
+        return v
       }
-      if (tryLinkDoc(txnDir, v, merged)) return v
+      lost += 1
+      Thread.sleep(1L + scala.util.Random.nextInt(20 * math.min(lost, 10)))
       v = latestVersion(txnDir) + 1
     }
     -1 // unreachable
@@ -393,7 +565,7 @@ object GvtTxn {
     val v = asOf.getOrElse(head)
     require(v <= head,
       s"GvtTxn at $txnDir has no version $v (head is $head)")
-    if (v < 0) None else docAt(txnDir, v).tables.get(tableDir)
+    if (v < 0) None else pins(txnDir, v).get(tableDir)
   }
 
   /** Read `tableDir` THROUGH the transaction view: at the version the

@@ -379,6 +379,11 @@ class GvtSpec extends GraftSuite {
   test("DV delete: no data file rewritten, reads apply vectors, " +
       "dvRows exact across stacked vectors") {
     val dir = freshDir()
+    // this test's SUBJECT is the stacked-vector MoR state (70% deleted
+    // on the low slab by the second vector), which the r14 auto-absorb
+    // policy would rightly rewrite — opt out to keep the vectors
+    spark.conf.set("spark.graft.gvt.dvAbsorbRatio", "2.0")
+    try {
     Gvt.append(spark, dir, slab(0, 10).repartition(1), Seq("k"))
     Gvt.append(spark, dir, slab(100, 110).repartition(1), Seq("k"))
     val before = Gvt.snapshot(dir)
@@ -409,6 +414,7 @@ class GvtSpec extends GraftSuite {
     // matching nothing is a no-op commit-wise
     val v = Gvt.latestVersion(dir)
     assert(Gvt.deleteWhereDV(spark, dir, col("k") === -1L) == v)
+    } finally spark.conf.unset("spark.graft.gvt.dvAbsorbRatio")
   }
 
   test("DV x CoW: rewrites absorb vectors and never resurrect rows") {
@@ -443,8 +449,13 @@ class GvtSpec extends GraftSuite {
     val dir = freshDir()
     Gvt.append(spark, dir, slab(0, 100).repartition(1), Seq("k"))
     Gvt.append(spark, dir, slab(100, 200).repartition(1), Seq("k"))
-    // 50% dead in slab 1, 1% dead in slab 2
-    Gvt.deleteWhereDV(spark, dir, col("k") < 50 || col("k") === 199L)
+    // 50% dead in slab 1, 1% dead in slab 2 — built with the r14
+    // auto-absorb policy off (50% is exactly the default trigger; the
+    // MANUAL threshold mechanics are this test's subject)
+    try {
+      spark.conf.set("spark.graft.gvt.dvAbsorbRatio", "2.0")
+      Gvt.deleteWhereDV(spark, dir, col("k") < 50 || col("k") === 199L)
+    } finally spark.conf.unset("spark.graft.gvt.dvAbsorbRatio")
     val v = Gvt.latestVersion(dir)
     assert(Gvt.absorbDeletes(spark, dir, 0.9, Seq("k")) == v,
       "absorb at 0.9 should be a no-op (max deleted fraction is 0.5)")

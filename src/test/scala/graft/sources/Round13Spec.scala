@@ -85,22 +85,29 @@ class Round13Spec extends GraftSuite {
     assert(e.getMessage.contains("at most once"))
   }
 
-  test("writeData records the session zone only for TIMESTAMP stats") {
-    // the fixture's o_orderdate reads as TimestampNTZ (zone-free —
-    // correctly unstamped); a genuine TimestampType column stamps
+  test("TIMESTAMP stats are zone-free epoch micros; nothing stamps tz") {
+    // r13 stamped the write session zone on TIMESTAMP-statted files and
+    // guarded pruning on a provable zone match; r14 removes the
+    // narrowing structurally — the stat IS the instant (UTC epoch
+    // micros), so no write is zone-dependent and no stamp is needed
+    // (GvtFile.tz remains only for pre-r14 manifests)
     val tsDir = Staging.tempDir("r13_tzstamp_ts")
     Gvt.append(spark, tsDir,
       Tables(spark, sf0001, "orders").limit(100)
         .withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
       Seq("o_orderdate"))
-    assert(Gvt.snapshot(tsDir).forall(_.tz ==
-      spark.sessionState.conf.sessionLocalTimeZone),
-      "timestamp-statted files must carry the write session zone")
+    Gvt.snapshot(tsDir).foreach { f =>
+      assert(f.tz == null,
+        "epoch-micros stats are zone-free — no stamp expected")
+      assert(f.min.get("o_orderdate").exists(_.matches("-?\\d+")) &&
+        f.max.get("o_orderdate").exists(_.matches("-?\\d+")),
+        s"TIMESTAMP stats must be epoch micros, got ${f.min} / ${f.max}")
+    }
     val numDir = Staging.tempDir("r13_tzstamp_num")
     Gvt.append(spark, numDir,
       Tables(spark, sf0001, "orders").limit(100), Seq("o_orderkey"))
     assert(Gvt.snapshot(numDir).forall(_.tz == null),
-      "zone-independent stats (numeric / NTZ) must not carry a zone stamp")
+      "zone-independent stats must not carry a zone stamp")
   }
 
   test("connector TIMESTAMP read stays correct under a shifted scan zone") {
@@ -382,7 +389,7 @@ class Round13Spec extends GraftSuite {
     // the foreign row
     val head = GvtTxn.latestVersion(coord)
     (0 to head).foreach { v =>
-      val doc = GvtTxn.docAt(coord, v).tables
+      val doc = GvtTxn.pins(coord, v)
       doc.get(fact).foreach { fv =>
         assert(Gvt.read(spark, fact, Some(fv))
           .filter(col("k") === 999L).count() == 0,
