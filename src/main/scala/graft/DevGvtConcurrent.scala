@@ -94,8 +94,15 @@ object DevGvtConcurrent {
           Gvt.merge(spark, table,
             spark.range(0L, 500L).toDF("k").withColumn("v", lit(-1L)),
             "k", Seq("k"))
+          // this phase counts EXACT serial commits (checkrmw's head ==
+          // 14), and this delete marks exactly 50% of one file — the
+          // r14 auto-absorb would add a racing maintenance commit, so
+          // the policy (probed by DevGvtScale `absorb` and Round14Spec)
+          // is off here
+          spark.conf.set("spark.graft.gvt.dvAbsorbRatio", "2.0")
           Gvt.deleteWhereDV(spark, table,
             col("k") >= 1000L && col("k") < 1500L)
+          spark.conf.unset("spark.graft.gvt.dvAbsorbRatio")
           Gvt.compact(spark, table, smallRows = 100000L, targetFiles = 2,
             Seq("k"))
         } else {
@@ -224,10 +231,11 @@ object DevGvtConcurrent {
         // fresh version) — a lost doc means the createLink loop raced
         assert(head == nWriters * n - 1,
           s"expected ${nWriters * n} txn docs, head is $head")
-        // per-table pins are MONOTONIC across doc versions (max-merge)
+        // per-table pins are MONOTONIC across doc versions (the
+        // read-side max-merge fold over r14 delta docs)
         (1 to head).foreach { v =>
-          val prev = graft.sources.GvtTxn.docAt(table, v - 1).tables
-          val cur = graft.sources.GvtTxn.docAt(table, v).tables
+          val prev = graft.sources.GvtTxn.pins(table, v - 1)
+          val cur = graft.sources.GvtTxn.pins(table, v)
           prev.foreach { case (d, pv) =>
             assert(cur.getOrElse(d, -1) >= pv,
               s"pin regressed at doc $v: $d ${cur.get(d)} < $pv")
@@ -281,7 +289,7 @@ object DevGvtConcurrent {
           Gvt.read(spark, dir, Some(v)).select("tag").distinct()
             .collect().map(_.getInt(0)).toSet
         (0 to head).foreach { v =>
-          val doc = graft.sources.GvtTxn.docAt(table, v).tables
+          val doc = graft.sources.GvtTxn.pins(table, v)
           (0 until nWriters).foreach { w =>
             val a = s"$table/w${w}a"
             val b = s"$table/w${w}b"
@@ -311,16 +319,32 @@ object DevGvtConcurrent {
         val sum = s"$table/summary"
         (0 until n).foreach { i =>
           val tag = writer * 1000 + i
-          graft.sources.GvtTxn.commitSerialized(spark, table,
-            Seq(fact, sum),
-            _ => Seq(
-              (fact, spark.range(tag * 10L, tag * 10L + 10L).toDF("k")
-                .withColumn("tag", lit(tag)), Seq("k")),
-              (sum, spark.range(tag.toLong, tag + 1L).toDF("tag")
-                .select(col("tag").cast("int").as("tag")), Seq("tag"))),
-            staleMs = 3000L, maxRetries = 40)
+          def factDf = spark.range(tag * 10L, tag * 10L + 10L).toDF("k")
+            .withColumn("tag", lit(tag))
+          def sumDf = spark.range(tag.toLong, tag + 1L).toDF("tag")
+            .select(col("tag").cast("int").as("tag"))
+          if (i % 2 == 0)
+            graft.sources.GvtTxn.commitSerialized(spark, table,
+              Seq(fact, sum),
+              _ => Seq((fact, factDf, Seq("k")), (sum, sumDf, Seq("tag"))),
+              staleMs = 3000L, maxRetries = 40)
+          else
+            // MIXED ops (r14): merge into the fact + append the summary
+            // in ONE serialized doc — fresh keys make the merge an
+            // insert, so checktxns' whole-transaction walk holds
+            // unchanged while the op path under contention is the
+            // general commitSerializedOps (token authorship included)
+            graft.sources.GvtTxn.commitSerializedOps(spark, table,
+              Seq(fact, sum),
+              (_, token) => Seq(
+                fact -> (() => Gvt.merge(spark, fact, factDf, "k",
+                  Seq("k"), txn = token)),
+                sum -> (() => Gvt.appendTxn(spark, sum, sumDf,
+                  Seq("tag"), token).get)),
+              staleMs = 3000L, maxRetries = 40)
         }
-        println(s"[gvt-concurrent] txns writer $writer done ($n serialized)")
+        println(s"[gvt-concurrent] txns writer $writer done " +
+          s"($n serialized, mixed ops on odd txns)")
       case "checktxns" =>
         val nWriters = args(2).toInt
         val n = args(3).toInt
@@ -328,7 +352,7 @@ object DevGvtConcurrent {
         val sum = s"$table/summary"
         val head = graft.sources.GvtTxn.latestVersion(table)
         (0 to head).foreach { v =>
-          val doc = graft.sources.GvtTxn.docAt(table, v).tables
+          val doc = graft.sources.GvtTxn.pins(table, v)
           if (doc.contains(fact) || doc.contains(sum)) {
             assert(doc.contains(fact) && doc.contains(sum),
               s"one-sided pin at doc $v: $doc")

@@ -121,22 +121,33 @@ object GvtOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Insert-key shift for the merge fixtures: `max(1000000,
+    * max(c_custkey) + 1)` — at the tested SFs this IS the historical
+    * 1000000 (identical fixture bytes and oracle hashes), and at SF ≳ 7
+    * (where customer outgrows 10⁶ keys) the shift clears the live key
+    * space so a shifted insert key can never collide with a matched
+    * update key (merge's duplicate-source-key refusal would throw) —
+    * r13 ADVICE. One bounded scalar aggregate, the tileBounds shape. */
+  private def mergeShift(c: DataFrame): Long =
+    math.max(1000000L, c.agg(max("c_custkey")).head.getLong(0) + 1L)
+
   /** customer upserted with updates (≡0 mod 10: acctbal+1000, segment
-    * overwritten) and inserts (≡0 mod 100, shifted key space). Only
-    * files containing a matched key get rewritten; the oracle restates
-    * MERGE as src ∪ (target ∖ matched). */
+    * overwritten) and inserts (≡0 mod 100, key space shifted past the
+    * live keys). Only files containing a matched key get rewritten;
+    * the oracle restates MERGE as src ∪ (target ∖ matched). */
   private def mergeGvt(spark: SparkSession, dir: String): String =
     graft.Staging.memoDir("graft_gvt_merge", dir) { tmp =>
       val c = graft.Tables(spark, dir, "customer")
       val stats = Seq("c_custkey")
       Gvt.append(spark, tmp, c, stats)
+      val shift = mergeShift(c)
       val updates = c.filter(col("c_custkey") % 10 === 0)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           (col("c_acctbal") + 1000.0).as("c_acctbal"),
           lit("UPDATED").as("c_mktsegment"))
       val inserts = c.filter(col("c_custkey") % 100 === 0)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"),
-          concat(lit("new#"), (col("c_custkey") + 1000000L).cast("string"))
+        .select((col("c_custkey") + shift).as("c_custkey"),
+          concat(lit("new#"), (col("c_custkey") + shift).cast("string"))
             .as("c_name"),
           col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       Gvt.merge(spark, tmp, updates.unionByName(inserts), "c_custkey", stats)
@@ -369,8 +380,11 @@ object GvtOps {
   private def sqlMergeGvt(spark: SparkSession, dir: String): String =
     graft.Staging.memoDir("graft_gvt_sqlmerge", dir) { tmp =>
       val t = s"gvt.`$tmp/t`"
-      graft.Tables(spark, dir, "customer")
-        .createOrReplaceTempView("customer_sqlmerge_src")
+      val c = graft.Tables(spark, dir, "customer")
+      c.createOrReplaceTempView("customer_sqlmerge_src")
+      // same max-derived shift as the API twin (see mergeShift) —
+      // 1000000 at the tested SFs, collision-free at every SF
+      val shift = mergeShift(c)
       spark.sql(s"CREATE TABLE $t TBLPROPERTIES ('stats'='c_custkey') " +
         "AS SELECT * FROM customer_sqlmerge_src")
       spark.sql(s"MERGE INTO $t t USING (" +
@@ -378,8 +392,8 @@ object GvtOps {
         "c_acctbal + 1000 AS c_acctbal, 'UPDATED' AS c_mktsegment " +
         "FROM customer_sqlmerge_src WHERE c_custkey % 10 = 0 " +
         "UNION ALL " +
-        "SELECT c_custkey + 1000000 AS c_custkey, " +
-        "concat('new#', CAST(c_custkey + 1000000 AS STRING)) AS c_name, " +
+        s"SELECT c_custkey + $shift AS c_custkey, " +
+        s"concat('new#', CAST(c_custkey + $shift AS STRING)) AS c_name, " +
         "c_nationkey, c_acctbal, c_mktsegment " +
         "FROM customer_sqlmerge_src WHERE c_custkey % 100 = 0) s " +
         "ON t.c_custkey = s.c_custkey " +
@@ -1041,6 +1055,74 @@ object GvtOps {
     f.unionByName(s).orderBy("side", "o_orderstatus")
   }
 
+  /** MIXED-OP SERIALIZED transaction fixture
+    * ([[GvtTxn.commitSerializedOps]], r14 — the general form the r13
+    * keys left undeclared): ONE serialized doc carries a MERGE on the
+    * fact (keys ≡0 mod 10 get o_totalprice + 100) AND a DELETE on the
+    * summary (the 'P' status row) — the real pipeline shape "upsert
+    * the fact, retire the stale rollup rows" as one atomic pin. A
+    * CRASH is injected first (a poison fact append whose doc never
+    * links), which the mixed txn's settled walk must roll back before
+    * its ops run. The oracle restates both sides directly from orders:
+    * a leaked poison row, a half-applied merge, an un-deleted summary
+    * row, or a half-visible txn all split the hash. */
+  private def txnSerialOpsGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_txnops", dir) { tmp =>
+      val fact = s"$tmp/fact"
+      val summary = s"$tmp/summary"
+      val orders = graft.Tables(spark, dir, "orders")
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val summ = orders
+        .select(col("o_orderstatus"), lit(1L).as("w"), cents.as("c"))
+        .groupBy("o_orderstatus")
+        .agg(sum("w").as("n_orders"), sum("c").as("sum_cents"))
+      // txn 1: seed fact + summary as one serialized transaction
+      GvtTxn.commitSerialized(spark, tmp, Seq(fact, summary),
+        _ => Seq(
+          (fact, orders, Seq("o_orderkey")),
+          (summary, summ, Seq("o_orderstatus"))),
+        staleMs = 1000L)
+      // the crash: a poison fact append lands, its doc never links
+      Gvt.append(spark, fact,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L)),
+        Seq("o_orderkey"))
+      // txn 2: the MIXED doc — merge the fact, delete from the summary;
+      // every op carries the attempt token (the authorship contract)
+      val updates = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      GvtTxn.commitSerializedOps(spark, tmp, Seq(fact, summary),
+        (_, token) => Seq(
+          fact -> (() => Gvt.merge(spark, fact, updates,
+            "o_orderkey", Seq("o_orderkey"), txn = token)),
+          summary -> (() => Gvt.delete(spark, summary,
+            col("o_orderstatus") === "P", Seq("o_orderstatus"),
+            txn = token))),
+        staleMs = 1000L)
+      ()
+    }
+
+  /** Fact aggregate (post-merge prices) + surviving summary rows at
+    * the head doc — both restated directly from orders by the oracle,
+    * so the poison rollback, the merge, and the delete must ALL be
+    * exactly visible through the one pinned view. */
+  def gvtTxnSerialOps(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = txnSerialOpsGvt(spark, dir)
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val f = GvtTxn.read(spark, tmp, s"$tmp/fact")
+      .select(col("o_orderstatus"), cents.as("c"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum("c").cast("double") / 100).as("total_price"))
+      .select(lit("fact_agg").as("side"), col("o_orderstatus"),
+        col("n_orders"), col("total_price"))
+    val s = GvtTxn.read(spark, tmp, s"$tmp/summary")
+      .select(lit("summary").as("side"), col("o_orderstatus"),
+        col("n_orders"),
+        (col("sum_cents").cast("double") / 100).as("total_price"))
+    f.unionByName(s).orderBy("side", "o_orderstatus")
+  }
+
   /** DV ABSORPTION: the same two-vector history, then
     * [[Gvt.absorbDeletes]] rewrites every file carrying vectors (live
     * rows only) and drops the vectors — the maintenance op that bounds
@@ -1304,6 +1386,7 @@ object GvtOps {
     "scan_gvt_dsv2_dv" -> gvtDsv2Dv,
     "scan_gvt_dsv2_dvf" -> gvtDsv2DvFetch,
     "etl_gvt_txn_serial" -> gvtTxnSerial,
+    "etl_gvt_txn_serial_ops" -> gvtTxnSerialOps,
     "scan_gvt_dsv2_colmap" -> gvtDsv2ColMap,
     "scan_gvt_prune_ts" -> gvtPruneTs,
     "sink_gvt_dsv2" -> gvtSqlSink,
@@ -1435,14 +1518,19 @@ object GvtOps {
         "round(sum(o_totalprice),2) AS total_price FROM orders " +
         "WHERE o_orderkey % 3 <> 0 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // insert-key shift restated exactly as the fixture derives it:
+    // greatest(1000000, max(c_custkey)+1) — 1000000 at tested SFs
     "etl_merge_into" ->
-      ("WITH src AS (" +
+      ("WITH sh AS (SELECT greatest(1000000, max(c_custkey) + 1) AS s " +
+        "FROM customer), " +
+        "src AS (" +
         "SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, " +
         "'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0 " +
         "UNION ALL " +
-        "SELECT c_custkey + 1000000, " +
-        "'new#' || CAST(c_custkey + 1000000 AS VARCHAR), " +
-        "c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 100 = 0) " +
+        "SELECT c_custkey + sh.s, " +
+        "'new#' || CAST(c_custkey + sh.s AS VARCHAR), " +
+        "c_acctbal, c_mktsegment FROM customer, sh " +
+        "WHERE c_custkey % 100 = 0) " +
         "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM (" +
         "SELECT * FROM src " +
         "UNION ALL " +
@@ -1454,7 +1542,9 @@ object GvtOps {
     // inserts, and nothing deletes — rewritten-but-unchanged rows of
     // the touched files must NOT appear (diff's row-level cancellation)
     "etl_gvt_cdc_upd" ->
-      ("WITH upd AS (SELECT * FROM customer WHERE c_custkey % 10 = 0) " +
+      ("WITH sh AS (SELECT greatest(1000000, max(c_custkey) + 1) AS s " +
+        "FROM customer), " +
+        "upd AS (SELECT * FROM customer WHERE c_custkey % 10 = 0) " +
         "SELECT change_type, c_custkey, c_name, c_acctbal, c_mktsegment " +
         "FROM (" +
         "SELECT 'update_preimage' AS change_type, c_custkey, c_name, " +
@@ -1463,9 +1553,10 @@ object GvtOps {
         "SELECT 'update_postimage', c_custkey, c_name, c_acctbal + 1000, " +
         "'UPDATED' FROM upd " +
         "UNION ALL " +
-        "SELECT 'insert', c_custkey + 1000000, " +
-        "'new#' || CAST(c_custkey + 1000000 AS VARCHAR), " +
-        "c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 100 = 0" +
+        "SELECT 'insert', c_custkey + sh.s, " +
+        "'new#' || CAST(c_custkey + sh.s AS VARCHAR), " +
+        "c_acctbal, c_mktsegment FROM customer, sh " +
+        "WHERE c_custkey % 100 = 0" +
         ") ORDER BY change_type, c_custkey"),
     "scan_manifest_df" ->
       ("WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi " +
@@ -1569,15 +1660,19 @@ object GvtOps {
         "CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' " +
         "ELSE c_mktsegment END AS c_mktsegment " +
         "FROM customer ORDER BY c_custkey"),
-    // SQL MERGE ≡ API merge: the etl_merge_into restatement
+    // SQL MERGE ≡ API merge: the etl_merge_into restatement (same
+    // max-derived insert-key shift)
     "etl_gvt_sql_merge" ->
-      ("WITH src AS (" +
+      ("WITH sh AS (SELECT greatest(1000000, max(c_custkey) + 1) AS s " +
+        "FROM customer), " +
+        "src AS (" +
         "SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, " +
         "'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0 " +
         "UNION ALL " +
-        "SELECT c_custkey + 1000000, " +
-        "'new#' || CAST(c_custkey + 1000000 AS VARCHAR), " +
-        "c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 100 = 0) " +
+        "SELECT c_custkey + sh.s, " +
+        "'new#' || CAST(c_custkey + sh.s AS VARCHAR), " +
+        "c_acctbal, c_mktsegment FROM customer, sh " +
+        "WHERE c_custkey % 100 = 0) " +
         "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM (" +
         "SELECT * FROM src " +
         "UNION ALL " +
@@ -1614,6 +1709,20 @@ object GvtOps {
         "AS total_price FROM orders GROUP BY 1) " +
         "SELECT 'fact_agg' AS side, * FROM a " +
         "UNION ALL SELECT 'summary', * FROM a " +
+        "ORDER BY side, o_orderstatus"),
+    // the MIXED serialized txn: fact side carries the merged price bump
+    // (keys ≡0 mod 10), summary side lost its 'P' row to the delete;
+    // the rolled-back poison (keys shifted +2e9) appears in neither
+    "etl_gvt_txn_serial_ops" ->
+      ("WITH f AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round((o_totalprice + CASE WHEN o_orderkey % 10 " +
+        "= 0 THEN 100 ELSE 0 END)*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders GROUP BY 1), " +
+        "s AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 " +
+        "AS total_price FROM orders GROUP BY 1) " +
+        "SELECT 'fact_agg' AS side, * FROM f " +
+        "UNION ALL SELECT 'summary', * FROM s WHERE o_orderstatus <> 'P' " +
         "ORDER BY side, o_orderstatus"),
     // connector mapped read ≡ library mapped read, both eras
     "scan_gvt_dsv2_colmap" ->

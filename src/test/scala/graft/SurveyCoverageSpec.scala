@@ -275,6 +275,10 @@ class SurveyCoverageSpec extends GraftSuite {
     // coordinator-serialized overlapping transactions, each sharing its
     // twin's oracle restatement
     "scan_gvt_dsv2_dvf", "etl_gvt_txn_serial",
+    // round-14: the GENERAL serialized transaction — ONE doc carrying a
+    // merge on the fact and a delete on the summary (mixed ops, token
+    // authorship), with a poison half-transaction rolled back first
+    "etl_gvt_txn_serial_ops",
     // round-12: SQL DDL — ALTER TABLE RENAME/DROP/ADD COLUMN and
     // check./stats TBLPROPERTIES land the same metadata-only schema
     // commits the API ops publish
