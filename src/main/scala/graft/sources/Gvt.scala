@@ -80,7 +80,11 @@ object Gvt {
     * so planners (the DSv2 connector's `sizeInBytes`, split planning)
     * never stat the filesystem per file — 0 on pre-r12 log docs
     * (Jackson's missing-primitive default), where readers fall back to
-    * one local stat. */
+    * one local stat. `tz` is the r13-era write-session zone stamp for
+    * TIMESTAMP stat strings — HISTORICAL ONLY since r14 (TIMESTAMP
+    * stats are zone-free epoch micros now, so nothing new stamps it);
+    * it remains so pre-r14 string-statted files keep their
+    * zone-guarded chrono pruning. */
   final case class GvtFile(path: String, rows: Long,
       min: Map[String, String], max: Map[String, String],
       dv: Seq[String] = null, dvRows: Long = 0L, bytes: Long = 0L,
@@ -1692,6 +1696,12 @@ object Gvt {
     * commit (read-modify-write, same as merge/delete). */
   def deleteWhereDV(spark: SparkSession, dir: String, predicate: Column,
       txn: String = null): Int = rmwRetry(spark) {
+    // parse the auto-absorb knob UPFRONT: a malformed value must fail
+    // BEFORE the delete commits, not between the publish and the
+    // maintenance trigger (r14 review)
+    val absorbRatio = spark.conf
+      .getOption("spark.graft.gvt.dvAbsorbRatio")
+      .map(_.toDouble).getOrElse(0.5)
     val base = latestVersion(dir)
     val (files, state, _) = resolveManifest(dir, Some(base))
     val v = base + 1
@@ -1736,17 +1746,14 @@ object Gvt {
     // sequence, so maintenance defers to the caller. A lost absorb
     // race is dropped — the delete itself is committed, and the policy
     // re-fires on the next crossing.
-    if (txn == null) {
-      val ratio = spark.conf.getOption("spark.graft.gvt.dvAbsorbRatio")
-        .map(_.toDouble).getOrElse(0.5)
-      if (adds.exists(f => f.dvRows >= f.rows * ratio)) {
-        val statsL =
-          if (state.statsList.nonEmpty) state.statsList
-          else adds.flatMap(f => f.min.keys ++ f.max.keys).distinct
-            .flatMap(state.logicalOf)
-        try absorbDeletes(spark, dir, ratio, statsL)
-        catch { case _: java.util.ConcurrentModificationException => () }
-      }
+    if (txn == null &&
+        adds.exists(f => f.dvRows >= f.rows * absorbRatio)) {
+      val statsL =
+        if (state.statsList.nonEmpty) state.statsList
+        else adds.flatMap(f => f.min.keys ++ f.max.keys).distinct
+          .flatMap(state.logicalOf)
+      try absorbDeletes(spark, dir, absorbRatio, statsL)
+      catch { case _: java.util.ConcurrentModificationException => () }
     }
     v
   }

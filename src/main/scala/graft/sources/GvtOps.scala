@@ -128,8 +128,10 @@ object GvtOps {
     * space so a shifted insert key can never collide with a matched
     * update key (merge's duplicate-source-key refusal would throw) —
     * r13 ADVICE. One bounded scalar aggregate, the tileBounds shape. */
-  private def mergeShift(c: DataFrame): Long =
-    math.max(1000000L, c.agg(max("c_custkey")).head.getLong(0) + 1L)
+  private def mergeShift(c: DataFrame): Long = {
+    val r = c.agg(max("c_custkey")).head
+    math.max(1000000L, (if (r.isNullAt(0)) 0L else r.getLong(0)) + 1L)
+  }
 
   /** customer upserted with updates (≡0 mod 10: acctbal+1000, segment
     * overwritten) and inserts (≡0 mod 100, key space shifted past the

@@ -372,6 +372,10 @@ object GvtTxn {
       body: (Map[String, Int], String) => Seq[(String, () => Int)],
       staleMs: Long = 10000L, maxRetries: Int = 20): Int = {
     require(tables.nonEmpty, "a serialized txn must declare its tables")
+    // stale-wait poll cadence: 50 ms suits a local filesystem; an
+    // object-store coordinator wants a gentler poll (r13 verdict nit)
+    val pollMs = spark.conf.getOption("spark.graft.gvt.txnPollMs")
+      .map(_.toLong).getOrElse(50L)
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
@@ -414,7 +418,7 @@ object GvtTxn {
           var headSeen = headV
           var pinRaised = false
           while (!pinRaised && ageMs < staleMs) {
-            Thread.sleep(50)
+            Thread.sleep(pollMs)
             val h2 = latestVersion(txnDir)
             // docs carry per-txn deltas (r14): walk each NEW doc for a
             // pin of THIS table above the base — cumulative pre-r14
