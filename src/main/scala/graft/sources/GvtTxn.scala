@@ -154,6 +154,26 @@ object GvtTxn {
     if (v < 0) None else Some(docAt(txnDir, v))
   }
 
+  /** ONE directory listing yielding (head doc version, retention
+    * floor, newest ckpt ≤ `upTo`) — on an unvacuumed 10⁵-doc dir the
+    * listing IS the resolution cost, so every read-path entry
+    * ([[pins]], [[tableVersion]], [[read]]) pays it exactly once. */
+  private def scanLog(txnDir: String, upTo: Int): (Int, Int, Int) = {
+    val ld = logDir(txnDir)
+    if (!Files.isDirectory(ld)) return (-1, 0, -1)
+    var head = -1
+    var floor = 0
+    var ckptVersion = -1
+    val it = Files.list(ld)
+    try it.iterator().asScala.map(_.getFileName.toString).foreach {
+      case DocName(d) => if (d > head) head = d
+      case CkptName(c) if c <= upTo => if (c > ckptVersion) ckptVersion = c
+      case VacuumName(f) => if (f > floor) floor = f
+      case _ => ()
+    } finally it.close()
+    (head, floor, ckptVersion)
+  }
+
   /** The CUMULATIVE pin map at txn version `v` — newest checkpoint
     * ≤ v plus a max-merge fold of the ≤[[CheckpointEvery]]-doc tail.
     * This is THE resolution primitive ([[tableVersion]]/[[read]] are
@@ -162,18 +182,12 @@ object GvtTxn {
     * cumulative docs fold identically — max-merge is monotone. */
   def pins(txnDir: String, v: Int): Map[String, Int] = {
     require(v >= 0, s"GvtTxn at $txnDir: no pins at version $v")
-    val ld = logDir(txnDir)
-    // ONE listing serves both the retention-floor check and the
-    // checkpoint-anchor discovery — on an unvacuumed 10⁵-doc dir the
-    // listing IS the resolution cost, so it is not paid twice
-    var floor = 0
-    var ckptVersion = -1
-    val it = Files.list(ld)
-    try it.iterator().asScala.map(_.getFileName.toString).foreach {
-      case CkptName(c) if c <= v => if (c > ckptVersion) ckptVersion = c
-      case VacuumName(f) => if (f > floor) floor = f
-      case _ => ()
-    } finally it.close()
+    val (_, floor, ckptVersion) = scanLog(txnDir, v)
+    foldPins(txnDir, v, floor, ckptVersion)
+  }
+
+  private def foldPins(txnDir: String, v: Int, floor: Int,
+      ckptVersion: Int): Map[String, Int] = {
     require(v >= floor,
       s"GvtTxn at $txnDir: version $v was vacuumed (floor $floor) — " +
         "time travel below the retention floor is gone by design")
@@ -562,14 +576,19 @@ object GvtTxn {
   }
 
   /** The pinned version of `tableDir` at txn version `asOf` (newest if
-    * None). None if the table was never pinned. */
+    * None). None if the table was never pinned. One listing: head,
+    * floor, and the checkpoint anchor come from the same [[scanLog]]
+    * pass (a checkpoint version is always ≤ the head doc's, so the
+    * unbounded anchor scan is exact for the head read). */
   def tableVersion(txnDir: String, tableDir: String,
       asOf: Option[Int] = None): Option[Int] = {
-    val head = latestVersion(txnDir)
+    val (head, floor, ckptAll) =
+      scanLog(txnDir, asOf.getOrElse(Int.MaxValue))
     val v = asOf.getOrElse(head)
     require(v <= head,
       s"GvtTxn at $txnDir has no version $v (head is $head)")
-    if (v < 0) None else pins(txnDir, v).get(tableDir)
+    if (v < 0) None
+    else foldPins(txnDir, v, floor, ckptAll).get(tableDir)
   }
 
   /** Read `tableDir` THROUGH the transaction view: at the version the
