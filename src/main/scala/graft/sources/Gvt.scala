@@ -404,7 +404,31 @@ object Gvt {
     * doc in the resolution path predates the pin, or two pins disagree
     * on a column's type — callers then fall back to the footer merge,
     * so the pin is an optimization that can never be wrong. */
+  /** Retry wrapper for the anchor-plus-tail walk: a CONCURRENT VACUUM
+    * unlinking pre-floor docs can make a racing reader's directory
+    * listing MISS unrelated entries (POSIX readdir gives no snapshot
+    * guarantee while entries are being removed), so the walk can
+    * anchor below the vacuum's fresh floor checkpoint and then chase
+    * just-deleted commit docs into NoSuchFileException. The
+    * post-vacuum directory is complete and consistent — re-list and
+    * re-resolve. Bounded: a miss that persists past the retries is a
+    * real hole (a vacuumed version someone still references) and
+    * surfaces loudly. Found by the cross-JVM smoke's rmw phase racing
+    * vacuum against a concurrent writer's re-resolution (r14). */
   private def resolveManifest(dir: String, asOf: Option[Int])
+      : (Seq[GvtFile], GvtSchemaState, Option[StructType]) = {
+    var attempt = 0
+    while (true) {
+      try return resolveManifestOnce(dir, asOf)
+      catch {
+        case _: java.nio.file.NoSuchFileException if attempt < 5 =>
+          attempt += 1; Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def resolveManifestOnce(dir: String, asOf: Option[Int])
       : (Seq[GvtFile], GvtSchemaState, Option[StructType]) = {
     val last = asOf.getOrElse(latestVersion(dir))
     require(last >= 0, s"GVT at $dir has no commits (asOf=$asOf)")
@@ -1169,10 +1193,19 @@ object Gvt {
     Files.createDirectories(ld)
     // stamp the publish timestamp, strictly above the predecessor's (the
     // predecessor doc exists by construction — versions are sequential
-    // and we are about to contend for version N, so N-1 is published)
+    // and we are about to contend for version N, so N-1 is published).
+    // EXCEPT under a concurrent vacuum: the predecessor doc can be
+    // unlinked between this writer's base read and the stamp (the
+    // cross-JVM smoke's rmw phase hit exactly this at r14 close). A
+    // vacuumed predecessor's ts is below the wall clock on this box by
+    // construction (it was stamped from the same clock in the past),
+    // so the fallback preserves strict monotonicity.
     val stamped = commit.copy(ts = {
       val prev =
-        if (commit.version > 0) commitAt(dir, commit.version - 1).ts else 0L
+        if (commit.version > 0)
+          try commitAt(dir, commit.version - 1).ts
+          catch { case _: java.nio.file.NoSuchFileException => 0L }
+        else 0L
       math.max(System.currentTimeMillis(), prev + 1)
     })
     val tmp = Files.createTempFile(ld, ".tmp-", ".json")

@@ -182,8 +182,19 @@ object GvtTxn {
     * cumulative docs fold identically — max-merge is monotone. */
   def pins(txnDir: String, v: Int): Map[String, Int] = {
     require(v >= 0, s"GvtTxn at $txnDir: no pins at version $v")
-    val (_, floor, ckptVersion) = scanLog(txnDir, v)
-    foldPins(txnDir, v, floor, ckptVersion)
+    // re-list on NoSuchFileException: a concurrent [[vacuum]]'s
+    // unlinks can make readdir miss the fresh anchor checkpoint (the
+    // table log's resolveManifest race, same fix — r14)
+    var attempt = 0
+    while (true) {
+      val (_, floor, ckptVersion) = scanLog(txnDir, v)
+      try return foldPins(txnDir, v, floor, ckptVersion)
+      catch {
+        case _: java.nio.file.NoSuchFileException if attempt < 5 =>
+          attempt += 1; Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def foldPins(txnDir: String, v: Int, floor: Int,
@@ -582,13 +593,22 @@ object GvtTxn {
     * unbounded anchor scan is exact for the head read). */
   def tableVersion(txnDir: String, tableDir: String,
       asOf: Option[Int] = None): Option[Int] = {
-    val (head, floor, ckptAll) =
-      scanLog(txnDir, asOf.getOrElse(Int.MaxValue))
-    val v = asOf.getOrElse(head)
-    require(v <= head,
-      s"GvtTxn at $txnDir has no version $v (head is $head)")
-    if (v < 0) None
-    else foldPins(txnDir, v, floor, ckptAll).get(tableDir)
+    var attempt = 0
+    while (true) {
+      val (head, floor, ckptAll) =
+        scanLog(txnDir, asOf.getOrElse(Int.MaxValue))
+      val v = asOf.getOrElse(head)
+      require(v <= head,
+        s"GvtTxn at $txnDir has no version $v (head is $head)")
+      if (v < 0) return None
+      try return foldPins(txnDir, v, floor, ckptAll).get(tableDir)
+      catch {
+        // concurrent-vacuum readdir miss: re-list (see [[pins]])
+        case _: java.nio.file.NoSuchFileException if attempt < 5 =>
+          attempt += 1; Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read `tableDir` THROUGH the transaction view: at the version the

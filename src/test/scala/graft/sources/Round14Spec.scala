@@ -405,6 +405,58 @@ class Round14Spec extends GraftSuite {
     }
   }
 
+  test("snapshot resolution survives a concurrent vacuum (readdir-miss " +
+      "retry)") {
+    // a vacuum's unlinks can make a racing reader's directory listing
+    // miss UNRELATED entries (POSIX readdir has no snapshot guarantee),
+    // so the walk could anchor below the fresh floor checkpoint and
+    // chase deleted docs into NoSuchFileException — found by the
+    // cross-JVM smoke's rmw phase at r14 close. The walk now re-lists.
+    import spark.implicits._
+    val dir = Staging.tempDir("r14_vacrace")
+    (0 until 24).foreach(i =>
+      Gvt.append(spark, dir, Seq(i.toLong).toDF("k"), Seq("k")))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val readers = (0 until 4).map(_ => new Thread(() => {
+      try while (!stop.get()) {
+        assert(Gvt.snapshot(dir).size >= 24)
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    }))
+    readers.foreach(_.start())
+    try (0 until 12).foreach { i =>
+      Gvt.append(spark, dir, Seq((100 + i).toLong).toDF("k"), Seq("k"))
+      Gvt.vacuum(dir, Gvt.latestVersion(dir), graceMs = 0L)
+    } finally { stop.set(true); readers.foreach(_.join(30000)) }
+    assert(failure.get() == null,
+      s"a racing reader threw: ${failure.get()}")
+    assert(Gvt.read(spark, dir).count() == 36)
+    // a PERMANENT hole (a mid-tail doc really gone, not a listing
+    // miss) still fails loudly after the bounded retries
+    (0 until 3).foreach(i =>
+      Gvt.append(spark, dir, Seq((200 + i).toLong).toDF("k"), Seq("k")))
+    val mid = Gvt.latestVersion(dir) - 1
+    Files.delete(Paths.get(dir, Gvt.LogDir, f"$mid%08d.json"))
+    intercept[java.nio.file.NoSuchFileException] { Gvt.snapshot(dir) }
+  }
+
+  test("a publish whose predecessor doc was vacuumed away still stamps") {
+    // the ts stamp reads doc v-1 directly; a concurrent vacuum can
+    // unlink it between the writer's base read and the stamp — the
+    // stamp now falls back to the wall clock (still strictly monotone:
+    // the vacuumed doc's ts came from the same clock in the past)
+    import spark.implicits._
+    val dir = Staging.tempDir("r14_stamprace")
+    (0 until 3).foreach(i =>
+      Gvt.append(spark, dir, Seq(i.toLong).toDF("k"), Seq("k")))
+    Files.delete(Paths.get(dir, Gvt.LogDir, "00000001.json"))
+    Files.delete(Paths.get(dir, Gvt.LogDir, "00000002.json"))
+    // version 3 with doc 2 missing: pre-fix this threw NoSuchFile
+    assert(Gvt.tryPublish(dir,
+      Gvt.GvtCommit(3, "append", Nil, Nil), spark))
+    assert(Gvt.commitAt(dir, 3).ts > 0L)
+  }
+
   test("serialized txns stay whole across a coordinator vacuum") {
     val coord = Staging.tempDir("r14_txnvac_serial")
     val fact = s"$coord/fact"
