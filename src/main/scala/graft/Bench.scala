@@ -49,7 +49,19 @@ object Bench {
       case Some(keys) => SparkEntry.queries.view.filterKeys(keys).toMap
       case None => SparkEntry.queries
     }
+    // Per-key loadavg sampling (r14 verdict #6): the r14 driver run
+    // self-reported contended:false off the START loadavg while its own
+    // fields showed 3.81 → 7.67 across the run — contention that BEGINS
+    // mid-run was invisible to the flag. One getSystemLoadAverage call
+    // per key (~µs) gives the series; the flag keys off its MAX, and
+    // the series itself lands in the full profile (under a "_"-prefixed
+    // meta entry the per-key parsers skip) so any future mislabel is
+    // auditable from the artifact alone.
+    def loadNow = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadSamples = scala.collection.mutable.ArrayBuffer(loadAvgStart)
     val raw = selected.map { case (name, fn) =>
+      loadSamples += loadNow
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // NonFatal only (Verify's pattern): an OOM/StackOverflow must
@@ -105,9 +117,16 @@ object Bench {
         new java.io.File(System.getProperty("java.io.tmpdir"),
           "BENCH_SUBSET_latest.json").getAbsolutePath
       else new java.io.File("BENCH_FULL_latest.json").getAbsolutePath)
-    val full = results.toSeq.sortBy(-_._2).map { case (k, v) =>
-      "\"" + k + "\":[" + fmt(v) + "," + fmt(resultsMax(k)) + "]"
-    }.mkString("{", ",", "}")
+    // the "_loadavg" meta entry leads the profile; round_close.py (and
+    // any per-key consumer) skips "_"-prefixed entries. End-of-run
+    // sample recorded before serializing so the artifact carries the
+    // full series the flag is computed from.
+    val loadAvg = loadNow
+    loadSamples += loadAvg
+    val full = (("\"_loadavg\":" + loadSamples.map(fmt).mkString("[", ",", "]"))
+      +: results.toSeq.sortBy(-_._2).map { case (k, v) =>
+        "\"" + k + "\":[" + fmt(v) + "," + fmt(resultsMax(k)) + "]"
+      }).mkString("{", ",", "}")
     // On write failure, advertise full_profile:null instead of naming a
     // path that now holds stale previous-round data (advisor r6 — a
     // silent failure there would make cross-round diffs compare wrong
@@ -128,9 +147,14 @@ object Bench {
     // so the artifact now carries its own confound marker — a loadavg
     // far above the core count means the totals are noise, not plans.
     // -1.0 where the platform doesn't support it.
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"contended":$contended,"loadavg_start":${fmt(loadAvgStart)},"loadavg":${fmt(loadAvg)},"full_profile":$fullField,"queries":$qs,"sf":${jstr(sfDir)}}""")
+    // the flag is the MAX over the whole run's samples (r15): a run
+    // that STARTS quiet and gets contended mid-way — the r14 mislabel
+    // (3.81 → 7.67, 9× rep swings, contended:false) — now reads true.
+    // The rep bump above still keys off the start sample only: reps
+    // can't be raised retroactively once keys have run.
+    val loadAvgMax = loadSamples.max
+    val contendedRun = contended || loadAvgMax > cpus.toInt / 4.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"contended":$contendedRun,"loadavg_start":${fmt(loadAvgStart)},"loadavg":${fmt(loadAvg)},"loadavg_max":${fmt(loadAvgMax)},"full_profile":$fullField,"queries":$qs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

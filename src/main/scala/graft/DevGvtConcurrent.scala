@@ -99,10 +99,13 @@ object DevGvtConcurrent {
           // r14 auto-absorb would add a racing maintenance commit, so
           // the policy (probed by DevGvtScale `absorb` and Round14Spec)
           // is off here
+          // try/finally (r14 ADVICE): a throwing delete must not leak
+          // the knob into the rest of the harness run and silently
+          // disable auto-absorb for later phases
           spark.conf.set("spark.graft.gvt.dvAbsorbRatio", "2.0")
-          Gvt.deleteWhereDV(spark, table,
+          try Gvt.deleteWhereDV(spark, table,
             col("k") >= 1000L && col("k") < 1500L)
-          spark.conf.unset("spark.graft.gvt.dvAbsorbRatio")
+          finally spark.conf.unset("spark.graft.gvt.dvAbsorbRatio")
           Gvt.compact(spark, table, smallRows = 100000L, targetFiles = 2,
             Seq("k"))
         } else {

@@ -37,6 +37,9 @@ object DevGvtScale {
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("txnlog")) {
       txnlogProbe(); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("autovac")) {
+      autovacProbe(spark); spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("absorb")) {
       absorbProbe(spark); spark.stop(); return
     }
@@ -502,7 +505,9 @@ object DevGvtScale {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       .registerModule(
         com.fasterxml.jackson.module.scala.DefaultScalaModule)
-    val nDocs = 100000
+    // env-tunable (r15 verdict #5): the r14 run proved 10⁵; the r15
+    // BASELINE row runs SPARK_GRAFT_TXNLOG_DOCS=1000000 — one decade up
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_TXNLOG_DOCS", "100000").toInt
     val nTables = 200
     def seed(coord: String, withCkpts: Boolean): Map[String, Int] = {
       val ld = Files.createDirectories(Paths.get(coord, "_gvt_txn"))
@@ -563,6 +568,64 @@ object DevGvtScale {
       GvtTxn.tableVersion(coord, s"$coord/t7").contains(424242),
       "post-vacuum publish broken")
     println("[gvt-scale] TXNLOG PROBE OK")
+  }
+
+  /** r15 claim (verdict #1's "Done" gate): with the AUTO-VACUUM policy
+    * on (`spark.graft.gvt.txnRetain`), a long-lived coordinator never
+    * degrades to the O(all docs) listing cost — 10⁵ REAL publishes
+    * through [[graft.sources.GvtTxn.publish]] itself (not seeded doc
+    * writes: the policy under test lives in the publish path), NO
+    * manual vacuum anywhere, resolution sampled every 10⁴ docs and
+    * required to stay at the post-vacuum shape throughout (each sample
+    * bounded by a constant factor of the first — a span that grows
+    * with age would blow past it by 10-100×, which is exactly how the
+    * r14 manual-vacuum probe measured the unbounded listing at 78–137
+    * ms). Floor must track inside the contract window [head−2R,
+    * head−R], and below-floor reads keep failing loudly. */
+  private def autovacProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.sources.GvtTxn
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_AUTOVAC_DOCS", "100000").toInt
+    val retain = 100
+    val nTables = 8
+    val coord = Staging.tempDir("gvt_autovac")
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    spark.conf.set("spark.graft.gvt.txnRetain", retain.toString)
+    try {
+      val t0 = System.nanoTime()
+      (0 until nDocs).foreach { v =>
+        GvtTxn.publish(coord, Map(s"$coord/t${v % nTables}" -> v))
+        if ((v + 1) % 10000 == 0) {
+          val s0 = System.nanoTime()
+          val p = GvtTxn.pins(coord, v)
+          val ms = (System.nanoTime() - s0) / 1e6
+          samples += ms
+          require(p(s"$coord/t${v % nTables}") == v, s"pins wrong at $v")
+          println(f"[gvt-scale] docs=${v + 1}%7d floor=${GvtTxn
+            .vacuumFloor(coord)}%7d pins(head)=$ms%.2f ms")
+        }
+      }
+      val totalS = (System.nanoTime() - t0) / 1e9
+      val head = nDocs - 1
+      val floor = GvtTxn.vacuumFloor(coord)
+      println(f"[gvt-scale] $nDocs publishes, policy-managed, " +
+        f"$totalS%.1f s total (${totalS * 1e6 / nDocs}%.0f µs/publish)")
+      // floor tracked the contract window the whole way down
+      require(floor >= head - 2 * retain && floor <= head - retain,
+        s"floor $floor outside [${head - 2 * retain}, ${head - retain}]")
+      // resolution stayed FLAT: every sample within 10× of the first
+      // (an unbounded listing grows ~linearly — 10⁵ docs measured
+      // 78–137 ms vs ~1 ms bounded, r14 BASELINE)
+      val bound = math.max(samples.head * 10, 20.0)
+      require(samples.forall(_ <= bound),
+        f"resolution degraded: samples ${samples.map(s => f"$s%.1f")
+          .mkString(", ")} ms, bound $bound%.1f ms")
+      // below-floor time travel still fails loudly
+      val e = try { GvtTxn.pins(coord, floor - 1); null }
+        catch { case ex: IllegalArgumentException => ex }
+      require(e != null && e.getMessage.contains("vacuumed"),
+        "below-floor read must fail loudly")
+      println("[gvt-scale] AUTOVAC PROBE OK")
+    } finally spark.conf.unset("spark.graft.gvt.txnRetain")
   }
 
   /** r14 claim: the DV auto-absorb policy bounds the MoR read tax

@@ -309,9 +309,28 @@ object Gvt {
       schema: GvtSchemaState = null, dataSchema: String = null)
 
   val LogDir = "_gvt_log"
-  /** Checkpoint cadence: snapshot resolution reads ≤ this many commit
-    * docs plus one checkpoint, regardless of table age. */
+  /** DEFAULT checkpoint cadence: snapshot resolution reads ≤ this many
+    * commit docs plus one checkpoint, regardless of table age.
+    * Tunable per session via `spark.graft.gvt.checkpointEvery` (r15 —
+    * the poll knob got a dial in r14 while both cadences stayed
+    * hard-coded; an object-store table wants all three tunable):
+    * resolution anchors at the NEWEST checkpoint ≤ v, never assuming a
+    * regular cadence, so changing the knob mid-table-life is safe. */
   val CheckpointEvery = 10
+
+  /** Cadence knob, parsed at [[tryPublish]] entry — BEFORE the commit
+    * link, so a malformed value fails the write upfront rather than
+    * between the commit and its checkpoint (r14 lesson). Call sites
+    * without a session (metadata-only publishes) fall back to the
+    * thread's active/default session, then the default. */
+  private def checkpointEvery(spark: SparkSession): Int = {
+    val v = Option(spark).orElse(SparkSession.getActiveSession)
+      .orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption("spark.graft.gvt.checkpointEvery"))
+      .map(_.toInt).getOrElse(CheckpointEvery)
+    require(v >= 1, s"spark.graft.gvt.checkpointEvery must be >= 1, got $v")
+    v
+  }
 
   private lazy val mapper: ObjectMapper =
     new ObjectMapper().registerModule(DefaultScalaModule)
@@ -1189,6 +1208,7 @@ object Gvt {
     * commit injected mid-operation). */
   private[graft] def tryPublish(dir: String, commit: GvtCommit,
       spark: SparkSession = null): Boolean = {
+    val ckptEvery = checkpointEvery(spark)
     val ld = logDirOf(dir)
     Files.createDirectories(ld)
     // stamp the publish timestamp, strictly above the predecessor's (the
@@ -1214,9 +1234,17 @@ object Gvt {
       try { Files.createLink(commitPath(dir, commit.version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
     Files.delete(tmp)
-    if (won && commit.version > 0 && commit.version % CheckpointEvery == 0) {
+    if (won && commit.version > 0 && commit.version % ckptEvery == 0) try {
+      GvtMaintenance.tableCkptFailpoint()
       // checkpoints AFTER the commit is visible; a lost race or failure
-      // here only costs replay length, never correctness.
+      // here only costs replay length, never correctness — so the WHOLE
+      // block is best-effort (r15: previously only the parquet twin
+      // was, and a JSON-checkpoint IO failure would make an
+      // already-committed write look failed to its caller — the same
+      // committed-op-reported-as-failure shape as the r14 advisor's
+      // absorb finding). A swallow is counted and warned
+      // ([[GvtMaintenance.tableCkptSwallowed]]): a persistently failing
+      // writer degrades resolution to O(log) and must be visible.
       // `parquetOnlyCheckpoints` is the >10⁵-file regime: skip the JSON
       // checkpoint (whose write materializes the full list on the
       // driver) and keep only the parquet twin, whose state is computed
@@ -1258,10 +1286,11 @@ object Gvt {
         catch { case _: FileAlreadyExistsException => () }
         Files.delete(ctmp)
       }
-      if (spark != null) {
-        try checkpointParquet(spark, dir, commit.version)
-        catch { case scala.util.control.NonFatal(_) => () } // best-effort
-      }
+      if (spark != null) checkpointParquet(spark, dir, commit.version)
+    } catch {
+      case scala.util.control.NonFatal(e) => GvtMaintenance.swallow(
+        GvtMaintenance.tableCkptSwallowed,
+        s"table checkpoint@${commit.version} ($dir)", e)
     }
     won
   }
@@ -1785,8 +1814,18 @@ object Gvt {
         if (state.statsList.nonEmpty) state.statsList
         else adds.flatMap(f => f.min.keys ++ f.max.keys).distinct
           .flatMap(state.logicalOf)
-      try absorbDeletes(spark, dir, absorbRatio, statsL)
-      catch { case _: java.util.ConcurrentModificationException => () }
+      // NonFatal, not just CME (r14 ADVICE): the delete at `v` is
+      // ALREADY committed — any maintenance failure past this point
+      // (IO error, analysis error, lost race) must not make a
+      // committed delete look like a failed one. Counted + warned
+      // like every best-effort swallow; the policy re-fires on the
+      // next threshold crossing.
+      try { GvtMaintenance.absorbFailpoint()
+            absorbDeletes(spark, dir, absorbRatio, statsL); () }
+      catch {
+        case scala.util.control.NonFatal(e) => GvtMaintenance.swallow(
+          GvtMaintenance.absorbSwallowed, s"dv auto-absorb@$v ($dir)", e)
+      }
     }
     v
   }

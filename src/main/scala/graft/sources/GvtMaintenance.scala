@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Observability + fault-injection seams for the GVT best-effort
+  * maintenance paths (r15, closing the r14 verdict's "silent swallow"
+  * finding): checkpoint writes, the DV auto-absorb trigger, and the
+  * coordinator auto-vacuum are all post-commit maintenance whose
+  * failure must never fail the already-committed operation — but a
+  * PERSISTENTLY failing writer degrades resolution to O(log) (or lets
+  * MoR debt grow unboundedly) with zero signal if the swallow is
+  * silent. Every swallow now (a) bumps its counter here and (b) emits
+  * one slf4j WARN carrying the cause, so an operator watching logs or
+  * a harness asserting on counters sees the degradation the moment it
+  * starts.
+  *
+  * The `failpoint` hooks are the injection seams the regression specs
+  * use to prove the swallow contract (commit survives, counter bumps,
+  * cadence resumes once the fault clears). They are no-op closures in
+  * production — one megamorphic call per checkpoint boundary, nothing
+  * per row — the standard failpoint pattern native stores use for
+  * exactly this class of "best-effort after the commit point" test.
+  */
+private[graft] object GvtMaintenance {
+
+  /** Swallowed table-log checkpoint failures ([[Gvt.tryPublish]]). */
+  val tableCkptSwallowed = new AtomicLong(0)
+
+  /** Swallowed coordinator-log checkpoint failures
+    * ([[GvtTxn.maybeCheckpoint]]). */
+  val txnCkptSwallowed = new AtomicLong(0)
+
+  /** Swallowed coordinator auto-vacuum failures
+    * ([[GvtTxn.maybeAutoVacuum]]). */
+  val autoVacuumSwallowed = new AtomicLong(0)
+
+  /** Swallowed DV auto-absorb failures ([[Gvt.deleteWhereDV]]'s
+    * post-commit trigger). */
+  val absorbSwallowed = new AtomicLong(0)
+
+  /** Fault-injection seams — throw from these in a spec to simulate an
+    * IO failure at the corresponding maintenance point. Always reset
+    * in a finally. */
+  @volatile var tableCkptFailpoint: () => Unit = () => ()
+  @volatile var txnCkptFailpoint: () => Unit = () => ()
+  @volatile var absorbFailpoint: () => Unit = () => ()
+
+  def resetFailpoints(): Unit = {
+    tableCkptFailpoint = () => ()
+    txnCkptFailpoint = () => ()
+    absorbFailpoint = () => ()
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.gvt")
+
+  /** The one swallow implementation: count + WARN, never rethrow. */
+  def swallow(counter: AtomicLong, what: String, e: Throwable): Unit = {
+    counter.incrementAndGet()
+    log.warn(s"GVT best-effort $what failed (commit unaffected; " +
+      s"resolution/maintenance degrades until it succeeds): $e")
+  }
+}

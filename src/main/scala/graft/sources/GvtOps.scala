@@ -1125,6 +1125,52 @@ object GvtOps {
     f.unionByName(s).orderBy("side", "o_orderstatus")
   }
 
+  /** COORDINATOR-LOG VACUUM, driver-verified (r15 — the table log's
+    * vacuum has been oracle-checked since `sink_gvt_vacuum`; this
+    * closes the txn log's gap, and through the AUTO-VACUUM policy
+    * rather than a manual call, so the policy itself is what the
+    * driver verifies): 14 cross-table transactions land orders slices
+    * (keys ≡i mod 14) with `spark.graft.gvt.txnRetain = 4` set — the
+    * publish path itself must vacuum as the retained span crosses 2R
+    * (fires at doc 8 → floor 4, doc 12 → floor 8), with NO manual
+    * vacuum anywhere. The read-back aggregates the head view AND the
+    * pinned view at txn 9 = head−retain, the oldest version the policy
+    * contract guarantees retained — resolving 9 anchors on the
+    * vacuum-created checkpoint at the floor, so a leaked pre-floor
+    * doc, a lost pin, a broken anchor checkpoint, or a policy that
+    * reaped too far all split the hash (or fail the fixture's own
+    * floor assertions loudly). */
+  private def txnVacuumGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_txnvac", dir) { tmp =>
+      val fact = s"$tmp/fact"
+      val orders = graft.Tables(spark, dir, "orders")
+      spark.conf.set("spark.graft.gvt.txnRetain", "4")
+      try (0 until 14).foreach { i =>
+        GvtTxn.commit(spark, tmp, Seq(
+          (fact, orders.filter(col("o_orderkey") % 14 === i),
+            Seq("o_orderkey"))))
+      } finally spark.conf.unset("spark.graft.gvt.txnRetain")
+      val floor = GvtTxn.vacuumFloor(tmp)
+      // the policy FIRED (floor advanced off 0) and never reaped into
+      // the contractual window [head−retain, head]
+      require(floor > 0 && floor <= 9,
+        s"txn auto-vacuum policy broken: floor $floor not in (0, 9]")
+    }
+
+  def gvtTxnVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = txnVacuumGvt(spark, dir)
+    def agg(df: DataFrame, side: String) = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .select(lit(side).as("side"), col("o_orderstatus"),
+        col("n_orders"), col("total_price"))
+    agg(GvtTxn.read(spark, tmp, s"$tmp/fact"), "head")
+      .unionByName(
+        agg(GvtTxn.read(spark, tmp, s"$tmp/fact", Some(9)), "retained"))
+      .orderBy("side", "o_orderstatus")
+  }
+
   /** DV ABSORPTION: the same two-vector history, then
     * [[Gvt.absorbDeletes]] rewrites every file carrying vectors (live
     * rows only) and drops the vectors — the maintenance op that bounds
@@ -1389,6 +1435,7 @@ object GvtOps {
     "scan_gvt_dsv2_dvf" -> gvtDsv2DvFetch,
     "etl_gvt_txn_serial" -> gvtTxnSerial,
     "etl_gvt_txn_serial_ops" -> gvtTxnSerialOps,
+    "sink_gvt_txn_vacuum" -> gvtTxnVacuum,
     "scan_gvt_dsv2_colmap" -> gvtDsv2ColMap,
     "scan_gvt_prune_ts" -> gvtPruneTs,
     "sink_gvt_dsv2" -> gvtSqlSink,
@@ -1725,6 +1772,19 @@ object GvtOps {
         "AS total_price FROM orders GROUP BY 1) " +
         "SELECT 'fact_agg' AS side, * FROM f " +
         "UNION ALL SELECT 'summary', * FROM s WHERE o_orderstatus <> 'P' " +
+        "ORDER BY side, o_orderstatus"),
+    // head view = all 14 slices; retained view at txn 9 = slices 0..9
+    // (the oldest version the auto-vacuum policy guarantees kept) —
+    // both restated directly from orders
+    "sink_gvt_txn_vacuum" ->
+      ("WITH h AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "GROUP BY 1), " +
+        "r AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE o_orderkey % 14 <= 9 GROUP BY 1) " +
+        "SELECT 'head' AS side, * FROM h " +
+        "UNION ALL SELECT 'retained', * FROM r " +
         "ORDER BY side, o_orderstatus"),
     // connector mapped read ≡ library mapped read, both eras
     "scan_gvt_dsv2_colmap" ->

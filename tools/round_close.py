@@ -83,6 +83,9 @@ if bench_path:
     full = os.environ.get("SPARK_GRAFT_BENCH_FULL") or b.get("full_profile")
     if full and os.path.exists(full):
         times = json.load(open(full))
-        vals = [v[0] if isinstance(v, list) else v for v in times.values()]
+        # "_"-prefixed entries are run metadata (r15: "_loadavg" carries
+        # the per-key loadavg sample series), not per-key timings
+        vals = [v[0] if isinstance(v, list) else v
+                for k, v in times.items() if not k.startswith("_")]
         out["bench_median_sec"] = round(statistics.median(vals), 3)
 print(json.dumps(out, sort_keys=True))
