@@ -380,6 +380,70 @@ object DevGvtConcurrent {
         println(s"[gvt-concurrent] TXNS CHECK OK: ${head + 1} docs, " +
           "every overlapping serialized txn whole at EVERY doc")
 
+      // ---- auto-vacuum racing serialized writers (r15): both JVMs ----
+      // run commitSerialized with spark.graft.gvt.txnRetain=2, so the
+      // publish path's policy vacuums WHILE the peer's stale-walk,
+      // pins folds, and CAS-loop doc reads are in flight — the races
+      // the r15 NSFE guards (pinRaisedIn fallback, vacuumed-winner
+      // abort, vacuumed-base retry, deleteIfExists reaps) exist for.
+      case "txnv" =>
+        val writer = args(2).toInt
+        val n = args(3).toInt
+        val fact = s"$table/fact"
+        val sum = s"$table/summary"
+        spark.conf.set("spark.graft.gvt.txnRetain", "2")
+        try (0 until n).foreach { i =>
+          val tag = writer * 1000 + i
+          def factDf = spark.range(tag * 10L, tag * 10L + 10L).toDF("k")
+            .withColumn("tag", lit(tag))
+          def sumDf = spark.range(tag.toLong, tag + 1L).toDF("tag")
+            .select(col("tag").cast("int").as("tag"))
+          graft.sources.GvtTxn.commitSerialized(spark, table,
+            Seq(fact, sum),
+            _ => Seq((fact, factDf, Seq("k")), (sum, sumDf, Seq("tag"))),
+            staleMs = 3000L, maxRetries = 40)
+        } finally spark.conf.unset("spark.graft.gvt.txnRetain")
+        println(s"[gvt-concurrent] txnv writer $writer done " +
+          s"($n serialized under txnRetain=2)")
+      case "checktxnv" =>
+        val nWriters = args(2).toInt
+        val n = args(3).toInt
+        val fact = s"$table/fact"
+        val sum = s"$table/summary"
+        val floor = graft.sources.GvtTxn.vacuumFloor(table)
+        val head = graft.sources.GvtTxn.latestVersion(table)
+        assert(floor > 0, "auto-vacuum never fired across JVMs")
+        assert(floor <= head - 2, s"floor $floor reaped into the " +
+          s"retain window (head $head)")
+        // every RETAINED doc resolves to a whole transaction
+        (floor to head).foreach { v =>
+          val doc = graft.sources.GvtTxn.pins(table, v)
+          assert(doc.contains(fact) && doc.contains(sum),
+            s"one-sided pin at doc $v: $doc")
+          val f = Gvt.read(spark, fact, doc.get(fact))
+          val s = Gvt.read(spark, sum, doc.get(sum))
+          val fTags = f.select("tag").distinct().collect()
+            .map(_.getInt(0)).toSet
+          val sTags = s.collect().map(_.getInt(0)).toSet
+          assert(fTags == sTags,
+            s"HALF-EXPOSED txn at doc $v: fact=$fTags summary=$sTags")
+        }
+        // below-floor resolution fails loudly, never silently-empty
+        val loud = try { graft.sources.GvtTxn.pins(table, floor - 1); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("vacuumed") }
+        assert(loud, s"below-floor read at ${floor - 1} must fail loudly")
+        // convergence: vacuum lost NOTHING — every writer's every txn
+        // whole at the head
+        val tags = graft.sources.GvtTxn.read(spark, table, sum)
+          .collect().map(_.getInt(0)).toSet
+        val want = (0 until nWriters)
+          .flatMap(w => (0 until n).map(w * 1000 + _)).toSet
+        assert(tags == want, s"missing txns at head: ${want -- tags}")
+        println(s"[gvt-concurrent] TXNV CHECK OK: floor $floor, head " +
+          s"$head, every retained doc whole, below-floor loud, " +
+          "no txn lost to the policy")
+
       // ---- cross-table WAP racing a parent writer: one JVM stages the ----
       // audited drop on branches of BOTH tables and publishes them +
       // one txn doc (GvtTxn.publishBranches); the other JVM keeps

@@ -122,3 +122,19 @@ wait $S0; wait $S1
 java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checktxns "$TABLE7" 2 3
 rm -rf "$(dirname "$TABLE7")"
 echo "[smoke] txns PASS"
+
+# Auto-vacuum racing serialized writers (r15): both JVMs run
+# commitSerialized with the txnRetain policy ON, so coordinator
+# vacuums fire concurrently with the peer's stale-walk, pins folds,
+# and CAS doc reads. The check demands every RETAINED doc whole, a
+# LOUD below-floor failure, and zero transactions lost to the policy.
+TABLE8="$(mktemp -d /dev/shm/gvt_xjvm.XXXXXX)/txnv"
+echo "[smoke] txnv base: $TABLE8"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent txnv "$TABLE8" 0 5 &
+V0=$!
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent txnv "$TABLE8" 1 5 &
+V1=$!
+wait $V0; wait $V1
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checktxnv "$TABLE8" 2 5
+rm -rf "$(dirname "$TABLE8")"
+echo "[smoke] txnv PASS"
