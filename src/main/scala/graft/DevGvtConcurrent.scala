@@ -108,6 +108,10 @@ object DevGvtConcurrent {
           finally spark.conf.unset("spark.graft.gvt.dvAbsorbRatio")
           Gvt.compact(spark, table, smallRows = 100000L, targetFiles = 2,
             Seq("k"))
+          // r15: BOTH writers vacuum, so two vacuums race each other's
+          // doc/marker/anchor deletes cross-JVM (the deleteIfExists
+          // walk), on top of the existing vacuum-vs-RMW races
+          Gvt.vacuum(table, Gvt.latestVersion(table))
         } else {
           Gvt.merge(spark, table,
             spark.range(500L, 1000L).toDF("k").withColumn("v", lit(-2L)),

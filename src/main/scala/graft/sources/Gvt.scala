@@ -2060,27 +2060,40 @@ object Gvt {
     Files.delete(mtmp)
     // (3) physical deletes: unreferenced data files, then empty commit
     // dirs, then pre-floor log docs (keep the retainFrom checkpoint)
+    // the physical walk tolerates a CONCURRENT vacuum reaping the same
+    // entries (r15, the txn-log deleteIfExists fix applied symmetrically
+    // — two operators' maintenance crons racing the same table must
+    // both complete, not abort half-done on a spurious NSFE): age
+    // checks treat a vanished file as not-ours-to-reap, every unlink is
+    // deleteIfExists, and an empty-subdir sweep losing its race just
+    // leaves the dir for the peer (or the next run)
     var dataDeleted = 0
     val dataDir = Paths.get(dir, "data")
     val graceFloor = System.currentTimeMillis() - graceMs
     def aged(p: java.nio.file.Path): Boolean =
-      Files.getLastModifiedTime(p).toMillis < graceFloor
+      try Files.getLastModifiedTime(p).toMillis < graceFloor
+      catch { case _: java.nio.file.NoSuchFileException => false }
     if (Files.isDirectory(dataDir)) {
       val subs = Files.list(dataDir)
       try subs.iterator().asScala().filter(Files.isDirectory(_)).foreach { sub =>
         val subRel = s"data/${sub.getFileName}"
         val liveDvDir = referencedDvDirs.contains(subRel)
-        val fs = Files.list(sub)
-        try fs.iterator().asScala().foreach { f =>
-          val rel = s"$subRel/${f.getFileName}"
-          val isData = f.getFileName.toString.endsWith(".parquet")
-          if (isData && !liveDvDir && !referenced.contains(rel) && aged(f)) {
-            Files.delete(f); dataDeleted += 1
-          } else if (!isData && aged(f)) Files.delete(f) // _SUCCESS etc.
-        } finally fs.close()
-        val left = Files.list(sub)
-        val empty = try !left.iterator().hasNext finally left.close()
-        if (empty) Files.delete(sub)
+        try {
+          val fs = Files.list(sub)
+          try fs.iterator().asScala().foreach { f =>
+            val rel = s"$subRel/${f.getFileName}"
+            val isData = f.getFileName.toString.endsWith(".parquet")
+            if (isData && !liveDvDir && !referenced.contains(rel) && aged(f)) {
+              if (Files.deleteIfExists(f)) dataDeleted += 1
+            } else if (!isData && aged(f)) Files.deleteIfExists(f) // _SUCCESS etc.
+          } finally fs.close()
+          val left = Files.list(sub)
+          val empty = try !left.iterator().hasNext finally left.close()
+          if (empty) Files.deleteIfExists(sub)
+        } catch {
+          case _: java.nio.file.NoSuchFileException => () // peer reaped sub
+          case _: java.nio.file.DirectoryNotEmptyException => () // lost sweep race
+        }
       } finally subs.close()
     }
     var docsDeleted = 0
@@ -2088,16 +2101,19 @@ object Gvt {
     try docs.iterator().asScala().foreach { p =>
       p.getFileName.toString match {
         case CommitName(v) if v < retainFrom =>
-          Files.delete(p); docsDeleted += 1
+          if (Files.deleteIfExists(p)) docsDeleted += 1
         case CkptName(v) if v < retainFrom =>
-          Files.delete(p); docsDeleted += 1
+          if (Files.deleteIfExists(p)) docsDeleted += 1
         case PqCkptName(v) if v < retainFrom =>
-          deleteRecursively(p); docsDeleted += 1 // parquet twin directory
+          // parquet twin directory; a peer may be reaping it too
+          try { deleteRecursively(p); docsDeleted += 1 }
+          catch { case _: java.nio.file.NoSuchFileException => () }
         case n if n.startsWith(".tmp-pqckpt-") && aged(p) =>
           // a crash between writing the twin and its atomic move leaks
           // the tmp dir; no name pattern above ever matches it, so the
           // vacuum walk reaps aged ones here (grace keeps live writers)
-          deleteRecursively(p); docsDeleted += 1
+          try { deleteRecursively(p); docsDeleted += 1 }
+          catch { case _: java.nio.file.NoSuchFileException => () }
         case _ => ()
       }
     } finally docs.close()

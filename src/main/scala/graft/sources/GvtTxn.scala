@@ -321,7 +321,14 @@ object GvtTxn {
     * coordinator history cannot break retry-safety; only each table's
     * own vacuum can (and that contract is documented there). Run with
     * `retainFrom` safely behind any in-flight reader's anchor — the
-    * same grace discipline as the table vacuum. */
+    * same grace discipline as the table vacuum.
+    *
+    * A checkpointer paused across this vacuum can re-link a BELOW-floor
+    * checkpoint afterwards (its fold ran pre-vacuum). That file is
+    * inert, not a hazard: [[foldPins]] rejects `v < floor` before any
+    * anchor is read, every `v >= floor` read prefers the newer
+    * floor-anchor this vacuum guaranteed, and the next vacuum reaps
+    * it with everything else below its floor. */
   def vacuum(txnDir: String, retainFrom: Int): Int = {
     val head = latestVersion(txnDir)
     require(retainFrom >= 0 && retainFrom <= head,

@@ -231,6 +231,43 @@ class Round15Spec extends GraftSuite {
     assert(Gvt.read(spark, t).count() == 25)
   }
 
+  test("two concurrent table vacuums both complete; retained state exact") {
+    // two operators' maintenance crons on one table: the physical walk
+    // must tolerate the peer reaping the same entries (deleteIfExists,
+    // vanished-file age checks), not abort half-done on NSFE. Threads
+    // share the JVM but the races are filesystem-level — the cross-JVM
+    // rmw smoke phase races the same pair across processes.
+    val t = Staging.tempDir("r15_vacrace")
+    (0 until 12).foreach { i =>
+      Gvt.append(spark, t,
+        spark.range(i * 10L, (i + 1) * 10L).toDF("k").repartition(1),
+        Seq("k"))
+    }
+    val v = Gvt.compact(spark, t, smallRows = Long.MaxValue,
+      targetFiles = 2, statsCols = Seq("k"))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 2).foreach { _ =>
+      pool.execute(() => {
+        gate.await()
+        try { Gvt.vacuum(t, v, graceMs = 0L); () }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"racing vacuums threw: ${errs.peek()}")
+    assert(Gvt.vacuumFloor(t) == v)
+    assert(Gvt.read(spark, t).count() == 120)
+    intercept[IllegalArgumentException](Gvt.read(spark, t, Some(v - 1)))
+    // the log keeps working
+    Gvt.append(spark, t, spark.range(1000, 1010).toDF("k"), Seq("k"))
+    assert(Gvt.read(spark, t).count() == 130)
+  }
+
   test("stale-wait doc walk survives a vacuum reaping the walked range") {
     val coord = Staging.tempDir("r15_walkvac")
     (0 until 13).foreach(i => GvtTxn.publish(coord, Map(s"$coord/t" -> i)))
