@@ -53,13 +53,37 @@ object Bench {
     // self-reported contended:false off the START loadavg while its own
     // fields showed 3.81 → 7.67 across the run — contention that BEGINS
     // mid-run was invisible to the flag. One getSystemLoadAverage call
-    // per key (~µs) gives the series; the flag keys off its MAX, and
-    // the series itself lands in the full profile (under a "_"-prefixed
-    // meta entry the per-key parsers skip) so any future mislabel is
-    // auditable from the artifact alone.
+    // per key (~µs) gives the series for the artifact; but loadavg
+    // alone CANNOT be the mid-run flag: the bench's own local[N] work
+    // drives loadavg to several on a perfectly quiet box (measured
+    // 4.65 max on an idle one — a loadavg-max flag false-positives on
+    // every real run). The flag's mid-run signal is therefore the
+    // EXTERNAL CPU share: Δ(/proc/stat busy) − Δ(own process CPU) over
+    // the run, as a fraction of total capacity — self-load subtracts
+    // itself out exactly, foreign spinners/writers do not.
     def loadNow = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadSamples = scala.collection.mutable.ArrayBuffer(loadAvgStart)
+    val nCores = Runtime.getRuntime.availableProcessors()
+    // (total busy jiffies across all cpus, own process cpu ns); -1 when
+    // /proc or the com.sun bean is unavailable (non-Linux fallback:
+    // the flag keys off the start loadavg alone, as before r15)
+    def cpuStats(): (Long, Long) =
+      try {
+        val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal — busy is
+        // everything except idle(3) and iowait(4)
+        val busy = cols.zipWithIndex
+          .collect { case (v, i) if i != 3 && i != 4 => v }.sum
+        val self = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+          .getProcessCpuTime
+        (busy, self)
+      } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+    val (busy0, self0) = cpuStats()
+    val wall0 = System.nanoTime()
     val raw = selected.map { case (name, fn) =>
       loadSamples += loadNow
       val times = (1 to reps).flatMap { _ =>
@@ -117,14 +141,25 @@ object Bench {
         new java.io.File(System.getProperty("java.io.tmpdir"),
           "BENCH_SUBSET_latest.json").getAbsolutePath
       else new java.io.File("BENCH_FULL_latest.json").getAbsolutePath)
-    // the "_loadavg" meta entry leads the profile; round_close.py (and
-    // any per-key consumer) skips "_"-prefixed entries. End-of-run
-    // sample recorded before serializing so the artifact carries the
-    // full series the flag is computed from.
+    // "_"-prefixed meta entries lead the profile (round_close.py and
+    // any per-key consumer skip them): the loadavg sample series and
+    // the external-CPU share, both recorded end-of-run BEFORE
+    // serializing so the artifact carries exactly what the flag saw.
     val loadAvg = loadNow
     loadSamples += loadAvg
-    val full = (("\"_loadavg\":" + loadSamples.map(fmt).mkString("[", ",", "]"))
-      +: results.toSeq.sortBy(-_._2).map { case (k, v) =>
+    val (busy1, self1) = cpuStats()
+    val externalUtil =
+      if (busy0 < 0 || busy1 < 0) -1.0
+      else {
+        val wallSec = (System.nanoTime() - wall0) / 1e9
+        // /proc/stat jiffies are USER_HZ = 100/s on linux
+        val extSec = (busy1 - busy0) / 100.0 - (self1 - self0) / 1e9
+        math.max(0.0, extSec / (wallSec * nCores))
+      }
+    val full = (Seq(
+      "\"_loadavg\":" + loadSamples.map(fmt).mkString("[", ",", "]"),
+      "\"_external_util\":" + fmt(externalUtil))
+      ++ results.toSeq.sortBy(-_._2).map { case (k, v) =>
         "\"" + k + "\":[" + fmt(v) + "," + fmt(resultsMax(k)) + "]"
       }).mkString("{", ",", "}")
     // On write failure, advertise full_profile:null instead of naming a
@@ -147,14 +182,19 @@ object Bench {
     // so the artifact now carries its own confound marker — a loadavg
     // far above the core count means the totals are noise, not plans.
     // -1.0 where the platform doesn't support it.
-    // the flag is the MAX over the whole run's samples (r15): a run
-    // that STARTS quiet and gets contended mid-way — the r14 mislabel
-    // (3.81 → 7.67, 9× rep swings, contended:false) — now reads true.
-    // The rep bump above still keys off the start sample only: reps
-    // can't be raised retroactively once keys have run.
+    // the mid-run flag (r15): external CPU share over the run — total
+    // busy minus our own process, over capacity. Self-load cancels
+    // exactly, so a quiet run reads ~0 even while the bench saturates
+    // the box, and the r14 mislabel (foreign load starting mid-run,
+    // contended:false off the start sample) reads true. 12.5% of the
+    // box (4 cores here) is the threshold — writeback kworkers measure
+    // ~1%, one foreign builder measures well above. The rep bump above
+    // still keys off the start sample only: reps can't be raised
+    // retroactively once keys have run. loadavg series stays in the
+    // artifact for cross-checking, but never decides the flag.
     val loadAvgMax = loadSamples.max
-    val contendedRun = contended || loadAvgMax > cpus.toInt / 4.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"contended":$contendedRun,"loadavg_start":${fmt(loadAvgStart)},"loadavg":${fmt(loadAvg)},"loadavg_max":${fmt(loadAvgMax)},"full_profile":$fullField,"queries":$qs,"sf":${jstr(sfDir)}}""")
+    val contendedRun = contended || externalUtil > 0.125
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_max":${fmt(totalMax)},"n_queries":${results.size},"errors":${errorKeys.size},"error_keys":$errsJson,"reps":$reps,"contended":$contendedRun,"external_util":${fmt(externalUtil)},"loadavg_start":${fmt(loadAvgStart)},"loadavg":${fmt(loadAvg)},"loadavg_max":${fmt(loadAvgMax)},"full_profile":$fullField,"queries":$qs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
