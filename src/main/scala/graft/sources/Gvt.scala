@@ -332,6 +332,64 @@ object Gvt {
     v
   }
 
+  private def sessionConf(spark: SparkSession, key: String): Option[String] =
+    Option(spark).orElse(SparkSession.getActiveSession)
+      .orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(key))
+
+  /** TABLE-log AUTO-VACUUM policy knob (r15 — the coordinator log got
+    * its policy this round; this is the same "no operator memory"
+    * closure one rung down, where the reaped bytes are DATA files, so
+    * the default is emphatically OFF): `spark.graft.gvt.tableRetain` =
+    * R versions of time travel to retain behind the head. When set,
+    * every R-th committed version probes the floor (one extra listing
+    * per R commits, zero extra IO otherwise) and vacuums to head−R —
+    * the floor advances in R-sized steps, retained span in [R, 2R).
+    * SIZE R ABOVE every consumer of history: in-flight readers,
+    * coordinator pins ([[GvtTxn]] resolves table versions its docs
+    * pin — a pin older than R table versions dies with the history),
+    * CDC/diff windows, and the [[appendTxn]] idempotence horizon.
+    * Physical data deletes keep the vacuum grace
+    * (`spark.graft.gvt.vacuumGraceMs`, default 600 s) so files a
+    * racing reader's plan still references age out instead of
+    * vanishing mid-query — the manual vacuum's exact discipline. */
+  private def tableRetain(spark: SparkSession): Option[Int] =
+    sessionConf(spark, "spark.graft.gvt.tableRetain").map { s =>
+      val r = s.toInt
+      require(r >= 1, s"spark.graft.gvt.tableRetain must be >= 1, got $r")
+      r
+    }
+
+  private def vacuumGraceMs(spark: SparkSession): Long = {
+    val v = sessionConf(spark, "spark.graft.gvt.vacuumGraceMs")
+      .map(_.toLong).getOrElse(600000L)
+    require(v >= 0, s"spark.graft.gvt.vacuumGraceMs must be >= 0, got $v")
+    v
+  }
+
+  /** The policy trigger, run from [[tryPublish]] after a won link.
+    * Gated to ORGANIC data commits: transactional commits (txn != null
+    * — the serialized regime's contiguity proof owns the version
+    * sequence) and `restore` (an operator recovering history is the
+    * worst moment to reap it) never trigger; branch dirs never trigger
+    * (their data pool is the parent's — vacuum refuses symlinked
+    * pools by contract). Best-effort after the commit, counted and
+    * warned on swallow like every maintenance path. */
+  private def maybeAutoVacuumTable(dir: String, commit: GvtCommit,
+      retain: Option[Int], graceMs: Long): Unit =
+    retain.foreach { r =>
+      val v = commit.version
+      if (commit.txn == null && commit.op != "restore" &&
+          v % r == 0 && v - r > 0 &&
+          !Files.isSymbolicLink(Paths.get(dir, "data")))
+        try { if (v - r > vacuumFloor(dir)) { vacuum(dir, v - r, graceMs); () } }
+        catch {
+          case scala.util.control.NonFatal(e) => GvtMaintenance.swallow(
+            GvtMaintenance.tableVacuumSwallowed,
+            s"table auto-vacuum(${v - r}) ($dir)", e)
+        }
+    }
+
   private lazy val mapper: ObjectMapper =
     new ObjectMapper().registerModule(DefaultScalaModule)
 
@@ -1208,7 +1266,11 @@ object Gvt {
     * commit injected mid-operation). */
   private[graft] def tryPublish(dir: String, commit: GvtCommit,
       spark: SparkSession = null): Boolean = {
+    // every maintenance knob parses BEFORE the commit link (r14
+    // lesson): a malformed value fails the write upfront
     val ckptEvery = checkpointEvery(spark)
+    val retain = tableRetain(spark)
+    val graceMs = vacuumGraceMs(spark)
     val ld = logDirOf(dir)
     Files.createDirectories(ld)
     // stamp the publish timestamp, strictly above the predecessor's (the
@@ -1292,6 +1354,7 @@ object Gvt {
         GvtMaintenance.tableCkptSwallowed,
         s"table checkpoint@${commit.version} ($dir)", e)
     }
+    if (won) maybeAutoVacuumTable(dir, commit, retain, graceMs)
     won
   }
 

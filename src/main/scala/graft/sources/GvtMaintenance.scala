@@ -34,6 +34,10 @@ private[graft] object GvtMaintenance {
     * ([[GvtTxn.maybeAutoVacuum]]). */
   val autoVacuumSwallowed = new AtomicLong(0)
 
+  /** Swallowed TABLE-log auto-vacuum failures
+    * ([[Gvt.maybeAutoVacuumTable]]). */
+  val tableVacuumSwallowed = new AtomicLong(0)
+
   /** Swallowed DV auto-absorb failures ([[Gvt.deleteWhereDV]]'s
     * post-commit trigger). */
   val absorbSwallowed = new AtomicLong(0)

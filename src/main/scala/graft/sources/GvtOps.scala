@@ -1157,6 +1157,50 @@ object GvtOps {
         s"txn auto-vacuum policy broken: floor $floor not in (0, 9]")
     }
 
+  /** TABLE-log AUTO-VACUUM policy, driver-verified (r15 — the
+    * coordinator's policy key is [[gvtTxnVacuum]]; this is the same
+    * closure one rung down, on the log whose reaped bytes are data):
+    * 12 single-file appends (keys ≡i mod 12) with
+    * `spark.graft.gvt.tableRetain = 4` — the COMMIT PATH itself must
+    * vacuum as versions cross the policy cadence (the v=8 commit
+    * vacuums to 4; v=4 is skipped because retainFrom must be > 0),
+    * with no manual vacuum anywhere. Read-back aggregates the head AND
+    * the pinned view at version 7 = head−retain, the oldest version
+    * the contract guarantees retained — it resolves through the
+    * vacuum-created floor anchor. The fixture requires the floor
+    * landed exactly where the policy puts it; the oracle restates both
+    * sides from orders. */
+  private def vacuumAutoGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_vacauto", dir) { tmp =>
+      val orders = graft.Tables(spark, dir, "orders")
+      val stats = Seq("o_orderkey")
+      spark.conf.set("spark.graft.gvt.tableRetain", "4")
+      spark.conf.set("spark.graft.gvt.vacuumGraceMs", "0")
+      try (0 until 12).foreach { i =>
+        Gvt.append(spark, tmp,
+          orders.filter(col("o_orderkey") % 12 === i).repartition(1), stats)
+      } finally {
+        spark.conf.unset("spark.graft.gvt.tableRetain")
+        spark.conf.unset("spark.graft.gvt.vacuumGraceMs")
+      }
+      val floor = Gvt.vacuumFloor(tmp)
+      require(floor == 4,
+        s"table auto-vacuum policy broken: floor $floor != 4")
+    }
+
+  def gvtVacuumAuto(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = vacuumAutoGvt(spark, dir)
+    def agg(df: DataFrame, side: String) = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .select(lit(side).as("side"), col("o_orderstatus"),
+        col("n_orders"), col("total_price"))
+    agg(Gvt.read(spark, tmp), "head")
+      .unionByName(agg(Gvt.read(spark, tmp, Some(7)), "retained"))
+      .orderBy("side", "o_orderstatus")
+  }
+
   def gvtTxnVacuum(spark: SparkSession, dir: String): DataFrame = {
     val tmp = txnVacuumGvt(spark, dir)
     def agg(df: DataFrame, side: String) = df
@@ -1436,6 +1480,7 @@ object GvtOps {
     "etl_gvt_txn_serial" -> gvtTxnSerial,
     "etl_gvt_txn_serial_ops" -> gvtTxnSerialOps,
     "sink_gvt_txn_vacuum" -> gvtTxnVacuum,
+    "sink_gvt_vacuum_auto" -> gvtVacuumAuto,
     "scan_gvt_dsv2_colmap" -> gvtDsv2ColMap,
     "scan_gvt_prune_ts" -> gvtPruneTs,
     "sink_gvt_dsv2" -> gvtSqlSink,
@@ -1772,6 +1817,18 @@ object GvtOps {
         "AS total_price FROM orders GROUP BY 1) " +
         "SELECT 'fact_agg' AS side, * FROM f " +
         "UNION ALL SELECT 'summary', * FROM s WHERE o_orderstatus <> 'P' " +
+        "ORDER BY side, o_orderstatus"),
+    // table-log policy twin: head = all 12 slices; retained view at
+    // version 7 = head−retain = slices 0..7
+    "sink_gvt_vacuum_auto" ->
+      ("WITH h AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "GROUP BY 1), " +
+        "r AS (SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "WHERE o_orderkey % 12 <= 7 GROUP BY 1) " +
+        "SELECT 'head' AS side, * FROM h " +
+        "UNION ALL SELECT 'retained', * FROM r " +
         "ORDER BY side, o_orderstatus"),
     // head view = all 14 slices; retained view at txn 9 = slices 0..9
     // (the oldest version the auto-vacuum policy guarantees kept) —

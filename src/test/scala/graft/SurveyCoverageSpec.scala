@@ -279,11 +279,11 @@ class SurveyCoverageSpec extends GraftSuite {
     // merge on the fact and a delete on the summary (mixed ops, token
     // authorship), with a poison half-transaction rolled back first
     "etl_gvt_txn_serial_ops",
-    // round-15: coordinator-log vacuum driver-verified THROUGH the
-    // auto-vacuum policy (txnRetain knob in the publish path) — head
-    // view + the oldest contractually-retained pinned view, both
-    // restated from orders
-    "sink_gvt_txn_vacuum",
+    // round-15: BOTH log vacuums driver-verified THROUGH their
+    // auto-vacuum policies (txnRetain in the coordinator publish path,
+    // tableRetain in the table commit gate) — head view + the oldest
+    // contractually-retained pinned view, both restated from orders
+    "sink_gvt_txn_vacuum", "sink_gvt_vacuum_auto",
     // round-12: SQL DDL — ALTER TABLE RENAME/DROP/ADD COLUMN and
     // check./stats TBLPROPERTIES land the same metadata-only schema
     // commits the API ops publish

@@ -231,6 +231,59 @@ class Round15Spec extends GraftSuite {
     assert(Gvt.read(spark, t).count() == 25)
   }
 
+  test("tableRetain policy bounds table history with no manual vacuum") {
+    val t = Staging.tempDir("r15_tblautovac")
+    withConf("spark.graft.gvt.tableRetain" -> "3",
+        "spark.graft.gvt.vacuumGraceMs" -> "0") {
+      (0 until 14).foreach { i =>
+        Gvt.append(spark, t,
+          spark.range(i * 10L, (i + 1) * 10L).toDF("k").repartition(1),
+          Seq("k"))
+      }
+    }
+    // probes at v=3 (retainFrom 0, skipped), 6 (→3), 9 (→6), 12 (→9)
+    assert(Gvt.vacuumFloor(t) == 9)
+    assert(Gvt.latestVersion(t) == 13)
+    // contract window resolves exactly; below-floor fails loudly
+    assert(Gvt.read(spark, t).count() == 140)
+    assert(Gvt.read(spark, t, Some(10)).count() == 110)
+    assert(Gvt.read(spark, t, Some(9)).count() == 100)
+    val e = intercept[IllegalArgumentException](Gvt.read(spark, t, Some(8)))
+    assert(e.getMessage.contains("vacuumed"))
+    // the table keeps working after the policy ran
+    Gvt.append(spark, t, spark.range(1000, 1010).toDF("k"), Seq("k"))
+    assert(Gvt.read(spark, t).count() == 150)
+  }
+
+  test("tableRetain is OFF by default; txn commits and restore never trigger") {
+    val t = Staging.tempDir("r15_tblautovac_gate")
+    (0 until 8).foreach { i =>
+      Gvt.append(spark, t, spark.range(i, i + 1).toDF("k"), Seq("k"))
+    }
+    assert(Gvt.vacuumFloor(t) == 0, "policy must be off with no knob")
+    withConf("spark.graft.gvt.tableRetain" -> "2",
+        "spark.graft.gvt.vacuumGraceMs" -> "0") {
+      // v=8 carries a txn token: the serialized regime owns the version
+      // sequence, so the policy must not fire
+      Gvt.appendTxn(spark, t, spark.range(100, 101).toDF("k"), Seq("k"),
+        "txn-r15")
+      assert(Gvt.vacuumFloor(t) == 0, "txn commit must not trigger")
+      // v=9 is off-cadence (9 % 2 != 0): no probe
+      Gvt.append(spark, t, spark.range(101, 102).toDF("k"), Seq("k"))
+      assert(Gvt.vacuumFloor(t) == 0)
+      // v=10 IS on-cadence, but restore — an operator recovering
+      // history — is gated out of the policy
+      Gvt.restore(spark, t, 5)
+      assert(Gvt.vacuumFloor(t) == 0, "restore must not trigger")
+    }
+    // malformed knob fails BEFORE the commit links
+    withConf("spark.graft.gvt.tableRetain" -> "-1") {
+      intercept[IllegalArgumentException](
+        Gvt.append(spark, t, spark.range(1).toDF("k"), Seq("k")))
+    }
+    assert(Gvt.latestVersion(t) == 10)
+  }
+
   test("two concurrent table vacuums both complete; retained state exact") {
     // two operators' maintenance crons on one table: the physical walk
     // must tolerate the peer reaping the same entries (deleteIfExists,
