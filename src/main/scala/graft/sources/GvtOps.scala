@@ -1162,9 +1162,9 @@ object GvtOps {
     * closure one rung down, on the log whose reaped bytes are data):
     * 12 single-file appends (keys ≡i mod 12) with
     * `spark.graft.gvt.tableRetain = 4` — the COMMIT PATH itself must
-    * vacuum as versions cross the policy cadence (the v=8 commit
-    * vacuums to 4; v=4 is skipped because retainFrom must be > 0),
-    * with no manual vacuum anywhere. Read-back aggregates the head AND
+    * vacuum as the retained span crosses 2R (the v=8 commit sees span
+    * 8 ≥ 8 and vacuums to 4; v=11's span 7 stays under), with no
+    * manual vacuum anywhere. Read-back aggregates the head AND
     * the pinned view at version 7 = head−retain, the oldest version
     * the contract guarantees retained — it resolves through the
     * vacuum-created floor anchor. The fixture requires the floor
@@ -1187,6 +1187,70 @@ object GvtOps {
       require(floor == 4,
         s"table auto-vacuum policy broken: floor $floor != 4")
     }
+
+  /** TABLE AUTO-COMPACT policy, driver-verified (r16 — the last manual
+    * maintenance op gets its policy and its oracle key, the r15
+    * verdict's #1): 12 tiny single-file appends with
+    * `spark.graft.gvt.compactAfterFiles = 5` and NO manual compact
+    * anywhere — the COMMIT PATH itself must bin-pack once ≥5 live
+    * files are small. Deterministic trace: appends land at v0–v4
+    * (5 small files) → policy compacts at v5 (→1 file); appends
+    * v6–v9 bring the count back to 5 → compacts at v10 (→1);
+    * appends v11–v13 leave 4 live files at head v13. The fixture
+    * requires the head version and the live file count landed exactly
+    * where the policy puts them (a policy that over-fires,
+    * under-fires, or mis-packs fails loudly); the oracle restates the
+    * full orders aggregate, so hash equality proves no row was lost
+    * or duplicated through the policy's rewrites. */
+  private def compactAutoGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_compauto", dir) { tmp =>
+      val orders = graft.Tables(spark, dir, "orders")
+      val stats = Seq("o_orderkey")
+      spark.conf.set("spark.graft.gvt.compactAfterFiles", "5")
+      try (0 until 12).foreach { i =>
+        Gvt.append(spark, tmp,
+          orders.filter(col("o_orderkey") % 12 === i).repartition(1), stats)
+      } finally spark.conf.unset("spark.graft.gvt.compactAfterFiles")
+      val head = Gvt.latestVersion(tmp)
+      val live = Gvt.snapshot(tmp).size
+      require(head == 13 && live == 4,
+        s"auto-compact policy broken: head $head (want 13), " +
+          s"$live live files (want 4)")
+    }
+
+  def gvtCompactAuto(spark: SparkSession, dir: String): DataFrame =
+    Gvt.read(spark, compactAutoGvt(spark, dir))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+
+  /** DESCRIBE HISTORY as an oracle key (r15 verdict #3): a table built
+    * through a KNOWN commit sequence — three single-file appends and a
+    * bin-pack — then [[Gvt.history]]'s deterministic columns (version,
+    * op, file add/remove counts, rows added) are compared against the
+    * oracle's literal restatement of that sequence, with the row
+    * counts derived from orders itself. The audit trail is thereby
+    * driver-verified, not just readable. (ts/txn stay in the API
+    * surface but out of the oracle — publish timestamps are wall
+    * clock; GvtSpec asserts their strict monotonicity instead.) */
+  private def historyGvt(spark: SparkSession, dir: String): String =
+    graft.Staging.memoDir("graft_gvt_history", dir) { tmp =>
+      val orders = graft.Tables(spark, dir, "orders")
+      val stats = Seq("o_orderkey")
+      (0 until 3).foreach { i =>
+        Gvt.append(spark, tmp,
+          orders.filter(col("o_orderkey") % 3 === i).repartition(1), stats)
+      }
+      Gvt.compact(spark, tmp, smallRows = Long.MaxValue, targetFiles = 2,
+        statsCols = stats)
+    }
+
+  def gvtHistory(spark: SparkSession, dir: String): DataFrame =
+    Gvt.history(spark, historyGvt(spark, dir))
+      .select(col("version"), col("op"), col("n_added"),
+        col("n_removed"), col("rows_added"))
+      .orderBy("version")
 
   def gvtVacuumAuto(spark: SparkSession, dir: String): DataFrame = {
     val tmp = vacuumAutoGvt(spark, dir)
@@ -1481,6 +1545,8 @@ object GvtOps {
     "etl_gvt_txn_serial_ops" -> gvtTxnSerialOps,
     "sink_gvt_txn_vacuum" -> gvtTxnVacuum,
     "sink_gvt_vacuum_auto" -> gvtVacuumAuto,
+    "sink_gvt_compact_auto" -> gvtCompactAuto,
+    "scan_gvt_history" -> gvtHistory,
     "scan_gvt_dsv2_colmap" -> gvtDsv2ColMap,
     "scan_gvt_prune_ts" -> gvtPruneTs,
     "sink_gvt_dsv2" -> gvtSqlSink,
@@ -1866,6 +1932,25 @@ object GvtOps {
     "sink_compaction" ->
       ("SELECT o_orderpriority, count(*) AS n_orders, " +
         "round(sum(o_totalprice),2) AS total_price FROM orders " +
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // the policy's two rewrites must preserve the table bit-exact:
+    // the head aggregate restates from orders directly
+    "sink_gvt_compact_auto" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total_price FROM orders " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // the literal commit sequence the fixture performed, row counts
+    // derived from orders itself — DESCRIBE HISTORY, driver-verified
+    "scan_gvt_history" ->
+      ("SELECT * FROM (VALUES " +
+        "(0, 'append', 1, 0, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)), " +
+        "(1, 'append', 1, 0, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1)), " +
+        "(2, 'append', 1, 0, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 3 = 2)), " +
+        "(3, 'compact', 2, 3, (SELECT count(*) FROM orders))" +
+        ") AS t(version, op, n_added, n_removed, rows_added) " +
+        "ORDER BY version")
   )
 }

@@ -75,6 +75,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and [[vacuum]] reaps pre-checkpoint docs behind a recorded
   * retention floor so the directory listing [[latestVersion]] stays
   * O(retained docs). The table-side cost is unchanged GVT.
+  *
+  * RETENTION INTERACTION with the table policy
+  * (`spark.graft.gvt.tableRetain` — ADVICE r15): a coordinator pin of
+  * an old table version outlives R table commits whenever the
+  * coordinator is quieter than the table. Since r16 this is closed
+  * MECHANICALLY, not by operator discipline: every doc link marks its
+  * pinned tables ([[markCoordinator]]), and the table auto-vacuum
+  * clamps its reap target at [[oldestLivePin]] — this coordinator's
+  * own [[vacuum]] (or the `txnRetain` policy) is what releases old
+  * pins and lets the table floor advance. A MANUAL table vacuum below
+  * the clamp remains allowed (explicit operator intent), with the
+  * documented consequence: a pin older than the table floor dies with
+  * the history.
   */
 object GvtTxn {
 
@@ -647,7 +660,25 @@ object GvtTxn {
         try docAt(txnDir, v).tables.getOrElse(d, -1) > bv
         catch {
           case _: java.nio.file.NoSuchFileException =>
-            return pins(txnDir, to).getOrElse(d, -1) > bv
+            // the cumulative fold itself can find `to` BELOW the floor
+            // (ADVICE r15): a concurrent auto-vacuum can raise the
+            // floor past `to` between the caller's latestVersion read
+            // and this fold (peers publish ≥R docs and reap). That is
+            // the vacuumed-BASE shape one level up, not a walk failure
+            // — treat it the same way: report the pin as raised, which
+            // ends the stale-wait WITHOUT a rollback and burns only
+            // this attempt (the retry re-lists and re-folds), instead
+            // of escaping commitSerializedOps and failing the whole
+            // serialized commit in exactly the hot-contention regime
+            // the policy makes routine. Honest too: ≥R foreign docs
+            // landed since the base listing, so the base is long stale
+            // regardless of this table's pin.
+            return try pins(txnDir, to).getOrElse(d, -1) > bv
+            catch {
+              case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    e.getMessage.contains("vacuumed") => true
+            }
         }
       if (raised) return true
     }
@@ -687,7 +718,79 @@ object GvtTxn {
       try { Files.createLink(ld.resolve(f"$v%08d.json"), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
     Files.delete(tmp)
+    if (won) pins.keys.foreach(markCoordinator(txnDir, _))
     won
+  }
+
+  /** Leave a COORDINATOR MARKER at the pinned table (r16, closing the
+    * documented tableRetain footgun mechanically): `<table>/_gvt_coord`
+    * names the coordinator whose docs pin this table's versions, so
+    * the table's OWN auto-vacuum policy ([[Gvt]]'s `tableRetain`) can
+    * clamp its reap target at the coordinator's oldest live pin
+    * ([[oldestLivePin]]) instead of relying on the operator to size R
+    * above every pin's age. Written once per table (an `exists` probe
+    * per doc link — no read, no write after the first); a table
+    * re-pointed at a NEW coordinator overwrites on content mismatch,
+    * last coordinator wins. Best-effort and counted like every
+    * maintenance write: the doc is already linked, and a lost marker
+    * only re-opens the documented (pre-r16) operator contract. */
+  private def markCoordinator(txnDir: String, tableDir: String): Unit =
+    try {
+      val p = Paths.get(tableDir, "_gvt_coord")
+      val want = Paths.get(txnDir).toAbsolutePath.normalize.toString
+      // a pin of a dir that is not (yet) a table gets no marker — the
+      // clamp matters only once data files can be reaped
+      if (!Files.isDirectory(p.getParent)) return
+      if (!Files.exists(p)) {
+        val tmp = Files.createTempFile(p.getParent, ".tmp-", ".coord")
+        Files.write(tmp, want.getBytes("UTF-8"))
+        try Files.createLink(p, tmp)
+        catch { case _: FileAlreadyExistsException => () }
+        Files.delete(tmp)
+      } else if (new String(Files.readAllBytes(p), "UTF-8") != want) {
+        Files.write(p, want.getBytes("UTF-8"))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) => GvtMaintenance.swallow(
+        GvtMaintenance.coordMarkSwallowed,
+        s"coordinator marker ($tableDir -> $txnDir)", e)
+    }
+
+  /** The coordinator named by a table's marker, if any. */
+  private[sources] def coordinatorOf(tableDir: String): Option[String] = {
+    val p = Paths.get(tableDir, "_gvt_coord")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8"))
+    else None
+  }
+
+  /** OLDEST LIVE PIN of `tableDir` across every still-resolvable txn
+    * version — the table-version no table vacuum may reap while this
+    * coordinator's retained history can still be read. The cumulative
+    * pin map is a per-table MAX-MERGE fold, hence monotone
+    * non-decreasing in the txn version, so the minimum over the
+    * retained range [floor, head] is the pin AT the floor — one
+    * checkpoint read (the vacuum-guaranteed anchor), no walk. A table
+    * first pinned ABOVE the floor has no pin at the floor; its oldest
+    * live pin is then the first doc (in version order) that carries
+    * it — an O(tail) scan of the docs the resolution fold reads
+    * anyway, and only on the auto-vacuum trigger path (once per R
+    * table commits), never per read. None = this coordinator holds no
+    * live pin of the table (nothing to clamp). Raced docs/vacuums
+    * surface as exceptions for the caller's fail-SAFE skip. */
+  private[sources] def oldestLivePin(txnDir: String,
+      tableDir: String): Option[Int] = {
+    val (head, floor, _) = scanLog(txnDir, Int.MaxValue)
+    if (head < 0) return None
+    val want = Paths.get(tableDir).toAbsolutePath.normalize
+    def pinIn(m: Map[String, Int]): Option[Int] =
+      m.collectFirst {
+        case (d, p) if Paths.get(d).toAbsolutePath.normalize == want => p
+      }
+    pinIn(pins(txnDir, math.max(floor, 0))).orElse {
+      ((math.max(floor, 0) + 1) to head).iterator
+        .flatMap(v => pinIn(docAt(txnDir, v).tables))
+        .nextOption()
+    }
   }
 
   /** Publish a pin set for table versions committed out-of-band (e.g.

@@ -284,6 +284,12 @@ class SurveyCoverageSpec extends GraftSuite {
     // tableRetain in the table commit gate) — head view + the oldest
     // contractually-retained pinned view, both restated from orders
     "sink_gvt_txn_vacuum", "sink_gvt_vacuum_auto",
+    // round-16: the LAST manual maintenance op gets its policy (the
+    // commit path bin-packs small files once compactAfterFiles is
+    // crossed — no manual compact anywhere in the fixture) and the
+    // commit log itself becomes a DataFrame surface whose known
+    // sequence the oracle restates literally
+    "sink_gvt_compact_auto", "scan_gvt_history",
     // round-12: SQL DDL — ALTER TABLE RENAME/DROP/ADD COLUMN and
     // check./stats TBLPROPERTIES land the same metadata-only schema
     // commits the API ops publish

@@ -268,13 +268,19 @@ class Round15Spec extends GraftSuite {
       Gvt.appendTxn(spark, t, spark.range(100, 101).toDF("k"), Seq("k"),
         "txn-r15")
       assert(Gvt.vacuumFloor(t) == 0, "txn commit must not trigger")
-      // v=9 is off-cadence (9 % 2 != 0): no probe
+      // v=9 is organic: under the SPAN trigger (r16 — previously the
+      // v%R==0 modulo, which this commit would have skipped) the next
+      // organic commit sees span 9 ≥ 2R=4 and catches the floor up to
+      // v−R=7 regardless of which ops occupied the R-multiples
       Gvt.append(spark, t, spark.range(101, 102).toDF("k"), Seq("k"))
-      assert(Gvt.vacuumFloor(t) == 0)
-      // v=10 IS on-cadence, but restore — an operator recovering
-      // history — is gated out of the policy
-      Gvt.restore(spark, t, 5)
-      assert(Gvt.vacuumFloor(t) == 0, "restore must not trigger")
+      assert(Gvt.vacuumFloor(t) == 7, "organic commit catches the floor up")
+    }
+    withConf("spark.graft.gvt.tableRetain" -> "1",
+        "spark.graft.gvt.vacuumGraceMs" -> "0") {
+      // restore at v=10 (span 3 ≥ 2R=2 would fire) — but restore, an
+      // operator recovering history, is gated out of the policy
+      Gvt.restore(spark, t, 8)
+      assert(Gvt.vacuumFloor(t) == 7, "restore must not trigger")
     }
     // malformed knob fails BEFORE the commit links
     withConf("spark.graft.gvt.tableRetain" -> "-1") {
