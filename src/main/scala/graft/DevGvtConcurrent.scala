@@ -513,6 +513,54 @@ object DevGvtConcurrent {
         }
         println(s"[gvt-concurrent] WAPX CHECK OK: seed + audited WAP + " +
           s"$n racer txns all whole at the final view")
+
+      // ---- auto-compact racing writers (r16): BOTH JVMs append tiny ----
+      // files to ONE table with compactAfterFiles on, so policy
+      // compactions fire in both processes, race each other (loser's
+      // CME is swallowed + counted, policy re-fires) and race the
+      // peer's appends (rmwRetry re-executes the bin-pack from the new
+      // head). The check demands zero loss/duplication through every
+      // racing rewrite and a bounded live file set.
+      case "compauto" =>
+        val writer = args(2).toInt
+        val n = args(3).toInt
+        spark.conf.set("spark.graft.gvt.compactAfterFiles", "6")
+        try (0 until n).foreach { i =>
+          val lo = (writer.toLong * n + i) * 100L
+          Gvt.append(spark, table,
+            spark.range(lo, lo + 100L).toDF("k")
+              .withColumn("v", col("k") * 10).repartition(1),
+            Seq("k"))
+        } finally spark.conf.unset("spark.graft.gvt.compactAfterFiles")
+        println(s"[gvt-concurrent] compauto writer $writer done " +
+          s"($n tiny appends under compactAfterFiles=6)")
+      case "checkcompauto" =>
+        val nWriters = args(2).toInt
+        val n = args(3).toInt
+        val df = Gvt.read(spark, table).cache()
+        val total = df.count()
+        val expect = nWriters.toLong * n * 100
+        assert(total == expect, s"row loss through racing compactions: " +
+          s"$total != $expect")
+        val dups = df.groupBy("k").count().filter(col("count") > 1).count()
+        assert(dups == 0, s"$dups duplicated keys — a bin-pack replayed " +
+          "rows it also kept")
+        val appends = nWriters * n
+        val head = Gvt.latestVersion(table)
+        assert(head + 1 > appends,
+          s"no policy compact ever landed (head $head, $appends appends)")
+        val live = Gvt.snapshot(table).size
+        assert(live <= 10, s"live file count unbounded under racing " +
+          s"writers: $live (vs $appends appends)")
+        // the audit surface reads whole across every racing rewrite
+        val h = Gvt.history(spark, table).collect()
+        assert(h.length == head + 1 &&
+          h.forall(r => r.getString(1) == "append" ||
+            r.getString(1) == "compact"),
+          "history mangled under racing maintenance")
+        println(s"[gvt-concurrent] COMPAUTO CHECK OK: $appends appends + " +
+          s"${head + 1 - appends} racing compacts, $total rows exact, " +
+          s"$live live files")
     }
     spark.stop()
   }

@@ -43,6 +43,9 @@ object DevGvtScale {
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("absorb")) {
       absorbProbe(spark); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("autocompact")) {
+      autocompactProbe(spark); spark.stop(); return
+    }
 
     def timed[A](what: String)(body: => A): A = {
       val t0 = System.nanoTime()
@@ -626,6 +629,61 @@ object DevGvtScale {
         "below-floor read must fail loudly")
       println("[gvt-scale] AUTOVAC PROBE OK")
     } finally spark.conf.unset("spark.graft.gvt.txnRetain")
+  }
+
+  /** r16 claim: the AUTO-COMPACT policy bounds the live file count
+    * under CONTINUOUS tiny appends — the micro-batch-sink regime that
+    * motivated it (stream_gvt_sink appends per batch forever; without
+    * the policy the count is O(commits) and every reader plans O(N)
+    * splits). N appends under `compactAfterFiles = F`, live count
+    * sampled at every commit: the running MAX must stay ≤ F + the
+    * compacted tail (vs N files unmanaged), reads must stay exact
+    * throughout, and the per-append cost including the amortized
+    * synchronous rewrites is printed for BASELINE.md. */
+  private def autocompactProbe(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_COMPACT_APPENDS", "200").toInt
+    val f = 8
+    val t = Staging.tempDir("gvt_autocompact")
+    spark.conf.set("spark.graft.gvt.compactAfterFiles", f.toString)
+    try {
+      var maxLive = 0
+      var compacts = 0
+      var lastHead = -1
+      val t0 = System.nanoTime()
+      (0 until n).foreach { i =>
+        Gvt.append(spark, t,
+          spark.range(i * 10L, (i + 1) * 10L).toDF("k").repartition(1),
+          Seq("k"))
+        val head = Gvt.latestVersion(t)
+        compacts += head - lastHead - 1 // versions beyond our appends
+        lastHead = head
+        val live = Gvt.snapshot(t).size
+        maxLive = math.max(maxLive, live)
+        if ((i + 1) % 50 == 0)
+          println(f"[gvt-scale] appends=${i + 1}%4d head=$head%4d " +
+            f"live=$live%3d (max $maxLive%3d) compacts=$compacts%3d")
+      }
+      val totalS = (System.nanoTime() - t0) / 1e9
+      println(f"[gvt-scale] $n tiny appends under compactAfterFiles=$f: " +
+        f"$totalS%.1f s (${totalS * 1e3 / n}%.0f ms/append incl. " +
+        f"$compacts amortized rewrites), max live $maxLive vs $n unmanaged")
+      // the bound: F small files can accumulate, plus the compacted
+      // tail (outputs of earlier crossings that escaped the small set
+      // or await enough mass — strictly sublinear; assert a hard
+      // F+4 ceiling so creep fails the probe loudly)
+      require(maxLive <= f + 4,
+        s"live file count not bounded: max $maxLive > ${f + 4}")
+      require(compacts >= n / (2 * f),
+        s"policy under-fired: $compacts compacts over $n appends")
+      // exactness end to end: nothing lost or duplicated through all
+      // the policy's rewrites
+      val cnt = Gvt.read(spark, t).count()
+      val total = Gvt.read(spark, t).agg(sum("k")).head.getLong(0)
+      require(cnt == n * 10L, s"row count $cnt != ${n * 10}")
+      require(total == (0L until n * 10L).sum, "content drifted")
+      println("[gvt-scale] AUTOCOMPACT PROBE OK")
+    } finally spark.conf.unset("spark.graft.gvt.compactAfterFiles")
   }
 
   /** r14 claim: the DV auto-absorb policy bounds the MoR read tax

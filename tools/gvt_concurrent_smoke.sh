@@ -138,3 +138,19 @@ wait $V0; wait $V1
 java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checktxnv "$TABLE8" 2 5
 rm -rf "$(dirname "$TABLE8")"
 echo "[smoke] txnv PASS"
+
+# Auto-compact racing writers (r16): both JVMs append tiny files with
+# compactAfterFiles ON, so policy bin-packs fire in both processes and
+# race each other AND the peer's appends. The check demands zero
+# loss/duplication through every racing rewrite, a bounded live file
+# set, and a whole history surface.
+TABLE9="$(mktemp -d /dev/shm/gvt_xjvm.XXXXXX)/compauto"
+echo "[smoke] compauto table: $TABLE9"
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent compauto "$TABLE9" 0 12 &
+C0=$!
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent compauto "$TABLE9" 1 12 &
+C1=$!
+wait $C0; wait $C1
+java $JAVA_OPTS -cp "$CP" graft.DevGvtConcurrent checkcompauto "$TABLE9" 2 12
+rm -rf "$(dirname "$TABLE9")"
+echo "[smoke] compauto PASS"
