@@ -1341,24 +1341,41 @@ object GvtOps {
       sinkName: String, mode: String,
       maxVersionsPerBatch: Int = 1)(shape: DataFrame => DataFrame)
       : DataFrame = {
-    val q = shape(
-      spark.readStream.format("graft.sources.GvtStreamSource")
-        .option("mode", mode)
-        .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
-        .load(staged))
-      .writeStream
-      .option("checkpointLocation", graft.Staging.fastTempDir("gvt_src_ckpt"))
-      .format("memory").queryName(sinkName).outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-      .start()
+    // the stateful aggregate's state-store partition count is pinned
+    // from shuffle.partitions at the query's FIRST batch; the session
+    // default (32, sized for the batch suite) means 32 state tasks ×
+    // stages × micro-batches for a ≤5-group aggregate — per-batch task
+    // dispatch is the dominant cost of a short catch-up drain (r15
+    // verdict #6; measured in BASELINE.md §r16). 4 keeps the plan
+    // identical in shape and the checkpoint is fresh per call, so the
+    // pinned count never conflicts across runs. try/finally: the knob
+    // must never leak into other keys' measurements.
+    // restored only AFTER the drain: the micro-batch thread reads the
+    // conf asynchronously (first-batch OffsetSeqMetadata), so restoring
+    // right after start() would race it
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      // deterministic drain (no wall-clock poll): returns once every
-      // available offset is processed and committed, throws on failure.
-      // Bounded from a side thread — processAllAvailable alone is
-      // unbounded, and a regression that leaves the stream alive but
-      // stuck would wedge the verify gate forever instead of failing.
-      Gvt.drainBounded(q)
-    } finally q.stop()
+      val q = shape(
+        spark.readStream.format("graft.sources.GvtStreamSource")
+          .option("mode", mode)
+          .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+          .load(staged))
+        .writeStream
+        .option("checkpointLocation",
+          graft.Staging.fastTempDir("gvt_src_ckpt"))
+        .format("memory").queryName(sinkName).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      try {
+        // deterministic drain (no wall-clock poll): returns once every
+        // available offset is processed and committed, throws on failure.
+        // Bounded from a side thread — processAllAvailable alone is
+        // unbounded, and a regression that leaves the stream alive but
+        // stuck would wedge the verify gate forever instead of failing.
+        Gvt.drainBounded(q)
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(sinkName)
   }
 

@@ -257,11 +257,23 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
     if (head < 0) None
     else lastServed match {
       case None =>
-        // first batch: the startingVersion snapshot (nothing to serve
-        // yet if the table hasn't reached it)
-        if (head >= startingVersion)
-          Some(toOffset(Pos(startingVersion + 1L, 0)))
-        else None
+        // first batch: the startingVersion snapshot PLUS — when range
+        // pacing allows (r16, the catch-up floor work) — up to
+        // maxVersionsPerBatch−1 further commits of changes, so a cold
+        // consumer drains a short history in ONE micro-batch instead
+        // of snapshot-batch + range-batch. getBatch unions the
+        // snapshot with the per-version range, so the served feed is
+        // row-identical to any finer pacing (the batching-invariance
+        // contract); mvpb=1 keeps the classic snapshot-only first
+        // batch, and the row-paced path stays snapshot-only (the
+        // snapshot's rows aren't budgeted against maxRowsPerBatch).
+        if (head >= startingVersion) {
+          val end =
+            if (maxRowsPerBatch > 0) Pos(startingVersion + 1L, 0)
+            else Pos(math.min(head + 1,
+              startingVersion.toLong + maxVersionsPerBatch), 0)
+          Some(toOffset(end))
+        } else None
       case Some(cur) =>
         val end = advance(cur, head)
         if (cur.isBefore(end)) Some(toOffset(end)) else None
@@ -273,7 +285,16 @@ class GvtSource(sqlContext: SQLContext, dir: String, metadataPath: String,
     val startP = start.map(posOf)
     val out = startP match {
       case None =>
-        initialBatch(endP.v - 1)
+        val sv = startingVersion.toLong
+        if (endP.v - 1 <= sv) initialBatch(endP.v - 1)
+        // range-extended first batch: snapshot at startingVersion,
+        // then the SAME per-version machinery the steady state uses —
+        // every row keeps its own _commit_version (cdc) / its exact
+        // add-file slice (append)
+        else if (mode == "cdc")
+          initialBatch(sv).unionByName(cdcBatch(sv, endP.v - 1))
+        else
+          initialBatch(sv).unionByName(appendBatch(Pos(sv + 1, 0), endP))
       case Some(s) if !s.isBefore(endP) =>
         // engine replay / no-advance edge: serve an empty batch rather
         // than re-emitting rows the checkpoint already committed

@@ -200,10 +200,11 @@ class GvtStreamSpec extends GraftSuite {
     }
     val (coarse, coarseBatches) = feed(16, "gvtstream_cdcrange_coarse")
     val (fine, fineBatches) = feed(1, "gvtstream_cdcrange_fine")
-    // coarse catch-up: the cold 4-commit history drains as the
-    // startingVersion snapshot + ONE v1..v3 range batch; default pacing
+    // coarse catch-up: the cold 4-commit history drains in ONE batch —
+    // the startingVersion snapshot UNIONED with the v1..v3 range (r16;
+    // r10's shape was snapshot-batch + range-batch); default pacing
     // pays one batch per commit
-    assert(coarseBatches == 1L, s"coarse drain used ${coarseBatches + 1} batches")
+    assert(coarseBatches == 0L, s"coarse drain used ${coarseBatches + 1} batches")
     assert(fineBatches == 3L, s"fine drain used ${fineBatches + 1} batches")
     assert(coarse == expected, s"coarse feed: $coarse")
     assert(fine == expected, "range batching changed the feed")
@@ -388,8 +389,9 @@ class GvtStreamSpec extends GraftSuite {
     Gvt.delete(spark, dir, col("k") === 1L, Seq("k"))         // v2
     seed(dir, Seq((3L, "c", 3.0)))                            // v3
     val name = "gvtstream_cdcver_sink"
-    // all 4 versions exist up front: batch 0 is the v0 snapshot, and
-    // maxVersionsPerBatch=4 makes batch 1 span (0, 3] in ONE getBatch
+    // all 4 versions exist up front: maxVersionsPerBatch=4 makes batch
+    // 0 carry the v0 snapshot UNIONED with the (0, 3] range in ONE
+    // getBatch (r16 — previously snapshot-batch + range-batch)
     val q = spark.readStream.format("graft.sources.GvtStreamSource")
       .option("mode", "cdc")
       .option("maxVersionsPerBatch", "4")
@@ -400,7 +402,7 @@ class GvtStreamSpec extends GraftSuite {
       .trigger(Trigger.ProcessingTime(0))
       .start()
     try {
-      drainTo(q, 1)
+      drainTo(q, 0)
       val rows = spark.table(name)
         .select("change_type", "k", "_commit_version").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
