@@ -505,7 +505,7 @@ object Gvt {
         } catch {
           case scala.util.control.NonFatal(e) => GvtMaintenance.swallow(
             GvtMaintenance.tableVacuumSwallowed,
-            s"table auto-vacuum(${v - r}) ($dir)", e)
+            s"table auto-vacuum@$v (target ≤ ${v - r}) ($dir)", e)
         }
     }
 

@@ -1233,7 +1233,7 @@ object GvtOps {
     * counts derived from orders itself. The audit trail is thereby
     * driver-verified, not just readable. (ts/txn stay in the API
     * surface but out of the oracle — publish timestamps are wall
-    * clock; GvtSpec asserts their strict monotonicity instead.) */
+    * clock; Round16Spec asserts their strict monotonicity instead.) */
   private def historyGvt(spark: SparkSession, dir: String): String =
     graft.Staging.memoDir("graft_gvt_history", dir) { tmp =>
       val orders = graft.Tables(spark, dir, "orders")
@@ -1333,9 +1333,11 @@ object GvtOps {
     }
 
   /** Drain a [[GvtStreamSource]] query to its table head, then return
-    * the memory-sink state. Advance-by-one pacing means exactly
-    * `head + 1` micro-batches (initial snapshot + one per commit);
-    * the bounded wait is the rate-source pattern — an unguarded poll
+    * the memory-sink state. Advance-by-one pacing (mvpb=1) means
+    * exactly `head + 1` micro-batches (initial snapshot + one per
+    * commit); range pacing (mvpb>1) drains a whole cold history in
+    * `ceil((head+1)/mvpb)` batches — ONE for the cdc key (r16); the
+    * bounded wait is the rate-source pattern — an unguarded poll
     * would hang the verify gate if the stream stopped progressing. */
   private def drainGvtStream(spark: SparkSession, staged: String,
       sinkName: String, mode: String,

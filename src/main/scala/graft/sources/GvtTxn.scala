@@ -728,12 +728,17 @@ object GvtTxn {
     * the table's OWN auto-vacuum policy ([[Gvt]]'s `tableRetain`) can
     * clamp its reap target at the coordinator's oldest live pin
     * ([[oldestLivePin]]) instead of relying on the operator to size R
-    * above every pin's age. Written once per table (an `exists` probe
-    * per doc link — no read, no write after the first); a table
-    * re-pointed at a NEW coordinator overwrites on content mismatch,
-    * last coordinator wins. Best-effort and counted like every
-    * maintenance write: the doc is already linked, and a lost marker
-    * only re-opens the documented (pre-r16) operator contract. */
+    * above every pin's age. Written once per table (one `exists` probe
+    * + one ~50-byte read per doc link after that — cheap next to the
+    * link's own temp-file write); a table re-pointed at a NEW
+    * coordinator overwrites on content mismatch, last coordinator
+    * wins. BOTH write paths are atomic (createLink / ATOMIC_MOVE): a
+    * torn marker read would resolve to a garbage coordinator with no
+    * docs, whose [[oldestLivePin]] is None — silently UNCLAMPING the
+    * reap, the one failure direction the clamp must not have.
+    * Best-effort and counted like every maintenance write: the doc is
+    * already linked, and a lost marker only re-opens the documented
+    * (pre-r16) operator contract. */
   private def markCoordinator(txnDir: String, tableDir: String): Unit =
     try {
       val p = Paths.get(tableDir, "_gvt_coord")
@@ -748,7 +753,10 @@ object GvtTxn {
         catch { case _: FileAlreadyExistsException => () }
         Files.delete(tmp)
       } else if (new String(Files.readAllBytes(p), "UTF-8") != want) {
-        Files.write(p, want.getBytes("UTF-8"))
+        val tmp = Files.createTempFile(p.getParent, ".tmp-", ".coord")
+        Files.write(tmp, want.getBytes("UTF-8"))
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     } catch {
       case scala.util.control.NonFatal(e) => GvtMaintenance.swallow(
