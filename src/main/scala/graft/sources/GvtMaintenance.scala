@@ -66,6 +66,20 @@ private[graft] object GvtMaintenance {
     compactFailpoint = () => ()
   }
 
+  /** Point-in-time counter snapshot (r16 — the audit surface the
+    * DESCRIBE-HISTORY verdict item asked for alongside the commit log;
+    * process-local by nature, so it is a map, not table state): every
+    * swallow counter by name. A harness asserting "no maintenance
+    * degradation across this run" diffs two snapshots. */
+  def snapshot: Map[String, Long] = Map(
+    "tableCkptSwallowed" -> tableCkptSwallowed.get(),
+    "txnCkptSwallowed" -> txnCkptSwallowed.get(),
+    "autoVacuumSwallowed" -> autoVacuumSwallowed.get(),
+    "tableVacuumSwallowed" -> tableVacuumSwallowed.get(),
+    "absorbSwallowed" -> absorbSwallowed.get(),
+    "coordMarkSwallowed" -> coordMarkSwallowed.get(),
+    "compactSwallowed" -> compactSwallowed.get())
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.gvt")
 
   /** The one swallow implementation: count + WARN, never rethrow. */

@@ -286,4 +286,28 @@ class Round16Spec extends GraftSuite {
     val h2 = Gvt.history(spark, t).orderBy("version").collect()
     assert(h2.map(_.getInt(0)).toSeq == Seq(5), "only retained docs")
   }
+
+  test("maintenance counter snapshot carries every swallow counter") {
+    val snap = GvtMaintenance.snapshot
+    assert(snap.keySet == Set("tableCkptSwallowed", "txnCkptSwallowed",
+      "autoVacuumSwallowed", "tableVacuumSwallowed", "absorbSwallowed",
+      "coordMarkSwallowed", "compactSwallowed"))
+    assert(snap.values.forall(_ >= 0))
+    // diffable: an injected fault moves exactly its own counter
+    val t = Staging.tempDir("r16_counters")
+    GvtMaintenance.compactFailpoint =
+      () => throw new java.io.IOException("injected")
+    try {
+      spark.conf.set("spark.graft.gvt.compactAfterFiles", "2")
+      try (0 until 2).foreach { i =>
+        Gvt.append(spark, t,
+          spark.range(i, i + 1).toDF("k").repartition(1), Seq("k"))
+      } finally spark.conf.unset("spark.graft.gvt.compactAfterFiles")
+    } finally GvtMaintenance.resetFailpoints()
+    val after = GvtMaintenance.snapshot
+    assert(after("compactSwallowed") == snap("compactSwallowed") + 1)
+    assert((after - "compactSwallowed").forall { case (k, v) =>
+      v == snap(k)
+    }, "only the injected counter moved")
+  }
 }
