@@ -265,6 +265,21 @@ object EventOps {
     * asserts. (foreachBatchSink drains in one batch; this key is the
     * multi-batch stateful variant.)
     */
+  /** Run `body` (which starts AND fully drains a streaming query) with
+    * 4 shuffle/state-store partitions instead of the session's 32
+    * (r16, the stream-floor work — same rationale+race note as
+    * GvtOps.drainGvtStream): a stateful micro-batch aggregate over a
+    * handful of groups pays 32 state tasks per stage per batch from
+    * the batch-suite default, and the partition count is pinned from
+    * the conf by the ASYNC micro-batch thread, so the restore must
+    * happen only after the drain completes. */
+  private def withStreamPartitions[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def multiBatchState(spark: SparkSession, dir: String): DataFrame = {
     // input staged ONCE per (prefix, sfDir) — a pure function of the
     // fixture, so bench rep 2+ measures the stream, not the staging
@@ -274,24 +289,26 @@ object EventOps {
     }
     val schema = Tables(spark, dir, "events").schema
     val name = "graft_multi_batch_state"
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(tmpIn)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100)
-          .as("sum_value"))
-      .writeStream
-      // fresh-per-run checkpoint on tmpfs: state-store + offset-log
-      // fsyncs were ~most of this key's 3.4 s (r7 verdict #6)
-      .option("checkpointLocation",
-        graft.Staging.fastTempDir("graft_ckpt_mb"))
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpIn)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100, 0).cast("long")).cast("double")
+            / 100).as("sum_value"))
+        .writeStream
+        // fresh-per-run checkpoint on tmpfs: state-store + offset-log
+        // fsyncs were ~most of this key's 3.4 s (r7 verdict #6)
+        .option("checkpointLocation",
+          graft.Staging.fastTempDir("graft_ckpt_mb"))
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select("event_type", "n_events", "sum_value")
       .orderBy("event_type")
@@ -327,21 +344,23 @@ object EventOps {
       }
     }
     val name = "graft_replay_result"
-    val q = spark.readStream
-      .format("graft.sources.FixedWidthReplaySource")
-      .option("fields", spec)
-      .load(staged)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
-      .writeStream
-      .option("checkpointLocation",
-        graft.Staging.fastTempDir("graft_ckpt_replay"))
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = spark.readStream
+        .format("graft.sources.FixedWidthReplaySource")
+        .option("fields", spec)
+        .load(staged)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+        .writeStream
+        .option("checkpointLocation",
+          graft.Staging.fastTempDir("graft_ckpt_replay"))
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select("user_id", "n_events", "sum_cents")
       .orderBy("user_id")
