@@ -5,7 +5,10 @@ package graft
 object DevPlanDump {
   def main(args: Array[String]): Unit = {
     val dir = args.head
-    val spark = Sessions.local("4", "ERROR")
+    // honor the bench's core-count env so dumped plans carry the same
+    // partition counts the bench session plans with (default stays 4)
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "ERROR")
     val (flags, keys) = args.tail.partition(_.startsWith("--"))
     val logical = flags.contains("--logical")
     for (k <- keys) {

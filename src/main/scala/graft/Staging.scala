@@ -69,6 +69,22 @@ object Staging {
     * re-run reproduces (e.g. the idempotent dynamic-partition upsert).
     * Coarse lock: builds are rare, small, and never nest.
     */
+  /** Run `build` ONCE per key per JVM — [[memoDir]]'s memoization for
+    * staging that does not live in a fresh temp dir (catalog tables in
+    * the shared warehouse, ANALYZE stats in the session catalog). Same
+    * contract: only for builds that are pure functions of the key, and
+    * the staged artifact must be a LAYOUT/metadata fixture the measured
+    * query then computes over — never a query result.
+    */
+  def once(key: String)(build: => Unit): Unit = {
+    if (memo.get("once|" + key) == null) synchronized {
+      if (memo.get("once|" + key) == null) {
+        build
+        memo.put("once|" + key, "done")
+      }
+    }
+  }
+
   def memoDir(prefix: String, sfDir: String)(build: String => Unit): String = {
     val key = prefix + "|" + sfDir
     val hit = memo.get(key)

@@ -70,20 +70,46 @@ object Tables {
     }
   }
 
-  /** The table scan repartitioned to full shuffle width on `key` — for
+  /** The table scan repartitioned to DATA-DERIVED width on `key` — for
     * explode-heavy consumers. A compressed file under Spark's scan-split
     * floor arrives as ONE partition (and a parquet row group can never
     * be split), so a downstream explode/hash chain would run in a single
     * task no matter the core count: the small-input/big-intermediate
     * trap (measured 37 s → 4.7 s on llm_dedup_substring at the 10×
-    * replica). One narrow-input exchange buys full width for the
+    * replica). One narrow-input exchange buys width for the
     * orders-of-magnitude-larger derived stream. At 100 TB file sizes
     * exceed the split floor and scans arrive wide — this exchange then
     * costs one pass over the narrow input, still cheap relative to the
     * derived work it parallelizes.
+    *
+    * Width scales with the TABLE's bytes, not a constant (guide §2: a
+    * partition count tuned for either local mode or the cluster is
+    * wrong at the other end): one partition per ~192 KiB of compressed
+    * input (text parquet expands ~10× decoded and the explode-heavy
+    * consumers derive 10-30× more intermediate, so a 192 KiB slice is
+    * already a few MB of in-flight rows), floored at 4, capped at the
+    * session's shuffle width. The 10× replica (6 MB) still lands at
+    * full local width = the layout the 37 s → 4.7 s measurement needs;
+    * the sf0.1 fixture (600 KB) stops paying 32 tasks per stage for
+    * 5000 docs — which the 8-round bpeTrainK loop amplified to ~2.4 s
+    * of pure task dispatch (measured, r16 opt).
     */
   def wide(spark: SparkSession, sfDir: String, name: String,
       key: String = "doc_id"): DataFrame =
-    apply(spark, sfDir, name).repartition(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, col(key))
+    apply(spark, sfDir, name)
+      .repartition(explodeWidth(spark, sfDir, name), col(key))
+
+  /** The [[wide]] width formula, exposed for consumers that pin their
+    * own derived-stream exchanges (substring spans, contamination grams)
+    * instead of going through `wide`: one partition per ~192 KiB of the
+    * source table's compressed bytes, floor 4, cap = session shuffle
+    * width. */
+  def explodeWidth(spark: SparkSession, sfDir: String, name: String): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+    val b = bytes(new java.io.File(s"$sfDir/$name.parquet"))
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(4, math.min(cap, (b / (192L << 10)).toInt))
+  }
 }

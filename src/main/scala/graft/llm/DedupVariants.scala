@@ -480,7 +480,8 @@ object DedupVariants {
   /** Core of [[substringDedup]] over any (doc_id, text) frame — split out
     * so the planted-span property test can run it on synthetic corpora.
     */
-  def substringSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+  def substringSpans(docs: DataFrame, n: Int = 8,
+      width: Option[Int] = None): DataFrame = {
     val w = split(col("text"), " ")
     // anchor key = BOTH xxhash64 seeds over the raw word-array slice —
     // 128 collision bits (the md5 contract; 64 bits would birthday-
@@ -500,7 +501,12 @@ object DedupVariants {
     // doc_id-keyed exchange of the NARROW input buys full width for the
     // 100×-bigger exploded stream — the small-input/big-intermediate
     // pattern (decompression-amplification at 100 TB behaves the same).
-    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // width: data-derived when the caller knows the source table
+    // (Tables.explodeWidth — guide §2 scale-adaptive partitioning),
+    // session shuffle width otherwise (property tests on synthetic
+    // frames with no file behind them)
+    val nPart = width.getOrElse(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val sh = docs
       .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), explode(grams).as("gram"))
@@ -518,7 +524,8 @@ object DedupVariants {
   }
 
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
-    substringSpans(Tables(spark, dir, "documents"))
+    substringSpans(Tables(spark, dir, "documents"),
+      width = Some(Tables.explodeWidth(spark, dir, "documents")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_substring" -> substringDedup,

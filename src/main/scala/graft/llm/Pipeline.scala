@@ -58,7 +58,10 @@ object Pipeline {
     // xxhash64'd to fixed-width longs before the exchange (~70-byte
     // 8-gram strings otherwise dominate shuffle width; distinct-counts
     // are preserved modulo 64-bit collisions).
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // data-derived like the wide() scan it rides on (guide §2): the gram
+    // exchange carries xxhash64 longs, so ~192 KiB of source text per
+    // partition keeps tasks meaningful at any scale
+    val nPart = Tables.explodeWidth(spark, dir, "documents")
     val sh = Tables.wide(spark, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), col("source"),

@@ -187,14 +187,35 @@ object TextOps {
     var docs = Tables.wide(spark, dir, "documents").select("doc_id", "text")
     val rounds = (1 to k).map { i =>
       val top = pairCounts(docs)
-        .orderBy(col("ct").desc, col("pair")).limit(1).localCheckpoint()
-      docs = docs
-        .crossJoin(broadcast(top.select(col("pair").as("mpair"))))
-        .select(col("doc_id"),
-          expr("replace(text, mpair, replace(mpair, ' ', '_'))").as("text"))
-        .localCheckpoint()
-      top.select(lit(i).as("iter"), col("pair"),
-        col("ct").cast("long").as("n_occurrences"))
+        .orderBy(col("ct").desc, col("pair")).limit(1)
+      if (i == k) {
+        // last round: nothing left to rewrite — the winner aggregate
+        // runs lazily inside the final action (r16 opt: the old loop
+        // paid a rewrite+checkpoint of the corpus it then discarded)
+        top.select(lit(i).as("iter"), col("pair"),
+          col("ct").cast("long").as("n_occurrences"))
+      } else {
+        // FUSE the round: the winner aggregate rides the rewrite job as
+        // its broadcast build side, and the winner's (pair, ct) are
+        // carried as constant columns on the checkpointed corpus — ONE
+        // materialization per round instead of two (winner checkpoint +
+        // corpus checkpoint; r16 opt, measured 5.2 s → ~half the jobs).
+        // Same per-round lineage discipline as before: the checkpoint
+        // truncates the stacked replace projections.
+        val rewritten = docs
+          .crossJoin(broadcast(top.select(col("pair").as("mpair"),
+            col("ct").as("mct"))))
+          .select(col("doc_id"),
+            expr("replace(text, mpair, replace(mpair, ' ', '_'))").as("text"),
+            col("mpair"), col("mct"))
+          .localCheckpoint()
+        docs = rewritten.select("doc_id", "text")
+        // every row carries the same broadcast winner — limit(1) over
+        // the materialized frame reads it back without re-aggregating
+        rewritten.select(col("mpair"), col("mct")).limit(1)
+          .select(lit(i).as("iter"), col("mpair").as("pair"),
+            col("mct").cast("long").as("n_occurrences"))
+      }
     }
     rounds.reduce(_.unionAll(_)).orderBy("iter")
   }

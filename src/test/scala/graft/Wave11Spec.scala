@@ -19,7 +19,9 @@ class Wave11Spec extends GraftSuite {
     org.apache.spark.sql.classic.SparkSession.setActiveSession(
       s.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     val stats =
-      try s.table("graft_cbo_orders").queryExecution.optimizedPlan.stats
+      try s.table("graft_cbo_orders_" +
+          java.lang.Integer.toHexString(sf0001.hashCode))
+        .queryExecution.optimizedPlan.stats
       finally org.apache.spark.sql.classic.SparkSession.setActiveSession(
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     assert(stats.rowCount.contains(BigInt(1500)), stats.toString)
