@@ -36,6 +36,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet footer schemas memoized per (sfDir, table) — METADATA of
+    * an immutable fixture file, never data. Schema inference dominates
+    * the per-action floor: a bare `spark.read.parquet` measures ~100 ms
+    * per call at local[32] (footer read + inference inside the session
+    * lock), vs ~6 ms with the schema provided (DevFloor probe, r17).
+    * With ~1.5 Tables calls per key x 305 keys x 2 reps that floor is a
+    * double-digit share of the whole bench. The memo is keyed by path,
+    * not session: a footer schema is a pure function of the file (all
+    * graft sessions set the same nanosAsLong flag inference depends
+    * on). Each call still builds a FRESH relation with fresh attribute
+    * ids — only the StructType is reused — so plan shapes, self-join
+    * resolution and results are byte-identical (Round17OptSpec).
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val cached = schemaMemo.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaMemo.put(path, df.schema)
+      df
+    }
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // ASSERT, don't set (r7 verdict #3): a table reader silently
@@ -47,7 +73,7 @@ object Tables {
         "events reads need spark.sql.legacy.parquet.nanosAsLong=true at " +
           "session construction (the fixture has shipped TIMESTAMP(NANOS) " +
           "layouts); build the session via graft.Sessions")
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val raw = readParquet(spark, s"$sfDir/events.parquet")
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       raw.schema("ts").dataType match {
         case LongType =>
@@ -66,7 +92,7 @@ object Tables {
             "changed again; extend Tables.apply for the new physical type")
       }
     } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      readParquet(spark, s"$sfDir/$name.parquet")
     }
   }
 
