@@ -78,6 +78,20 @@ object DevFloor {
       spark.read.schema(sch).parquet(s"$dir/orders.parquet")
         .groupBy("o_orderstatus").agg(count(lit(1))).count()
     }
+    // per-rule attribution of the extra-optimizations cost
+    val all = spark.experimental.extraOptimizations
+    for (r <- all) {
+      spark.experimental.extraOptimizations = all.filterNot(_ eq r)
+      time(s"minus_${r.ruleName.split("\\.").last}") {
+        Tables(spark, dir, "orders").groupBy("o_orderstatus")
+          .agg(count(lit(1))).count()
+      }
+    }
+    spark.experimental.extraOptimizations = all
+    time("all_rules_again") {
+      Tables(spark, dir, "orders").groupBy("o_orderstatus")
+        .agg(count(lit(1))).count()
+    }
     spark.stop()
   }
 }

@@ -18,6 +18,10 @@ object DevTime {
     val keys = args.tail.toSeq
     val spark = Sessions.localFor("32", dir, "ERROR")
     Sessions.applyRuleOff(spark)
+    // generic runtime-conf A/B hook: SPARK_GRAFT_CONF="k=v[,k=v...]"
+    for (kvs <- sys.env.get("SPARK_GRAFT_CONF"); kv <- kvs.split(",");
+         Array(k, v) = kv.split("=", 2))
+      spark.conf.set(k, v)
     for (k <- keys) {
       val fn = SparkEntry.queries(k)
       val times = (1 to 2).map { _ =>

@@ -100,12 +100,17 @@ object Dedup {
     * keyed on doc_id; no interpreted lambdas, no row multiplication.
     */
   def minhashSignatures(spark: SparkSession, docs: DataFrame,
-      perms: Int = 16): DataFrame = {
+      perms: Int = 16, width: Option[Int] = None): DataFrame = {
     // width before the explode: a compressed corpus file under Spark's
     // scan-split floor arrives as ONE partition, which would serialize
     // the shingle explode + perms×xxhash64 work into a single task (the
-    // small-input/big-intermediate trap — see substringSpans)
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // small-input/big-intermediate trap — see substringSpans).
+    // width: data-derived when the caller knows the source table
+    // (Tables.explodeWidth — guide §2 scale-adaptive, the r17 ppjoin
+    // width pass), session shuffle width otherwise (tests on synthetic
+    // frames with no file behind them)
+    val nPart = width.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val exploded = docs
       .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), explode(hashedShingles(col("text"))).as("sh"))
@@ -188,7 +193,8 @@ object Dedup {
     * are unsortable there (round-1 gate error).
     */
   def minhashQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashSignatures(spark, Tables(spark, dir, "documents"))
+    minhashSignatures(spark, Tables(spark, dir, "documents"),
+      width = Some(Tables.explodeWidth(spark, dir, "documents")))
       .select(col("doc_id"),
         concat_ws(",", transform(col("sig"), _.cast("string")))
           .as("signature"))
@@ -293,17 +299,22 @@ object Dedup {
   private[graft] def nearCandidates(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables(spark, dir, "documents")
+    // data-derived width for every pinned exchange (guide §2, the r17
+    // ppjoin width pass): at sf0.1 the session's 32-wide pins cost more
+    // task dispatch than the work they parallelize (family measured
+    // −25-35% at width 4-16, OPTIMIZATION_r17.md); at the 10×/100×
+    // replicas the formula derives full width again, preserving the
+    // r4/r5 scale measurements. Pinning (vs leaving AQE to choose)
+    // stays: AQE's bytes proxy would coalesce these compute-heavy
+    // shuffles to ONE task (measured 3.6 s, see ngramCandidates).
+    val w = Tables.explodeWidth(spark, dir, "documents")
     // same width-before-shingle-work exchange as the signature path
     val sets = docs
-      .repartition(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      .repartition(w, col("doc_id"))
       .select(col("doc_id"),
         array_distinct(hashedShingles(col("text"))).as("shs"))
-    val sigs = minhashSignatures(spark, docs, perms = 64)
-    // pinned partition count: AQE would coalesce this small shuffle to
-    // one partition and run the whole banding self-join + verify in a
-    // single task (the ngramJaccard lesson)
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sigs = minhashSignatures(spark, docs, perms = 64, width = Some(w))
+    val nPart = w
     val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(15)),

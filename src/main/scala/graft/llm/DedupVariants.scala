@@ -22,11 +22,14 @@ object DedupVariants {
   private val M = 64
 
   /** SimHash per doc: bit i = sign of Σ_words (bit_i(xxhash64(word)) ? +1 : -1). */
-  def simhashes(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def simhashes(spark: SparkSession, docs: DataFrame,
+      width: Option[Int] = None): DataFrame = {
     // width before the explode (see Dedup.minhashSignatures): without it
     // a single-file scan serializes the word explode + 64-column
-    // bit-sum partial aggregate into one task
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // bit-sum partial aggregate into one task. Data-derived when the
+    // caller knows the source table (r17 ppjoin width pass).
+    val nPart = width.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val words = docs.repartition(nPart, col("doc_id"))
       .select(col("doc_id"),
         explode(split(col("text"), " ")).as("word"))
@@ -47,7 +50,8 @@ object DedupVariants {
     * LlmSpec).
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sims = simhashes(spark, Tables(spark, dir, "documents"))
+    val sims = simhashes(spark, Tables(spark, dir, "documents"),
+      width = Some(Tables.explodeWidth(spark, dir, "documents")))
     val chunked = sims.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
@@ -176,8 +180,13 @@ object DedupVariants {
     // smaller than Spark's scan-split floor (594 KB at sf0.1 → ONE scan
     // partition, single row group), so without this exchange the whole
     // hash+sort+explode chain runs in one task regardless of cores —
-    // the small-input/big-intermediate trap (see substringSpans)
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // the small-input/big-intermediate trap (see substringSpans).
+    // DATA-DERIVED width since r17 (guide §2): the session's 32-wide
+    // pin cost more dispatch than it parallelized at sf0.1 (family A/B:
+    // 1.75 s → 1.2-1.3 s at width 4-16 on ngram_jaccard, similar on
+    // near/lsh/components/survivor); the formula restores full width on
+    // the 10×/100× replica dirs where the candidate volume is real.
+    val nPart = Tables.explodeWidth(spark, dir, "documents")
     val sets = Tables(spark, dir, "documents")
       .repartition(nPart, col("doc_id"))
       .select(col("doc_id"),
