@@ -48,7 +48,15 @@ object TextOps {
       .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("dl"))
     val n = Tables(spark, dir, "documents")
       .agg(countDistinct("doc_id").as("nn"))
+    // the word-window's exchange carries the AGGREGATED (lang, word)
+    // table (vocab-sized, far smaller than the exploded stream), so
+    // pinning it at the data-derived width costs nothing in shuffle
+    // bytes and removes the session-width dispatch overhead that made
+    // this key anti-scale at fixture sf (8c/32c ratio 0.38, r17; the
+    // formula restores full width on replica/production dirs)
     val raw = base
+      .repartition(Tables.explodeWidth(spark, dir, "documents"),
+        col("word"))
       .withColumn("dfd", sum("dl").over(Window.partitionBy("word")))
       .crossJoin(broadcast(n))
       .withColumn("raw",
